@@ -1,0 +1,87 @@
+"""Scalar expression helpers mirroring the reference's Snowflake idioms.
+
+Spark-first notes (SURVEY.md §2.8):
+- Snowflake ``decode(x, k1, v1, k2, v2, ..., default)`` → chained
+  ``F.when``; Spark's own ``F.decode`` is *charset* decoding, a classic
+  false friend.
+- Snowflake datetime format tokens differ from Java patterns
+  (``'yyyymmdd-hhmiss'`` vs ``'yyyyMMdd-HHmmss'``); ``snowflake_format``
+  translates the handful the reference uses (``tpcdi.py:293,453``,
+  ``finwire_financial.sql:12-13``).
+- ``get_phone_number`` (reference ``tpcdi.py:174-186``) assembles
+  country/area/local/ext with separators dropped for blank parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def decode(col: Column, mapping: dict, default=None) -> Column:
+    """Snowflake DECODE as chained when/otherwise.
+
+    Reference usage: ``decode(action_type, 'NEW','Active','ADDACCT','Active',...)``
+    at ``silver/accounts.sql:3-7`` and ``silver/customers.sql:3-8``.
+    """
+    expr: Column | None = None
+    for key, value in mapping.items():
+        cond = col.isNull() if key is None else (col == F.lit(key))
+        val = F.lit(value) if not isinstance(value, Column) else value
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    assert expr is not None, "decode() needs at least one mapping"
+    if default is not None:
+        default = F.lit(default) if not isinstance(default, Column) else default
+        expr = expr.otherwise(default)
+    return expr
+
+
+#: Snowflake format-token → Java/Spark datetime pattern translations for
+#: every format string the reference uses. Hand-verified; 'mi' (minute)
+#: vs 'mm' (month-in-Snowflake / minute-in-Java) is the classic trap
+#: (SURVEY.md §7.5 hazard 2).
+SNOWFLAKE_FORMATS = {
+    "yyyymmdd": "yyyyMMdd",
+    "yyyymmdd-hhmiss": "yyyyMMdd-HHmmss",
+    "yyyy-mm-ddThh:mi:ss": "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-mm-dd hh:mi:ss.ff3": "yyyy-MM-dd HH:mm:ss.SSS",
+}
+
+
+def snowflake_format(fmt: str) -> str:
+    """Translate a Snowflake datetime format string to a Java pattern."""
+    try:
+        return SNOWFLAKE_FORMATS[fmt.lower()]
+    except KeyError as exc:
+        raise ValueError(
+            f"untranslated Snowflake format {fmt!r}; add it to SNOWFLAKE_FORMATS"
+        ) from exc
+
+
+def to_timestamp_sf(col: Column, sf_fmt: str) -> Column:
+    """``to_timestamp`` taking a *Snowflake* format string."""
+    return F.to_timestamp(col, snowflake_format(sf_fmt))
+
+
+def to_date_sf(col: Column, sf_fmt: str) -> Column:
+    return F.to_date(col, snowflake_format(sf_fmt))
+
+
+def phone_number(ctry: Column, area: Column, local: Column, ext: Column) -> Column:
+    """Assemble a phone number the way the reference does
+    (``tpcdi.py:174-186``): ``ctry-area-local ext`` where each separator
+    is emitted only when the preceding part is non-blank, and the whole
+    thing is NULL-safe.
+
+    concat_ws can't express the conditional separators, so this is the
+    literal when/otherwise composition — still pure Column algebra.
+    """
+    c = F.coalesce(ctry, F.lit(""))
+    a = F.coalesce(area, F.lit(""))
+    l = F.coalesce(local, F.lit(""))
+    e = F.coalesce(ext, F.lit(""))
+    dash1 = F.when((c != "") & (a != ""), F.lit("-")).otherwise(F.lit(""))
+    dash2 = F.when((a != "") & (l != ""), F.lit("-")).otherwise(F.lit(""))
+    ext_part = F.when(e != "", F.concat(F.lit(" ext: "), e)).otherwise(F.lit(""))
+    assembled = F.concat(c, dash1, a, dash2, l, ext_part)
+    return F.when(assembled == "", F.lit(None).cast("string")).otherwise(assembled)

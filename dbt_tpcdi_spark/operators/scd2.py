@@ -1,0 +1,65 @@
+"""SCD Type-2 versioning — the reference's core temporal idiom.
+
+Six silver models version entities identically (SURVEY.md §1.3; e.g.
+reference ``models/silver/accounts.sql:35-57``):
+
+- ``end_timestamp`` = next version's timestamp − 1 ms, with an
+  open-ended ``9999-12-31 23:59:59.999`` sentinel for the latest
+  version. The reference writes this as ``lag(ts) over (... order by
+  ts DESC)``; we use the equivalent-but-readable ``lead`` over ASC
+  (hazard 3 in SURVEY.md §7.5 — unit-tested both ways).
+- ``is_current`` = ``row_number() over (... order by ts desc) = 1``.
+
+Scale note: one window over ``partition by key order by ts`` is a
+single shuffle on the entity key; both derived columns reuse the same
+sort, so Catalyst plans exactly one exchange + one sort. Entity keys
+(customer/account/company/security/trade) are high-cardinality and
+unskewed in TPC-DI, so this scales linearly to 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Open-ended validity sentinel, as in reference ``silver/accounts.sql:40``.
+SCD2_SENTINEL = "9999-12-31 23:59:59.999"
+
+
+def with_scd2(
+    df: DataFrame,
+    key: str | list[str],
+    ts: str = "effective_timestamp",
+    end_col: str = "end_timestamp",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Append ``end_timestamp`` + ``is_current`` SCD2 columns.
+
+    ``ts`` must already be the version's effective timestamp; ties on
+    (key, ts) would be nondeterministic in the reference too (it orders
+    only by ts) — callers should dedupe first.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w_asc = Window.partitionBy(*keys).orderBy(F.col(ts).asc())
+    w_desc = Window.partitionBy(*keys).orderBy(F.col(ts).desc())
+    end_ts: Column = F.coalesce(
+        F.lead(F.col(ts)).over(w_asc) - F.expr("INTERVAL 1 MILLISECOND"),
+        F.lit(SCD2_SENTINEL).cast("timestamp"),
+    )
+    return df.withColumn(end_col, end_ts).withColumn(
+        current_col, F.row_number().over(w_desc) == 1
+    )
+
+
+def scd2_sql(key: str, ts: str) -> dict[str, str]:
+    """The same two derivations as ANSI SQL snippets (DuckDB-compatible),
+    for oracle authoring. Returns {'end_timestamp': ..., 'is_current': ...}."""
+    return {
+        "end_timestamp": (
+            f"coalesce(lead({ts}) over (partition by {key} order by {ts}) "
+            f"- interval 1 millisecond, timestamp '9999-12-31 23:59:59.999')"
+        ),
+        "is_current": (
+            f"row_number() over (partition by {key} order by {ts} desc) = 1"
+        ),
+    }

@@ -1,0 +1,74 @@
+"""SparkSession factory.
+
+The reference delegates session setup to Snowpark (``get_session``,
+reference ``tpcdi.py:10-20``). Here we own the session and pin the
+settings that matter for (a) correctness against a DuckDB oracle and
+(b) sane behavior from local[32] up to a 1000-executor cluster:
+
+- ``spark.sql.session.timeZone=UTC``: Spark timestamps are session-TZ;
+  DuckDB's are UTC-naive. Without this, every timestamp comparison is
+  haunted.
+- AQE on (default in Spark 3.2+, pinned explicitly): runtime shuffle
+  coalescing, skew-join splitting, and dynamic join-strategy switching
+  are the main levers that keep the same declarative plan working at
+  100 TB.
+- ``spark.sql.shuffle.partitions`` sized to cores for local runs;
+  on a real cluster AQE coalescing makes the static value mostly a cap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dbt_tpcdi_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so tests, bench.py and the driver all agree.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # testdata events.parquet stores TIMESTAMP(NANOS), which Spark
+        # refuses by default; read as long and convert at load
+        # (sources/parquet.py restores TimestampType at µs).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_for_oracle(spark: SparkSession) -> SparkSession:
+    """Pin the session settings that a driver-provided session may lack.
+
+    The correctness driver hands us an arbitrary SparkSession; make sure
+    timezone and ANSI behavior match what the DuckDB oracle will see.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
