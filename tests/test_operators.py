@@ -1,0 +1,147 @@
+"""Unit tests for the core operators on hand-built micro-fixtures.
+
+These pin the semantics SURVEY.md §7.5 flags as easy to flip wrong:
+lead-vs-lag direction in SCD2 (hazard 3), the forward-fill frame
+(hazard 4), BETWEEN inclusivity in temporal joins, and as-of boundary
+behavior.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.operators.scd2 import SCD2_SENTINEL, with_scd2
+from dbt_tpcdi_spark.operators.temporal import join_asof, temporal_join
+from dbt_tpcdi_spark.operators.windows import (
+    forward_fill,
+    qualify_rn,
+    rolling_extreme_with_date,
+    trailing_agg_excluding_current,
+)
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_scd2_multi_version(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ts("2020-01-01 00:00:00"), "v1"),
+            (1, ts("2020-06-01 00:00:00"), "v2"),
+            (1, ts("2021-01-01 00:00:00"), "v3"),
+            (2, ts("2020-03-01 00:00:00"), "only"),
+        ],
+        "k int, effective_timestamp timestamp, payload string",
+    )
+    out = {
+        (r.k, r.payload): r
+        for r in with_scd2(df, key="k").collect()
+    }
+    # end = next version - 1ms (lead over ASC == reference's lag over DESC)
+    assert out[(1, "v1")].end_timestamp == ts("2020-05-31 23:59:59.999")
+    assert out[(1, "v2")].end_timestamp == ts("2020-12-31 23:59:59.999")
+    # latest version gets the open sentinel + is_current
+    assert out[(1, "v3")].end_timestamp == ts(SCD2_SENTINEL.replace(" ", "T"))
+    assert out[(1, "v3")].is_current and not out[(1, "v1")].is_current
+    # single-version entity: current, sentinel end
+    assert out[(2, "only")].is_current
+    assert out[(2, "only")].end_timestamp == ts(SCD2_SENTINEL.replace(" ", "T"))
+
+
+def test_temporal_join_between_inclusive(spark):
+    dim = with_scd2(
+        spark.createDataFrame(
+            [(1, ts("2020-01-01 00:00:00"), "v1"), (1, ts("2020-02-01 00:00:00"), "v2")],
+            "k int, effective_timestamp timestamp, ver string",
+        ),
+        key="k",
+    )
+    fact = spark.createDataFrame(
+        [
+            (1, ts("2020-01-01 00:00:00"), "at-eff"),        # == eff of v1
+            (1, ts("2020-01-31 23:59:59.999"), "at-end"),    # == end of v1
+            (1, ts("2020-02-01 00:00:00"), "next"),          # eff of v2
+            (1, ts("2019-12-31 00:00:00"), "orphan"),        # before all → dropped
+        ],
+        "fk int, ets timestamp, tag string",
+    )
+    got = {
+        r.tag: r.ver
+        for r in temporal_join(fact, dim, [("fk", "k")], ts="ets").collect()
+    }
+    assert got == {"at-eff": "v1", "at-end": "v1", "next": "v2"}
+
+
+def test_join_asof_backward(spark):
+    fact = spark.createDataFrame(
+        [(1, ts("2020-01-15 00:00:00"), 100), (1, ts("2019-01-01 00:00:00"), 101),
+         (3, ts("2020-01-01 00:00:00"), 102)],
+        "k int, fts timestamp, fid int",
+    )
+    dim = spark.createDataFrame(
+        [(1, ts("2020-01-01 00:00:00"), "a"), (1, ts("2020-01-15 00:00:00"), "b"),
+         (2, ts("2020-01-01 00:00:00"), "z")],
+        "k int, dts timestamp, dval string",
+    )
+    got = {r.fid: r.asof_dval
+           for r in join_asof(fact, dim, "k", "fts", "dts").collect()}
+    # exact-ts match included (backward picks the row at fts itself)
+    assert got[100] == "b"
+    # fact before any dim version → NULL, row preserved (left semantics)
+    assert got[101] is None
+    # key with no dim rows at all → NULL
+    assert got[102] is None
+
+
+def test_forward_fill_frame(spark):
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, "x"), (1, 3, None), (1, 4, "y"), (1, 5, None)],
+        "k int, seq int, v string",
+    )
+    got = {r.seq: r.v for r in forward_fill(df, ["v"], key="k", order="seq").collect()}
+    assert got == {1: None, 2: "x", 3: "x", 4: "y", 5: "y"}
+
+
+def test_qualify_rn_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 9, "z")],
+        "k int, ord int, v string",
+    )
+    got = sorted(
+        (r.k, r.v) for r in qualify_rn(df, "k", [F.col("ord").asc()]).collect()
+    )
+    assert got == [(1, "a"), (2, "z")]
+
+
+def test_rolling_extreme_struct_vs_ties(spark):
+    # value 5.0 occurs twice in the window → extreme date must be the EARLIEST
+    df = spark.createDataFrame(
+        [
+            (1, dt.date(2020, 1, 1), 5.0),
+            (1, dt.date(2020, 1, 2), 3.0),
+            (1, dt.date(2020, 1, 3), 5.0),
+        ],
+        "k int, d date, v double",
+    )
+    rows = {r.d: r for r in
+            rolling_extreme_with_date(df, "k", "d", "v", preceding=6).collect()}
+    last = rows[dt.date(2020, 1, 3)]
+    assert last.v_high == 5.0 and last.v_high_d == dt.date(2020, 1, 1)
+    assert last.v_low == 3.0 and last.v_low_d == dt.date(2020, 1, 2)
+
+
+def test_trailing_agg_excludes_current(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0)],
+        "k int, seq int, v double",
+    )
+    got = {
+        r.seq: r.prior_sum
+        for r in trailing_agg_excluding_current(
+            df, "k", "seq", "v", preceding=4, out="prior_sum"
+        ).collect()
+    }
+    assert got == {1: 0.0, 2: 10.0, 3: 30.0}
