@@ -67,21 +67,27 @@ def to_date_sf(col: Column, sf_fmt: str) -> Column:
     return F.to_date(col, snowflake_format(sf_fmt))
 
 
-def phone_number(ctry: Column, area: Column, local: Column, ext: Column) -> Column:
-    """Assemble a phone number the way the reference does
-    (``tpcdi.py:174-186``): ``ctry-area-local ext`` where each separator
-    is emitted only when the preceding part is non-blank, and the whole
-    thing is NULL-safe.
+def phone_number(
+    ctry: Column, area: Column, local: Column, ext: Column, separator: str = "-"
+) -> Column:
+    """Assemble a phone number exactly as the reference does
+    (``tpcdi.py:174-186``): ``concat(ctry, sep?, area, sep?, local,
+    ' ext: '?, ext)`` where each separator is dropped when the
+    *preceding* part is the empty string.
 
-    concat_ws can't express the conditional separators, so this is the
-    literal when/otherwise composition — still pure Column algebra.
+    NULL semantics are load-bearing and identical in Snowflake and
+    Spark: ``concat`` NULL-propagates, so a *missing* (NULL) part nulls
+    the entire phone, while an *empty-string* part merely drops its
+    separator. We replicate, not "fix", this.
     """
-    c = F.coalesce(ctry, F.lit(""))
-    a = F.coalesce(area, F.lit(""))
-    l = F.coalesce(local, F.lit(""))
-    e = F.coalesce(ext, F.lit(""))
-    dash1 = F.when((c != "") & (a != ""), F.lit("-")).otherwise(F.lit(""))
-    dash2 = F.when((a != "") & (l != ""), F.lit("-")).otherwise(F.lit(""))
-    ext_part = F.when(e != "", F.concat(F.lit(" ext: "), e)).otherwise(F.lit(""))
-    assembled = F.concat(c, dash1, a, dash2, l, ext_part)
-    return F.when(assembled == "", F.lit(None).cast("string")).otherwise(assembled)
+    sep = F.lit(separator)
+    empty = F.lit("")
+    return F.concat(
+        ctry,
+        F.when(ctry == "", empty).otherwise(sep),
+        area,
+        F.when(area == "", empty).otherwise(sep),
+        local,
+        F.when(ext == "", empty).otherwise(F.lit(" ext: ")),
+        ext,
+    )

@@ -48,21 +48,24 @@ def duck_smoke(duck):
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, normalize dtypes, sort rows — the same
-    order-insensitive shape the driver hashes."""
-    pdf = pdf[sorted(pdf.columns)].copy()
+    order-insensitive shape the driver hashes.
+
+    Floats stay float64 (exact comparison — queries are responsible for
+    determinism via decimal/rounding); everything else becomes strings
+    with a common NULL marker (int-with-null arrives as float64 from
+    one engine and Int64 from another otherwise)."""
+    pdf = pdf[sorted(pdf.columns)]
+    out = {}
     for c in pdf.columns:
         s = pdf[c]
-        if pd.api.types.is_bool_dtype(s):
-            pdf[c] = s.astype(bool)
-        elif pd.api.types.is_integer_dtype(s):
-            pdf[c] = s.astype("int64")
-        elif pd.api.types.is_float_dtype(s):
-            pdf[c] = s.astype("float64")
+        if pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
         elif pd.api.types.is_datetime64_any_dtype(s):
-            pdf[c] = s.astype("datetime64[us]").astype(str)
+            out[c] = s.astype("datetime64[us]").astype(str)
         else:
-            pdf[c] = s.astype(object).astype(str)
-    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+            out[c] = s.map(lambda v: "<NA>" if pd.isna(v) else str(v))
+    res = pd.DataFrame(out)
+    return res.sort_values(by=list(res.columns), kind="mergesort").reset_index(
         drop=True
     )
 
