@@ -1,0 +1,98 @@
+"""Full-DAG correctness gate: run the whole 45-model warehouse from raw
+fixture files through the Spark engine, then EXCEPT-ALL compare every
+materialized table against the DuckDB oracle evaluated over the
+independently-rendered logical sources."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dbt_tpcdi_spark.plans.registry import all_models
+from dbt_tpcdi_spark.plans.runner import Runner, duplicate_keys
+from dbt_tpcdi_spark.plans.sources import load_dag_sources
+from tests.tpcdi_fixtures import generate
+from tests.tpcdi_oracle import ORACLE_MODELS
+
+LOGICAL_SOURCES = (
+    "date", "daily_market", "industry", "prospect", "tax_rate", "hr",
+    "watch_history", "trade", "trade_history", "status_type", "trade_type",
+    "holding_history", "cash_transaction", "cmp", "sec", "fin",
+    "customer_mgmt",
+)
+
+
+@pytest.fixture(scope="session")
+def dag_env(spark, tmp_path_factory):
+    """Generate fixtures, run the Spark DAG to parquet, build the DuckDB
+    oracle views. Returns (warehouse_dir, duckdb connection)."""
+    root = generate(tmp_path_factory.mktemp("dag"))
+    warehouse = root / "warehouse"
+    sources = load_dag_sources(spark, str(root / "raw"))
+    Runner(spark, sources, warehouse_dir=str(warehouse)).run()
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for s in LOGICAL_SOURCES:
+        con.execute(
+            f"CREATE VIEW src_{s} AS SELECT * FROM "
+            f"read_parquet('{root}/logical/{s}.parquet')"
+        )
+    for name, sql in ORACLE_MODELS.items():
+        con.execute(f'CREATE VIEW "{name}" AS {sql}')
+    return warehouse, con
+
+
+def _compare(con, name: str, spark_parquet: str) -> None:
+    cols = [
+        r[0] for r in con.execute(f'DESCRIBE "{name}"').fetchall()
+    ]
+    types = {
+        r[0]: r[1] for r in con.execute(f'DESCRIBE "{name}"').fetchall()
+    }
+    collist = ", ".join(f'"{c}"' for c in sorted(cols))
+    castlist = ", ".join(
+        f'cast("{c}" as {types[c]}) AS "{c}"' for c in sorted(cols)
+    )
+    con.execute(
+        f"CREATE OR REPLACE VIEW spark_out AS "
+        f"SELECT {castlist} FROM read_parquet('{spark_parquet}/*.parquet')"
+    )
+    n_oracle = con.execute(f'SELECT count(*) FROM "{name}"').fetchone()[0]
+    n_spark = con.execute("SELECT count(*) FROM spark_out").fetchone()[0]
+    assert n_spark == n_oracle, f"{name}: rows {n_spark} vs oracle {n_oracle}"
+    assert n_oracle > 0, f"{name}: oracle produced no rows — fixture gap"
+    diff = con.execute(
+        f'SELECT count(*) FROM ('
+        f'  (SELECT {collist} FROM "{name}" EXCEPT ALL '
+        f'   SELECT {collist} FROM spark_out)'
+        f"  UNION ALL "
+        f'  (SELECT {collist} FROM spark_out EXCEPT ALL '
+        f'   SELECT {collist} FROM "{name}")'
+        f")"
+    ).fetchone()[0]
+    if diff:
+        sample = con.execute(
+            f'SELECT {collist} FROM "{name}" EXCEPT ALL '
+            f"SELECT {collist} FROM spark_out LIMIT 3"
+        ).fetchall()
+        raise AssertionError(f"{name}: {diff} differing rows; oracle-only "
+                             f"sample: {sample}")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_MODELS))
+def test_model_matches_oracle(name, dag_env):
+    warehouse, con = dag_env
+    _compare(con, name, str(warehouse / name))
+
+
+def test_every_model_has_oracle():
+    assert sorted(all_models()) == sorted(ORACLE_MODELS)
+
+
+def test_fact_trade_unique_key(spark, dag_env):
+    """The reference's singular data test
+    (tests/fact_trade__unique_trade.sql)."""
+    warehouse, _ = dag_env
+    df = spark.read.parquet(str(warehouse / "fact_trade"))
+    assert duplicate_keys(df, ["sk_trade_id"]).isEmpty()
