@@ -675,7 +675,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract",
     oracle="""
     SELECT event_type,
-           sum(cast(props->>'$.k' AS bigint)) AS sum_k,
+           cast(sum(cast(props->>'$.k' AS bigint)) AS bigint) AS sum_k,
            count(*) AS n_events
     FROM events GROUP BY 1
     """,
@@ -685,7 +685,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return e.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"), F.count("*").alias("n_events")
+        F.sum(k).cast("long").alias("sum_k"), F.count("*").alias("n_events")
     )
 
 
