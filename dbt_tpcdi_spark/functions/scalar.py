@@ -18,6 +18,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def round4(c: Column) -> Column:
+    """Bit-deterministic 4-decimal rounding for doubles compared across
+    engines: Spark's round() goes through BigDecimal's shortest-decimal
+    representation while DuckDB rounds the raw binary double — at a
+    .00005 boundary they disagree. floor(x·10⁴ + 0.5)/10⁴ is identical
+    IEEE arithmetic everywhere. Pair with round4_sql."""
+    return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+
+def round4_sql(expr: str) -> str:
+    return f"(floor(({expr}) * 10000 + 0.5) / 10000)"
+
+
 def decode(col: Column, mapping: dict, default=None) -> Column:
     """Snowflake DECODE as chained when/otherwise.
 

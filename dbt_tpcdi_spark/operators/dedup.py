@@ -1,0 +1,220 @@
+"""Deduplication operators: exact, minhash+LSH, n-gram jaccard.
+
+Scale design:
+
+- **Exact / fingerprint dedup** is a hash groupBy — one shuffle on the
+  digest, map-side combined.
+- **MinHash+LSH** computes per-doc signatures in a single projection
+  (no shuffle), then candidates via a band-hash self-join: only
+  same-bucket docs meet, so the O(n²) pair space never materializes.
+  Signature hashes are md5-derived (cross-engine identical) folded into
+  ``(a*h + b) mod p`` with p = 2^31−1, all in 64-bit-safe integer
+  arithmetic — deterministic everywhere.
+- **N-gram jaccard** uses the explode-join formulation (token
+  postings join) rather than pairwise array intersection: it scales as
+  sum of posting-list products, not n², and both engines compute the
+  identical integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.functions.scalar import round4, round4_sql
+from dbt_tpcdi_spark.operators.text import tokens, tokens_sql
+
+# ---------------------------------------------------------------------------
+# minhash constants (shared with the SQL twin — never change one side)
+
+MINHASH_P = 2147483647  # 2^31 - 1; keeps a*h+b < 2^62
+#: (a, b) per hash function; arbitrary-but-fixed odd multipliers
+MINHASH_AB: list[tuple[int, int]] = [
+    (1000000007, 424242), (998244353, 171717), (805306457, 999331),
+    (779347217, 313131), (611999953, 717171), (474750361, 121212),
+    (368040163, 565656), (285542839, 434343), (222444413, 878787),
+    (160481219, 232323), (104395303, 676767), (86028157, 989898),
+    (49979687, 111111), (32452843, 767676), (15485863, 343434),
+    (982451653, 606060),
+]
+LSH_BANDS = 4
+LSH_ROWS = 4  # bands * rows == len(MINHASH_AB)
+
+
+def shingles(col: Column) -> Column:
+    """Distinct unigram shingles (the probe basis for set jaccard)."""
+    return F.array_distinct(tokens(col))
+
+
+def shingles_sql(col: str) -> str:
+    return f"list_distinct({tokens_sql(col)})"
+
+
+def _h31(s: Column) -> Column:
+    """First 8 md5 hex digits → int in [0, 2^31): cross-engine token
+    hash (md5 is the only hash both engines share)."""
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % MINHASH_P
+    )
+
+
+_H31_SQL = (
+    "(list_sum(list_transform(range(1, 9), i -> "
+    "cast(strpos('0123456789abcdef', substr(md5({s}), i, 1)) - 1 AS bigint) "
+    "* cast(({powers})[i] AS bigint)))::bigint % 2147483647)"
+)
+
+
+def _h31_sql(s: str) -> str:
+    powers = [16 ** (8 - i) for i in range(1, 9)]
+    return _H31_SQL.format(s=s, powers=powers)
+
+
+def with_minhash_signature(
+    df: DataFrame, text_col: str, out_prefix: str = "mh"
+) -> DataFrame:
+    """Append one column per hash function: mh0..mh15. Pure projection —
+    no shuffle; Catalyst collapses the 16 array traversals into one
+    codegen stage."""
+    sh = shingles(F.col(text_col))
+
+    def hasher(a: int, b: int):
+        # closure factory: a default-arg lambda would present a 3-arg
+        # signature to Spark's higher-order transform()
+        return lambda s: (F.lit(a) * _h31(s) + F.lit(b)) % MINHASH_P
+
+    cols = []
+    for j, (a, b) in enumerate(MINHASH_AB):
+        mh = F.array_min(F.transform(sh, hasher(a, b)))
+        cols.append(mh.alias(f"{out_prefix}{j}"))
+    return df.select("*", *cols)
+
+
+def minhash_signature_sql(text_col: str, out_prefix: str = "mh") -> list[str]:
+    out = []
+    for j, (a, b) in enumerate(MINHASH_AB):
+        out.append(
+            f"list_min(list_transform({shingles_sql(text_col)}, s -> "
+            f"({a} * {_h31_sql('s')} + {b}) % {MINHASH_P})) AS {out_prefix}{j}"
+        )
+    return out
+
+
+def band_hash(prefix: str, band: int) -> Column:
+    sig = [F.col(f"{prefix}{band * LSH_ROWS + r}").cast("string")
+           for r in range(LSH_ROWS)]
+    return F.md5(F.concat_ws("-", *sig))
+
+
+def band_hash_sql(prefix: str, band: int) -> str:
+    parts = " || '-' || ".join(
+        f"cast({prefix}{band * LSH_ROWS + r} AS varchar)"
+        for r in range(LSH_ROWS)
+    )
+    return f"md5({parts})"
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str
+) -> DataFrame:
+    """Same-bucket candidate pairs (id_a < id_b, distinct across bands).
+
+    One union of LSH_BANDS self-joins, each shuffling only on the band
+    hash — the bucket join that replaces the O(n²) cross product.
+    """
+    pairs = None
+    for band in range(LSH_BANDS):
+        b = sigs.select(
+            F.col(id_col), band_hash("mh", band).alias("__bh")
+        )
+        left = b.alias("l")
+        right = b.alias("r")
+        p = left.join(
+            right,
+            (F.col("l.__bh") == F.col("r.__bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def jaccard_pairs_via_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs with shingle-set jaccard ≥ threshold via the postings
+    join: explode distinct tokens, join on (block, token), count common
+    tokens per pair, then |A∩B| / (|A|+|B|−|A∩B|).
+
+    This is the formulation that survives scale: work is proportional
+    to Σ posting² per token (bounded by blocking), never n². All
+    counts are integers → jaccard is a deterministic double division.
+    """
+    blocks = [block_col] if block_col else []
+    base = df.select(
+        F.col(id_col), *blocks, shingles(F.col(text_col)).alias("__sh")
+    ).withColumn("__n", F.size("__sh"))
+    posts = base.select(
+        id_col, *blocks, "__n", F.explode("__sh").alias("__tok")
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    cond = (F.col("a.__tok") == F.col("b.__tok")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for blk in blocks:
+        cond = cond & (F.col(f"a.{blk}") == F.col(f"b.{blk}"))
+    common = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .agg(F.count("*").alias("__common"))
+    )
+    jac = F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common"))
+    return (
+        common.withColumn("jaccard", round4(jac))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs_sql(
+    id_col: str,
+    text_col: str,
+    from_table: str,
+    block_col: str | None = None,
+    threshold: float = 0.8,
+) -> str:
+    blk_sel = f", {block_col}" if block_col else ""
+    blk_join = f"AND a.{block_col} = b.{block_col}" if block_col else ""
+    return f"""
+        WITH base AS (
+            SELECT {id_col}{blk_sel}, {shingles_sql(text_col)} AS __sh
+            FROM {from_table}
+        ),
+        posts AS (
+            SELECT {id_col}{blk_sel}, len(__sh) AS __n,
+                   unnest(__sh) AS __tok
+            FROM base
+        ),
+        common AS (
+            SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+                   a.__n AS __na, b.__n AS __nb, count(*) AS __common
+            FROM posts a JOIN posts b
+              ON a.__tok = b.__tok AND a.{id_col} < b.{id_col} {blk_join}
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b,
+               {round4_sql('__common / (__na + __nb - __common)')} AS jaccard
+        FROM common
+        WHERE {round4_sql('__common / (__na + __nb - __common)')}
+              >= {threshold}
+    """

@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (array<float>).
+
+Determinism is the hard constraint: float summation order differs
+between engines, so **all dot products run on quantized integers** —
+each element becomes round(x·10⁴) as a bigint, sums are exact and
+order-free, and the derived cosine is a single deterministic double
+division at the end. (At 64 dims and |x| ≤ ~20 the integer dot stays
+far below 2^63.)
+
+Two paths:
+
+- ``brute force``: one projection computes the quantized dot against a
+  (broadcast) query vector, then deterministic top-k. Linear scan —
+  the correctness baseline, and on a cluster it's an embarrassingly
+  parallel map + small top-k shuffle.
+- ``sign-LSH``: bucket vectors by the sign pattern of fixed ±1
+  hyperplanes (derived from (i·7 + j·13) mod 3 — shared constants, no
+  RNG), probe only the query's bucket. The scale path: candidate set
+  shrinks ~2^nbits-fold; same integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.functions.scalar import round4, round4_sql
+
+QUANT = 10000  # fixed-point scale for embedding elements
+
+LSH_PLANES = 4  # sign bits per bucket
+
+
+def _q(x: Column) -> Column:
+    return F.round(x.cast("double") * QUANT).cast("long")
+
+
+def qdot(a: Column, b: Column) -> Column:
+    """Quantized integer dot product (exact, order-independent)."""
+    prods = F.zip_with(a, b, lambda x, y: _q(x) * _q(y))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, p: acc + p)
+
+
+def qdot_sql(a: str, b: str) -> str:
+    # cast(... AS double) BEFORE scaling: DuckDB FLOAT * INT stays
+    # float32, which rounds differently than Spark's double math.
+    return (
+        f"cast(list_sum(list_transform(range(1, len({a}) + 1), i -> "
+        f"cast(round(cast({a}[i] AS double) * {QUANT}) AS bigint) * "
+        f"cast(round(cast({b}[i] AS double) * {QUANT}) AS bigint))) AS bigint)"
+    )
+
+
+def qnorm2(a: Column) -> Column:
+    return qdot(a, a)
+
+
+def qcosine(a: Column, b: Column) -> Column:
+    """Deterministic cosine from exact integer dot/norms: one double
+    division + sqrt at the end (sqrt is IEEE-exact, so still
+    bit-identical across engines)."""
+    return round4(
+        qdot(a, b)
+        / (F.sqrt(qnorm2(a).cast("double")) * F.sqrt(qnorm2(b).cast("double")))
+    )
+
+
+def qcosine_sql(a: str, b: str) -> str:
+    return round4_sql(
+        f"{qdot_sql(a, b)} / "
+        f"(sqrt(cast({qdot_sql(a, a)} AS double)) * "
+        f"sqrt(cast({qdot_sql(b, b)} AS double)))"
+    )
+
+
+def sign_bucket(a: Column, planes: int = LSH_PLANES) -> Column:
+    """LSH bucket id: bit j = sign of Σ_i s_ij·q(x_i) with
+    s_ij = +1 if (i·7 + j·13) % 3 == 0 else −1 (fixed pattern)."""
+    def signed(j: int):
+        return lambda x, i: F.when(
+            ((i * 7 + F.lit(j) * 13) % 3) == 0, _q(x)
+        ).otherwise(-_q(x))
+
+    bucket = None
+    for j in range(planes):
+        proj = F.aggregate(
+            F.transform(a, signed(j)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + p,
+        )
+        bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def sign_bucket_sql(a: str, planes: int = LSH_PLANES) -> str:
+    terms = []
+    for j in range(planes):
+        proj = (
+            f"cast(list_sum(list_transform(range(1, len({a}) + 1), i -> "
+            f"CASE WHEN ((i - 1) * 7 + {j} * 13) % 3 = 0 "
+            f"THEN cast(round(cast({a}[i] AS double) * {QUANT}) AS bigint) "
+            f"ELSE -cast(round(cast({a}[i] AS double) * {QUANT}) AS bigint) "
+            f"END)) AS bigint)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
+    return f"cast({' + '.join(terms)} AS int)"

@@ -1,0 +1,305 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, fingerprinting, simhash.
+
+Design rules (these run at 100 TB and get hash-checked against a DuckDB
+oracle, so both matter):
+
+- **Pure Column expressions** — everything stays in whole-stage codegen;
+  zero Python in the hot path.
+- **No transcendentals, no engine-specific hashes.** Quality scores are
+  clipped linear forms (exp/log differ across libm builds); all hashing
+  is md5-derived (identical everywhere), never xxhash64/hash().
+- Each operator has a ``*_sql`` twin emitting the equivalent DuckDB
+  expression from the same constants, so oracles never drift from the
+  Spark implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.functions.scalar import round4, round4_sql
+
+# ---------------------------------------------------------------------------
+# tokenization / counting
+
+_WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (lowercased). split() on an all-space string
+    yields [''], so trim first; empty text → empty array."""
+    t = F.trim(F.lower(col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, _WS)
+    )
+
+
+def tokens_sql(col: str) -> str:
+    return (
+        f"CASE WHEN trim(lower({col})) = '' THEN [] "
+        f"ELSE regexp_split_to_array(trim(lower({col})), '\\s+') END"
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_sql(col: str) -> str:
+    return f"len({tokens_sql(col)})"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: splits on whitespace AND
+    letter/digit/punctuation boundaries (a cheap BPE proxy for budget
+    estimation). Counts non-empty pieces."""
+    pieces = F.split(F.lower(col), r"(\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^a-z0-9\s])|(?<=[^a-z0-9\s]))")
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+# ---------------------------------------------------------------------------
+# quality features
+
+#: English stopword sample for ratio features (tiny on purpose — the
+#: operator shape is what matters; swap the list per corpus).
+STOPWORDS_EN = ["the", "and", "of", "to", "a", "in", "is", "it"]
+
+
+def _occurrences(padded: Column, marker: str) -> Column:
+    """Occurrence count of ``marker`` via length arithmetic — exact,
+    codegen-friendly, and identical in any engine with replace()."""
+    return (
+        F.length(padded) - F.length(F.replace(padded, F.lit(marker)))
+    ) / len(marker)
+
+
+def _occurrences_sql(padded: str, marker: str) -> str:
+    return (
+        f"(length({padded}) - length(replace({padded}, '{marker}', '')))"
+        f" / {len(marker)}"
+    )
+
+
+def _padded(col: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+
+
+_PADDED_SQL = "(' ' || lower({col}) || ' ')"
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_chars, n_tokens, avg_token_len, punct_ratio,
+    stopword_ratio, quality_score (clipped linear — no exp)."""
+    c = F.col(text_col)
+    padded = _padded(c)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    no_space = F.length(F.regexp_replace(c, r"\s", ""))
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+    stop_hits = None
+    for w in STOPWORDS_EN:
+        occ = _occurrences(padded, f" {w} ")
+        stop_hits = occ if stop_hits is None else stop_hits + occ
+    avg_token_len = round4(no_space / n_tokens)
+    punct_ratio = round4(punct / n_chars)
+    stopword_ratio = round4(stop_hits / n_tokens)
+    score = round4(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                0.1 * avg_token_len + stopword_ratio - punct_ratio,
+            ),
+        )
+    )
+    return (
+        df.withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("avg_token_len", avg_token_len)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stopword_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+def quality_features_sql(text_col: str = "text") -> dict[str, str]:
+    """DuckDB expressions mirroring quality_features, keyed by column."""
+    padded = _PADDED_SQL.format(col=text_col)
+    n_tokens = token_count_sql(text_col)
+    stop_hits = " + ".join(
+        _occurrences_sql(padded, f" {w} ") for w in STOPWORDS_EN
+    )
+    avg = round4_sql(
+        f"length(regexp_replace({text_col}, '\\s', '', 'g')) / ({n_tokens})"
+    )
+    punct = round4_sql(
+        f"(length({text_col}) - length(regexp_replace({text_col}, "
+        f"'[^a-zA-Z0-9\\s]', '', 'g'))) / length({text_col})"
+    )
+    stop = round4_sql(f"({stop_hits}) / ({n_tokens})")
+    return {
+        "n_chars": f"cast(length({text_col}) AS bigint)",
+        "n_tokens": f"cast({n_tokens} AS bigint)",
+        "avg_token_len": avg,
+        "punct_ratio": punct,
+        "stopword_ratio": stop,
+        "quality_score": round4_sql(
+            f"least(1.0, greatest(0.0, 0.1 * ({avg}) + ({stop}) - ({punct})))"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# language ID (marker-token heuristic)
+
+#: distinctive function-word markers per language; scored as occurrence
+#: counts, argmax with fixed priority order for deterministic ties.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "is"],
+    "de": ["der", "und", "nicht"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+    "zh": ["的", "了", "是"],
+}
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    padded = _padded(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            occ = _occurrences(padded, f" {m} ")
+            s = occ if s is None else s + occ
+        out[lang] = s
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language: argmax marker score, ties broken by the
+    LANG_MARKERS declaration order via strictly->= chained CASE."""
+    scores = lang_scores(col)
+    langs = list(LANG_MARKERS)
+    expr = None
+    for lang in langs:
+        others = [scores[o] for o in langs if o != lang]
+        cond = None
+        for o in others:
+            c = scores[lang] >= o
+            cond = c if cond is None else cond & c
+        expr = (
+            F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+        )
+    return expr.otherwise(F.lit("und"))
+
+
+def lang_id_sql(text_col: str = "text") -> str:
+    padded = _PADDED_SQL.format(col=text_col)
+    score = {
+        lang: "(" + " + ".join(
+            _occurrences_sql(padded, f" {m} ") for m in markers
+        ) + ")"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    whens = []
+    for lang in langs:
+        cond = " AND ".join(
+            f"{score[lang]} >= {score[o]}" for o in langs if o != lang
+        )
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+
+def fingerprint(col: Column) -> Column:
+    """Normalization fingerprint: lowercase, strip non-alnum, collapse
+    whitespace, md5 — the standard exact-dedup key that survives
+    formatting noise."""
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), _WS, " "
+        )
+    )
+    return F.md5(normalized)
+
+
+def fingerprint_sql(col: str) -> str:
+    return (
+        f"md5(trim(regexp_replace(regexp_replace(lower({col}), "
+        f"'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash (document fingerprint with locality: near-dup docs get
+# near-equal hashes in Hamming distance)
+
+SIMHASH_BITS = 32  # nibbles of the token md5 used; multiple of 4
+
+
+def simhash(
+    df: DataFrame, id_cols: list[str], text_col: str, bits: int = SIMHASH_BITS,
+    out: str = "simhash",
+) -> DataFrame:
+    """Per-document simhash over whitespace tokens (with multiplicity).
+
+    Plan shape: explode tokens → one shuffle on id → ``bits`` partial
+    sums (map-side combined) → bit recombination. Linear in corpus
+    size; the explode never materializes more than (doc, token) pairs.
+    Token hash = md5 hex nibbles; bit j's vote is ±1 by nibble bit.
+    """
+    assert bits % 4 == 0
+    tok = df.select(*id_cols, F.explode(tokens(F.col(text_col))).alias("__tok"))
+    h = F.md5(F.col("__tok"))
+    votes = []
+    for j in range(bits):
+        nib, shift = divmod(j, 4)
+        nib_val = F.expr(
+            f"instr('0123456789abcdef', substring(md5(__tok), {nib + 1}, 1)) - 1"
+        )
+        bit = F.shiftright(nib_val, 3 - shift) % 2
+        votes.append(F.sum(bit * 2 - 1).alias(f"__v{j}"))
+    agg = tok.groupBy(*id_cols).agg(*votes)
+    sh = None
+    for j in range(bits):
+        term = F.when(F.col(f"__v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh = term if sh is None else sh + term
+    return agg.select(*id_cols, sh.alias(out))
+
+
+def simhash_sql(
+    id_cols: list[str], text_col: str, from_table: str,
+    bits: int = SIMHASH_BITS, out: str = "simhash",
+) -> str:
+    """DuckDB equivalent of simhash() over the same constants."""
+    ids = ", ".join(id_cols)
+    votes = []
+    for j in range(bits):
+        nib, shift = divmod(j, 4)
+        nib_val = (
+            f"(strpos('0123456789abcdef', substr(md5(__tok), {nib + 1}, 1)) - 1)"
+        )
+        bit = f"(({nib_val} // {1 << (3 - shift)}) % 2)"
+        votes.append(f"sum({bit} * 2 - 1) AS __v{j}")
+    terms = " + ".join(
+        f"CASE WHEN __v{j} > 0 THEN cast({1 << j} AS bigint) "
+        f"ELSE cast(0 AS bigint) END"
+        for j in range(bits)
+    )
+    return f"""
+        WITH __tok AS (
+            SELECT {ids}, unnest({tokens_sql(text_col)}) AS __tok
+            FROM {from_table}
+        ),
+        __votes AS (
+            SELECT {ids}, {', '.join(votes)} FROM __tok GROUP BY {ids}
+        )
+        SELECT {ids}, {terms} AS {out} FROM __votes
+    """

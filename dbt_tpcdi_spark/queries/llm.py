@@ -1,0 +1,311 @@
+"""LLM-data-pipeline queries over documents/embeddings: dedup,
+similarity search, text analysis, multimodal plumbing.
+
+Every oracle is generated from the same constants as the Spark plan
+(operators/{text,dedup,similarity,multimodal}.py) so the two sides
+cannot drift. All similarity math is quantized-integer (see
+operators/similarity.py) — deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.functions.scalar import round4
+from dbt_tpcdi_spark.operators import dedup as D
+from dbt_tpcdi_spark.operators import multimodal as M
+from dbt_tpcdi_spark.operators import similarity as S
+from dbt_tpcdi_spark.operators import text as X
+from dbt_tpcdi_spark.queries import query
+from dbt_tpcdi_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+@query(
+    "text_quality",
+    oracle=(
+        "SELECT doc_id, "
+        + ", ".join(
+            f"{expr} AS {name}"
+            for name, expr in X.quality_features_sql("text").items()
+        )
+        + " FROM documents"
+    ),
+    tags=["llm-text-quality"],
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.quality_features(d.select("doc_id", "text")).drop("text")
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    SELECT lang AS labeled_lang, {X.lang_id_sql('text')} AS predicted_lang,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+    tags=["llm-langid"],
+)
+def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            X.lang_id(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "fingerprint_dedup",
+    oracle=f"""
+    SELECT {X.fingerprint_sql('text')} AS fp,
+           count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY 1
+    """,
+    tags=["llm-dedup-exact", "A3"],
+)
+def fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalization fingerprint: clusters + the
+    deterministic keeper per cluster."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(X.fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=X.simhash_sql(["doc_id"], "text", "documents"),
+    tags=["llm-simhash"],
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.simhash(d, ["doc_id"], "text")
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate detection
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=D.jaccard_pairs_sql("doc_id", "text", "documents",
+                               block_col="lang", threshold=0.8),
+    tags=["llm-dedup-jaccard"],
+    headline=True,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All ≥0.8-jaccard pairs within a language block, via the postings
+    join (never materializes the n² pair space)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs_via_postings(
+        d, "doc_id", "text", block_col="lang", threshold=0.8
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH sigs AS (
+        SELECT doc_id, {', '.join(D.minhash_signature_sql('text'))},
+               {D.shingles_sql('text')} AS __sh
+        FROM documents
+    ),
+    cand AS (
+        {' UNION '.join(
+            f'''SELECT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM sigs l JOIN sigs r
+                ON {D.band_hash_sql('l.mh', band)} = {D.band_hash_sql('r.mh', band)}
+                AND l.doc_id < r.doc_id'''
+            for band in range(D.LSH_BANDS)
+        )}
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b,
+               floor(len(list_intersect(a.__sh, b.__sh)) /
+                     (len(a.__sh) + len(b.__sh)
+                      - len(list_intersect(a.__sh, b.__sh)))
+                     * 10000 + 0.5) / 10000 AS jaccard
+        FROM cand c
+        JOIN sigs a ON a.doc_id = c.id_a
+        JOIN sigs b ON b.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8
+"""
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=_MINHASH_ORACLE,
+    tags=["llm-dedup-minhash"],
+    headline=True,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: signatures (projection only) →
+    band-bucket self-join candidates → exact-jaccard verification.
+    Deterministic md5-based hashing; the oracle runs the identical
+    pipeline, so LSH misses match too."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = D.with_minhash_signature(d, "text").withColumn(
+        "__sh", D.shingles(F.col("text"))
+    )
+    cand = D.lsh_candidate_pairs(sigs, "doc_id")
+    a = sigs.select(F.col("doc_id"), F.col("__sh")).alias("sa")
+    b = sigs.select(F.col("doc_id"), F.col("__sh")).alias("sb")
+    j = (
+        cand.join(a, cand["id_a"] == F.col("sa.doc_id"))
+        .join(b, cand["id_b"] == F.col("sb.doc_id"))
+    )
+    inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
+    union = F.size(F.col("sa.__sh")) + F.size(F.col("sb.__sh")) - inter
+    return (
+        j.select(
+            "id_a", "id_b", round4(inter / union).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {S.qcosine_sql('a.embedding', 'b.embedding')} AS qcos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {S.qcosine_sql('a.embedding', 'b.embedding')} >= 0.4
+    """,
+    tags=["llm-dedup-embedding"],
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates: label-blocked pairwise quantized
+    cosine (blocking bounds the pair space; at scale the block key is
+    an LSH bucket instead of a label)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    qcos = S.qcosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            qcos.alias("qcos"),
+        )
+        .filter(F.col("qcos") >= 0.4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (ANN)
+
+_QUERY_VEC = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+
+
+@query(
+    "ann_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id, e.label, {S.qdot_sql('e.embedding', 'q.qv')} AS qdot
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, qdot FROM (
+        SELECT *, row_number() OVER (ORDER BY qdot DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    """,
+    tags=["llm-ann-brute"],
+    headline=True,
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 by quantized dot against the vec_id=0 query
+    vector (broadcast 1-row cross join — no collect)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label", S.qdot(F.col("embedding"), F.col("qv")).alias("qdot")
+        )
+    )
+    w = Window.orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding AS qv, {S.sign_bucket_sql('embedding')} AS qb
+        FROM embeddings WHERE vec_id = 0
+    ),
+    bucketed AS (
+        SELECT e.vec_id, e.embedding, {S.sign_bucket_sql('e.embedding')} AS b
+        FROM embeddings e WHERE e.vec_id <> 0
+    ),
+    scored AS (
+        SELECT b.vec_id, {S.qdot_sql('b.embedding', 'q.qv')} AS qdot
+        FROM bucketed b JOIN q ON b.b = q.qb
+    )
+    SELECT vec_id, qdot FROM (
+        SELECT *, row_number() OVER (ORDER BY qdot DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    """,
+    tags=["llm-ann-lsh"],
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN: probe only the query's hyperplane bucket (the
+    scale path — candidates shrink 2^planes-fold), then exact rerank."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        S.sign_bucket(F.col("embedding")).alias("qb"),
+    )
+    bucketed = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", "embedding", S.sign_bucket(F.col("embedding")).alias("b")
+    )
+    scored = bucketed.join(F.broadcast(q), F.col("b") == F.col("qb")).select(
+        "vec_id", S.qdot(F.col("embedding"), F.col("qv")).alias("qdot")
+    )
+    w = Window.orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+
+
+@query(
+    "multimodal_features",
+    oracle=M.decode_features_sql("documents"),
+    tags=["llm-multimodal"],
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing end-to-end: pack text as binary + meta,
+    extract features via Arrow-batched mapInPandas (fake codec), checked
+    against a pure-SQL oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    packed = M.with_binary_payload(d)
+    return M.decode_features(packed, codec="fake")
