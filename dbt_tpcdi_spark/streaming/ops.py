@@ -1,0 +1,130 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming operators (SURVEY.md §2.9) — these are
+the engine's forward-looking additions: watermarked tumbling windows,
+session windows, and a custom stateful operator via
+``applyInPandasWithState``. Batch/stream parity is the design
+invariant: each streaming op has a batch twin, and tests drive the
+stream with ``Trigger.AvailableNow`` + a memory sink and assert the
+results equal the batch computation on the same files.
+
+Scale notes: watermarks bound state; the window aggregations are
+map-side partial-aggregated before the keyed state store; the
+stateful op keys by user so state shards across executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: events schema as stored (ts is TIMESTAMP(NANOS) parquet → long under
+#: nanosAsLong; restored to µs timestamp in stream_events)
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file stream (schema pinned — streaming sources never
+    infer)."""
+    # the file-stream source wants a directory; select just events.parquet
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the
+    streaming twin of queries/relational.tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user sessionization with a gap timeout."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = "total double, n bigint"
+_OUT_SCHEMA = "user_id bigint, total double, n bigint"
+
+
+def _accumulate(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running per-user totals: custom stateful operator body."""
+    total, n = state.get if state.exists else (0.0, 0)
+    for pdf in batches:
+        total += float(pdf["value"].sum())
+        n += len(pdf)
+    state.update((total, n))
+    yield pd.DataFrame({"user_id": [key[0]], "total": [total], "n": [n]})
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running value totals, emitted each batch. State is a
+    2-field tuple per user — bounded, shardable."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _accumulate,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a stream to completion synchronously (AvailableNow +
+    memory sink) — the local test/bench harness; swap the sink for
+    kafka/delta in production."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,100 @@
+"""Streaming layer tests: batch/stream parity for windowed aggs, the
+custom stateful operator, and incremental DAG refresh semantics."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.sources.parquet import load_table
+from dbt_tpcdi_spark.streaming.incremental import IncrementalRunner
+from dbt_tpcdi_spark.streaming.ops import (
+    run_to_memory,
+    running_user_totals,
+    session_windows,
+    stream_events,
+    tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+from tests.tpcdi_fixtures import generate
+
+
+def test_tumbling_stream_equals_batch(spark):
+    stream = tumbling_counts(stream_events(spark, SF_SMOKE))
+    run_to_memory(stream, "tumbling_out")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("tumbling_out").collect()
+    }
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): r.n for r in batch}
+    assert got == want
+
+
+def test_session_windows_smoke(spark):
+    stream = session_windows(stream_events(spark, SF_SMOKE))
+    run_to_memory(stream, "sessions_out")
+    rows = spark.table("sessions_out").collect()
+    assert rows, "no sessions produced"
+    # session invariants: end > start, per-user event counts sum to total
+    assert all(r.session_end > r.session_start for r in rows)
+    total = sum(r.n_events for r in rows)
+    assert total == load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_stateful_running_totals(spark):
+    stream = running_user_totals(stream_events(spark, SF_SMOKE))
+    run_to_memory(stream, "totals_out", output_mode="update")
+    got = {r.user_id: (r.total, r.n) for r in spark.table("totals_out").collect()}
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in batch:
+        total, n = got[r.user_id]
+        assert n == r.n
+        assert abs(total - r.total) < 1e-6
+
+
+def test_incremental_refresh(spark, tmp_path):
+    root = generate(tmp_path / "inc")
+    runner = IncrementalRunner(spark, str(root / "raw"), str(root / "wh"))
+
+    first = runner.refresh()
+    assert set(first.values()) == {"refreshed"}  # cold start: all build
+
+    second = runner.refresh()
+    assert set(second.values()) == {"fresh"}  # nothing changed
+
+    # touch one source → only its downstream closure rebuilds
+    hr = root / "raw" / "HR.csv"
+    hr.write_text(hr.read_text())  # rewrites → new mtime
+    third = runner.refresh()
+    refreshed = {k for k, v in third.items() if v == "refreshed"}
+    assert "hr_employee" in refreshed and "dim_broker" in refreshed
+    assert "employees" in refreshed
+    # brokerage subtree untouched
+    assert third["brokerage_trade"] == "fresh"
+    assert third["trades_history"] == "fresh"
+    assert third["daily_market"] == "fresh"
+    # dims that join brokers downstream must rebuild
+    assert third["dim_account"] == "refreshed"
+    # full-DAG output still readable
+    assert spark.read.parquet(str(root / "wh" / "fact_trade")).count() > 0
+
+
+def test_incremental_rebuild_after_delete(spark, tmp_path):
+    root = generate(tmp_path / "inc2")
+    runner = IncrementalRunner(spark, str(root / "raw"), str(root / "wh"))
+    runner.refresh()
+    shutil.rmtree(root / "wh" / "dim_broker")  # lost table → must rebuild
+    status = runner.refresh()
+    assert status["dim_broker"] == "refreshed"
