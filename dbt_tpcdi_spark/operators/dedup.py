@@ -186,6 +186,106 @@ def jaccard_pairs_via_postings(
     )
 
 
+def with_token_masks(
+    df: DataFrame, id_col: str, text_col: str, blocks: list[str]
+) -> DataFrame:
+    """(id, blocks, __n, __masks): each doc's distinct-token set packed
+    into an array of 63-bit bigint masks over the global vocabulary.
+    One metadata-sized driver action sizes the array; the vocabulary is
+    broadcast. |A∩B| then costs Σ bit_count(a & b) per pair."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col), *blocks, shingles(F.col(text_col)).alias("__sh")
+    ).withColumn("__n", F.size("__sh"))
+    toks = base.select(F.explode("__sh").alias("__tok")).distinct()
+    nvocab = toks.count()  # metadata-sized action
+    nchunks = (nvocab + 62) // 63
+    vocab = toks.withColumn(
+        "__vid", F.row_number().over(Window.orderBy("__tok")) - 1
+    )
+    posts = base.select(
+        F.col(id_col), *blocks, "__n", F.explode("__sh").alias("__tok")
+    ).join(F.broadcast(vocab), "__tok")
+    chunked = (
+        posts.withColumn("__chunk", F.expr("__vid div 63").cast("int"))
+        .withColumn("__bit", F.col("__vid") % 63)
+        .groupBy(F.col(id_col), *blocks, F.col("__n"), F.col("__chunk"))
+        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), __bit))").alias("__mask"))
+    )
+    return chunked.groupBy(F.col(id_col), *blocks, F.col("__n")).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__chunk", "__mask"))
+        ).alias("__cm")
+    ).withColumn(
+        "__masks",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nchunks - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__cm"), i.cast("int")),
+                F.lit(0).cast("long"),
+            ),
+        ),
+    ).drop("__cm")
+
+
+def masked_intersection(a_masks: Column, b_masks: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a_masks, b_masks,
+            lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+
+
+def jaccard_pairs_bitset(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact jaccard pairs via packed-bitset set intersection — the
+    fast path when the (per-corpus) vocabulary is bounded.
+
+    Token sets become arrays of 63-bit masks over a global vocabulary;
+    |A∩B| is Σ bit_count(maskA & maskB) — O(vocab/63) integer ops per
+    pair, no posting-list explosion. The postings formulation above is
+    O(Σ|posting|²), which degenerates when a few tokens appear in most
+    documents (tiny-vocab corpora); this one is O(pairs·vocab/63)
+    bounded by the block sizes. Results are identical (both exact), so
+    the same oracle covers either plan.
+
+    One driver-side metadata action computes the vocab size (needed to
+    densify mask arrays); the vocabulary itself is broadcast.
+    """
+    dense = with_token_masks(df, id_col, text_col,
+                             [block_col] if block_col else [])
+    blocks = [block_col] if block_col else []
+    a, b = dense.alias("a"), dense.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for blk in blocks:
+        cond = (F.col(f"a.{blk}") == F.col(f"b.{blk}")) & cond
+    # sound length prefilter: jaccard ≥ τ ⇒ min(n)/max(n) ≥ τ
+    ratio = F.least(F.col("a.__n"), F.col("b.__n")) / F.greatest(
+        F.col("a.__n"), F.col("b.__n")
+    )
+    cond = cond & (ratio >= threshold)
+    inter = masked_intersection(F.col("a.__masks"), F.col("b.__masks"))
+    jac = inter / (F.col("a.__n") + F.col("b.__n") - inter)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            round4(jac).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_pairs_sql(
     id_col: str,
     text_col: str,

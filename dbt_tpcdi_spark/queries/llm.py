@@ -104,10 +104,16 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All ≥0.8-jaccard pairs within a language block, via the postings
-    join (never materializes the n² pair space)."""
+    """All ≥0.8-jaccard pairs within a language block.
+
+    Implementation choice is data-driven (SURVEY-style plan note): this
+    corpus has a tiny vocabulary, where the postings join degenerates
+    to O(Σ posting²) ≈ 115M rows at sf0.1 — the packed-bitset plan
+    computes the identical exact result in O(pairs·vocab/63) integer
+    ops. ``jaccard_pairs_via_postings`` remains the open-vocabulary
+    path; both match the same oracle."""
     d = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs_via_postings(
+    return D.jaccard_pairs_bitset(
         d, "doc_id", "text", block_col="lang", threshold=0.8
     )
 
@@ -153,18 +159,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic md5-based hashing; the oracle runs the identical
     pipeline, so LSH misses match too."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = D.with_minhash_signature(d, "text").withColumn(
-        "__sh", D.shingles(F.col("text"))
-    )
+    sigs = D.with_minhash_signature(d, "text")
     cand = D.lsh_candidate_pairs(sigs, "doc_id")
-    a = sigs.select(F.col("doc_id"), F.col("__sh")).alias("sa")
-    b = sigs.select(F.col("doc_id"), F.col("__sh")).alias("sb")
+    # verification payload: packed bitset masks (1-2 longs/doc), not
+    # token arrays — the candidate set is quadratic on self-similar
+    # corpora, so per-pair payload and cost dominate the wall clock
+    masks = D.with_token_masks(d, "doc_id", "text", [])
+    a = masks.alias("sa")
+    b = masks.alias("sb")
     j = (
         cand.join(a, cand["id_a"] == F.col("sa.doc_id"))
         .join(b, cand["id_b"] == F.col("sb.doc_id"))
     )
-    inter = F.size(F.array_intersect(F.col("sa.__sh"), F.col("sb.__sh")))
-    union = F.size(F.col("sa.__sh")) + F.size(F.col("sb.__sh")) - inter
+    inter = D.masked_intersection(F.col("sa.__masks"), F.col("sb.__masks"))
+    union = F.col("sa.__n") + F.col("sb.__n") - inter
     return (
         j.select(
             "id_a", "id_b", round4(inter / union).alias("jaccard")
