@@ -50,14 +50,6 @@ def query(name: str, oracle: str | None, tags: list[str], headline: bool = False
 
 def all_queries() -> dict[str, Query]:
     # import for side effects: each module registers its queries
-    from dbt_tpcdi_spark.queries import relational  # noqa: F401
+    from dbt_tpcdi_spark.queries import extended, llm, relational  # noqa: F401
 
-    try:
-        from dbt_tpcdi_spark.queries import llm  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from dbt_tpcdi_spark.queries import streaming  # noqa: F401
-    except ImportError:
-        pass
     return dict(REGISTRY)

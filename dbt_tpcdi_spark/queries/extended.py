@@ -1,0 +1,281 @@
+"""Extended relational coverage beyond the reference's own surface:
+sessionization, top-k per group, pivot, rollup, semi/anti joins,
+exact percentiles, conditional aggregation, running totals.
+
+Same determinism rules as queries/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.functions.scalar import round4
+from dbt_tpcdi_spark.queries import query
+from dbt_tpcdi_spark.queries.relational import (
+    _EFF_TS_DUCK,
+    _EFF_TS_SPARK,
+    MONEY,
+    TS_FMT,
+    TS_FMT_DUCK,
+    _t,
+    money,
+    money_sum,
+)
+
+# ---------------------------------------------------------------------------
+# sessionization (batch): lag-gap + cumulative session ids
+
+
+@query(
+    "sessionize",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+    ),
+    gaps AS (
+        SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER w > 1800000
+                       OR lag(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    sess AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, cast(session_id AS bigint) AS session_id,
+           count(*) AS n_events, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+    FROM sess GROUP BY 1, 2
+    """,
+    tags=["ext-sessionize", "W1"],
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization — the batch twin of
+    streaming/ops.session_windows (lag + cumsum of gap markers)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long").alias("ts_ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gaps = e.withColumn(
+        "new_s",
+        F.when(
+            (F.col("ts_ms") - F.lag("ts_ms").over(w) > 1800000)
+            | F.lag("ts_ms").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_ms").alias("start_ms"),
+        F.max("ts_ms").alias("end_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k per group
+
+
+@query(
+    "topk_per_group",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, total FROM (
+        SELECT o_custkey, o_orderkey,
+               cast(round(cast(o_totalprice AS {MONEY}), 2) AS double) AS total,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY cast(o_totalprice AS {MONEY}) DESC,
+                                           o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=["ext-topk", "W3", "O1"],
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__p", money(F.col("o_totalprice"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("__p").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("__p", 2).cast("double").alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot
+
+
+@query(
+    "pivot_status",
+    oracle=f"""
+    SELECT o_orderpriority,
+           cast(round(sum(CASE WHEN o_orderstatus = 'F'
+                    THEN cast(o_totalprice AS {MONEY}) END), 2) AS double) AS f_total,
+           cast(round(sum(CASE WHEN o_orderstatus = 'O'
+                    THEN cast(o_totalprice AS {MONEY}) END), 2) AS double) AS o_total,
+           cast(round(sum(CASE WHEN o_orderstatus = 'P'
+                    THEN cast(o_totalprice AS {MONEY}) END), 2) AS double) AS p_total
+    FROM orders GROUP BY 1
+    """,
+    tags=["ext-pivot"],
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum(money(F.col("o_totalprice"))), 2).cast("double"))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F").alias("f_total"),
+        F.col("O").alias("o_total"),
+        F.col("P").alias("p_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup
+
+
+@query(
+    "rollup_balance",
+    oracle=f"""
+    SELECT r.r_name, n.n_name, count(*) AS n_customers,
+           cast(round(sum(cast(c.c_acctbal AS {MONEY})), 2) AS double)
+               AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=["ext-rollup", "A1"],
+)
+def rollup_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        money_sum(F.col("c_acctbal"), "total_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins
+
+
+@query(
+    "semi_anti_customers",
+    oracle="""
+    SELECT c_mktsegment, 'has_orders' AS cohort, count(*) AS n
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    UNION ALL
+    SELECT c_mktsegment, 'no_orders' AS cohort, count(*) AS n
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    tags=["ext-semi-anti"],
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .withColumn("cohort", F.lit("has_orders"))
+    )
+    anti = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .withColumn("cohort", F.lit("no_orders"))
+    )
+    return semi.unionByName(anti).select("c_mktsegment", "cohort", "n")
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles / conditional aggregation
+
+
+@query(
+    "percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000
+               AS median_price,
+           floor(quantile_cont(o_totalprice, 0.9) * 10000 + 0.5) / 10000
+               AS p90_price,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_completed,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    tags=["ext-percentile", "ext-filter-agg"],
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + FILTER-style conditional counts.
+    Spark's percentile() and DuckDB's quantile_cont() interpolate with
+    algebraically-equal-but-differently-associated formulas; round4
+    absorbs the last-ulp difference."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        round4(F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
+        round4(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_completed"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# running totals (cumulative window over deterministic order)
+
+
+@query(
+    "running_total",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, {_EFF_TS_DUCK} AS eff_ts,
+               cast(o_totalprice AS {MONEY}) AS p
+        FROM orders
+    )
+    SELECT o_orderkey,
+           cast(round(sum(p) OVER (PARTITION BY o_custkey ORDER BY eff_ts
+                      ROWS UNBOUNDED PRECEDING), 2) AS double) AS lifetime_total
+    FROM o
+    """,
+    tags=["ext-running-total", "W5"],
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.expr(_EFF_TS_SPARK).alias("eff_ts"),
+        money(F.col("o_totalprice")).alias("p"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("eff_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("p").over(w), 2).cast("double").alias("lifetime_total"),
+    )

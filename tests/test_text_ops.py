@@ -1,0 +1,108 @@
+"""Edge-case unit tests for the text/dedup/similarity operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.operators.dedup import jaccard_pairs_bitset, \
+    jaccard_pairs_via_postings
+from dbt_tpcdi_spark.operators.similarity import qcosine, qdot
+from dbt_tpcdi_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+    tokens,
+)
+
+
+def test_tokens_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("  a  b\tc ",)], "t string"
+    )
+    got = [
+        (r.n, r.toks)
+        for r in df.select(
+            token_count(F.col("t")).alias("n"), tokens(F.col("t")).alias("toks")
+        ).collect()
+    ]
+    assert got == [(0, []), (0, []), (1, ["one"]), (3, ["a", "b", "c"])]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello,  World!",), ("hello world",), ("HELLO   world.",)],
+        "t string",
+    )
+    fps = [r.fp for r in df.select(fingerprint(F.col("t")).alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is here",),
+         ("der hund und die katze nicht",),
+         ("le chat et les chiens",),
+         ("el perro y los gatos",)],
+        "t string",
+    )
+    got = [r.l for r in df.select(lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "de", "fr", "es"]
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox and the lazy dog",), ("!!! ??? ...",)],
+        "text string",
+    )
+    rows = quality_features(df).collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+    assert rows[0].quality_score > rows[1].quality_score  # prose beats punct
+
+
+def test_bitset_equals_postings(spark):
+    """Both exact jaccard plans must agree on a corpus with duplicate
+    texts, disjoint texts, and subset relationships."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),       # identical set → 1.0
+            (3, "a b c d"),         # 4/5 = 0.8 vs 1,2
+            (4, "x y z"),           # disjoint
+            (5, "a b"),             # below threshold
+        ],
+        "doc_id long, text string",
+    )
+    via_bitset = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs_bitset(df, "doc_id", "text",
+                                      threshold=0.8).collect()
+    )
+    via_postings = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs_via_postings(df, "doc_id", "text",
+                                            threshold=0.8).collect()
+    )
+    assert via_bitset == via_postings == [
+        (1, 2, 1.0), (1, 3, 0.8), (2, 3, 0.8),
+    ]
+
+
+def test_qdot_qcosine(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0], "same"),
+         ([1.0, 0.0], [0.0, 1.0], "orth"),
+         ([1.0, 0.0], [-1.0, 0.0], "anti")],
+        "a array<float>, b array<float>, tag string",
+    )
+    got = {
+        r.tag: (r.d, r.c)
+        for r in df.select(
+            "tag",
+            qdot(F.col("a"), F.col("b")).alias("d"),
+            qcosine(F.col("a"), F.col("b")).alias("c"),
+        ).collect()
+    }
+    assert got["same"] == (100000000, 1.0)
+    assert got["orth"] == (0, 0.0)
+    assert got["anti"] == (-100000000, -1.0)
