@@ -51,6 +51,41 @@ def with_scd2(
     )
 
 
+def merge_scd2(
+    existing: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    ts: str = "effective_timestamp",
+    end_col: str = "end_timestamp",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Incremental SCD2 upsert — the batch emulation of MERGE the
+    dynamic-table v2 needs (SURVEY.md §7.4): a late/new version must
+    rewrite its neighbors' end_timestamp/is_current, but only rows of
+    *touched* keys should move.
+
+    Plan: semi-join splits existing into touched/untouched partitions;
+    only the touched slice (plus the updates) re-runs the SCD2 window;
+    untouched rows pass through unshuffled. Cost is O(rows of touched
+    keys), not O(table) — the property that matters when one Batch2
+    file lands on a 100 TB dimension.
+
+    ``updates`` carries the same columns as the original SCD2 input
+    (no end/current columns — they are recomputed).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    touched_keys = updates.select(*keys).distinct()
+    touched = existing.join(touched_keys, keys, "left_semi").drop(
+        end_col, current_col
+    )
+    untouched = existing.join(touched_keys, keys, "left_anti")
+    recomputed = with_scd2(
+        touched.unionByName(updates), key=keys, ts=ts,
+        end_col=end_col, current_col=current_col,
+    )
+    return untouched.unionByName(recomputed)
+
+
 def scd2_sql(key: str, ts: str) -> dict[str, str]:
     """The same two derivations as ANSI SQL snippets (DuckDB-compatible),
     for oracle authoring. Returns {'end_timestamp': ..., 'is_current': ...}."""

@@ -48,6 +48,7 @@ from dbt_tpcdi_spark.queries.relational import (
     FROM sess GROUP BY 1, 2
     """,
     tags=["ext-sessionize", "W1"],
+    headline=True,
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization — the batch twin of

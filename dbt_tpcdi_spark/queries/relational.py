@@ -198,6 +198,7 @@ def temporal_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=["W7"],
+    headline=True,
 )
 def forward_fill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").withColumn(
@@ -617,6 +618,7 @@ def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1, 2
     """,
     tags=["§2.9-window", "A1"],
+    headline=True,
 )
 def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")

@@ -12,7 +12,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from dbt_tpcdi_spark.operators.scd2 import SCD2_SENTINEL, with_scd2
+from dbt_tpcdi_spark.operators.scd2 import SCD2_SENTINEL, merge_scd2, with_scd2
 from dbt_tpcdi_spark.operators.temporal import join_asof, temporal_join
 from dbt_tpcdi_spark.operators.windows import (
     forward_fill,
@@ -49,6 +49,36 @@ def test_scd2_multi_version(spark):
     # single-version entity: current, sentinel end
     assert out[(2, "only")].is_current
     assert out[(2, "only")].end_timestamp == ts(SCD2_SENTINEL.replace(" ", "T"))
+
+
+def test_merge_scd2_incremental_equals_full(spark):
+    """merge_scd2 over (existing ⊕ updates) must equal with_scd2 over
+    the full union — including a LATE version that lands between two
+    existing ones and rewrites its neighbors."""
+    initial = spark.createDataFrame(
+        [
+            (1, ts("2020-01-01 00:00:00"), "v1"),
+            (1, ts("2021-01-01 00:00:00"), "v3"),
+            (2, ts("2020-01-01 00:00:00"), "stay"),
+        ],
+        "k int, effective_timestamp timestamp, payload string",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, ts("2020-06-01 00:00:00"), "v2-late"),  # lands in between
+            (3, ts("2022-01-01 00:00:00"), "new-key"),
+        ],
+        "k int, effective_timestamp timestamp, payload string",
+    )
+    existing = with_scd2(initial, key="k")
+    merged = merge_scd2(existing, updates, key="k")
+    full = with_scd2(initial.unionByName(updates), key="k")
+    key = lambda r: (r.k, r.payload)  # noqa: E731
+    got = {key(r): (r.end_timestamp, r.is_current) for r in merged.collect()}
+    want = {key(r): (r.end_timestamp, r.is_current) for r in full.collect()}
+    assert got == want
+    # the late row really did rewrite v1's end_timestamp
+    assert got[(1, "v1")][0] == ts("2020-05-31 23:59:59.999")
 
 
 def test_temporal_join_between_inclusive(spark):
