@@ -247,6 +247,76 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# arrays / explode
+
+
+@query(
+    "token_frequencies",
+    oracle="""
+    SELECT lang, tok, count(*) AS n_docs
+    FROM (
+        SELECT lang, unnest(list_distinct(
+            CASE WHEN trim(lower(text)) = '' THEN []
+                 ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)) AS tok
+        FROM documents
+    ) GROUP BY 1, 2
+    """,
+    tags=["ext-explode", "A1"],
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency table via explode — the posting-list
+    primitive every text operator builds on."""
+    from dbt_tpcdi_spark.operators.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.explode(shingles(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "cube_order_stats",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           cast(round(sum(cast(o_totalprice AS {MONEY})), 2) AS double)
+               AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=["ext-cube", "A1"],
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), money_sum(F.col("o_totalprice"), "total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate aggregates — sketches are engine-specific, so there is no
+# cross-engine oracle; the driver records the weaker rows-only check,
+# and the unit test bounds the estimation error against exact counts.
+
+
+@query(
+    "approx_distinct",
+    oracle=None,
+    tags=["ext-approx"],
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.round(
+            F.expr("percentile_approx(l_extendedprice, 0.5)"), 2
+        ).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # running totals (cumulative window over deterministic order)
 
 

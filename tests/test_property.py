@@ -1,0 +1,127 @@
+"""Property-style randomized tests (seeded, deterministic): invariants
+that must hold for any input, run over several generated datasets.
+Extends the reference's thin test strategy (SURVEY.md §5) with the
+style it lacks."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.operators.dedup import (
+    jaccard_pairs_bitset,
+    jaccard_pairs_via_postings,
+)
+from dbt_tpcdi_spark.operators.scd2 import SCD2_SENTINEL, merge_scd2, with_scd2
+from dbt_tpcdi_spark.operators.skew import salted_join
+
+SEEDS = [7, 42, 1337]
+
+
+def _random_versions(rng: random.Random, n_keys=8, max_versions=5):
+    rows = []
+    base = dt.datetime(2020, 1, 1)
+    for k in range(n_keys):
+        stamps = rng.sample(range(0, 10_000), rng.randint(1, max_versions))
+        for i, s in enumerate(stamps):
+            rows.append((k, base + dt.timedelta(minutes=s), f"p{k}-{i}"))
+    return rows
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_scd2_invariants(spark, seed):
+    rng = random.Random(seed)
+    df = spark.createDataFrame(
+        _random_versions(rng),
+        "k int, effective_timestamp timestamp, payload string",
+    )
+    out = with_scd2(df, key="k").collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    sentinel = dt.datetime.fromisoformat(SCD2_SENTINEL.replace(" ", "T"))
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r.effective_timestamp)
+        # exactly one current version per key, and it's the last one
+        assert sum(r.is_current for r in rows) == 1
+        assert rows[-1].is_current and rows[-1].end_timestamp == sentinel
+        # windows tile the timeline with 1ms gaps, no overlap
+        for a, b in zip(rows, rows[1:]):
+            assert a.end_timestamp == b.effective_timestamp - dt.timedelta(
+                milliseconds=1
+            )
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_merge_scd2_equals_full_recompute(spark, seed):
+    rng = random.Random(seed)
+    rows = _random_versions(rng, n_keys=6)
+    rng.shuffle(rows)
+    cut = len(rows) // 2
+    schema = "k int, effective_timestamp timestamp, payload string"
+    initial = spark.createDataFrame(rows[:cut], schema)
+    updates = spark.createDataFrame(rows[cut:], schema)
+    merged = merge_scd2(with_scd2(initial, key="k"), updates, key="k")
+    full = with_scd2(initial.unionByName(updates), key="k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_bitset_jaccard_equals_postings(spark, seed):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(rng.randint(5, 80))]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 15))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tau = rng.choice([0.3, 0.5, 0.8])
+    a = sorted(map(tuple, jaccard_pairs_bitset(
+        df, "doc_id", "text", threshold=tau).collect()))
+    b = sorted(map(tuple, jaccard_pairs_via_postings(
+        df, "doc_id", "text", threshold=tau).collect()))
+    assert a == b
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_salted_join_equals_plain_join(spark, seed):
+    rng = random.Random(seed)
+    # skewed fact: 80% of rows on one key
+    fact = spark.createDataFrame(
+        [(i, 0 if rng.random() < 0.8 else rng.randint(1, 5), rng.random())
+         for i in range(500)],
+        "row_id long, k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(6)], "k long, label string"
+    )
+    salted = salted_join(fact, dim, "k", salt_from="row_id", n_salts=8)
+    plain = fact.join(dim, "k")
+    assert sorted(map(tuple, salted.select("row_id", "k", "v", "label").collect())) == \
+        sorted(map(tuple, plain.select("row_id", "k", "v", "label").collect()))
+
+
+def test_approx_distinct_bounded_error(spark):
+    from dbt_tpcdi_spark.queries import all_queries
+    from tests.conftest import SF_SMOKE
+
+    approx = {
+        r.l_returnflag: (r.approx_parts, r.n_rows)
+        for r in all_queries()["approx_distinct"].build(spark, SF_SMOKE).collect()
+    }
+    from dbt_tpcdi_spark.sources.parquet import load_table
+
+    exact = {
+        r.l_returnflag: r.exact
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    for flag, (est, _) in approx.items():
+        assert abs(est - exact[flag]) / exact[flag] < 0.1  # HLL default rsd
