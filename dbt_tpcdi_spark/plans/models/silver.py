@@ -50,7 +50,8 @@ def _with_tax_rates(cm: DataFrame, tax: DataFrame):
     )
 
 
-@model(layer="silver", deps=("crm_customer_mgmt", "reference_tax_rate"))
+@model(layer="silver", deps=("crm_customer_mgmt", "reference_tax_rate"),
+       scd2_key="account_id")
 def accounts(ref, src) -> DataFrame:
     """silver/accounts.sql — SCD2 by account."""
     cm = ref("crm_customer_mgmt")
@@ -79,7 +80,8 @@ def accounts(ref, src) -> DataFrame:
     return with_scd2(sel, key="account_id")
 
 
-@model(layer="silver", deps=("crm_customer_mgmt", "reference_tax_rate"))
+@model(layer="silver", deps=("crm_customer_mgmt", "reference_tax_rate"),
+       scd2_key="customer_id")
 def customers(ref, src) -> DataFrame:
     """silver/customers.sql — SCD2 by customer over NEW/INACT/UPDCUST."""
     cm = ref("crm_customer_mgmt")
@@ -108,7 +110,8 @@ def customers(ref, src) -> DataFrame:
 
 
 @model(layer="silver",
-       deps=("finwire_company", "reference_status_type", "reference_industry"))
+       deps=("finwire_company", "reference_status_type", "reference_industry"),
+       scd2_key="company_id")
 def companies(ref, src) -> DataFrame:
     """silver/companies.sql — SCD2 by company (CIK); inner code-table
     joins drop rows with unknown status/industry (J1, broadcast-sized)."""
@@ -162,7 +165,8 @@ def _join_company_fallback(s: DataFrame, comp: DataFrame):
     )
 
 
-@model(layer="silver", deps=("finwire_security", "companies"))
+@model(layer="silver", deps=("finwire_security", "companies"),
+       scd2_key="symbol")
 def securities(ref, src) -> DataFrame:
     """silver/securities.sql — SCD2 by symbol."""
     s = ref("finwire_security")
@@ -188,7 +192,8 @@ def securities(ref, src) -> DataFrame:
     return with_scd2(sel, key="symbol")
 
 
-@model(layer="silver", deps=("finwire_financial", "companies"))
+@model(layer="silver", deps=("finwire_financial", "companies"),
+       scd2_key="company_id")
 def financials(ref, src) -> DataFrame:
     """silver/financials.sql — SCD2 by company over quarterly postings."""
     s = ref("finwire_financial")
@@ -219,7 +224,8 @@ def financials(ref, src) -> DataFrame:
 
 @model(layer="silver",
        deps=("brokerage_trade", "brokerage_trade_history",
-             "reference_trade_type", "reference_status_type"))
+             "reference_trade_type", "reference_status_type"),
+       scd2_key="trade_id")
 def trades_history(ref, src) -> DataFrame:
     """silver/trades_history.sql — 4-way join (J2; status_type twice)
     then SCD2 by trade over history timestamps."""

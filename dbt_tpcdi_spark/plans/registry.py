@@ -24,18 +24,28 @@ class Model:
     deps: tuple[str, ...]
     sources: tuple[str, ...]
     build: Callable[[Ref, Ref], DataFrame]
+    #: entity key for SCD2-versioned models — enables row-level
+    #: incremental refresh (Runner.merge_refresh): build() over delta
+    #: sources, then merge_scd2 against the existing table.
+    scd2_key: str | None = None
 
 
 MODELS: dict[str, Model] = {}
 
 
-def model(layer: str, deps: tuple[str, ...] = (), sources: tuple[str, ...] = ()):
+def model(
+    layer: str,
+    deps: tuple[str, ...] = (),
+    sources: tuple[str, ...] = (),
+    scd2_key: str | None = None,
+):
     assert layer in LAYERS, layer
 
     def wrap(fn: Callable[[Ref, Ref], DataFrame]):
         name = fn.__name__
         assert name not in MODELS, f"duplicate model {name}"
-        MODELS[name] = Model(name, layer, tuple(deps), tuple(sources), fn)
+        MODELS[name] = Model(name, layer, tuple(deps), tuple(sources), fn,
+                             scd2_key)
         return fn
 
     return wrap

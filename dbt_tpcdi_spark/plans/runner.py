@@ -78,6 +78,53 @@ class Runner:
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
+    def merge_refresh(
+        self, name: str, delta_refs: dict[str, DataFrame]
+    ) -> DataFrame:
+        """Row-level incremental refresh of an SCD2 model (the Batch2/3
+        path the reference defers, README.md:53-55; SURVEY §7.4).
+
+        Runs the model's builder with ``delta_refs`` substituted for the
+        named upstreams (everything else resolves to the existing
+        warehouse tables), strips the builder's recomputed SCD2 columns,
+        and ``merge_scd2``s the result into the existing table — so only
+        rows of touched entity keys move.
+
+        Valid when the builder is row-local over the delta upstream
+        (code-table joins are fine; models that temporal-join another
+        SCD2 model — securities/financials over companies — need that
+        upstream unchanged, else fall back to a full refresh).
+        """
+        from dbt_tpcdi_spark.operators.scd2 import merge_scd2
+
+        m = all_models()[name]
+        if m.scd2_key is None:
+            raise ValueError(f"{name} is not an SCD2 model")
+        path = os.path.join(self.warehouse_dir, name)
+        existing = self.spark.read.parquet(path)
+
+        def ref(n: str) -> DataFrame:
+            if n in delta_refs:
+                return delta_refs[n]
+            return self.spark.read.parquet(os.path.join(self.warehouse_dir, n))
+
+        def src(n: str) -> DataFrame:
+            if n in delta_refs:
+                return delta_refs[n]
+            return self.sources[n]
+
+        delta_built = m.build(ref, src).drop("end_timestamp", "is_current")
+        merged = merge_scd2(existing, delta_built, key=m.scd2_key)
+
+        # stage-and-swap: can't overwrite the parquet dir being read
+        staging = path + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        shutil.rmtree(path)
+        os.rename(staging, path)
+        return self.spark.read.parquet(path)
+
 
 def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     """The reference's singular data test, generalized

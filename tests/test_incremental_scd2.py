@@ -1,0 +1,58 @@
+"""Batch2-style row-level incremental SCD2 refresh: building with only
+the first batch of trade history, then merge-refreshing the second
+batch, must equal a full rebuild over everything — including status
+rows that rewrite existing versions' end_timestamp/is_current."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.plans.runner import Runner
+from dbt_tpcdi_spark.plans.sources import load_dag_sources
+from tests.tpcdi_fixtures import generate
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_merge_refresh_trades_history(spark, tmp_path):
+    root = generate(tmp_path / "b2")
+    sources = load_dag_sources(spark, str(root / "raw"))
+
+    th_full = sources["trade_history"]
+    # batch split that forces neighbor rewrites: the CMPT rows land in
+    # batch 2, so existing trades' latest versions get superseded
+    batch1 = th_full.filter(F.col("th_st_id") != "CMPT")
+    batch2 = th_full.filter(F.col("th_st_id") == "CMPT")
+    assert batch1.count() and batch2.count()
+
+    # warehouse A: full history (ground truth)
+    full_wh = str(root / "wh_full")
+    Runner(spark, sources, warehouse_dir=full_wh).run(["trades_history"])
+    expected = spark.read.parquet(f"{full_wh}/trades_history")
+
+    # warehouse B: batch1 build, then merge-refresh batch2
+    inc_wh = str(root / "wh_inc")
+    b1_sources = dict(sources)
+    b1_sources["trade_history"] = batch1
+    runner = Runner(spark, b1_sources, warehouse_dir=inc_wh)
+    runner.run(["trades_history"])
+
+    n_before = spark.read.parquet(f"{inc_wh}/trades_history").count()
+    merged = runner.merge_refresh(
+        "trades_history", {"brokerage_trade_history": batch2}
+    )
+    assert merged.count() > n_before
+    assert _rows(merged) == _rows(expected)
+
+
+def test_merge_refresh_rejects_non_scd2(spark, tmp_path):
+    import pytest
+
+    root = generate(tmp_path / "b2x")
+    sources = load_dag_sources(spark, str(root / "raw"))
+    runner = Runner(spark, sources, warehouse_dir=str(root / "wh"))
+    runner.run(["employees"])
+    with pytest.raises(ValueError, match="not an SCD2 model"):
+        runner.merge_refresh("employees", {})
