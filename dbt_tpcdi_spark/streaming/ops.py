@@ -114,6 +114,29 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def write_idempotent_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Exactly-once-style sink via foreachBatch: each micro-batch lands
+    in a batch-id-named subdirectory, so a replayed batch (failure
+    between write and checkpoint commit) overwrites its own output
+    instead of duplicating — the standard idempotent-sink pattern when
+    the target store has no transactions."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

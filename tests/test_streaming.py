@@ -15,6 +15,7 @@ from dbt_tpcdi_spark.streaming.ops import (
     session_windows,
     stream_events,
     tumbling_counts,
+    write_idempotent_parquet,
 )
 from tests.conftest import SF_SMOKE
 from tests.tpcdi_fixtures import generate
@@ -62,6 +63,36 @@ def test_stateful_running_totals(spark):
         total, n = got[r.user_id]
         assert n == r.n
         assert abs(total - r.total) < 1e-6
+
+
+def test_foreachbatch_idempotent_sink(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = tumbling_counts(stream_events(spark, SF_SMOKE))
+    # complete-mode aggregations can't foreachBatch append; use the raw
+    # event stream (append semantics) for the sink demo
+    raw = stream_events(spark, SF_SMOKE)
+    write_idempotent_parquet(raw, out, ckpt)
+    written = spark.read.parquet(out)
+    assert written.count() == load_table(spark, SF_SMOKE, "events").count()
+    # re-running with the same checkpoint must be a no-op (no new data,
+    # no duplicated rows)
+    write_idempotent_parquet(stream_events(spark, SF_SMOKE), out, ckpt)
+    assert spark.read.parquet(out).count() == written.count()
+    assert stream is not None
+
+
+def test_bpe_ish_token_count(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators.text import bpe_ish_token_count
+
+    df = spark.createDataFrame(
+        [("hello world",), ("foo123bar!",), ("",)], "t string"
+    )
+    got = [r.n for r in df.select(bpe_ish_token_count(F.col("t")).alias("n")).collect()]
+    # "hello world" -> [hello, world]; "foo123bar!" -> [foo, 123, bar, !]
+    assert got == [2, 4, 0]
 
 
 def test_incremental_refresh(spark, tmp_path):
