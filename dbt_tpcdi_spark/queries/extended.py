@@ -247,6 +247,63 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H classics: Q13 distribution, Q4 correlated EXISTS
+
+
+@query(
+    "order_count_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) GROUP BY n_orders
+    """,
+    tags=["ext-q13", "J4", "A1"],
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customers-per-order-count histogram (left join
+    preserves zero-order customers; count(col) skips their NULLs)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "priority_with_late_items",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY 1
+    """,
+    tags=["ext-q4", "ext-semi-anti"],
+)
+def priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS as a left-semi join with a
+    non-equi residual (ship after order date)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"]
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # arrays / explode
 
 
