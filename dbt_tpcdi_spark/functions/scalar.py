@@ -18,6 +18,33 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def hash_sample(col: Column, fraction: float, salt: str = "") -> Column:
+    """Deterministic, engine-portable sampling predicate: keep a row iff
+    md5(salt||key) mod 10000 < fraction·10000.
+
+    Reproducible sampling is a first-class training-data-pipeline need
+    (``df.sample()`` is seed-AND-partitioning dependent — rerunning on
+    different cluster sizes changes the sample; this doesn't). Pair
+    with hash_sample_sql for oracles.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8),
+               16, 10).cast("long") % 10000
+    )
+    return bucket < int(fraction * 10000)
+
+
+def hash_sample_sql(col: str, fraction: float, salt: str = "") -> str:
+    powers = [16 ** (8 - i) for i in range(1, 9)]
+    h = (
+        f"(list_sum(list_transform(range(1, 9), i -> "
+        f"cast(strpos('0123456789abcdef', substr(md5('{salt}' || "
+        f"cast({col} AS varchar)), i, 1)) - 1 AS bigint) "
+        f"* cast(({powers})[i] AS bigint)))::bigint % 10000)"
+    )
+    return f"{h} < {int(fraction * 10000)}"
+
+
 def round4(c: Column) -> Column:
     """Bit-deterministic 4-decimal rounding for doubles compared across
     engines: Spark's round() goes through BigDecimal's shortest-decimal

@@ -93,6 +93,78 @@ def sign_bucket(a: Column, planes: int = LSH_PLANES) -> Column:
     return bucket.cast("int")
 
 
+def quantized_centroids(
+    df: DataFrame, vec_col: str, cluster_col: str
+) -> DataFrame:
+    """IVF coarse quantizer: per-cluster integer centroids.
+
+    Each centroid dimension is the integer-rounded mean of the
+    quantized elements — all arithmetic exact (bigint sums, one
+    integer division), so centroids are bit-identical on any engine or
+    partitioning. Output: (cluster_col, __centroid array<bigint>).
+
+    Plan: posexplode → one shuffle on (cluster, dim) with map-side
+    partial sums → re-assembled via sort_array(collect_list) — the
+    collect_list is bounded by the dimension count, not data size.
+    """
+    q = F.posexplode(F.col(vec_col))
+    per_dim = (
+        df.select(F.col(cluster_col), q.alias("__pos", "__x"))
+        .groupBy(cluster_col, "__pos")
+        .agg(
+            F.sum(_q(F.col("__x"))).alias("__s"),
+            F.count("*").alias("__c"),
+        )
+        # integer-rounded mean: floor((2s + c) / 2c) == round(s/c) for s>=0;
+        # use floor-div on shifted numerator to stay in exact bigints
+        .withColumn(
+            "__cq",
+            F.floor(
+                (F.lit(2) * F.col("__s") + F.col("__c"))
+                / (F.lit(2) * F.col("__c"))
+            ).cast("long"),
+        )
+    )
+    return per_dim.groupBy(cluster_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__pos", "__cq"))),
+            lambda s: s["__cq"],
+        ).alias("__centroid")
+    )
+
+
+def quantized_centroids_sql(
+    from_table: str, vec_col: str, cluster_col: str, dim: int
+) -> str:
+    """DuckDB twin of quantized_centroids (fixed dimension count)."""
+    return f"""
+        SELECT {cluster_col}, list(__cq ORDER BY i) AS __centroid FROM (
+            SELECT {cluster_col}, i,
+                   cast(floor((2 * sum(cast(round(cast({vec_col}[i] AS double)
+                        * {QUANT}) AS bigint)) + count(*))
+                        / (2 * count(*))) AS bigint) AS __cq
+            FROM {from_table}, range(1, {dim + 1}) t(i)
+            GROUP BY 1, 2
+        ) GROUP BY 1
+    """
+
+
+def qdist2_int(v: Column, centroid: Column) -> Column:
+    """Exact integer squared distance between a quantized vector and an
+    integer centroid."""
+    diffs = F.zip_with(v, centroid, lambda x, c: (_q(x) - c) * (_q(x) - c))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, d: acc + d)
+
+
+def qdist2_int_sql(v: str, centroid: str) -> str:
+    return (
+        f"cast(list_sum(list_transform(range(1, len({v}) + 1), i -> "
+        f"(cast(round(cast({v}[i] AS double) * {QUANT}) AS bigint) - {centroid}[i])"
+        f" * (cast(round(cast({v}[i] AS double) * {QUANT}) AS bigint) - {centroid}[i])"
+        f")) AS bigint)"
+    )
+
+
 def sign_bucket_sql(a: str, planes: int = LSH_PLANES) -> str:
     terms = []
     for j in range(planes):

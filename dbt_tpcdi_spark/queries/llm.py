@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbt_tpcdi_spark.functions.scalar import round4
+from dbt_tpcdi_spark.functions.scalar import hash_sample, hash_sample_sql, round4
 from dbt_tpcdi_spark.operators import dedup as D
 from dbt_tpcdi_spark.operators import multimodal as M
 from dbt_tpcdi_spark.operators import similarity as S
@@ -298,6 +298,87 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .drop("rn")
+    )
+
+
+_IVF_DIM = 64
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+        {S.quantized_centroids_sql('embeddings', 'embedding', 'label', _IVF_DIM)}
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding, c.label AS cl,
+               {S.qdist2_int_sql('e.embedding', 'c.__centroid')} AS d2
+        FROM embeddings e CROSS JOIN cents c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY d2, c.label) = 1
+    ),
+    q AS (SELECT embedding AS qv, cl AS qcl FROM assigned WHERE vec_id = 0),
+    scored AS (
+        SELECT a.vec_id, {S.qdot_sql('a.embedding', 'q.qv')} AS qdot
+        FROM assigned a JOIN q ON a.cl = q.qcl
+        WHERE a.vec_id <> 0
+    )
+    SELECT vec_id, qdot FROM (
+        SELECT *, row_number() OVER (ORDER BY qdot DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    """,
+    tags=["llm-ann-ivf"],
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: integer-centroid coarse quantizer (from the label
+    clusters), probe the query's nearest centroid, exact rerank inside
+    the probed cell. Centroids/distances are exact integer arithmetic —
+    bit-identical on any engine or partitioning."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.quantized_centroids(e, "embedding", "label").select(
+        F.col("label").alias("c_label"), "__centroid"
+    )
+    d2 = S.qdist2_int(F.col("embedding"), F.col("__centroid"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(),
+                                             F.col("c_label").asc())
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("c_label").alias("cl"))
+    )
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("cl").alias("qcl")
+    )
+    scored = (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("cl") == F.col("qcl"))
+        .select("vec_id", S.qdot(F.col("embedding"), F.col("qv")).alias("qdot"))
+    )
+    wk = Window.orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@query(
+    "deterministic_sample",
+    oracle=(
+        "SELECT doc_id, lang FROM documents WHERE "
+        + hash_sample_sql("doc_id", 0.1, salt="r1")
+    ),
+    tags=["llm-sampling"],
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% sample by key hash — partitioning-independent,
+    unlike df.sample()."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(hash_sample(F.col("doc_id"), 0.1, salt="r1")).select(
+        "doc_id", "lang"
     )
 
 
