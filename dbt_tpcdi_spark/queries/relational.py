@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_tpcdi_spark.functions.keys import surrogate_key, surrogate_key_sql
-from dbt_tpcdi_spark.functions.scalar import decode
+from dbt_tpcdi_spark.functions.scalar import decode, round4
 from dbt_tpcdi_spark.operators.scd2 import with_scd2
 from dbt_tpcdi_spark.operators.temporal import join_asof, temporal_join
 from dbt_tpcdi_spark.operators.windows import (
@@ -57,6 +57,30 @@ def money_sum(c: Column, alias: str, scale: int = 2) -> Column:
     return F.round(F.sum(money(c)), scale).cast("double").alias(alias)
 
 
+def money_sum_units(c: Column, alias: str) -> Column:
+    """Exact money sum for COMPUTED doubles (products/divisions).
+
+    ``cast(double AS decimal)`` has the same shortest-decimal-vs-binary
+    divergence as round() (Spark goes through BigDecimal) — a computed
+    value sitting on a .00005 boundary rounds differently per engine.
+    floor(x·10⁴+0.5) quantizes identically everywhere; the bigint sum
+    is exact; the final /100-floor-/100 emits 2-decimal doubles.
+    Source columns with ≤2 real decimals don't need this (their
+    decimal cast is boundary-free); pair with MONEY_SUM_UNITS_SQL.
+    """
+    units = F.floor(c * 10000 + F.lit(0.5)).cast("long")
+    return (
+        (F.floor(F.sum(units) / 100 + F.lit(0.5)) / 100).alias(alias)
+    )
+
+
+def money_sum_units_sql(expr: str) -> str:
+    return (
+        f"floor(sum(cast(floor(({expr}) * 10000 + 0.5) AS bigint)) / 100"
+        f" + 0.5) / 100"
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -81,6 +105,11 @@ _ORDER_VERSIONS_DUCK = f"""
 # ---------------------------------------------------------------------------
 # A1 — flagship: TPC-H Q1-shaped pricing summary (groupBy + 6 aggs)
 
+_DISC_SQL = money_sum_units_sql("l_extendedprice * (1 - l_discount)")
+_CHARGE_SQL = money_sum_units_sql(
+    "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+)
+
 
 @query(
     "pricing_summary",
@@ -88,9 +117,10 @@ _ORDER_VERSIONS_DUCK = f"""
     SELECT l_returnflag, l_linestatus,
            cast(round(sum(cast(l_quantity AS {MONEY})), 2) AS double) AS sum_qty,
            cast(round(sum(cast(l_extendedprice AS {MONEY})), 2) AS double) AS sum_base_price,
-           cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS {MONEY})), 2) AS double) AS sum_disc_price,
-           cast(round(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {MONEY})), 2) AS double) AS sum_charge,
-           round(cast(sum(cast(l_quantity AS {MONEY})) AS double) / count(*), 4) AS avg_qty,
+           {_DISC_SQL} AS sum_disc_price,
+           {_CHARGE_SQL} AS sum_charge,
+           floor(cast(sum(cast(l_quantity AS {MONEY})) AS double) / count(*)
+                 * 10000 + 0.5) / 10000 AS avg_qty,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -109,10 +139,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             money_sum(F.col("l_quantity"), "sum_qty"),
             money_sum(F.col("l_extendedprice"), "sum_base_price"),
-            money_sum(disc_price, "sum_disc_price"),
-            money_sum(charge, "sum_charge"),
-            F.round(
-                F.sum(money(F.col("l_quantity"))).cast("double") / F.count("*"), 4
+            # computed products go through integer units, not a decimal
+            # cast — see money_sum_units
+            money_sum_units(disc_price, "sum_disc_price"),
+            money_sum_units(charge, "sum_charge"),
+            # round4, not F.round: engine round() diverges at .00005
+            # boundaries on doubles (hit at sf0.01, not sf0.001)
+            round4(
+                F.sum(money(F.col("l_quantity"))).cast("double") / F.count("*")
             ).alias("avg_qty"),
             F.count("*").alias("n_rows"),
         )
@@ -433,8 +467,7 @@ def dup_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle=f"""
     SELECT r.r_name, n.n_name,
-           cast(round(sum(cast(l.l_extendedprice * (1 - l.l_discount) AS {MONEY})), 2)
-                AS double) AS revenue,
+           {money_sum_units_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
            count(DISTINCT o.o_orderkey) AS n_orders
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -459,7 +492,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name", "n_name")
         .agg(
-            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            money_sum_units(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -474,8 +509,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            count(*) AS n_items,
-           cast(round(sum(cast(l.l_extendedprice * (1 - l.l_discount) AS {MONEY})), 2)
-                AS double) AS revenue
+           {money_sum_units_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -506,7 +540,9 @@ def nation_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_items"),
-            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            money_sum_units(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
         )
     )
 
@@ -659,7 +695,9 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_orderkey").agg(
-        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        money_sum_units(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        )
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
     return (
