@@ -374,6 +374,107 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# unpivot / stack
+
+
+@query(
+    "unpivot_balances",
+    oracle=f"""
+    SELECT entity_id, metric,
+           cast(round(cast(val AS {MONEY}), 2) AS double) AS val
+    FROM (
+        SELECT s_suppkey AS entity_id, 'acctbal' AS metric,
+               s_acctbal AS val FROM supplier
+        UNION ALL
+        SELECT s_suppkey, 'nationkey', cast(s_nationkey AS double)
+        FROM supplier
+    )
+    """,
+    tags=["ext-unpivot"],
+)
+def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via stack() (the inverse of pivot)."""
+    s = _t(spark, sf_dir, "supplier")
+    long = s.selectExpr(
+        "s_suppkey AS entity_id",
+        "stack(2, 'acctbal', s_acctbal, 'nationkey', cast(s_nationkey AS double))"
+        " AS (metric, val)",
+    )
+    return long.select(
+        "entity_id", "metric",
+        F.round(money(F.col("val")), 2).cast("double").alias("val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom UDAF via applyInPandas — per-user trend slope. The pandas body
+# uses arbitrary-precision Python ints so the statistic is exact; the
+# oracle mirrors it with DuckDB HUGEINT sums. This is the template for
+# aggregations Spark SQL genuinely can't express.
+
+
+def _slope_pdf(pdf):
+    import pandas as pd
+
+    xs = pdf["x_ms"].tolist()
+    ys = pdf["y_q"].tolist()
+    n = len(xs)
+    x0 = min(xs)
+    xs = [x - x0 for x in xs]  # center: keeps products in range
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num = n * sxy - sx * sy  # exact ints (unbounded in Python)
+    den = n * sxx - sx * sx
+    slope = float(num) / float(den) if den else 0.0
+    import math
+
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [n],
+            "slope_q": [math.floor(slope * 1e12 + 0.5) / 1e12],
+        }
+    )
+
+
+@query(
+    "value_trend_slope",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           floor(CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) = 0 THEN 0.0
+                 ELSE cast(count(*) * sum(x * y) - sum(x) * sum(y) AS double)
+                      / cast(count(*) * sum(x * x) - sum(x) * sum(x) AS double)
+                 END * 1e12 + 0.5) / 1e12 AS slope_q
+    FROM (
+        SELECT user_id,
+               epoch_ms(ts) - min(epoch_ms(ts)) OVER (PARTITION BY user_id) AS x,
+               cast(floor(cast(value AS double) * 10000 + 0.5) AS bigint) AS y
+        FROM events
+    ) GROUP BY user_id
+    """,
+    tags=["ext-udaf", "§2.10-beyond"],
+)
+def value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares slope of (quantized) value over time —
+    a grouped custom aggregation via applyInPandas, with all sums in
+    exact arbitrary-precision integers so the oracle (HUGEINT sums in
+    DuckDB) matches bit-for-bit."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long").alias("x_ms"),
+        # floor-form quantization: round() diverges cross-engine on
+        # inexact products (full-precision doubles x 10000)
+        F.floor(F.col("value").cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("y_q"),
+    )
+    return e.groupBy("user_id").applyInPandas(
+        _slope_pdf, schema="user_id long, n_events long, slope_q double"
+    )
+
+
+# ---------------------------------------------------------------------------
 # running totals (cumulative window over deterministic order)
 
 
