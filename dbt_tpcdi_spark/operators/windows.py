@@ -12,8 +12,10 @@ window functions — no UDFs. The interesting ones:
   high/low with a rows-based window (W4), then *re-joins the table to
   itself* to recover the date on which the extreme occurred (J8,
   ``silver/daily_market.sql:18-32``) — O(rows × 365). The Spark-native
-  plan is ``max_by``/``min_by`` over the same frame: one window pass,
-  no self-join. Both variants are implemented; tests assert equality.
+  plan here is struct-ordered min/max over the same frame: one window
+  pass, no self-join, exact earliest-date tie semantics. The
+  reference-shaped self-join variant lives where it must stay faithful
+  — in the daily_market model (plans/models/silver.py).
 - ``qualify_rn``: Snowflake QUALIFY row_number()=1 dedup (W3) — OSS
   Spark has no QUALIFY, so withColumn+filter+drop.
 - ``trailing_agg_excluding_current``: W6's trailing-4-quarter EPS sum.
@@ -111,56 +113,6 @@ def rolling_extreme_with_date(
         .withColumn(f"{value}_high_{order}", F.date_add(F.lit("1970-01-01"), -hi["negd"]))
         .withColumn(f"{value}_low", lo["v"])
         .withColumn(f"{value}_low_{order}", F.date_add(F.lit("1970-01-01"), lo["d"]))
-    )
-
-
-def rolling_extreme_selfjoin(
-    df: DataFrame,
-    key: str,
-    order: str,
-    value: str,
-) -> DataFrame:
-    """The reference-shaped variant of the 52-week extreme date recovery
-    (J8, ``silver/daily_market.sql:18-32``): window min/max, then
-    self-join ``b.{order} BETWEEN add_months(a.{order}, -12) AND
-    a.{order} AND a.extreme = b.{value}``, QUALIFY earliest.
-
-    Kept for parity testing; ``rolling_extreme_with_date`` is the plan
-    you actually want at scale.
-    """
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(order).asc())
-        .rowsBetween(-364, 0)
-    )
-    a = (
-        df.withColumn(f"{value}_high", F.max(value).over(w))
-        .withColumn(f"{value}_low", F.min(value).over(w))
-        .alias("a")
-    )
-    b = df.alias("b")
-    joined_hi = a.join(
-        b,
-        (F.col(f"a.{key}") == F.col(f"b.{key}"))
-        & (F.col(f"a.{value}_high") == F.col(f"b.{value}"))
-        & F.col(f"b.{order}").between(
-            F.add_months(F.col(f"a.{order}"), -12), F.col(f"a.{order}")
-        ),
-        "inner",
-    ).select("a.*", F.col(f"b.{order}").alias(f"{value}_high_{order}"))
-    joined = joined_hi.alias("a2").join(
-        b.alias("b2"),
-        (F.col(f"a2.{key}") == F.col(f"b2.{key}"))
-        & (F.col(f"a2.{value}_low") == F.col(f"b2.{value}"))
-        & F.col(f"b2.{order}").between(
-            F.add_months(F.col(f"a2.{order}"), -12), F.col(f"a2.{order}")
-        ),
-        "inner",
-    ).select("a2.*", F.col(f"b2.{order}").alias(f"{value}_low_{order}"))
-    return qualify_rn(
-        joined,
-        [key, order],
-        [F.col(f"{value}_low_{order}").asc(), F.col(f"{value}_high_{order}").asc()],
     )
 
 

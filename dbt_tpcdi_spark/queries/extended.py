@@ -16,8 +16,6 @@ from dbt_tpcdi_spark.queries.relational import (
     _EFF_TS_DUCK,
     _EFF_TS_SPARK,
     MONEY,
-    TS_FMT,
-    TS_FMT_DUCK,
     _t,
     money,
     money_sum,

@@ -126,6 +126,25 @@ def test_join_asof_backward(spark):
     assert got[102] is None
 
 
+def test_join_asof_forward(spark):
+    fact = spark.createDataFrame(
+        [(1, ts("2020-01-10 00:00:00"), 1), (1, ts("2020-03-01 00:00:00"), 2)],
+        "k int, fts timestamp, fid int",
+    )
+    dim = spark.createDataFrame(
+        [(1, ts("2020-01-15 00:00:00"), "next-a"),
+         (1, ts("2020-02-01 00:00:00"), "next-b")],
+        "k int, dts timestamp, dval string",
+    )
+    got = {r.fid: r.asof_dval
+           for r in join_asof(fact, dim, "k", "fts", "dts",
+                              direction="forward").collect()}
+    # forward picks the EARLIEST dim at-or-after the fact timestamp
+    assert got[1] == "next-a"
+    # fact after all dim versions → NULL
+    assert got[2] is None
+
+
 def test_forward_fill_frame(spark):
     df = spark.createDataFrame(
         [(1, 1, None), (1, 2, "x"), (1, 3, None), (1, 4, "y"), (1, 5, None)],
