@@ -115,12 +115,17 @@ def band_hash_sql(prefix: str, band: int) -> str:
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str
+    sigs: DataFrame, id_col: str, distinct: bool = True
 ) -> DataFrame:
-    """Same-bucket candidate pairs (id_a < id_b, distinct across bands).
+    """Same-bucket candidate pairs (id_a < id_b).
 
     One union of LSH_BANDS self-joins, each shuffling only on the band
     hash — the bucket join that replaces the O(n²) cross product.
+
+    ``distinct=False`` keeps per-band duplicates: when downstream
+    verification is cheap (mask intersections) and selective, deduping
+    the *verified* output shuffles less data than deduping the larger
+    band-duplicated candidate set first.
     """
     pairs = None
     for band in range(LSH_BANDS):
@@ -137,7 +142,7 @@ def lsh_candidate_pairs(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
         pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    return pairs.distinct() if distinct else pairs
 
 
 def jaccard_pairs_via_postings(

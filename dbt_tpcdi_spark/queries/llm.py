@@ -160,10 +160,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline, so LSH misses match too."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = D.with_minhash_signature(d, "text")
-    cand = D.lsh_candidate_pairs(sigs, "doc_id")
-    # verification payload: packed bitset masks (1-2 longs/doc), not
-    # token arrays — the candidate set is quadratic on self-similar
-    # corpora, so per-pair payload and cost dominate the wall clock
+    # distinct=False + final distinct: verification via packed masks is
+    # cheap, so deduping the verified output shuffles less than
+    # deduping the larger band-duplicated candidate set first
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", distinct=False)
     masks = D.with_token_masks(d, "doc_id", "text", [])
     a = masks.alias("sa")
     b = masks.alias("sb")
@@ -178,6 +178,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", round4(inter / union).alias("jaccard")
         )
         .filter(F.col("jaccard") >= 0.8)
+        .distinct()
     )
 
 
