@@ -80,6 +80,62 @@ def decode_features(df: DataFrame, codec: str = "fake") -> DataFrame:
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+FRAME_SIZE = 256
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, frame_bytes long, frame_checksum long"
+)
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame sampling over binary payloads: one output row per
+    FRAME_SIZE-byte chunk — the 1-to-N mapInPandas shape a video/audio
+    pipeline uses (decode once per batch, emit per-frame features).
+    Stubbed decode: chunks of the raw bytes with deterministic
+    checksums; the Spark-side batch fan-out plumbing is real."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for k in range(0, max(len(payload), 1), FRAME_SIZE):
+                    chunk = payload[k : k + FRAME_SIZE]
+                    ids.append(doc_id)
+                    idxs.append(k // FRAME_SIZE)
+                    sizes.append(len(chunk))
+                    sums.append(sum(chunk) % CHECKSUM_MOD)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_bytes": sizes,
+                    "frame_checksum": sums,
+                }
+            )
+
+    return df.mapInPandas(extract, schema=FRAME_SCHEMA)
+
+
+def sample_frames_sql(from_table: str, text_col: str = "text") -> str:
+    """DuckDB oracle: correlated range (lateral) reproduces the chunking
+    over ASCII text (bytes == chars)."""
+    return f"""
+        SELECT doc_id, t.k AS frame_idx,
+               cast(least({FRAME_SIZE},
+                          octet_length(encode({text_col})) - t.k * {FRAME_SIZE})
+                    AS bigint) AS frame_bytes,
+               cast(list_sum(list_transform(
+                    range(1, cast(least({FRAME_SIZE},
+                          octet_length(encode({text_col})) - t.k * {FRAME_SIZE})
+                          AS bigint) + 1),
+                    i -> ord(substr({text_col}, t.k * {FRAME_SIZE} + i, 1))))
+                    % {CHECKSUM_MOD} AS bigint) AS frame_checksum
+        FROM {from_table} d, range(0, 4096) t(k)
+        WHERE t.k * {FRAME_SIZE} < octet_length(encode({text_col}))
+           OR (t.k = 0 AND octet_length(encode({text_col})) = 0)
+    """
+
+
 def decode_features_sql(from_table: str, text_col: str = "text") -> str:
     """DuckDB oracle for the fake codec (ASCII text ⇒ bytes == chars)."""
     return f"""

@@ -50,6 +50,11 @@ def query(name: str, oracle: str | None, tags: list[str], headline: bool = False
 
 def all_queries() -> dict[str, Query]:
     # import for side effects: each module registers its queries
-    from dbt_tpcdi_spark.queries import extended, llm, relational  # noqa: F401
+    from dbt_tpcdi_spark.queries import (  # noqa: F401
+        extended,
+        llm,
+        relational,
+        streaming_queries,
+    )
 
     return dict(REGISTRY)

@@ -399,3 +399,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     packed = M.with_binary_payload(d)
     return M.decode_features(packed, codec="fake")
+
+
+@query(
+    "multimodal_frames",
+    oracle=M.sample_frames_sql("documents"),
+    tags=["llm-multimodal", "llm-frames"],
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-to-N frame sampling over binary payloads (the video/audio
+    batch shape): mapInPandas emits one row per 256-byte chunk,
+    cross-checked against a lateral-range SQL oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(M.with_binary_payload(d))
