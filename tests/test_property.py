@@ -106,6 +106,28 @@ def test_salted_join_equals_plain_join(spark, seed):
         sorted(map(tuple, plain.select("row_id", "k", "v", "label").collect()))
 
 
+def test_hash_sample_partitioning_invariant(spark):
+    """The whole point of hash_sample: the selected set must not depend
+    on partitioning (df.sample() fails this)."""
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.functions.scalar import hash_sample
+    from dbt_tpcdi_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    pred = hash_sample(F.col("doc_id"), 0.2, salt="x")
+    a = sorted(r.doc_id for r in d.filter(pred).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in d.repartition(17, "lang").filter(pred).select("doc_id").collect()
+    )
+    c = sorted(
+        r.doc_id for r in d.coalesce(1).filter(pred).select("doc_id").collect()
+    )
+    assert a == b == c and 0 < len(a) < d.count()
+
+
 def test_approx_distinct_bounded_error(spark):
     from dbt_tpcdi_spark.queries import all_queries
     from tests.conftest import SF_SMOKE
