@@ -67,15 +67,51 @@ class Runner:
         self.materialize = materialize
         self.partition_spec = partition_spec or {}
 
-    def run(self, targets: list[str] | None = None) -> dict[str, DataFrame]:
+    def run(
+        self, targets: list[str] | None = None, parallelism: int = 1
+    ) -> dict[str, DataFrame]:
+        """Materialize the DAG. ``parallelism > 1`` wave-schedules
+        independent models on a thread pool (the analog of the
+        reference's 20-thread dbt build, README.md:215): Spark job
+        submission is thread-safe, so sibling models' write jobs
+        overlap — useful when many small models underutilize the
+        cluster. Results are identical either way."""
         models = all_models()
         wanted = ancestors(models, targets) if targets else set(models)
         built: dict[str, DataFrame] = {}
-        for name in topo_order(models):
-            if name not in wanted:
-                continue
-            df = models[name].build(built.__getitem__, self.sources.__getitem__)
-            built[name] = self._materialize(name, df)
+
+        if parallelism <= 1:
+            for name in topo_order(models):
+                if name not in wanted:
+                    continue
+                df = models[name].build(
+                    built.__getitem__, self.sources.__getitem__
+                )
+                built[name] = self._materialize(name, df)
+            return built
+
+        import concurrent.futures as cf
+
+        ts = graphlib.TopologicalSorter(
+            {n: set(models[n].deps) for n in wanted}
+        )
+        ts.prepare()
+        with cf.ThreadPoolExecutor(max_workers=parallelism) as pool:
+            in_flight: dict[cf.Future, str] = {}
+            while ts.is_active():
+                for name in ts.get_ready():
+                    def build_one(n: str = name) -> DataFrame:
+                        df = models[n].build(
+                            built.__getitem__, self.sources.__getitem__
+                        )
+                        return self._materialize(n, df)
+
+                    in_flight[pool.submit(build_one)] = name
+                done, _ = cf.wait(in_flight, return_when=cf.FIRST_COMPLETED)
+                for fut in done:
+                    name = in_flight.pop(fut)
+                    built[name] = fut.result()  # raises on failure
+                    ts.done(name)
         return built
 
     def _materialize(self, name: str, df: DataFrame) -> DataFrame:

@@ -47,6 +47,28 @@ def test_merge_refresh_trades_history(spark, tmp_path):
     assert _rows(merged) == _rows(expected)
 
 
+def test_parallel_run_equals_sequential(spark, tmp_path):
+    import time
+
+    root = generate(tmp_path / "par")
+    sources = load_dag_sources(spark, str(root / "raw"))
+    t0 = time.perf_counter()
+    Runner(spark, sources, warehouse_dir=str(root / "wh_seq")).run()
+    t_seq = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    Runner(spark, sources, warehouse_dir=str(root / "wh_par")).run(
+        parallelism=8
+    )
+    t_par = time.perf_counter() - t0
+    for table in ("fact_trade", "dim_customer", "fact_market_history"):
+        seq = sorted(map(tuple, spark.read.parquet(
+            str(root / "wh_seq" / table)).collect()))
+        par = sorted(map(tuple, spark.read.parquet(
+            str(root / "wh_par" / table)).collect()))
+        assert seq == par, table
+    print(f"seq={t_seq:.1f}s par={t_par:.1f}s")
+
+
 def test_merge_refresh_rejects_non_scd2(spark, tmp_path):
     import pytest
 
