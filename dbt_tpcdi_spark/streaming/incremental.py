@@ -79,15 +79,11 @@ class IncrementalRunner:
         with open(self.state_path, "w") as f:
             json.dump(state, f, indent=1, sort_keys=True)
 
-    def refresh(self) -> dict[str, str]:
-        """Bring every model up to date; returns name → 'refreshed' |
-        'fresh'."""
+    def compute_fingerprints(self) -> dict[str, str]:
+        """Current model fingerprints for this raw dir (staleness folds
+        through the dep graph)."""
         models = all_models()
         src_fp = source_fingerprints(self.raw_dir)
-        prev = self._load_state()
-
-        # model fingerprints fold upstream fingerprints → staleness
-        # propagates downstream exactly once
         fps: dict[str, str] = {}
         for name in topo_order(models):
             m = models[name]
@@ -97,6 +93,20 @@ class IncrementalRunner:
             for d in m.deps:
                 h.update(fps[d].encode())
             fps[name] = h.hexdigest()
+        return fps
+
+    def record_state(self) -> None:
+        """Mark the warehouse fresh w.r.t. the current raw files —
+        called after a full build done outside this runner, so the next
+        refresh() is a no-op instead of a cold rebuild."""
+        self._save_state(self.compute_fingerprints())
+
+    def refresh(self) -> dict[str, str]:
+        """Bring every model up to date; returns name → 'refreshed' |
+        'fresh'."""
+        models = all_models()
+        prev = self._load_state()
+        fps = self.compute_fingerprints()
 
         sources_loaded: dict[str, DataFrame] | None = None
         built: dict[str, DataFrame] = {}
