@@ -29,7 +29,7 @@ def dag_env(spark, tmp_path_factory):
     root = generate(tmp_path_factory.mktemp("dag"))
     warehouse = root / "warehouse"
     sources = load_dag_sources(spark, str(root / "raw"))
-    Runner(spark, sources, warehouse_dir=str(warehouse)).run()
+    Runner(spark, sources, warehouse_dir=str(warehouse)).run(parallelism=8)
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
