@@ -1,0 +1,60 @@
+"""Physical-plan regression guards: the properties that make these
+queries scale (verified once with .explain, pinned here so a future
+refactor can't silently lose them)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_tpcdi_spark.queries import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name].build(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    # date predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unused columns never leave the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+    # two-phase aggregation (map-side partial)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at least
+    # no sort-merge join should be needed at this shape
+    assert "SortMergeJoin" not in plan
+
+
+def test_temporal_join_no_fact_shuffle(spark):
+    plan = _plan(spark, "temporal_join_agg")
+    # the version-windowed dim broadcasts; the fact side streams
+    assert "BroadcastHashJoin" in plan
+    # the only hashpartitioning exchanges allowed: dim window + final agg
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_scd2_single_window_exchange(spark):
+    plan = _plan(spark, "scd2_versions")
+    # both SCD2 columns must reuse ONE shuffle on the entity key
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ann_topk_is_scan_plus_topk(spark):
+    plan = _plan(spark, "ann_topk")
+    # the query vector joins via broadcast; no shuffle of embeddings
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["minhash_lsh_pairs", "ngram_jaccard_pairs"])
+def test_dedup_no_cartesian(spark, name):
+    # candidate generation must go through equi-joins (band hash /
+    # block+key), never a cartesian product
+    assert "CartesianProduct" not in _plan(spark, name)
