@@ -384,7 +384,92 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# multimodal
+# training-data preparation: chunking + composed cleaning pipeline
+
+_CHUNK, _STRIDE = 16, 8
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {X.tokens_sql('text')} AS toks FROM documents
+    )
+    SELECT doc_id, cast(r.k AS bigint) AS chunk_idx,
+           array_to_string(toks[r.k * {_STRIDE} + 1 :
+                                r.k * {_STRIDE} + {_CHUNK}], ' ') AS chunk_text,
+           cast(least({_CHUNK}, len(toks) - r.k * {_STRIDE}) AS bigint)
+               AS n_tokens
+    FROM t, range(0, 4096) r(k)
+    WHERE r.k * {_STRIDE} < len(toks)
+    """,
+    tags=["llm-chunking"],
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 16, stride 8) — the
+    standard long-document → training-sample transform, as pure array
+    ops: one chunk per stride start while start < n_tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    # starts k = 0 .. floor((n-1)/stride); docs are non-empty
+    starts = F.sequence(F.lit(0), F.floor((n - 1) / _STRIDE).cast("int"))
+    chunks = F.transform(
+        starts,
+        lambda k: F.struct(
+            k.alias("k"),
+            F.concat_ws(
+                " ", F.slice(toks, k * _STRIDE + 1, _CHUNK)
+            ).alias("chunk_text"),
+            F.least(F.lit(_CHUNK), n - k * _STRIDE).alias("n_tokens"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.k").cast("long").alias("chunk_idx"),
+        F.col("c.chunk_text"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "clean_corpus",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {X.quality_features_sql('text')['quality_score']} AS q,
+               {X.fingerprint_sql('text')} AS fp
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM scored
+        WHERE q >= 0.4
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    )
+    SELECT doc_id, lang, q AS quality_score FROM kept
+    WHERE {hash_sample_sql('doc_id', 0.5, salt='clean')}
+    """,
+    tags=["llm-cleaning-pipeline"],
+)
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus cleaning pipeline: quality filter →
+    fingerprint dedup (keep lowest doc_id) → reproducible 50% sample.
+    Each stage is one of the engine's operators; the composition stays
+    one declarative plan."""
+    from dbt_tpcdi_spark.operators.windows import qualify_rn
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = X.quality_features(d.select("doc_id", "lang", "text")).withColumn(
+        "fp", X.fingerprint(F.col("text"))
+    )
+    kept = qualify_rn(
+        scored.filter(F.col("quality_score") >= 0.4),
+        "fp",
+        [F.col("doc_id").asc()],
+    )
+    return kept.filter(hash_sample(F.col("doc_id"), 0.5, salt="clean")).select(
+        "doc_id", "lang", F.col("quality_score")
+    )
 
 
 @query(
