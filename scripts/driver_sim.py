@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Full driver simulation: run every __spark_entry__ query with a
+vanilla SparkSession and compare against its DuckDB oracle — the same
+check the grading driver performs. Run before ending a round:
+
+    python scripts/driver_sim.py [sf0.01|sf0.1] [--include-heavy]
+
+Exits non-zero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+#: output-quadratic dedup pipelines: their DuckDB oracles are heavy at
+#: sf0.1; verified at sf0.001 (pytest) and sf0.01
+HEAVY = {"minhash_lsh_pairs", "ngram_jaccard_pairs"}
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
+        else "sf0.01"
+    include_heavy = "--include-heavy" in sys.argv or sf != "sf0.1"
+    sf_dir = f"/root/testdata/{sf}"
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[16]").appName(
+        "driver-sim").getOrCreate()
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    fails: list[str] = []
+    t0 = time.perf_counter()
+    for name in sorted(qs):
+        if name in HEAVY and not include_heavy:
+            print(f"{name}: skipped (heavy oracle at {sf})")
+            continue
+        try:
+            got = qs[name](spark, sf_dir).toPandas()
+            if name not in oracles:
+                print(f"{name}: rows-only, {len(got)} rows")
+                continue
+            want = con.execute(oracles[name]).df()
+            g = got[sorted(got.columns)].sort_values(
+                by=sorted(got.columns), kind="mergesort").reset_index(drop=True)
+            w = want[sorted(want.columns)].sort_values(
+                by=sorted(want.columns), kind="mergesort").reset_index(drop=True)
+            ok = g.shape == w.shape and bool(
+                (g.astype(str).values == w.astype(str).values).all())
+            print(f"{name}: {g.shape} match={ok}")
+            if not ok:
+                fails.append(name)
+        except Exception as ex:  # noqa: BLE001 — report and continue
+            print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:150]}")
+            fails.append(name)
+    print(f"\nTOTAL: {len(qs)} queries, {len(fails)} failures in "
+          f"{time.perf_counter() - t0:.0f}s: {fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
