@@ -5,8 +5,11 @@ The reference keys every gold dim with
 ``models/gold/dim_broker.sql:2``), which macro-expands to
 ``md5(coalesce(cast(c1 as varchar), '') || '-' || coalesce(...))``.
 We replicate those semantics exactly so keys hash-match across engines
-(SURVEY.md §2.8 "Hash/key" row): NULL → '', every value cast to string,
-joined with '-', md5 → 32-char lowercase hex.
+(SURVEY.md §2.8 "Hash/key" row): NULL → the dbt_utils 1.x default
+placeholder ``_dbt_utils_surrogate_key_null_`` (the reference's
+dbt_project.yml does NOT set
+``surrogate_key_treat_nulls_as_empty_strings``), every value cast to
+string, joined with '-', md5 → 32-char lowercase hex.
 """
 
 from __future__ import annotations
@@ -14,8 +17,9 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# dbt_utils.generate_surrogate_key default null placeholder + separator.
-_NULL_PLACEHOLDER = ""
+# dbt_utils.generate_surrogate_key default null placeholder + separator
+# (dbt_utils 1.1.1 generate_surrogate_key.sql default branch).
+_NULL_PLACEHOLDER = "_dbt_utils_surrogate_key_null_"
 _SEPARATOR = "-"
 
 
@@ -23,7 +27,10 @@ def surrogate_key(*cols: Column | str) -> Column:
     """md5-based surrogate key over one or more columns.
 
     Matches dbt_utils.generate_surrogate_key semantics: each column is
-    cast to string, NULLs become '', parts join with '-'.
+    cast to string, NULLs become '_dbt_utils_surrogate_key_null_'
+    (the 1.x default — all reference key inputs are non-null in
+    practice, but NULL inputs now hash identically to a
+    reference-built warehouse too), parts join with '-'.
 
     Note: ``concat_ws`` skips NULL args (unlike Snowflake ``||`` which
     propagates), so we coalesce *before* concat — this is what makes the
@@ -39,6 +46,8 @@ def surrogate_key(*cols: Column | str) -> Column:
 
 def surrogate_key_sql(*cols: str) -> str:
     """The same key as ANSI SQL text (for DuckDB oracles / SQL authoring)."""
-    parts = [f"coalesce(cast({c} as varchar), '')" for c in cols]
+    parts = [
+        f"coalesce(cast({c} as varchar), '{_NULL_PLACEHOLDER}')" for c in cols
+    ]
     joiner = f" || '{_SEPARATOR}' || "
     return f"md5({joiner.join(parts)})"

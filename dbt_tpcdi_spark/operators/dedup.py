@@ -191,24 +191,42 @@ def jaccard_pairs_via_postings(
     )
 
 
+VOCAB_BUCKETS = 256
+
+
 def with_token_masks(
     df: DataFrame, id_col: str, text_col: str, blocks: list[str]
 ) -> DataFrame:
     """(id, blocks, __n, __masks): each doc's distinct-token set packed
     into an array of 63-bit bigint masks over the global vocabulary.
-    One metadata-sized driver action sizes the array; the vocabulary is
-    broadcast. |A∩B| then costs Σ bit_count(a & b) per pair."""
+
+    Vocab ids are assigned per hash bucket — ``vid = (rn-1)*B + bucket``
+    with ``rn`` a row_number over ``Window.partitionBy(bucket)`` — so id
+    assignment parallelizes across B buckets instead of funnelling the
+    vocabulary through one partition (any bijection token→id yields
+    identical intersection counts, so jaccard is unaffected). The only
+    driver action is a metadata-sized max() that sizes the mask array;
+    the vocabulary is broadcast. |A∩B| then costs Σ bit_count(a & b)
+    per pair."""
     from pyspark.sql import Window
 
     base = df.select(
         F.col(id_col), *blocks, shingles(F.col(text_col)).alias("__sh")
     ).withColumn("__n", F.size("__sh"))
     toks = base.select(F.explode("__sh").alias("__tok")).distinct()
-    nvocab = toks.count()  # metadata-sized action
-    nchunks = (nvocab + 62) // 63
-    vocab = toks.withColumn(
-        "__vid", F.row_number().over(Window.orderBy("__tok")) - 1
+    w = Window.partitionBy("__b").orderBy("__tok")
+    vocab = (
+        toks.withColumn(
+            "__b", F.pmod(F.xxhash64("__tok"), F.lit(VOCAB_BUCKETS))
+        )
+        .withColumn(
+            "__vid",
+            (F.row_number().over(w) - 1) * VOCAB_BUCKETS + F.col("__b"),
+        )
+        .drop("__b")
     )
+    max_vid = vocab.agg(F.max("__vid")).first()[0]  # metadata-sized action
+    nchunks = max(1, (int(max_vid) + 63) // 63) if max_vid is not None else 1
     posts = base.select(
         F.col(id_col), *blocks, "__n", F.explode("__sh").alias("__tok")
     ).join(F.broadcast(vocab), "__tok")

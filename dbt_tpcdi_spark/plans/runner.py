@@ -147,6 +147,7 @@ class Runner:
         if m.scd2_key is None:
             raise ValueError(f"{name} is not an SCD2 model")
         path = os.path.join(self.warehouse_dir, name)
+        self._adopt_stranded_swap(path)
         existing = self.spark.read.parquet(path)
 
         def ref(n: str) -> DataFrame:
@@ -162,14 +163,39 @@ class Runner:
         delta_built = m.build(ref, src).drop("end_timestamp", "is_current")
         merged = merge_scd2(existing, delta_built, key=m.scd2_key)
 
-        # stage-and-swap: can't overwrite the parquet dir being read
-        staging = path + "__staging"
-        merged.write.mode("overwrite").parquet(staging)
+        # stage-and-swap: can't overwrite the parquet dir being read.
+        # Crash-safe ordering — the live path is never absent: write
+        # staging, rename live aside, promote staging, delete the old
+        # copy. A crash leaves either (path intact + __staging) or
+        # (path promoted + __old); _adopt_stranded_swap on the next
+        # call recovers both states.
         import shutil
 
-        shutil.rmtree(path)
+        staging, old = path + "__staging", path + "__old"
+        merged.write.mode("overwrite").parquet(staging)
+        os.rename(path, old)
         os.rename(staging, path)
+        shutil.rmtree(old)
         return self.spark.read.parquet(path)
+
+    def _adopt_stranded_swap(self, path: str) -> None:
+        """Recover a merge_refresh interrupted mid-swap (see ordering
+        comment there). Completed-staging-but-unpromoted data is
+        promoted; a leftover __old copy of an already-promoted swap is
+        deleted."""
+        import shutil
+
+        staging, old = path + "__staging", path + "__old"
+        if os.path.isdir(old) and os.path.isdir(path):
+            shutil.rmtree(old)  # promote completed; old copy is garbage
+        elif os.path.isdir(old) and not os.path.isdir(path):
+            os.rename(old, path)  # crashed between the two renames
+        if os.path.isdir(staging):
+            if os.path.exists(os.path.join(staging, "_SUCCESS")) and \
+                    not os.path.isdir(path):
+                os.rename(staging, path)
+            else:
+                shutil.rmtree(staging)  # incomplete write — discard
 
 
 def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:

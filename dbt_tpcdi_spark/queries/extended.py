@@ -357,17 +357,44 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct",
-    oracle=None,
+    oracle="""
+    SELECT l_returnflag,
+           cast(count(DISTINCT l_partkey) AS bigint) AS exact_parts,
+           count(*) AS n_rows,
+           true AS hll_within_rel_err,
+           true AS median_within_rel_err
+    FROM lineitem GROUP BY 1
+    """,
     tags=["ext-approx"],
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates with an EXACT oracle: the HLL / approx-median
+    values can't hash-match another engine's sketch, so the emitted
+    columns are the exact counts plus booleans asserting the sketch
+    landed within its documented error envelope (HLL rsd=0.05 → 3σ =
+    0.15 rel; percentile_approx vs exact percentile at 5% rel). The
+    DuckDB twin computes exact counts and literal ``true`` — rows,
+    schema, and value-hash all check while still exercising the
+    approximate operators end-to-end."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.round(
-            F.expr("percentile_approx(l_extendedprice, 0.5)"), 2
-        ).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("long").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("__approx_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__exact_med"),
+        F.expr("percentile_approx(l_extendedprice, 0.5)").alias("__approx_med"),
         F.count("*").alias("n_rows"),
+    )
+    rel = lambda a, b: F.abs(a - b) / F.greatest(F.abs(b), F.lit(1.0))
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n_rows",
+        (rel(F.col("__approx_parts"), F.col("exact_parts")) <= 0.15).alias(
+            "hll_within_rel_err"
+        ),
+        (rel(F.col("__approx_med"), F.col("__exact_med")) <= 0.05).alias(
+            "median_within_rel_err"
+        ),
     )
 
 

@@ -250,12 +250,9 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", S.qdot(F.col("embedding"), F.col("qv")).alias("qdot")
         )
     )
-    w = Window.orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
-    )
+    return scored.orderBy(
+        F.col("qdot").desc(), F.col("vec_id").asc()
+    ).limit(10)
 
 
 @query(
@@ -294,12 +291,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = bucketed.join(F.broadcast(q), F.col("b") == F.col("qb")).select(
         "vec_id", S.qdot(F.col("embedding"), F.col("qv")).alias("qdot")
     )
-    w = Window.orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
-    )
+    return scored.orderBy(
+        F.col("qdot").desc(), F.col("vec_id").asc()
+    ).limit(10)
 
 
 _IVF_DIM = 64
@@ -358,12 +352,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(q), F.col("cl") == F.col("qcl"))
         .select("vec_id", S.qdot(F.col("embedding"), F.col("qv")).alias("qdot"))
     )
-    wk = Window.orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
-    )
+    return scored.orderBy(
+        F.col("qdot").desc(), F.col("vec_id").asc()
+    ).limit(10)
 
 
 @query(

@@ -682,8 +682,7 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH rev AS (
       SELECT l_orderkey,
-             cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS {MONEY})), 2)
-                  AS double) AS revenue
+             {money_sum_units_sql('l_extendedprice * (1 - l_discount)')} AS revenue
       FROM lineitem GROUP BY 1
     )
     SELECT l_orderkey, revenue FROM (
@@ -693,18 +692,19 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["O1", "A1", "W3"],
 )
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k WITHOUT a global window: orderBy+limit plans as
+    TakeOrderedAndProject (per-partition partial top-k, driver merges k
+    rows) — same deterministic (value desc, key asc) tiebreak, no
+    single-partition shuffle (reference gold O1 shape at scale)."""
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_orderkey").agg(
         money_sum_units(
             F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-    return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
-    )
+    return rev.orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey").asc()
+    ).limit(10)
 
 
 # ---------------------------------------------------------------------------

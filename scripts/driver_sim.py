@@ -4,6 +4,7 @@ vanilla SparkSession and compare against its DuckDB oracle — the same
 check the grading driver performs. Run before ending a round:
 
     python scripts/driver_sim.py [sf0.01|sf0.1] [--include-heavy]
+        [--only name1,name2]
 
 Exits non-zero on any mismatch.
 """
@@ -43,6 +44,10 @@ def main() -> int:
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    for i, a in enumerate(sys.argv):
+        if a == "--only":
+            only = set(sys.argv[i + 1].split(","))
+            qs = {k: v for k, v in qs.items() if k in only}
     fails: list[str] = []
     t0 = time.perf_counter()
     for name in sorted(qs):

@@ -58,3 +58,40 @@ def test_dedup_no_cartesian(spark, name):
     # candidate generation must go through equi-joins (band hash /
     # block+key), never a cartesian product
     assert "CartesianProduct" not in _plan(spark, name)
+
+
+@pytest.mark.parametrize(
+    "name", ["top_revenue_orders", "ann_topk", "ann_lsh_topk", "ann_ivf_topk"]
+)
+def test_global_topk_is_take_ordered(spark, name):
+    # global top-k must plan as TakeOrderedAndProject (per-partition
+    # partial top-k, driver merges k rows) — NEVER a partition-less
+    # window that funnels every row through one task
+    plan = _plan(spark, name)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def _partitionless_windows(df) -> list[str]:
+    """Walk the optimized logical plan; return Window nodes whose
+    partition spec is empty (the 'Moving all data to a single
+    partition' pattern)."""
+    out = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            out.append(node.simpleStringWithNodeId())
+        for i in range(node.children().length()):
+            stack.append(node.children().apply(i))
+    return out
+
+
+def test_no_global_window_anywhere(spark):
+    # a Window with an empty partition spec single-partitions the input;
+    # banned across the entire registered query surface
+    offenders = {}
+    for name, q in all_queries().items():
+        bad = _partitionless_windows(q.build(spark, SF_SMOKE))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

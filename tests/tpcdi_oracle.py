@@ -27,8 +27,11 @@ def _scd2(key: str, ts: str) -> str:
 
 
 def _sk(*cols: str) -> str:
+    # dbt_utils 1.x default NULL placeholder (reference does not set
+    # surrogate_key_treat_nulls_as_empty_strings)
     inner = " || '-' || ".join(
-        f"coalesce(cast({c} as varchar), '')" for c in cols
+        f"coalesce(cast({c} as varchar), '_dbt_utils_surrogate_key_null_')"
+        for c in cols
     )
     return f"md5({inner})"
 
