@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
         llm,
         relational,
         streaming_queries,
+        tpcdi_gate,
     )
 
     return dict(REGISTRY)

@@ -109,6 +109,19 @@ def _extract(field: Field) -> Column:
     return val.alias(field.name)
 
 
+def prefix_parse(lines: DataFrame) -> DataFrame:
+    """S4: shared 18-byte prefix parse over a one-column ``line`` frame.
+
+    Adds pts (timestamp) and rec_type ('CMP'|'SEC'|'FIN'). Split out of
+    the file reader so in-memory line sets (driver-gate fixtures, unit
+    tests) run the identical parsing plan as ``spark.read.text``.
+    """
+    return lines.withColumn(
+        "pts",
+        F.to_timestamp(F.substring(F.col("line"), 1, 15), "yyyyMMdd-HHmmss"),
+    ).withColumn("rec_type", F.substring(F.col("line"), 16, 3))
+
+
 def read_finwire_raw(spark: SparkSession, path: str) -> DataFrame:
     """S2+S4: whole-line scan + shared prefix parse.
 
@@ -116,15 +129,7 @@ def read_finwire_raw(spark: SparkSession, path: str) -> DataFrame:
     Callers fanning out to all three types should ``.persist()`` this
     (one scan, three consumers — the reference's temp-table trick).
     """
-    return (
-        spark.read.text(path)
-        .withColumnRenamed("value", "line")
-        .withColumn(
-            "pts",
-            F.to_timestamp(F.substring(F.col("line"), 1, 15), "yyyyMMdd-HHmmss"),
-        )
-        .withColumn("rec_type", F.substring(F.col("line"), 16, 3))
-    )
+    return prefix_parse(spark.read.text(path).withColumnRenamed("value", "line"))
 
 
 def parse_finwire(raw: DataFrame, rec_type: str) -> DataFrame:

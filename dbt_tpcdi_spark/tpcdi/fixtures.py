@@ -373,13 +373,15 @@ def _xml_elem(tag: str, children: dict | str | None, indent: str) -> str:
     return f"{indent}<{tag}>\n{inner}{indent}</{tag}>\n"
 
 
-def render_customer_mgmt_xml() -> str:
-    out = ['<?xml version="1.0" encoding="UTF-8"?>\n'
-           '<TPCDI:Actions xmlns:TPCDI="http://www.tpc.org/tpc-di">\n']
+def action_xml_fragments() -> list[str]:
+    """One self-contained ``<TPCDI:Action>`` element per action — the
+    document body ``render_customer_mgmt_xml`` wraps, and the per-row
+    strings the driver-gate ``from_xml`` query parses."""
+    frags = []
     for action_type, action_ts, cust, acct in ACTIONS:
-        out.append(
+        out = [
             f'  <TPCDI:Action ActionType="{action_type}" ActionTS="{action_ts}">\n'
-        )
+        ]
         attrs = [f'C_ID="{cust["c_id"]}"']
         for a, key in (("C_TAX_ID", "c_tax_id"), ("C_GNDR", "c_gndr"),
                        ("C_TIER", "c_tier"), ("C_DOB", "c_dob")):
@@ -398,8 +400,17 @@ def render_customer_mgmt_xml() -> str:
                 f"      </Account>\n"
             )
         out.append("    </Customer>\n  </TPCDI:Action>\n")
-    out.append("</TPCDI:Actions>\n")
-    return "".join(out)
+        frags.append("".join(out))
+    return frags
+
+
+def render_customer_mgmt_xml() -> str:
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<TPCDI:Actions xmlns:TPCDI="http://www.tpc.org/tpc-di">\n'
+        + "".join(action_xml_fragments())
+        + "</TPCDI:Actions>\n"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -513,15 +524,16 @@ def _finwire_logical(records, layout):
     return rows, schema
 
 
-def generate(target: str | Path) -> Path:
-    """Write raw/ + logical/ fixture trees; returns the target path."""
-    target = Path(target)
-    raw = target / "raw"
-    logical = target / "logical"
-    raw.mkdir(parents=True, exist_ok=True)
-    logical.mkdir(parents=True, exist_ok=True)
+FINWIRE_SETS = (
+    ("CMP", CMP_LAYOUT, CMP_RECORDS),
+    ("SEC", SEC_LAYOUT, SEC_RECORDS),
+    ("FIN", FIN_LAYOUT, FIN_RECORDS),
+)
 
-    delimited = {
+
+def delimited_tables() -> dict[str, tuple[str, list]]:
+    """source name -> (raw file name, rows)."""
+    return {
         "date": ("Date.txt", date_rows()),
         "daily_market": ("DailyMarket.txt", daily_market_rows()),
         "industry": ("Industry.txt", INDUSTRY),
@@ -536,24 +548,49 @@ def generate(target: str | Path) -> Path:
         "holding_history": ("HoldingHistory.txt", HOLDING_HISTORY),
         "cash_transaction": ("CashTransaction.txt", CASH_TRANSACTION),
     }
-    for source, (fname, rows) in delimited.items():
+
+
+def logical_tables() -> dict[str, tuple[list, pa.Schema]]:
+    """Every logical source table as (rows, arrow schema) — the same
+    independent rendering ``generate`` writes to parquet, reusable for
+    in-memory oracles (driver-gate VALUES CTEs)."""
+    out: dict[str, tuple[list, pa.Schema]] = {}
+    for source, (_fname, rows) in delimited_tables().items():
+        out[source] = (rows, _schema_to_arrow(SCHEMAS[source]))
+    for rec_type, layout, records in FINWIRE_SETS:
+        out[rec_type.lower()] = _finwire_logical(records, layout)
+    out["customer_mgmt"] = (customer_mgmt_logical_rows(), CUSTOMER_MGMT_ARROW)
+    return out
+
+
+def finwire_raw_lines() -> list[str]:
+    """The mixed CMP/SEC/FIN fixed-width lines of the raw FINWIRE drop."""
+    return [
+        finwire_line(pts, rec_type, fields, layout)
+        for rec_type, layout, records in FINWIRE_SETS
+        for pts, fields in records
+    ]
+
+
+def generate(target: str | Path) -> Path:
+    """Write raw/ + logical/ fixture trees; returns the target path."""
+    target = Path(target)
+    raw = target / "raw"
+    logical = target / "logical"
+    raw.mkdir(parents=True, exist_ok=True)
+    logical.mkdir(parents=True, exist_ok=True)
+
+    for source, (fname, rows) in delimited_tables().items():
         sep = "," if fname.endswith(".csv") else "|"
         write_delimited(raw / fname, rows, sep)
         _write_logical(logical / f"{source}.parquet", rows,
                        _schema_to_arrow(SCHEMAS[source]))
 
-    finwire_lines = []
-    for rec_type, layout, records in (
-        ("CMP", CMP_LAYOUT, CMP_RECORDS),
-        ("SEC", SEC_LAYOUT, SEC_RECORDS),
-        ("FIN", FIN_LAYOUT, FIN_RECORDS),
-    ):
-        for pts, fields in records:
-            finwire_lines.append(finwire_line(pts, rec_type, fields, layout))
+    for rec_type, layout, records in FINWIRE_SETS:
         rows, schema = _finwire_logical(records, layout)
         _write_logical(logical / f"{rec_type.lower()}.parquet", rows, schema)
     # single mixed file, like a real FINWIRE quarterly drop
-    (raw / "FINWIRE2017Q1").write_text("\n".join(finwire_lines) + "\n")
+    (raw / "FINWIRE2017Q1").write_text("\n".join(finwire_raw_lines()) + "\n")
 
     (raw / "CustomerMgmt.xml").write_text(render_customer_mgmt_xml())
     _write_logical(logical / "customer_mgmt.parquet",

@@ -221,32 +221,28 @@ ORACLE_MODELS: dict[str, str] = {
                    AS close_timestamp
         FROM trades_history
     """,
+    # fast-mode twin (the Spark DAG default): extreme + earliest tie
+    # date from ONE window pass via lexicographic struct min/max —
+    # matches plans/models/silver.py daily_market's scale-safe plan.
     "daily_market": """
-        WITH s1 AS (
-            SELECT *,
-                   min(dm_low) OVER w AS fifty_two_week_low,
-                   max(dm_high) OVER w AS fifty_two_week_high
-            FROM brokerage_daily_market
-            WINDOW w AS (PARTITION BY dm_s_symb ORDER BY dm_date
-                         ROWS BETWEEN 364 PRECEDING AND CURRENT ROW)
-        ),
-        s2 AS (
-            SELECT a.*, b.dm_date AS fifty_two_week_low_date,
-                   c.dm_date AS fifty_two_week_high_date
-            FROM s1 a
-            JOIN s1 b ON a.dm_s_symb = b.dm_s_symb
-                AND a.fifty_two_week_low = b.dm_low
-                AND b.dm_date BETWEEN
-                    cast(a.dm_date - INTERVAL 12 MONTH AS date) AND a.dm_date
-            JOIN s1 c ON a.dm_s_symb = c.dm_s_symb
-                AND a.fifty_two_week_high = c.dm_high
-                AND c.dm_date BETWEEN
-                    cast(a.dm_date - INTERVAL 12 MONTH AS date) AND a.dm_date
-        )
-        SELECT * FROM s2
-        QUALIFY row_number() OVER (
-            PARTITION BY dm_s_symb, dm_date
-            ORDER BY fifty_two_week_low_date, fifty_two_week_high_date) = 1
+        SELECT *,
+            (min(struct_pack(v := dm_low,
+                 d := datediff('day', DATE '1970-01-01', dm_date))) OVER w).v
+                AS fifty_two_week_low,
+            DATE '1970-01-01' + cast(
+                (min(struct_pack(v := dm_low,
+                     d := datediff('day', DATE '1970-01-01', dm_date))) OVER w).d
+                AS integer) AS fifty_two_week_low_date,
+            (max(struct_pack(v := dm_high,
+                 negd := -datediff('day', DATE '1970-01-01', dm_date))) OVER w).v
+                AS fifty_two_week_high,
+            DATE '1970-01-01' + cast(
+                -((max(struct_pack(v := dm_high,
+                       negd := -datediff('day', DATE '1970-01-01', dm_date)))
+                   OVER w).negd) AS integer) AS fifty_two_week_high_date
+        FROM brokerage_daily_market
+        WINDOW w AS (PARTITION BY dm_s_symb ORDER BY dm_date
+                     ROWS BETWEEN 364 PRECEDING AND CURRENT ROW)
     """,
     "watches_history": """
         WITH s1 AS (
@@ -471,3 +467,37 @@ ORACLE_MODELS: dict[str, str] = {
                 BETWEEN s.effective_timestamp AND s.end_timestamp
     """,
 }
+
+#: strict-parity twin of daily_market: the reference-shaped calendar
+#: self-join + QUALIFY (silver/daily_market.sql:8-34), paired with the
+#: Spark model under SPARK_TPCDI_PARITY=strict. Differs from the fast
+#: default only on the add_months edge (calendar window spans 365-366
+#: days vs the frame's 364 preceding rows — a value tie exactly one
+#: year back yields an earlier extreme date here).
+DAILY_MARKET_STRICT_SQL = """
+    WITH s1 AS (
+        SELECT *,
+               min(dm_low) OVER w AS fifty_two_week_low,
+               max(dm_high) OVER w AS fifty_two_week_high
+        FROM brokerage_daily_market
+        WINDOW w AS (PARTITION BY dm_s_symb ORDER BY dm_date
+                     ROWS BETWEEN 364 PRECEDING AND CURRENT ROW)
+    ),
+    s2 AS (
+        SELECT a.*, b.dm_date AS fifty_two_week_low_date,
+               c.dm_date AS fifty_two_week_high_date
+        FROM s1 a
+        JOIN s1 b ON a.dm_s_symb = b.dm_s_symb
+            AND a.fifty_two_week_low = b.dm_low
+            AND b.dm_date BETWEEN
+                cast(a.dm_date - INTERVAL 12 MONTH AS date) AND a.dm_date
+        JOIN s1 c ON a.dm_s_symb = c.dm_s_symb
+            AND a.fifty_two_week_high = c.dm_high
+            AND c.dm_date BETWEEN
+                cast(a.dm_date - INTERVAL 12 MONTH AS date) AND a.dm_date
+    )
+    SELECT * FROM s2
+    QUALIFY row_number() OVER (
+        PARTITION BY dm_s_symb, dm_date
+        ORDER BY fifty_two_week_low_date, fifty_two_week_high_date) = 1
+"""

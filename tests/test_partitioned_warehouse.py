@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from dbt_tpcdi_spark.plans.runner import Runner
 from dbt_tpcdi_spark.plans.sources import load_dag_sources
-from tests.tpcdi_fixtures import generate
+from dbt_tpcdi_spark.tpcdi.fixtures import generate
 
 
 @pytest.fixture(scope="module")

@@ -129,13 +129,14 @@ def test_hash_sample_partitioning_invariant(spark):
 
 
 def test_approx_distinct_bounded_error(spark):
+    """The query now emits the error-envelope check itself (exact counts
+    + within_rel_err booleans, so the sketch has an exact oracle);
+    independently re-verify exact_parts and assert every envelope bool.
+    """
     from dbt_tpcdi_spark.queries import all_queries
     from tests.conftest import SF_SMOKE
 
-    approx = {
-        r.l_returnflag: (r.approx_parts, r.n_rows)
-        for r in all_queries()["approx_distinct"].build(spark, SF_SMOKE).collect()
-    }
+    rows = all_queries()["approx_distinct"].build(spark, SF_SMOKE).collect()
     from dbt_tpcdi_spark.sources.parquet import load_table
 
     exact = {
@@ -145,5 +146,7 @@ def test_approx_distinct_bounded_error(spark):
         .agg(F.countDistinct("l_partkey").alias("exact"))
         .collect()
     }
-    for flag, (est, _) in approx.items():
-        assert abs(est - exact[flag]) / exact[flag] < 0.1  # HLL default rsd
+    assert rows
+    for r in rows:
+        assert r.exact_parts == exact[r.l_returnflag]
+        assert r.hll_within_rel_err and r.median_within_rel_err

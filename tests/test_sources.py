@@ -12,7 +12,7 @@ from dbt_tpcdi_spark.sources.delimited import SCHEMAS, read_delimited
 from dbt_tpcdi_spark.sources.finwire import read_finwire
 from dbt_tpcdi_spark.sources.xml import read_customer_mgmt
 from tests.conftest import normalize
-from tests.tpcdi_fixtures import generate
+from dbt_tpcdi_spark.tpcdi.fixtures import generate
 
 RAW_FILES = {
     "date": "Date.txt",

@@ -18,7 +18,7 @@ from dbt_tpcdi_spark.streaming.ops import (
     write_idempotent_parquet,
 )
 from tests.conftest import SF_SMOKE
-from tests.tpcdi_fixtures import generate
+from dbt_tpcdi_spark.tpcdi.fixtures import generate
 
 
 def test_tumbling_stream_equals_batch(spark):

@@ -11,8 +11,8 @@ import pytest
 from dbt_tpcdi_spark.plans.registry import all_models
 from dbt_tpcdi_spark.plans.runner import Runner, duplicate_keys
 from dbt_tpcdi_spark.plans.sources import load_dag_sources
-from tests.tpcdi_fixtures import generate
-from tests.tpcdi_oracle import ORACLE_MODELS
+from dbt_tpcdi_spark.tpcdi.fixtures import generate
+from dbt_tpcdi_spark.tpcdi.oracle import ORACLE_MODELS
 
 LOGICAL_SOURCES = (
     "date", "daily_market", "industry", "prospect", "tax_rate", "hr",
@@ -96,3 +96,33 @@ def test_fact_trade_unique_key(spark, dag_env):
     warehouse, _ = dag_env
     df = spark.read.parquet(str(warehouse / "fact_trade"))
     assert duplicate_keys(df, ["sk_trade_id"]).isEmpty()
+
+
+def test_daily_market_strict_parity(spark, dag_env, monkeypatch):
+    """SPARK_TPCDI_PARITY=strict swaps daily_market back to the
+    reference-shaped calendar self-join + QUALIFY; it must match its own
+    DuckDB twin (the main DAG oracle pins the fast default). The two
+    modes legitimately differ on add_months-edge tie dates — see the
+    model docstring — so each mode gets its own oracle."""
+    from dbt_tpcdi_spark.tpcdi.oracle import DAILY_MARKET_STRICT_SQL
+    from tests.conftest import assert_matches_oracle
+
+    warehouse, con = dag_env
+    monkeypatch.setenv("SPARK_TPCDI_PARITY", "strict")
+    dm = spark.read.parquet(str(warehouse / "brokerage_daily_market"))
+    strict_df = all_models()["daily_market"].build(lambda _n: dm, None)
+    con.execute(
+        "CREATE OR REPLACE VIEW daily_market_strict AS "
+        + DAILY_MARKET_STRICT_SQL
+    )
+    assert_matches_oracle(
+        strict_df, con, "SELECT * FROM daily_market_strict",
+        "daily_market_strict",
+    )
+    # and the edge is real: fast vs strict differ on extreme *dates*
+    # for this gapless 400-day series, never on extreme values
+    monkeypatch.delenv("SPARK_TPCDI_PARITY")
+    fast_df = all_models()["daily_market"].build(lambda _n: dm, None)
+    keys = ["dm_s_symb", "dm_date", "fifty_two_week_low",
+            "fifty_two_week_high"]
+    assert fast_df.select(keys).exceptAll(strict_df.select(keys)).isEmpty()
