@@ -3,7 +3,8 @@
 The reference keys every gold dim with
 ``dbt_utils.generate_surrogate_key([cols])`` (e.g. reference
 ``models/gold/dim_broker.sql:2``), which macro-expands to
-``md5(coalesce(cast(c1 as varchar), '') || '-' || coalesce(...))``.
+``md5(coalesce(cast(c1 as varchar), '_dbt_utils_surrogate_key_null_')
+|| '-' || coalesce(...))``.
 We replicate those semantics exactly so keys hash-match across engines
 (SURVEY.md §2.8 "Hash/key" row): NULL → the dbt_utils 1.x default
 placeholder ``_dbt_utils_surrogate_key_null_`` (the reference's

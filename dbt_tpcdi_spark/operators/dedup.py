@@ -200,33 +200,42 @@ def with_token_masks(
     """(id, blocks, __n, __masks): each doc's distinct-token set packed
     into an array of 63-bit bigint masks over the global vocabulary.
 
-    Vocab ids are assigned per hash bucket — ``vid = (rn-1)*B + bucket``
-    with ``rn`` a row_number over ``Window.partitionBy(bucket)`` — so id
-    assignment parallelizes across B buckets instead of funnelling the
-    vocabulary through one partition (any bijection token→id yields
-    identical intersection counts, so jaccard is unaffected). The only
-    driver action is a metadata-sized max() that sizes the mask array;
-    the vocabulary is broadcast. |A∩B| then costs Σ bit_count(a & b)
-    per pair."""
+    Vocab ids are assigned per hash bucket — ``vid = offset[bucket] +
+    rn - 1`` with ``rn`` a row_number over
+    ``Window.partitionBy(bucket)`` — so id assignment parallelizes
+    across B buckets instead of funnelling the vocabulary through one
+    partition (any bijection token→id yields identical intersection
+    counts, so jaccard is unaffected). Cumulative per-bucket offsets
+    make the ids DENSE (0..|vocab|-1): bucket skew can't inflate the
+    mask arrays. The only driver action is the ≤B-row bucket-count
+    collect that sizes the offsets; the vocabulary is broadcast.
+    |A∩B| then costs Σ bit_count(a & b) per pair."""
     from pyspark.sql import Window
 
     base = df.select(
         F.col(id_col), *blocks, shingles(F.col(text_col)).alias("__sh")
     ).withColumn("__n", F.size("__sh"))
     toks = base.select(F.explode("__sh").alias("__tok")).distinct()
+    bucketed = toks.withColumn(
+        "__b", F.pmod(F.xxhash64("__tok"), F.lit(VOCAB_BUCKETS))
+    )
+    counts = dict(
+        bucketed.groupBy("__b").count().collect()  # metadata-sized: ≤B rows
+    )
+    offsets, acc = [], 0
+    for b in range(VOCAB_BUCKETS):
+        offsets.append(acc)
+        acc += counts.get(b, 0)
+    nchunks = max(1, (acc + 62) // 63)
+    off = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offsets]),
+        F.col("__b").cast("int") + 1,
+    )
     w = Window.partitionBy("__b").orderBy("__tok")
     vocab = (
-        toks.withColumn(
-            "__b", F.pmod(F.xxhash64("__tok"), F.lit(VOCAB_BUCKETS))
-        )
-        .withColumn(
-            "__vid",
-            (F.row_number().over(w) - 1) * VOCAB_BUCKETS + F.col("__b"),
-        )
+        bucketed.withColumn("__vid", off + F.row_number().over(w) - 1)
         .drop("__b")
     )
-    max_vid = vocab.agg(F.max("__vid")).first()[0]  # metadata-sized action
-    nchunks = max(1, (int(max_vid) + 63) // 63) if max_vid is not None else 1
     posts = base.select(
         F.col(id_col), *blocks, "__n", F.explode("__sh").alias("__tok")
     ).join(F.broadcast(vocab), "__tok")

@@ -180,22 +180,34 @@ class Runner:
 
     def _adopt_stranded_swap(self, path: str) -> None:
         """Recover a merge_refresh interrupted mid-swap (see ordering
-        comment there). Completed-staging-but-unpromoted data is
-        promoted; a leftover __old copy of an already-promoted swap is
-        deleted."""
+        comment there).
+
+        States, by crash point: (a) after the swap completed → stray
+        ``__old`` next to a live path: delete it. (b) between the two
+        renames → ``__old`` present, path absent, ``__staging`` complete
+        (has _SUCCESS): finish the promotion (staging → path, drop old)
+        so the completed merge is kept, not re-run. (c) before the
+        first rename → live path + ``__staging``: the staging copy may
+        be complete, but nothing proves it belongs to the current
+        source state, so roll forwardless: keep the live path, discard
+        staging, and let the merge re-apply. Incomplete staging (no
+        _SUCCESS) is always discarded."""
         import shutil
 
         staging, old = path + "__staging", path + "__old"
-        if os.path.isdir(old) and os.path.isdir(path):
-            shutil.rmtree(old)  # promote completed; old copy is garbage
-        elif os.path.isdir(old) and not os.path.isdir(path):
-            os.rename(old, path)  # crashed between the two renames
+        staging_complete = os.path.exists(os.path.join(staging, "_SUCCESS"))
+        if os.path.isdir(old):
+            if not os.path.isdir(path):
+                if staging_complete:  # (b): finish the interrupted promote
+                    os.rename(staging, path)
+                else:  # torn swap with no usable staging: roll back
+                    os.rename(old, path)
+            shutil.rmtree(old)  # (a)/(b): old copy is garbage
         if os.path.isdir(staging):
-            if os.path.exists(os.path.join(staging, "_SUCCESS")) and \
-                    not os.path.isdir(path):
+            if staging_complete and not os.path.isdir(path):
                 os.rename(staging, path)
             else:
-                shutil.rmtree(staging)  # incomplete write — discard
+                shutil.rmtree(staging)  # (c) or incomplete — discard
 
 
 def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:

@@ -46,8 +46,17 @@ def main() -> int:
     qs, oracles = entry.queries(), entry.oracle_sql()
     for i, a in enumerate(sys.argv):
         if a == "--only":
+            if i + 1 >= len(sys.argv):
+                print("--only needs a comma-separated query list")
+                return 2
             only = set(sys.argv[i + 1].split(","))
+            unknown = only - qs.keys()
+            if unknown:
+                print(f"--only: no such queries: {sorted(unknown)}")
             qs = {k: v for k, v in qs.items() if k in only}
+            if not qs:
+                print("--only matched zero registered queries")
+                return 2
     fails: list[str] = []
     t0 = time.perf_counter()
     for name in sorted(qs):
