@@ -10,6 +10,8 @@ because its calendar-range/rows-frame mismatch is observable behavior
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -291,14 +293,43 @@ def trades(ref, src) -> DataFrame:
 @model(layer="silver", deps=("brokerage_daily_market",))
 def daily_market(ref, src) -> DataFrame:
     """silver/daily_market.sql — 52-week extremes via a 365-row window
-    (W4), date-of-extreme via the reference-shaped calendar self-join
-    (J8), tie-dedup via QUALIFY (W3)."""
+    (W4) with the date each extreme occurred.
+
+    Two plans, switched by ``SPARK_TPCDI_PARITY``:
+
+    - default (**fast**): single window pass — min/max over
+      ``struct(value, epoch_day)`` picks the extreme AND its earliest
+      tie date in one frame (the J8 self-join collapses to W4). One
+      shuffle per symbol partition; no join, no QUALIFY. This is the
+      plan that survives 100 TB.
+    - ``strict``: the reference-shaped calendar self-join + QUALIFY
+      (silver/daily_market.sql:8-34). O(rows×365) per symbol, but
+      byte-faithful to the reference on the add_months edge: the
+      calendar window [add_months(d,-12), d] spans 365-366 *days* while
+      the fast frame spans 364 preceding *rows*, so on gapless daily
+      data a value tie exactly one year ago can yield an earlier
+      extreme date than any in-frame row.
+    """
     dm = ref("brokerage_daily_market")
     w = (
         Window.partitionBy("dm_s_symb")
         .orderBy(F.col("dm_date").asc())
         .rowsBetween(-364, 0)
     )
+    if os.environ.get("SPARK_TPCDI_PARITY", "") != "strict":
+        days = F.datediff(F.col("dm_date"), F.lit("1970-01-01"))
+        lo = F.min(F.struct(F.col("dm_low").alias("v"), days.alias("d"))).over(w)
+        hi = F.max(
+            F.struct(F.col("dm_high").alias("v"), (-days).alias("negd"))
+        ).over(w)
+        epoch = F.lit("1970-01-01").cast("date")
+        return dm.select(
+            "*",
+            lo["v"].alias("fifty_two_week_low"),
+            F.date_add(epoch, lo["d"]).alias("fifty_two_week_low_date"),
+            hi["v"].alias("fifty_two_week_high"),
+            F.date_add(epoch, -hi["negd"]).alias("fifty_two_week_high_date"),
+        )
     s1 = dm.withColumn("fifty_two_week_low", F.min("dm_low").over(w)).withColumn(
         "fifty_two_week_high", F.max("dm_high").over(w)
     )
