@@ -7,6 +7,23 @@ ONE JSON line:
 
 Each query is forced to full evaluation with the noop sink (count()
 alone can let Catalyst prune work a real consumer would do).
+
+Beyond the headline set, two scale probes (disable with
+SPARK_GRAFT_BENCH_SCALE=0):
+
+- ``minhash_lsh_realistic``: the minhash pipeline on an open-Zipf-
+  vocabulary corpus (dbt_tpcdi_spark/benchdata.py). The driver
+  ``documents`` table has a 31-word vocabulary that makes dedup
+  output-bound (~3M true pairs at sf0.1); this entry shows the
+  designed asymptotics (candidates ≪ n²).
+- ``x10:*``: representative headline queries at a 10× key-shifted
+  replica of the sf dir (≈sf1) — a second scale point that can catch
+  AQE switch-point regressions. ``plan_checks`` records that the small
+  dimension joins still broadcast there and nothing degenerated to a
+  cartesian product.
+
+``value`` stays the sum of every timed query, so rounds remain
+comparable on the same key.
 """
 
 from __future__ import annotations
@@ -15,6 +32,12 @@ import json
 import os
 import sys
 import time
+
+
+def _timed(times: dict[str, float], name: str, df) -> None:
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    times[name] = round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -36,10 +59,69 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name, q in sorted(queries.items()):
+        _timed(times, name, q.build(spark, sf_dir))
+
+    prep: dict[str, float] = {}
+    plan_checks: dict[str, bool] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
+        from dbt_tpcdi_spark import benchdata
+        from dbt_tpcdi_spark.operators import dedup as D
+        from pyspark.sql import functions as F
+
+        # -- realistic-vocabulary dedup corpus ---------------------------
         t0 = time.perf_counter()
-        df = q.build(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        corpus = benchdata.realistic_corpus(spark).persist()
+        corpus.count()  # materialize generation outside the timed run
+        prep["corpus_gen"] = round(time.perf_counter() - t0, 3)
+
+        sigs = D.with_minhash_signature(corpus, "text")
+        cand = D.lsh_candidate_pairs(sigs, "doc_id", distinct=False)
+        plan_checks["realistic_no_cartesian"] = (
+            "CartesianProduct" not in cand._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        # open vocabulary → array-intersect verification (the bitset
+        # verifier is the bounded-vocab fast path; candidates here are
+        # few, so exact set intersection on the pairs is cheap)
+        sh = corpus.select(
+            "doc_id", D.shingles(F.col("text")).alias("sh")
+        ).withColumn("n", F.size("sh"))
+        a, b = sh.alias("sa"), sh.alias("sb")
+        inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+        union = F.col("sa.n") + F.col("sb.n") - inter
+        verified = (
+            cand.join(a, cand["id_a"] == F.col("sa.doc_id"))
+            .join(b, cand["id_b"] == F.col("sb.doc_id"))
+            .select("id_a", "id_b", (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.8)
+            .distinct()
+        )
+        _timed(times, "minhash_lsh_realistic", verified)
+        corpus.unpersist()
+
+        # -- second scale point: 10x key-shifted replica (~sf1) ----------
+        t0 = time.perf_counter()
+        x10_dir = benchdata.replicate_sf(
+            spark, sf_dir,
+            os.path.join("/tmp", "spark_graft_bench",
+                         os.path.basename(sf_dir.rstrip("/")) + "_x10"),
+            copies=10,
+        )
+        prep["x10_replicate"] = round(time.perf_counter() - t0, 3)
+
+        x10_queries = ("pricing_summary", "revenue_by_nation",
+                       "temporal_join_agg", "sessionize", "ann_topk")
+        for name in x10_queries:
+            df = all_queries()[name].build(spark, x10_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if name in ("revenue_by_nation", "temporal_join_agg"):
+                # the small-dim side must still broadcast at 10x — the
+                # AQE demotion this scale point exists to catch
+                plan_checks[f"x10_{name}_broadcasts"] = (
+                    "BroadcastHashJoin" in plan)
+            plan_checks[f"x10_{name}_no_cartesian"] = (
+                "CartesianProduct" not in plan)
+            _timed(times, f"x10:{name}", df)
 
     total = round(sum(times.values()), 3)
     print(
@@ -50,6 +132,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "prep": prep,
+                "plan_checks": plan_checks,
             }
         )
     )

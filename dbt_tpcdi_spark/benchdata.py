@@ -1,0 +1,119 @@
+"""Synthetic bench inputs beyond the driver testdata.
+
+Two generators, both fully distributed (``spark.range`` + column
+expressions — no driver-side row lists, no Python UDFs) and
+deterministic (hash-derived, no RNG state):
+
+- ``realistic_corpus``: a document table whose token distribution
+  models text AFTER shingling — near-uniform draws from a huge space
+  (real dedup pipelines hash 5-gram shingles, whose distribution is
+  close to uniform even though raw words are Zipf). The driver's
+  ``documents`` table is the adversarial opposite (31-word vocabulary,
+  every doc overlaps every doc, ~3M true near-dup pairs at sf0.1);
+  this corpus shows the *designed* asymptotics instead — candidate
+  pairs ≪ n² because band buckets stay small.
+- ``replicate_sf``: writes a key-shifted N× copy of the driver
+  testdata, giving bench a second scale point (~sf1 from sf0.1)
+  that can catch AQE switch-point regressions (broadcast→SMJ
+  demotions) that a single small scale can't see. Fact keys
+  (orderkey/custkey/user/vec ids) shift per replica so cardinalities
+  really grow; dimension tables and their foreign keys stay fixed so
+  join fan-out per row is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.sources.parquet import load_table, table_path
+
+#: larger than any key in the driver testdata at any sf
+KEY_SHIFT = 1_000_000_000
+
+
+def realistic_corpus(
+    spark: SparkSession,
+    n_docs: int = 20_000,
+    doc_len: int = 60,
+    vocab: int = 200_000,
+    dup_frac: float = 0.05,
+) -> DataFrame:
+    """(doc_id, text): open-vocabulary corpus (uniform draws from a
+    ``vocab``-sized shingle space) with a planted ``dup_frac`` of
+    near-duplicates.
+
+    Tokens derive from ``xxhash64(doc, position)``, so generation is a
+    pure projection. The last ``dup_frac`` of docs copy an earlier doc
+    with one token substituted — true near-dups a minhash pipeline
+    must find.
+    """
+    base_n = int(n_docs * (1.0 - dup_frac))
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    src = F.when(
+        F.col("doc_id") >= base_n, F.col("doc_id") - base_n
+    ).otherwise(F.col("doc_id"))
+
+    def token(j):
+        rank = F.pmod(
+            F.xxhash64(src * doc_len + j, F.lit("tok")), F.lit(vocab)
+        )
+        return F.concat(F.lit("w"), rank.cast("string"))
+
+    words = F.transform(F.sequence(F.lit(0), F.lit(doc_len - 1)), token)
+    # near-dup docs: substitute one position with a doc-unique token
+    perturb_at = F.pmod(F.col("doc_id"), F.lit(doc_len)).cast("int")
+    words = F.when(
+        F.col("doc_id") >= base_n,
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                i == perturb_at,
+                F.concat(F.lit("x"), F.col("doc_id").cast("string")),
+            ).otherwise(w),
+        ),
+    ).otherwise(words)
+    return docs.select("doc_id", F.array_join(words, " ").alias("text"))
+
+
+#: per-table bigint columns shifted by ``replica * KEY_SHIFT``;
+#: tables absent here are copied once (dimensions)
+REPLICATE_SHIFTS: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["user_id"],
+    "embeddings": ["vec_id"],
+}
+REPLICATE_COPY = ("nation", "region", "supplier", "part")
+
+
+def replicate_sf(
+    spark: SparkSession, sf_dir: str, out_dir: str, copies: int
+) -> str:
+    """Write a ``copies``× key-shifted testdata tree; returns out_dir.
+    Idempotent via a marker file (bench reruns reuse it)."""
+    marker = os.path.join(out_dir, f"_COMPLETE_x{copies}")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for name, shift_cols in REPLICATE_SHIFTS.items():
+        base = load_table(spark, sf_dir, name)
+        parts = []
+        for rep in range(copies):
+            df = base
+            for c in shift_cols:
+                df = df.withColumn(c, F.col(c) + F.lit(rep * KEY_SHIFT))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(table_path(out_dir, name))
+    for name in REPLICATE_COPY:
+        load_table(spark, sf_dir, name).write.mode("overwrite").parquet(
+            table_path(out_dir, name)
+        )
+    open(marker, "w").close()
+    return out_dir

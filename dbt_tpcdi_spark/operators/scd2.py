@@ -58,6 +58,7 @@ def merge_scd2(
     ts: str = "effective_timestamp",
     end_col: str = "end_timestamp",
     current_col: str = "is_current",
+    replace: bool = False,
 ) -> DataFrame:
     """Incremental SCD2 upsert — the batch emulation of MERGE the
     dynamic-table v2 needs (SURVEY.md §7.4): a late/new version must
@@ -72,18 +73,33 @@ def merge_scd2(
 
     ``updates`` carries the same columns as the original SCD2 input
     (no end/current columns — they are recomputed).
+
+    ``replace=False`` (append): updates are NEW versions; existing
+    versions of touched keys are kept and re-windowed alongside them.
+    ``replace=True`` (full-version replacement): updates carry the
+    COMPLETE version history of every touched key; existing versions
+    are discarded. Needed when a delta rewrites non-versioned
+    attributes on all versions — e.g. a TPC-DI Batch2 Trade.txt row
+    updates the trade's final status/price, which every
+    trades_history version carries.
     """
     keys = [key] if isinstance(key, str) else list(key)
     touched_keys = updates.select(*keys).distinct()
-    touched = existing.join(touched_keys, keys, "left_semi").drop(
-        end_col, current_col
-    )
     untouched = existing.join(touched_keys, keys, "left_anti")
+    if replace:
+        to_window = updates
+    else:
+        touched = existing.join(touched_keys, keys, "left_semi").drop(
+            end_col, current_col
+        )
+        to_window = touched.unionByName(updates)
     recomputed = with_scd2(
-        touched.unionByName(updates), key=keys, ts=ts,
-        end_col=end_col, current_col=current_col,
+        to_window, key=keys, ts=ts, end_col=end_col, current_col=current_col,
     )
-    return untouched.unionByName(recomputed)
+    # the key-column equi-joins above move the keys to the front;
+    # restore the existing table's column order so a merged table stays
+    # positionally identical to a fresh build
+    return untouched.unionByName(recomputed).select(existing.columns)
 
 
 def scd2_sql(key: str, ts: str) -> dict[str, str]:

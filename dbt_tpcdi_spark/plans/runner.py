@@ -125,7 +125,8 @@ class Runner:
         return self.spark.read.parquet(path)
 
     def merge_refresh(
-        self, name: str, delta_refs: dict[str, DataFrame]
+        self, name: str, delta_refs: dict[str, DataFrame],
+        replace: bool = False,
     ) -> DataFrame:
         """Row-level incremental refresh of an SCD2 model (the Batch2/3
         path the reference defers, README.md:53-55; SURVEY §7.4).
@@ -136,10 +137,16 @@ class Runner:
         and ``merge_scd2``s the result into the existing table — so only
         rows of touched entity keys move.
 
+        ``replace=True`` switches to full-version replacement: the
+        delta must yield the COMPLETE version history of each touched
+        key, and existing versions of those keys are discarded (TPC-DI
+        Batch2 Trade.txt updates — see ``merge_scd2``).
+
         Valid when the builder is row-local over the delta upstream
         (code-table joins are fine; models that temporal-join another
         SCD2 model — securities/financials over companies — need that
-        upstream unchanged, else fall back to a full refresh).
+        upstream's merge applied first, and existing rows' temporal
+        matches unchanged, else fall back to a full refresh).
         """
         from dbt_tpcdi_spark.operators.scd2 import merge_scd2
 
@@ -161,7 +168,8 @@ class Runner:
             return self.sources[n]
 
         delta_built = m.build(ref, src).drop("end_timestamp", "is_current")
-        merged = merge_scd2(existing, delta_built, key=m.scd2_key)
+        merged = merge_scd2(existing, delta_built, key=m.scd2_key,
+                            replace=replace)
 
         # stage-and-swap: can't overwrite the parquet dir being read.
         # Crash-safe ordering — the live path is never absent: write

@@ -157,6 +157,7 @@ NORM_SPECS: dict[str, tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]] 
         ("create_timestamp", "close_timestamp"),
         ("sk_create_date", "sk_close_date"), ()),
     "dag_watches": (("placed_timestamp", "removed_timestamp"), (), ()),
+    "dag_incremental_equivalence": ((), (), ()),
 }
 
 
@@ -360,3 +361,103 @@ def dag_watches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 (min/max collapse of placed/removed events,
     silver/watches.sql:22-34)."""
     return _dag_model(spark, "watches")
+
+
+# ---------------------------------------------------------------------------
+# Batch2 incremental-load equivalence (the Batch2/3 path the reference
+# defers, reference README.md:53-55)
+
+#: SCD2 models merged in topo order (companies before
+#: securities/financials — their temporal joins read the refreshed
+#: companies table).
+SCD2_MERGE_ORDER = (
+    "accounts", "customers", "companies", "securities", "financials",
+    "trades_history",
+)
+
+
+def _incremental_vs_rebuild(spark: SparkSession) -> list[tuple[str, bool]]:
+    """Build the SCD2 cone twice — full rebuild over Batch1+Batch2 vs
+    Batch1 build + per-model merge_refresh of the Batch2 deltas — and
+    EXCEPT-ALL compare each model. Memoized per SparkSession."""
+    key = ("incremental", id(spark))
+    if key in _CACHE:
+        return _CACHE[key]
+    root = _fixture_root()
+    b1 = load_dag_sources(spark, str(root / "raw"))
+    b2 = load_dag_sources(spark, str(root / "raw_batch2"))
+
+    # combined Batch1+Batch2 sources (ground truth): history feeds
+    # union; Trade.txt rows REPLACE same-key Batch1 rows (a Batch2
+    # trade row is the updated final state, not a new trade)
+    full = dict(b1)
+    full["trade"] = (
+        b1["trade"].join(b2["trade"].select("t_id"), "t_id", "left_anti")
+        .unionByName(b2["trade"])
+    )
+    full["trade_history"] = b1["trade_history"].unionByName(
+        b2["trade_history"])
+    full["customer_mgmt"] = b1["customer_mgmt"].unionByName(
+        b2["customer_mgmt"])
+    for s in ("cmp", "sec", "fin"):
+        full[s] = b1[s].unionByName(b2[s])
+
+    targets = list(SCD2_MERGE_ORDER)
+    wh_full = root / f"wh_full_{id(spark)}"
+    Runner(spark, full, warehouse_dir=str(wh_full)).run(
+        targets, parallelism=8)
+
+    wh_inc = root / f"wh_inc_{id(spark)}"
+    inc = Runner(spark, b1, warehouse_dir=str(wh_inc))
+    inc.run(targets, parallelism=8)
+
+    touched_trades = b2["trade_history"].select("th_t_id").distinct()
+    deltas: dict[str, tuple[dict, bool]] = {
+        "accounts": ({"crm_customer_mgmt": b2["customer_mgmt"]}, False),
+        "customers": ({"crm_customer_mgmt": b2["customer_mgmt"]}, False),
+        "companies": ({"finwire_company": b2["cmp"]}, False),
+        "securities": (
+            {"finwire_security": _bronze("finwire_security", b2["sec"])},
+            False),
+        "financials": (
+            {"finwire_financial": _bronze("finwire_financial", b2["fin"])},
+            False),
+        # replace mode: the delta is the COMPLETE history of touched
+        # trades (updated t-attributes appear on every version)
+        "trades_history": ({
+            "brokerage_trade_history": full["trade_history"].join(
+                touched_trades, "th_t_id", "left_semi"),
+            "brokerage_trade": full["trade"].join(
+                touched_trades.withColumnRenamed("th_t_id", "t_id"),
+                "t_id", "left_semi"),
+        }, True),
+    }
+    results = []
+    for name in SCD2_MERGE_ORDER:
+        delta_refs, replace = deltas[name]
+        merged = inc.merge_refresh(name, delta_refs, replace=replace)
+        rebuilt = spark.read.parquet(str(wh_full / name))
+        equal = (merged.exceptAll(rebuilt).isEmpty()
+                 and rebuilt.exceptAll(merged).isEmpty())
+        results.append((name, equal))
+    _CACHE[key] = results
+    return results
+
+
+@query(
+    "dag_incremental_equivalence",
+    oracle="SELECT * FROM (VALUES " + ", ".join(
+        f"('{n}', true)" for n in sorted(SCD2_MERGE_ORDER)
+    ) + ") t(model, incremental_equals_rebuild)",
+    tags=["S9", "S11", "W1", "W2"],
+)
+def dag_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch2 row-level incremental load: per-SCD2-model merge_refresh
+    over the Batch2 fixture deltas must equal a from-scratch rebuild
+    over Batch1+Batch2 (EXCEPT-ALL, both directions). Emits one boolean
+    row per model; the oracle pins them all true — a false value
+    hash-mismatches and fails the gate."""
+    rows = _incremental_vs_rebuild(spark)
+    return spark.createDataFrame(
+        rows, "model string, incremental_equals_rebuild boolean"
+    )

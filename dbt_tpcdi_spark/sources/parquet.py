@@ -40,13 +40,25 @@ def _nanos_columns(path: str) -> list[str]:
     ``spark.sql.legacy.parquet.nanosAsLong`` and we restore
     TimestampType here (truncating ns → µs, which is what DuckDB's
     strftime-to-millisecond comparisons see too)."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    schema = pq.read_schema(path)
+    if os.path.isdir(path):  # Spark-written table (part files in a dir)
+        parts = glob.glob(os.path.join(path, "*.parquet"))
+        if not parts:
+            return []
+        path = parts[0]
+    # inspect the parquet-level types, not the arrow view: INT96
+    # timestamps (Spark's default write format) surface in arrow as
+    # timestamp[ns] too, but Spark reads those natively — only
+    # int64-annotated nanosecond columns need the nanosAsLong restore
+    schema = pq.ParquetFile(path).schema
     return [
-        f.name
-        for f in schema
-        if str(f.type).startswith("timestamp[ns")
+        schema.column(i).name
+        for i in range(len(schema))
+        if schema.column(i).physical_type == "INT64"
+        and "timeUnit=nanoseconds" in str(schema.column(i).logical_type)
     ]
 
 

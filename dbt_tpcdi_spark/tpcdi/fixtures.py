@@ -276,6 +276,102 @@ ACTIONS = [
 ]
 
 # ---------------------------------------------------------------------------
+# Batch2 incremental deltas (the Batch2/3 path the reference defers,
+# reference README.md:53-55). Designed so every SCD2 merge is valid:
+# CMP/SEC/FIN/XML deltas only append versions with pts/action_ts AFTER
+# every Batch1 record of the same entity (so no existing row's temporal
+# join target changes), while the trade delta exercises the
+# full-version-replacement path (an updated Trade.txt row rewrites
+# t-attributes on ALL versions of that trade -> merge must replace the
+# touched keys' history, not append to it).
+
+_C103 = {
+    "c_id": 103, "c_tax_id": "103-00-1030", "c_gndr": "M", "c_tier": 1,
+    "c_dob": "1985-04-20",
+    "name": {"C_L_NAME": "Brown", "C_F_NAME": "Noah"},
+    "address": {"C_ADLINE1": "7 Elm Rd", "C_ADLINE2": "Apt 2",
+                "C_ZIPCODE": "73301", "C_CITY": "Austin",
+                "C_STATE_PROV": "TX", "C_CTRY": "USA"},
+    "contact": {
+        "C_PRIM_EMAIL": "noah@example.com",
+        "C_PHONE_1": {"C_CTRY_CODE": "1", "C_AREA_CODE": "512",
+                      "C_LOCAL": "5550142", "C_EXT": "9"},
+    },
+    "tax": {"C_LCL_TX_ID": "US1", "C_NAT_TX_ID": "US2"},
+}
+
+ACTIONS2 = [
+    ("NEW", "2019-01-10T09:00:00", _C103,
+     {"ca_id": 504, "ca_tax_st": 1, "CA_B_ID": 1, "CA_NAME": "Noah Main"}),
+    ("UPDCUST", "2019-02-01T10:00:00",
+     {"c_id": 102, "contact": {"C_PRIM_EMAIL": "olivia.new@example.com"}},
+     None),
+    ("UPDACCT", "2019-02-15T11:00:00", {"c_id": 100},
+     {"ca_id": 500, "ca_tax_st": 2, "CA_B_ID": 1,
+      "CA_NAME": "Emma Prime Plus"}),
+    ("ADDACCT", "2019-03-01T09:30:00", {"c_id": 102},
+     {"ca_id": 505, "ca_tax_st": 0, "CA_B_ID": 4,
+      "CA_NAME": "Olivia Margin"}),
+]
+
+CMP_RECORDS2 = [
+    ("20190101-000000", {
+        "company_name": "Gamma LLC", "cik": "0000001003", "status": "ACTV",
+        "industry_id": "CH", "sp_rating": "B+", "founding_date": "20000101",
+        "address_line1": "3 Gamma Ct", "address_line2": "",
+        "postal_code": "73301", "city": "Austin", "state_province": "TX",
+        "country": "USA", "ceo_name": "Grace Gamma",
+        "description": "Specialty chemicals",
+    }),
+    ("20190201-000000", {
+        "company_name": "Alpha Corp", "cik": "0000001001", "status": "ACTV",
+        "industry_id": "AM", "sp_rating": "A-", "founding_date": "19800101",
+        "address_line1": "1 Alpha Way", "address_line2": "Floor 4",
+        "postal_code": "10001", "city": "New York", "state_province": "NY",
+        "country": "USA", "ceo_name": "Alan Turing",
+        "description": "Automobiles and components",
+    }),
+]
+
+SEC_RECORDS2 = [
+    ("20190301-000000", {
+        "symbol": "CCC", "issue_type": "COMMON", "status": "ACTV",
+        "name": "Gamma Common Stock", "ex_id": "NYSE", "sh_out": "500000",
+        "first_trade_date": "20190301", "first_exchange_date": "20190301",
+        "dividend": "0.00", "co_name_or_cik": "1003",
+    }),
+    ("20190401-000000", {
+        "symbol": "AAA", "issue_type": "COMMON", "status": "ACTV",
+        "name": "Alpha Common Stock", "ex_id": "NYSE", "sh_out": "1100000",
+        "first_trade_date": "20170201", "first_exchange_date": "20170201",
+        "dividend": "0.75", "co_name_or_cik": "1001",
+    }),
+]
+
+FIN_RECORDS2 = [
+    _fin("20190405-000000", 2019, 1, "20190101", "20190405", 2.50, "1001"),
+    _fin("20190405-000000", 2019, 1, "20190101", "20190405", 0.50, "1003"),
+]
+
+#: Batch2 Trade.txt delta: trade 9005 is UPDATED (SBMT -> CMPT with a
+#: final price), trade 9007 is new. A rebuild sees only the updated
+#: 9005 row, so the combined source replaces — never duplicates — the
+#: Batch1 row with the same t_id.
+TRADE2 = [
+    (9005, TS(2018, 6, 20, 9, 0, 0), "CMPT", "TMB", True, "AAA", 10.0, 12.0,
+     500, "Emma Smith", 12.25, 0.25, 0.0, 0.25),
+    (9007, TS(2019, 5, 1, 10, 0, 0), "CMPT", "TMS", False, "CCC", 20.0, 8.0,
+     504, "Noah Brown", 8.25, 0.5, 0.25, 0.25),
+]
+
+TRADE_HISTORY2 = [
+    (9005, TS(2018, 6, 21, 9, 0, 0), "ACTV"),
+    (9005, TS(2018, 6, 21, 16, 0, 0), "CMPT"),
+    (9007, TS(2019, 5, 1, 10, 0, 0), "SBMT"),
+    (9007, TS(2019, 5, 1, 15, 0, 0), "CMPT"),
+]
+
+# ---------------------------------------------------------------------------
 # generated series
 
 DM_START = D(2017, 1, 2)
@@ -373,12 +469,13 @@ def _xml_elem(tag: str, children: dict | str | None, indent: str) -> str:
     return f"{indent}<{tag}>\n{inner}{indent}</{tag}>\n"
 
 
-def action_xml_fragments() -> list[str]:
+def action_xml_fragments(actions=None) -> list[str]:
     """One self-contained ``<TPCDI:Action>`` element per action — the
     document body ``render_customer_mgmt_xml`` wraps, and the per-row
     strings the driver-gate ``from_xml`` query parses."""
     frags = []
-    for action_type, action_ts, cust, acct in ACTIONS:
+    for action_type, action_ts, cust, acct in (ACTIONS if actions is None
+                                               else actions):
         out = [
             f'  <TPCDI:Action ActionType="{action_type}" ActionTS="{action_ts}">\n'
         ]
@@ -404,11 +501,11 @@ def action_xml_fragments() -> list[str]:
     return frags
 
 
-def render_customer_mgmt_xml() -> str:
+def render_customer_mgmt_xml(actions=None) -> str:
     return (
         '<?xml version="1.0" encoding="UTF-8"?>\n'
         '<TPCDI:Actions xmlns:TPCDI="http://www.tpc.org/tpc-di">\n'
-        + "".join(action_xml_fragments())
+        + "".join(action_xml_fragments(actions))
         + "</TPCDI:Actions>\n"
     )
 
@@ -563,11 +660,11 @@ def logical_tables() -> dict[str, tuple[list, pa.Schema]]:
     return out
 
 
-def finwire_raw_lines() -> list[str]:
+def finwire_raw_lines(sets=FINWIRE_SETS) -> list[str]:
     """The mixed CMP/SEC/FIN fixed-width lines of the raw FINWIRE drop."""
     return [
         finwire_line(pts, rec_type, fields, layout)
-        for rec_type, layout, records in FINWIRE_SETS
+        for rec_type, layout, records in sets
         for pts, fields in records
     ]
 
@@ -595,4 +692,16 @@ def generate(target: str | Path) -> Path:
     (raw / "CustomerMgmt.xml").write_text(render_customer_mgmt_xml())
     _write_logical(logical / "customer_mgmt.parquet",
                    customer_mgmt_logical_rows(), CUSTOMER_MGMT_ARROW)
+
+    # Batch2 delta drop (same file-name conventions; only changed feeds)
+    raw2 = target / "raw_batch2"
+    raw2.mkdir(parents=True, exist_ok=True)
+    write_delimited(raw2 / "Trade.txt", TRADE2, "|")
+    write_delimited(raw2 / "TradeHistory.txt", TRADE_HISTORY2, "|")
+    (raw2 / "FINWIRE2019Q1").write_text("\n".join(finwire_raw_lines((
+        ("CMP", CMP_LAYOUT, CMP_RECORDS2),
+        ("SEC", SEC_LAYOUT, SEC_RECORDS2),
+        ("FIN", FIN_LAYOUT, FIN_RECORDS2),
+    ))) + "\n")
+    (raw2 / "CustomerMgmt.xml").write_text(render_customer_mgmt_xml(ACTIONS2))
     return target

@@ -69,6 +69,53 @@ def test_parallel_run_equals_sequential(spark, tmp_path):
     print(f"seq={t_seq:.1f}s par={t_par:.1f}s")
 
 
+def test_merge_refresh_replace_rewrites_attributes(spark, tmp_path):
+    """Replace mode: a Batch2 Trade.txt row updates the trade's final
+    status/price, which every trades_history version carries — append
+    merge would keep stale attributes on old versions, replace merge
+    must equal the rebuild exactly (this is what dag_incremental_
+    equivalence drives across all six SCD2 models)."""
+    from dbt_tpcdi_spark.tpcdi.fixtures import TRADE2
+
+    root = generate(tmp_path / "b2r")
+    b1 = load_dag_sources(spark, str(root / "raw"))
+    b2 = load_dag_sources(spark, str(root / "raw_batch2"))
+    full_trade = (
+        b1["trade"].join(b2["trade"].select("t_id"), "t_id", "left_anti")
+        .unionByName(b2["trade"])
+    )
+    full_th = b1["trade_history"].unionByName(b2["trade_history"])
+
+    full_wh = str(root / "wh_full")
+    full_sources = dict(b1, trade=full_trade, trade_history=full_th)
+    Runner(spark, full_sources, warehouse_dir=full_wh).run(["trades_history"])
+    expected = spark.read.parquet(f"{full_wh}/trades_history")
+
+    inc_wh = str(root / "wh_inc")
+    runner = Runner(spark, b1, warehouse_dir=inc_wh)
+    runner.run(["trades_history"])
+    touched = b2["trade_history"].select("th_t_id").distinct()
+    merged = runner.merge_refresh(
+        "trades_history",
+        {
+            "brokerage_trade_history": full_th.join(
+                touched, "th_t_id", "left_semi"),
+            "brokerage_trade": full_trade.join(
+                touched.withColumnRenamed("th_t_id", "t_id"),
+                "t_id", "left_semi"),
+        },
+        replace=True,
+    )
+    assert merged.columns == expected.columns  # merge preserves order
+    assert _rows(merged) == _rows(expected)
+    # the updated trade's OLD version now carries the new final status
+    updated_id = TRADE2[0][0]
+    sbmt = merged.filter(
+        (F.col("trade_id") == updated_id) & (F.col("update_status") == "Submitted")
+    ).collect()
+    assert sbmt and all(r.trade_status == "Completed" for r in sbmt)
+
+
 def test_merge_refresh_rejects_non_scd2(spark, tmp_path):
     import pytest
 
