@@ -22,8 +22,9 @@ SPARK_GRAFT_BENCH_SCALE=0):
   dimension joins still broadcast there and nothing degenerated to a
   cartesian product.
 
-``value`` stays the sum of every timed query, so rounds remain
-comparable on the same key.
+``value`` stays the sum of the HEADLINE queries only, so rounds remain
+comparable on the same key; the probes report their own timings under
+``scale_probes``.
 """
 
 from __future__ import annotations
@@ -61,6 +62,7 @@ def main() -> None:
     for name, q in sorted(queries.items()):
         _timed(times, name, q.build(spark, sf_dir))
 
+    probes: dict[str, float] = {}
     prep: dict[str, float] = {}
     plan_checks: dict[str, bool] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
@@ -96,7 +98,7 @@ def main() -> None:
             .filter(F.col("jaccard") >= 0.8)
             .distinct()
         )
-        _timed(times, "minhash_lsh_realistic", verified)
+        _timed(probes, "minhash_lsh_realistic", verified)
         corpus.unpersist()
 
         # -- second scale point: 10x key-shifted replica (~sf1) ----------
@@ -121,7 +123,7 @@ def main() -> None:
                     "BroadcastHashJoin" in plan)
             plan_checks[f"x10_{name}_no_cartesian"] = (
                 "CartesianProduct" not in plan)
-            _timed(times, f"x10:{name}", df)
+            _timed(probes, f"x10:{name}", df)
 
     total = round(sum(times.values()), 3)
     print(
@@ -132,6 +134,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "scale_probes": probes,
                 "prep": prep,
                 "plan_checks": plan_checks,
             }
