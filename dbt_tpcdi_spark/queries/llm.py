@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from dbt_tpcdi_spark.functions.scalar import hash_sample, hash_sample_sql, round4
 from dbt_tpcdi_spark.operators import dedup as D
+from dbt_tpcdi_spark.operators import graph as G
 from dbt_tpcdi_spark.operators import multimodal as M
 from dbt_tpcdi_spark.operators import similarity as S
 from dbt_tpcdi_spark.operators import text as X
@@ -179,6 +180,43 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.8)
         .distinct()
+    )
+
+
+_CLUSTER_PAIRS_SQL = D.jaccard_pairs_sql(
+    "doc_id", "text", "documents", block_col="lang", threshold=0.8
+)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH comp AS ({G.components_sql(_CLUSTER_PAIRS_SQL)})
+    SELECT node AS doc_id, component AS cluster_id,
+           count(*) OVER (PARTITION BY component) AS cluster_size,
+           node = component AS is_keeper
+    FROM comp
+    """,
+    tags=["llm-dedup-clusters", "graph-cc"],
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: connected components over the ≥0.8-jaccard
+    near-dup edges, one deterministic keeper (min doc_id) per cluster.
+    The step that makes pair output actionable — ``is_keeper = false``
+    rows are the ones a dedup pass drops. Distributed path is
+    alternating large-star/small-star (operators/graph.py); the oracle
+    recomputes labels via a recursive CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs_bitset(
+        d, "doc_id", "text", block_col="lang", threshold=0.8
+    )
+    comp = G.connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_keeper"),
     )
 
 
