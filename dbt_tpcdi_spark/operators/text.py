@@ -303,3 +303,73 @@ def simhash_sql(
         )
         SELECT {ids}, {terms} AS {out} FROM __votes
     """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training corpora must scrub emails/phones/SSNs/IPs
+# before tokenization — a first-class cleaning stage, not a UDF)
+
+#: (name, regex, replacement) applied IN ORDER — order is part of the
+#: contract (emails are scrubbed before their digit runs could match
+#: the looser numeric patterns). Patterns restricted to syntax with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB): literal
+#: classes, bounded repeats, ASCII \b.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Sequential regexp_replace over ``PII_PATTERNS`` — one codegen'd
+    expression chain, no Python in the hot path."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_pii_sql(col: str) -> str:
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
+    return out
+
+
+def redaction_counts(redacted: Column) -> dict[str, Column]:
+    """Per-category redaction counts, derived from the redacted text by
+    counting replacement markers (integer length math — no second
+    regex pass, exact cross-engine parity)."""
+    out = {}
+    for name, _, repl in PII_PATTERNS:
+        n = (
+            F.length(redacted)
+            - F.length(F.replace(redacted, F.lit(repl), F.lit("")))
+        ) / F.lit(len(repl))
+        out[f"n_{name}"] = n.cast("bigint")
+    return out
+
+
+def redaction_counts_sql(redacted: str) -> dict[str, str]:
+    out = {}
+    for name, _, repl in PII_PATTERNS:
+        out[f"n_{name}"] = (
+            f"CAST((length({redacted}) - length(replace({redacted}, "
+            f"'{repl}', ''))) / {len(repl)} AS BIGINT)"
+        )
+    return out
+
+
+def strip_markup(col: Column) -> Column:
+    """Boilerplate strip: drop HTML/XML tags, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.regexp_replace(col, r"<[^>]+>", " "), _WS, " "))
+
+
+def strip_markup_sql(col: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace({col}, '<[^>]+>', ' ', 'g'), "
+        f"'\\s+', ' ', 'g'))"
+    )

@@ -501,6 +501,55 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_AUG_SQL = (
+    "text || CASE WHEN doc_id % 3 <> 0 THEN"
+    " ' Contact u' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " or 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||"
+    " ', ssn 123-45-6789, host 10.1.' || CAST(doc_id % 256 AS VARCHAR) ||"
+    " '.7 <br><b>ad</b>' ELSE '' END"
+)
+_PII_CLEAN_SQL = X.redact_pii_sql(f"{X.strip_markup_sql(f'({_PII_AUG_SQL})')}")
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    SELECT doc_id, {_PII_CLEAN_SQL} AS clean,
+           {', '.join(f'{expr} AS {name}' for name, expr in
+                      X.redaction_counts_sql(f'({_PII_CLEAN_SQL})').items())}
+    FROM documents
+    """,
+    tags=["llm-pii-redaction", "llm-cleaning-pipeline"],
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub as a pure-expression pipeline: markup strip →
+    ordered regex redaction (email/ssn/phone/ipv4) → per-category
+    counts. The corpus carries no real PII, so 2/3 of docs are
+    deterministically augmented with synthetic contact lines first —
+    the remaining third pins the no-op path."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 3 != 0,
+            F.concat(
+                F.lit(" Contact u"), doc_id.cast("string"),
+                F.lit("@example.com or 555-867-"),
+                F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+                F.lit(", ssn 123-45-6789, host 10.1."),
+                (doc_id % 256).cast("string"), F.lit(".7 <br><b>ad</b>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    clean = X.redact_pii(X.strip_markup(aug))
+    return d.select(
+        "doc_id",
+        clean.alias("clean"),
+        *[c.alias(n) for n, c in X.redaction_counts(clean).items()],
+    )
+
+
 @query(
     "multimodal_features",
     oracle=M.decode_features_sql("documents"),

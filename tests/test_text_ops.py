@@ -106,3 +106,37 @@ def test_qdot_qcosine(spark):
     assert got["same"] == (100000000, 1.0)
     assert got["orth"] == (0, 0.0)
     assert got["anti"] == (-100000000, -1.0)
+
+
+def test_redact_pii_all_categories(spark):
+    from dbt_tpcdi_spark.operators.text import redact_pii, redaction_counts
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-amp.le.org call 555-867-5309 or 123.456.7890 "
+             "ssn 078-05-1120 from 192.168.0.1")],
+        "id int, text string",
+    )
+    row = df.select(
+        redact_pii(F.col("text")).alias("clean"),
+        *[c.alias(n) for n, c in
+          redaction_counts(redact_pii(F.col("text"))).items()],
+    ).first()
+    assert row.clean == (
+        "mail <EMAIL> call <PHONE> or <PHONE> ssn <SSN> from <IP>"
+    )
+    assert (row.n_email, row.n_ssn, row.n_phone, row.n_ipv4) == (1, 1, 2, 1)
+
+
+def test_redact_pii_noop_and_markup(spark):
+    from dbt_tpcdi_spark.operators.text import redact_pii, strip_markup
+
+    df = spark.createDataFrame(
+        [(1, "no pii here, just words"),
+         (2, "<p>hello   <b>world</b></p>")],
+        "id int, text string",
+    )
+    rows = {r.id: r for r in df.select(
+        "id", redact_pii(F.col("text")).alias("r"),
+        strip_markup(F.col("text")).alias("s")).collect()}
+    assert rows[1].r == "no pii here, just words"
+    assert rows[2].s == "hello world"
