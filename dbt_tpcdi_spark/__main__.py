@@ -1,10 +1,13 @@
 """CLI — the engine's analog of the reference's two entry points
 (``python tpcdi.py process-files`` + ``dbt build``; SURVEY.md §3):
 
-    python -m dbt_tpcdi_spark build    --raw-dir B1 --warehouse WH [--parallelism 8] [--targets ...]
+    python -m dbt_tpcdi_spark build    --raw-dir B1 --warehouse WH [--parallelism 8] [--targets ...] [--versioned]
     python -m dbt_tpcdi_spark refresh  --raw-dir B1 --warehouse WH
     python -m dbt_tpcdi_spark validate --warehouse WH
     python -m dbt_tpcdi_spark show     --warehouse WH --model fact_trade [-n 10]
+    python -m dbt_tpcdi_spark history  --warehouse WH --model fact_trade
+    python -m dbt_tpcdi_spark restore  --warehouse WH --model fact_trade --version 0
+    python -m dbt_tpcdi_spark vacuum   --warehouse WH --model fact_trade [--keep-last 2]
 
 ``build`` ingests the Batch1-style raw files (delimited, FINWIRE,
 CustomerMgmt.xml) and materializes all 45 warehouse models in
@@ -29,6 +32,20 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--warehouse", required=True)
     b.add_argument("--parallelism", type=int, default=8)
     b.add_argument("--targets", nargs="*", default=None)
+    b.add_argument("--versioned", action="store_true",
+                   help="materialize models as versioned tables "
+                        "(snapshot isolation, time travel, restore)")
+
+    for cmd, hlp in (("history", "list a versioned model's commits"),
+                     ("restore", "restore a versioned model to a version"),
+                     ("vacuum", "drop unreferenced snapshots")):
+        sp = sub.add_parser(cmd, help=hlp)
+        sp.add_argument("--warehouse", required=True)
+        sp.add_argument("--model", required=True)
+        if cmd == "restore":
+            sp.add_argument("--version", type=int, required=True)
+        if cmd == "vacuum":
+            sp.add_argument("--keep-last", type=int, default=2)
 
     r = sub.add_parser("refresh", help="incremental refresh (stale subtrees)")
     r.add_argument("--raw-dir", required=True)
@@ -54,9 +71,10 @@ def main(argv: list[str] | None = None) -> int:
 
         t0 = time.perf_counter()
         sources = load_dag_sources(spark, args.raw_dir)
-        built = Runner(spark, sources, warehouse_dir=args.warehouse).run(
-            targets=args.targets, parallelism=args.parallelism
-        )
+        built = Runner(
+            spark, sources, warehouse_dir=args.warehouse,
+            materialize="versioned" if args.versioned else "parquet",
+        ).run(targets=args.targets, parallelism=args.parallelism)
         if not args.targets:
             # full build ⇒ warehouse is fresh: record fingerprints so
             # the next `refresh` is a no-op, not a cold rebuild
@@ -80,11 +98,22 @@ def main(argv: list[str] | None = None) -> int:
               + (f": {', '.join(refreshed)}" if refreshed else ""))
         return 0
 
+    def read_model(model: str):
+        """Latest snapshot for versioned tables, plain parquet else."""
+        import os
+
+        path = f"{args.warehouse}/{model}"
+        if os.path.isdir(os.path.join(path, "_log")):
+            from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+            return VersionedTable(spark, path).read()
+        return spark.read.parquet(path)
+
     if args.cmd == "validate":
         from dbt_tpcdi_spark.plans.runner import duplicate_keys
 
         # the reference's singular test (tests/fact_trade__unique_trade.sql)
-        df = spark.read.parquet(f"{args.warehouse}/fact_trade")
+        df = read_model("fact_trade")
         dups = duplicate_keys(df, ["sk_trade_id"])
         n = dups.count()
         if n:
@@ -95,7 +124,25 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "show":
-        spark.read.parquet(f"{args.warehouse}/{args.model}").show(args.n)
+        read_model(args.model).show(args.n)
+        return 0
+
+    if args.cmd in ("history", "restore", "vacuum"):
+        from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+        vt = VersionedTable(spark, f"{args.warehouse}/{args.model}")
+        if args.cmd == "history":
+            for e in vt.versions():
+                ts = time.strftime("%Y-%m-%d %H:%M:%S",
+                                   time.gmtime(e["committed_at"]))
+                print(f"v{e['version']}  {ts}Z  {e['op']}  {e['data']}")
+            return 0
+        if args.cmd == "restore":
+            v = vt.restore(args.version)
+            print(f"restored {args.model} to v{args.version} (as new v{v})")
+            return 0
+        removed = vt.vacuum(keep_last=args.keep_last)
+        print(f"vacuumed {len(removed)} snapshot(s)")
         return 0
 
     return 2

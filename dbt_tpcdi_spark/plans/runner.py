@@ -11,6 +11,12 @@ Materialization modes:
   feeds accounts+customers; trades_history feeds trades+dim_trade).
 - ``lazy``: no materialization; returns stacked logical plans
   (useful for plan inspection / whole-DAG Catalyst optimization).
+- ``versioned``: like ``parquet`` but every model is a
+  ``plans.versioned.VersionedTable`` — each run/refresh appends an
+  atomic commit instead of overwriting, so readers keep snapshot
+  isolation, any build is time-travelable, and a bad refresh is
+  ``restore()``-able. This is the Snowflake-parity mode (the
+  reference's tables are transactional/time-travelable for free).
 
 Correctness only needs topo order; Spark schedules each write's
 stages across all cores, so unlike dbt's 20 client threads we don't
@@ -57,10 +63,10 @@ class Runner:
         100 TB layout (SCALE.md §1): date-partitioned facts give
         downstream scans partition pruning. Off by default: at bench
         scale the file-count overhead outweighs the benefit."""
-        if materialize not in ("parquet", "lazy"):
+        if materialize not in ("parquet", "lazy", "versioned"):
             raise ValueError(materialize)
-        if materialize == "parquet" and not warehouse_dir:
-            raise ValueError("parquet materialization needs warehouse_dir")
+        if materialize != "lazy" and not warehouse_dir:
+            raise ValueError(f"{materialize} materialization needs warehouse_dir")
         self.spark = spark
         self.sources = sources
         self.warehouse_dir = warehouse_dir
@@ -117,12 +123,28 @@ class Runner:
     def _materialize(self, name: str, df: DataFrame) -> DataFrame:
         if self.materialize == "lazy":
             return df
+        if self.materialize == "versioned":
+            vt = self.table(name)
+            vt.commit(df, op="build",
+                      partition_by=self.partition_spec.get(name))
+            return vt.read()
         path = os.path.join(self.warehouse_dir, name)
         writer = df.write.mode("overwrite")
         if name in self.partition_spec:
             writer = writer.partitionBy(*self.partition_spec[name])
         writer.parquet(path)
         return self.spark.read.parquet(path)
+
+    def table(self, name: str):
+        """The model's ``VersionedTable`` (versioned mode only) — the
+        handle for time travel / restore / vacuum."""
+        from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+        if self.materialize != "versioned":
+            raise ValueError("table() requires materialize='versioned'")
+        return VersionedTable(
+            self.spark, os.path.join(self.warehouse_dir, name)
+        )
 
     def merge_refresh(
         self, name: str, delta_refs: dict[str, DataFrame],
@@ -153,13 +175,19 @@ class Runner:
         m = all_models()[name]
         if m.scd2_key is None:
             raise ValueError(f"{name} is not an SCD2 model")
+        versioned = self.materialize == "versioned"
         path = os.path.join(self.warehouse_dir, name)
-        self._adopt_stranded_swap(path)
-        existing = self.spark.read.parquet(path)
+        if versioned:
+            existing = self.table(name).read()
+        else:
+            self._adopt_stranded_swap(path)
+            existing = self.spark.read.parquet(path)
 
         def ref(n: str) -> DataFrame:
             if n in delta_refs:
                 return delta_refs[n]
+            if versioned:
+                return self.table(n).read()
             return self.spark.read.parquet(os.path.join(self.warehouse_dir, n))
 
         def src(n: str) -> DataFrame:
@@ -170,6 +198,15 @@ class Runner:
         delta_built = m.build(ref, src).drop("end_timestamp", "is_current")
         merged = merge_scd2(existing, delta_built, key=m.scd2_key,
                             replace=replace)
+
+        if versioned:
+            # a commit IS the safe publish: the snapshot being read
+            # stays immutable, the log link is the atomic switch —
+            # no swap dance, and the pre-merge version remains
+            # readable/restorable
+            vt = self.table(name)
+            vt.commit(merged, op="merge_refresh")
+            return vt.read()
 
         # stage-and-swap: can't overwrite the parquet dir being read.
         # Crash-safe ordering — the live path is never absent: write

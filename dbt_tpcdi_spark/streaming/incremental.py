@@ -113,8 +113,11 @@ class IncrementalRunner:
         status: dict[str, str] = {}
         for name in topo_order(models):
             path = os.path.join(self.warehouse_dir, name)
+            # a warehouse built with materialize="versioned" refreshes
+            # through commits, never raw overwrites into the table root
+            versioned = os.path.isdir(os.path.join(path, "_log"))
             if fps[name] == prev.get(name) and os.path.exists(path):
-                built[name] = self.spark.read.parquet(path)
+                built[name] = self._read(path, versioned)
                 status[name] = "fresh"
                 continue
             if sources_loaded is None:
@@ -122,8 +125,20 @@ class IncrementalRunner:
             df = models[name].build(
                 built.__getitem__, sources_loaded.__getitem__
             )
-            df.write.mode("overwrite").parquet(path)
-            built[name] = self.spark.read.parquet(path)
+            if versioned:
+                from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+                VersionedTable(self.spark, path).commit(df, op="refresh")
+            else:
+                df.write.mode("overwrite").parquet(path)
+            built[name] = self._read(path, versioned)
             status[name] = "refreshed"
         self._save_state(fps)
         return status
+
+    def _read(self, path: str, versioned: bool) -> DataFrame:
+        if versioned:
+            from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+            return VersionedTable(self.spark, path).read()
+        return self.spark.read.parquet(path)

@@ -1,0 +1,120 @@
+"""VersionedTable (plans/versioned.py): commit/read/time-travel/
+restore/vacuum semantics, crash-garbage tolerance, commit-race
+atomicity, and the Runner's versioned materialization mode."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.plans.runner import Runner
+from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+
+def _df(spark, *vals):
+    return spark.createDataFrame([(v,) for v in vals], "x int")
+
+
+def _vals(df):
+    return sorted(r.x for r in df.collect())
+
+
+def test_commit_read_time_travel_restore(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    assert vt.commit(_df(spark, 1, 2)) == 0
+    assert vt.commit(_df(spark, 3)) == 1
+    assert _vals(vt.read()) == [3]
+    assert _vals(vt.read(version=0)) == [1, 2]
+
+    t_after_v1 = vt.versions()[-1]["committed_at"]
+    assert vt.commit(_df(spark, 4)) == 2
+    assert _vals(vt.as_of(t_after_v1)) == [3]
+
+    # restore appends history; no data movement
+    assert vt.restore(0) == 3
+    assert _vals(vt.read()) == [1, 2]
+    assert vt.versions()[-1]["data"] == vt.versions()[0]["data"]
+
+
+def test_snapshot_isolation_across_commits(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_df(spark, 1, 2))
+    old_reader = vt.read()  # resolved at v0
+    vt.commit(_df(spark, 9))
+    # the pre-commit reader still sees v0 — writers never break readers
+    assert _vals(old_reader) == [1, 2]
+    assert _vals(vt.read()) == [9]
+
+
+def test_vacuum_drops_unreferenced_keeps_restored(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_df(spark, 1))
+    vt.commit(_df(spark, 2))
+    vt.commit(_df(spark, 3))
+    vt.restore(0)  # v3 references v0's snapshot dir
+    removed = vt.vacuum(keep_last=2)  # keep v2 and v3
+    # v0's dir survives (v3 points at it); v1's dir is dropped
+    assert len(removed) == 1
+    assert _vals(vt.read()) == [1]
+    assert _vals(vt.read(version=2)) == [3]
+    with pytest.raises(ValueError):
+        vt.read(version=1)
+
+
+def test_uncommitted_garbage_invisible_and_vacuumed(spark, tmp_path):
+    root = tmp_path / "t"
+    vt = VersionedTable(spark, str(root))
+    vt.commit(_df(spark, 1))
+    # crash simulation: a data dir with no log entry + a staged tmp json
+    _df(spark, 99).write.parquet(str(root / "data-deadbeef"))
+    (root / "_log" / "_tmp-crashed.json").write_text("{}")
+    assert _vals(vt.read()) == [1]
+    assert vt.latest_version() == 0
+    removed = vt.vacuum(keep_last=1)
+    assert "data-deadbeef" in removed
+    assert not (root / "_log" / "_tmp-crashed.json").exists()
+    assert _vals(vt.read()) == [1]
+
+
+def test_commit_race_bumps_version(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_df(spark, 1))
+    # another writer claims version 1 between our stage and link
+    entry = {"version": 1, "data": vt.versions()[0]["data"],
+             "op": "rival", "committed_at": 0.0}
+    with open(os.path.join(str(tmp_path / "t"), "_log",
+                           "0000000001.json"), "w") as f:
+        json.dump(entry, f)
+    assert vt.commit(_df(spark, 2)) == 2  # lost the race for 1, took 2
+    assert _vals(vt.read()) == [2]
+    assert _vals(vt.read(version=1)) == [1]  # rival's entry honored
+
+
+def test_runner_versioned_build_and_merge(spark, tmp_path):
+    from dbt_tpcdi_spark.tpcdi.fixtures import generate
+    from dbt_tpcdi_spark.plans.sources import load_dag_sources
+
+    root = generate(tmp_path / "vw")
+    b1 = load_dag_sources(spark, str(root / "raw"))
+    b2 = load_dag_sources(spark, str(root / "raw_batch2"))
+    wh = str(tmp_path / "wh")
+    runner = Runner(spark, b1, warehouse_dir=wh, materialize="versioned")
+    runner.run(["companies"])
+    vt = runner.table("companies")
+    assert vt.latest_version() == 0
+    v0 = vt.read().count()
+
+    merged = runner.merge_refresh(
+        "companies", {"finwire_company": b2["cmp"]}
+    )
+    assert vt.latest_version() == 1
+    assert merged.count() > v0  # Batch2 adds company versions
+    assert vt.read(version=0).count() == v0  # pre-merge still readable
+
+    # a second run commits new versions on top (append-only history)
+    runner.run(["companies"])
+    assert vt.latest_version() == 2
+    assert vt.read().count() == v0
