@@ -49,3 +49,85 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "q_streaming_tumbling")
     return spark.table("q_streaming_tumbling")
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD2 ingestion (exactly-once merge into a versioned table)
+
+_SCD2_STREAM_CACHE: dict = {}
+
+
+@query(
+    "streaming_scd2_merge",
+    oracle=f"""
+    SELECT user_id, event_id, value,
+           strftime(ts, '{TS_FMT_DUCK}') AS effective_ts,
+           strftime(coalesce(lead(ts) OVER w - INTERVAL 1 MILLISECOND,
+                             TIMESTAMP '9999-12-31 23:59:59.999'),
+                    '{TS_FMT_DUCK}') AS end_ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1
+               AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+    tags=["§2.9-streaming", "W1", "W2", "S11"],
+)
+def streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming SCD2: seed a versioned table with 1/4 of
+    the per-user event versions, stream the rest through foreachBatch
+    merge_scd2 (one file per micro-batch), then REPLAY the whole stream
+    with a fresh checkpoint — the replay must merge nothing (row-level
+    idempotence), so the final table equals a from-scratch SCD2 build
+    over all events, which is what the oracle computes."""
+    import tempfile
+
+    cache_key = (sf_dir, id(spark))
+    if cache_key not in _SCD2_STREAM_CACHE:
+        from dbt_tpcdi_spark.operators.scd2 import with_scd2
+        from dbt_tpcdi_spark.plans.versioned import VersionedTable
+        from dbt_tpcdi_spark.sources.parquet import load_table
+        from dbt_tpcdi_spark.streaming.ops import stream_merge_scd2
+
+        root = tempfile.mkdtemp(prefix="scd2_stream_")
+        events = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        bucket = F.col("event_id") % 4
+
+        table = VersionedTable(spark, f"{root}/user_versions")
+        table.commit(with_scd2(events.filter(bucket == 0),
+                               key="user_id", ts="ts"), op="seed")
+        for b in (1, 2, 3):
+            events.filter(bucket == b).coalesce(1).write.parquet(
+                f"{root}/deltas/b{b}"
+            )
+
+        def delta_stream() -> DataFrame:
+            return (
+                spark.readStream.schema(
+                    "user_id bigint, ts timestamp, event_id bigint, "
+                    "value double"
+                )
+                .option("recursiveFileLookup", "true")
+                .option("pathGlobFilter", "*.parquet")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{root}/deltas")
+            )
+
+        stream_merge_scd2(delta_stream(), table, key="user_id", ts="ts",
+                          checkpoint_dir=f"{root}/ckpt")
+        v_done = table.latest_version()
+        # replay from scratch: at-least-once delivery simulation — the
+        # idempotent merge must commit nothing
+        stream_merge_scd2(delta_stream(), table, key="user_id", ts="ts",
+                          checkpoint_dir=f"{root}/ckpt_replay")
+        if table.latest_version() != v_done:
+            raise AssertionError("replay was not idempotent")
+        _SCD2_STREAM_CACHE[cache_key] = table
+    table = _SCD2_STREAM_CACHE[cache_key]
+    return table.read().select(
+        "user_id", "event_id", "value",
+        F.date_format("ts", TS_FMT).alias("effective_ts"),
+        F.date_format("end_timestamp", TS_FMT).alias("end_ts"),
+        "is_current",
+    )

@@ -151,3 +151,61 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_merge_scd2(
+    stream_df: DataFrame,
+    table,
+    key: str | list[str],
+    ts: str = "effective_timestamp",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming SCD2 ingestion with exactly-once EFFECT: each
+    micro-batch of new entity versions is merged (``merge_scd2``) into
+    a ``VersionedTable`` via ``foreachBatch``.
+
+    foreachBatch is at-least-once — a crash between the sink write and
+    the checkpoint commit replays the batch. Three layers make the
+    effect exactly-once anyway:
+
+    1. **Row-level idempotence** (the load-bearing one): the batch is
+       ``exceptAll``-filtered against versions already in the table, so
+       a replayed batch — even re-grouped into different micro-batches
+       by the replay — merges zero rows and commits nothing.
+    2. **Atomic publish**: the merge lands as one VersionedTable
+       commit; readers see the pre-merge snapshot or the post-merge
+       one, never a torn directory. (This is why the sink is a
+       versioned table, not bare parquet: the idempotent-subdir
+       pattern of ``write_idempotent_parquet`` can't express "rewrite
+       neighbors' end_timestamps".)
+    3. The batch id is recorded in the commit op for audit
+       (``stream_merge:<id>``).
+
+    Scale: per batch, cost is O(rows of touched keys) — merge_scd2
+    semi-joins the touched slice; the exceptAll is an anti-join on the
+    version key columns, shuffling only the batch + touched keys.
+    """
+
+    from dbt_tpcdi_spark.operators.scd2 import merge_scd2
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        existing = table.read()
+        version_cols = [
+            c for c in existing.columns
+            if c not in ("end_timestamp", "is_current")
+        ]
+        fresh = batch_df.select(version_cols).exceptAll(
+            existing.select(version_cols)
+        )
+        if fresh.isEmpty():
+            return
+        merged = merge_scd2(existing, fresh, key=key, ts=ts)
+        table.commit(merged, op=f"stream_merge:{batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -129,3 +129,53 @@ def test_incremental_rebuild_after_delete(spark, tmp_path):
     shutil.rmtree(root / "wh" / "dim_broker")  # lost table → must rebuild
     status = runner.refresh()
     assert status["dim_broker"] == "refreshed"
+
+
+def test_stream_merge_scd2_overlapping_redelivery(spark, tmp_path):
+    """Exactly-once effect under partial redelivery: a delta file that
+    carries already-merged rows PLUS one genuinely new version must
+    merge only the new row (one commit), and the result must equal a
+    from-scratch SCD2 build."""
+    import datetime as dt
+
+    from dbt_tpcdi_spark.operators.scd2 import with_scd2
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+    from dbt_tpcdi_spark.streaming.ops import stream_merge_scd2
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [(k, dt.datetime(2020, 1, d), v) for k, d, v in specs],
+            "k bigint, ts timestamp, v double",
+        )
+
+    table = VersionedTable(spark, str(tmp_path / "t"))
+    table.commit(with_scd2(rows((1, 1, 10.0), (2, 1, 20.0)),
+                           key="k", ts="ts"), op="seed")
+
+    # batch 1: new versions for k=1
+    rows((1, 5, 11.0)).write.parquet(str(tmp_path / "d" / "b1"))
+    stream = lambda: (
+        spark.readStream.schema("k bigint, ts timestamp, v double")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "d"))
+    )
+    stream_merge_scd2(stream(), table, key="k", ts="ts",
+                      checkpoint_dir=str(tmp_path / "c1"))
+    assert table.latest_version() == 1
+
+    # redelivery file: the k=1 row AGAIN plus a new k=2 version
+    rows((1, 5, 11.0), (2, 7, 21.0)).write.parquet(
+        str(tmp_path / "d" / "b2"))
+    stream_merge_scd2(stream(), table, key="k", ts="ts",
+                      checkpoint_dir=str(tmp_path / "c2"))
+    assert table.latest_version() == 2  # exactly one more commit
+
+    expected = with_scd2(
+        rows((1, 1, 10.0), (1, 5, 11.0), (2, 1, 20.0), (2, 7, 21.0)),
+        key="k", ts="ts",
+    )
+    got = table.read()
+    assert got.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got).isEmpty()
