@@ -376,66 +376,83 @@ SCD2_MERGE_ORDER = (
 )
 
 
+def _combine_batch(base: dict, delta: dict) -> dict:
+    """Fold a delta drop into cumulative sources (ground truth):
+    history feeds union; Trade.txt rows REPLACE same-key earlier rows
+    (a delta trade row is the updated final state, not a new trade)."""
+    full = dict(base)
+    full["trade"] = (
+        base["trade"].join(delta["trade"].select("t_id"), "t_id", "left_anti")
+        .unionByName(delta["trade"])
+    )
+    full["trade_history"] = base["trade_history"].unionByName(
+        delta["trade_history"])
+    full["customer_mgmt"] = base["customer_mgmt"].unionByName(
+        delta["customer_mgmt"])
+    for s in ("cmp", "sec", "fin"):
+        full[s] = base[s].unionByName(delta[s])
+    return full
+
+
+def _batch_deltas(batch: dict, cumulative: dict) -> dict:
+    """Per-model (delta_refs, replace) for one merge round.
+    ``cumulative`` supplies the COMPLETE history of touched trades —
+    replace mode rewrites every version of a touched key."""
+    touched = batch["trade_history"].select("th_t_id").distinct()
+    return {
+        "accounts": ({"crm_customer_mgmt": batch["customer_mgmt"]}, False),
+        "customers": ({"crm_customer_mgmt": batch["customer_mgmt"]}, False),
+        "companies": ({"finwire_company": batch["cmp"]}, False),
+        "securities": (
+            {"finwire_security": _bronze("finwire_security", batch["sec"])},
+            False),
+        "financials": (
+            {"finwire_financial": _bronze("finwire_financial", batch["fin"])},
+            False),
+        "trades_history": ({
+            "brokerage_trade_history": cumulative["trade_history"].join(
+                touched, "th_t_id", "left_semi"),
+            "brokerage_trade": cumulative["trade"].join(
+                touched.withColumnRenamed("th_t_id", "t_id"),
+                "t_id", "left_semi"),
+        }, True),
+    }
+
+
 def _incremental_vs_rebuild(spark: SparkSession) -> list[tuple[str, bool]]:
-    """Build the SCD2 cone twice — full rebuild over Batch1+Batch2 vs
-    Batch1 build + per-model merge_refresh of the Batch2 deltas — and
-    EXCEPT-ALL compare each model. Memoized per SparkSession."""
+    """Build the SCD2 cone twice — full rebuild over Batch1+2+3 vs
+    Batch1 build + TWO successive per-model merge_refresh rounds
+    (Batch2 then Batch3, proving merges compose on an already-merged
+    warehouse) — and EXCEPT-ALL compare each model. Memoized per
+    SparkSession."""
     key = ("incremental", id(spark))
     if key in _CACHE:
         return _CACHE[key]
     root = _fixture_root()
     b1 = load_dag_sources(spark, str(root / "raw"))
     b2 = load_dag_sources(spark, str(root / "raw_batch2"))
-
-    # combined Batch1+Batch2 sources (ground truth): history feeds
-    # union; Trade.txt rows REPLACE same-key Batch1 rows (a Batch2
-    # trade row is the updated final state, not a new trade)
-    full = dict(b1)
-    full["trade"] = (
-        b1["trade"].join(b2["trade"].select("t_id"), "t_id", "left_anti")
-        .unionByName(b2["trade"])
-    )
-    full["trade_history"] = b1["trade_history"].unionByName(
-        b2["trade_history"])
-    full["customer_mgmt"] = b1["customer_mgmt"].unionByName(
-        b2["customer_mgmt"])
-    for s in ("cmp", "sec", "fin"):
-        full[s] = b1[s].unionByName(b2[s])
+    b3 = load_dag_sources(spark, str(root / "raw_batch3"))
+    cum2 = _combine_batch(b1, b2)
+    cum3 = _combine_batch(cum2, b3)
 
     targets = list(SCD2_MERGE_ORDER)
     wh_full = root / f"wh_full_{id(spark)}"
-    Runner(spark, full, warehouse_dir=str(wh_full)).run(
+    Runner(spark, cum3, warehouse_dir=str(wh_full)).run(
         targets, parallelism=8)
 
     wh_inc = root / f"wh_inc_{id(spark)}"
     inc = Runner(spark, b1, warehouse_dir=str(wh_inc))
     inc.run(targets, parallelism=8)
 
-    touched_trades = b2["trade_history"].select("th_t_id").distinct()
-    deltas: dict[str, tuple[dict, bool]] = {
-        "accounts": ({"crm_customer_mgmt": b2["customer_mgmt"]}, False),
-        "customers": ({"crm_customer_mgmt": b2["customer_mgmt"]}, False),
-        "companies": ({"finwire_company": b2["cmp"]}, False),
-        "securities": (
-            {"finwire_security": _bronze("finwire_security", b2["sec"])},
-            False),
-        "financials": (
-            {"finwire_financial": _bronze("finwire_financial", b2["fin"])},
-            False),
-        # replace mode: the delta is the COMPLETE history of touched
-        # trades (updated t-attributes appear on every version)
-        "trades_history": ({
-            "brokerage_trade_history": full["trade_history"].join(
-                touched_trades, "th_t_id", "left_semi"),
-            "brokerage_trade": full["trade"].join(
-                touched_trades.withColumnRenamed("th_t_id", "t_id"),
-                "t_id", "left_semi"),
-        }, True),
-    }
+    for batch, cumulative in ((b2, cum2), (b3, cum3)):
+        deltas = _batch_deltas(batch, cumulative)
+        for name in SCD2_MERGE_ORDER:
+            delta_refs, replace = deltas[name]
+            inc.merge_refresh(name, delta_refs, replace=replace)
+
     results = []
     for name in SCD2_MERGE_ORDER:
-        delta_refs, replace = deltas[name]
-        merged = inc.merge_refresh(name, delta_refs, replace=replace)
+        merged = spark.read.parquet(str(wh_inc / name))
         rebuilt = spark.read.parquet(str(wh_full / name))
         equal = (merged.exceptAll(rebuilt).isEmpty()
                  and rebuilt.exceptAll(merged).isEmpty())
@@ -452,11 +469,12 @@ def _incremental_vs_rebuild(spark: SparkSession) -> list[tuple[str, bool]]:
     tags=["S9", "S11", "W1", "W2"],
 )
 def dag_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch2 row-level incremental load: per-SCD2-model merge_refresh
-    over the Batch2 fixture deltas must equal a from-scratch rebuild
-    over Batch1+Batch2 (EXCEPT-ALL, both directions). Emits one boolean
-    row per model; the oracle pins them all true — a false value
-    hash-mismatches and fails the gate."""
+    """Batch2+Batch3 row-level incremental load: two successive
+    per-SCD2-model merge_refresh rounds over the fixture deltas must
+    equal a from-scratch rebuild over Batch1+2+3 (EXCEPT-ALL, both
+    directions) — including Batch3 rewriting a trade Batch2 introduced.
+    Emits one boolean row per model; the oracle pins them all true — a
+    false value hash-mismatches and fails the gate."""
     rows = _incremental_vs_rebuild(spark)
     return spark.createDataFrame(
         rows, "model string, incremental_equals_rebuild boolean"

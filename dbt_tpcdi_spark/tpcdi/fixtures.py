@@ -372,6 +372,76 @@ TRADE_HISTORY2 = [
 ]
 
 # ---------------------------------------------------------------------------
+# Batch3 deltas: a SECOND round of increments layered on the Batch2
+# state — merges must compose (merge onto an already-merged warehouse),
+# including a replace-mode update of a trade that Batch2 itself
+# introduced (9007). All pts/action_ts strictly after every Batch2
+# record of the same entity.
+
+ACTIONS3 = [
+    ("NEW", "2019-06-01T09:00:00",
+     {
+         "c_id": 104, "c_tax_id": "104-00-1040", "c_gndr": "F", "c_tier": 2,
+         "c_dob": "1992-07-07",
+         "name": {"C_L_NAME": "Stone", "C_F_NAME": "Ava"},
+         "address": {"C_ADLINE1": "12 Lake Dr", "C_ADLINE2": "",
+                     "C_ZIPCODE": "60601", "C_CITY": "Chicago",
+                     "C_STATE_PROV": "IL", "C_CTRY": "USA"},
+         "contact": {
+             "C_PRIM_EMAIL": "ava@example.com",
+             "C_PHONE_1": {"C_CTRY_CODE": "1", "C_AREA_CODE": "312",
+                           "C_LOCAL": "5550177", "C_EXT": ""},
+         },
+         "tax": {"C_LCL_TX_ID": "US1", "C_NAT_TX_ID": "US2"},
+     },
+     {"ca_id": 506, "ca_tax_st": 1, "CA_B_ID": 2, "CA_NAME": "Ava Main"}),
+    ("UPDCUST", "2019-07-01T10:00:00",
+     {"c_id": 103, "c_tier": 3}, None),
+    ("UPDACCT", "2019-07-15T11:00:00", {"c_id": 102},
+     {"ca_id": 505, "ca_tax_st": 1, "CA_B_ID": 4,
+      "CA_NAME": "Olivia Margin Plus"}),
+]
+
+CMP_RECORDS3 = [
+    ("20190601-000000", {
+        "company_name": "Gamma LLC", "cik": "0000001003", "status": "ACTV",
+        "industry_id": "CH", "sp_rating": "A-", "founding_date": "20000101",
+        "address_line1": "3 Gamma Ct", "address_line2": "Floor 2",
+        "postal_code": "73301", "city": "Austin", "state_province": "TX",
+        "country": "USA", "ceo_name": "Grace Gamma",
+        "description": "Specialty chemicals",
+    }),
+]
+
+SEC_RECORDS3 = [
+    ("20190701-000000", {
+        "symbol": "CCC", "issue_type": "COMMON", "status": "INAC",
+        "name": "Gamma Common Stock", "ex_id": "NYSE", "sh_out": "500000",
+        "first_trade_date": "20190301", "first_exchange_date": "20190301",
+        "dividend": "0.10", "co_name_or_cik": "1003",
+    }),
+]
+
+FIN_RECORDS3 = [
+    _fin("20190705-000000", 2019, 2, "20190401", "20190705", 2.75, "1001"),
+]
+
+#: trade 9007 (introduced by Batch2) flips to canceled with a final
+#: price change; 9008 is new
+TRADE3 = [
+    (9007, TS(2019, 5, 1, 10, 0, 0), "CNCL", "TMS", False, "CCC", 20.0, 8.0,
+     504, "Noah Brown", 0.0, 0.5, 0.25, 0.0),
+    (9008, TS(2019, 8, 1, 9, 30, 0), "CMPT", "TMB", True, "AAA", 5.0, 12.5,
+     506, "Ava Stone", 12.75, 0.3, 0.1, 0.2),
+]
+
+TRADE_HISTORY3 = [
+    (9007, TS(2019, 6, 2, 9, 0, 0), "CNCL"),
+    (9008, TS(2019, 8, 1, 9, 30, 0), "SBMT"),
+    (9008, TS(2019, 8, 1, 14, 0, 0), "CMPT"),
+]
+
+# ---------------------------------------------------------------------------
 # generated series
 
 DM_START = D(2017, 1, 2)
@@ -704,4 +774,16 @@ def generate(target: str | Path) -> Path:
         ("FIN", FIN_LAYOUT, FIN_RECORDS2),
     ))) + "\n")
     (raw2 / "CustomerMgmt.xml").write_text(render_customer_mgmt_xml(ACTIONS2))
+
+    # Batch3 delta drop (second increment — merges must compose)
+    raw3 = target / "raw_batch3"
+    raw3.mkdir(parents=True, exist_ok=True)
+    write_delimited(raw3 / "Trade.txt", TRADE3, "|")
+    write_delimited(raw3 / "TradeHistory.txt", TRADE_HISTORY3, "|")
+    (raw3 / "FINWIRE2019Q2").write_text("\n".join(finwire_raw_lines((
+        ("CMP", CMP_LAYOUT, CMP_RECORDS3),
+        ("SEC", SEC_LAYOUT, SEC_RECORDS3),
+        ("FIN", FIN_LAYOUT, FIN_RECORDS3),
+    ))) + "\n")
+    (raw3 / "CustomerMgmt.xml").write_text(render_customer_mgmt_xml(ACTIONS3))
     return target
