@@ -177,3 +177,128 @@ def sign_bucket_sql(a: str, planes: int = LSH_PLANES) -> str:
         )
         terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
     return f"cast({' + '.join(terms)} AS int)"
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) over quantized embeddings — the clustering step a
+# training-data pipeline needs for corpus bucketing / IVF training.
+
+
+def _qlist(vec: Column) -> Column:
+    return F.transform(vec, _q)
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 3,
+) -> DataFrame:
+    """Distributed Lloyd iterations, fully deterministic:
+
+    - **Init**: centroids = the quantized vectors of the ``k``
+      smallest ids (deterministic; k-means++ would add RNG).
+    - **Assign**: centroids are broadcast INTO the plan as literals
+      (the MLlib pattern — centers are driver state in every
+      distributed k-means), so assignment is a pure projection:
+      argmin over k exact integer distances with (dist, cluster)
+      lexicographic tie-break via ``array_min`` of structs. No join,
+      no shuffle.
+    - **Update**: one (cluster, dim) shuffle with map-side partial
+      sums (``quantized_centroids``); integer-rounded means keep
+      centroids bit-identical on any engine/partitioning. Empty
+      clusters keep their previous centroid.
+
+    Per iteration the driver holds O(k·dim) integers — metadata-sized.
+    Fixed ``iters`` (no convergence test) keeps the computation
+    SQL-expressible for the oracle (``kmeans_sql`` unrolls the same
+    iterations as chained CTEs).
+
+    Returns ``df`` + ``cluster`` (int) + ``dist2`` (bigint, exact
+    squared distance to the winning centroid).
+    """
+    seed = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(_qlist(F.col(vec_col)).alias("__c"))
+        .collect()
+    )
+    cents: dict[int, list[int]] = {
+        i: list(r["__c"]) for i, r in enumerate(seed)
+    }
+
+    def assign(centroids: dict[int, list[int]]) -> Column:
+        structs = [
+            F.struct(
+                qdist2_int(
+                    F.col(vec_col),
+                    F.array(*[F.lit(v).cast("long") for v in c]),
+                ).alias("d"),
+                F.lit(cid).cast("int").alias("c"),
+            )
+            for cid, c in sorted(centroids.items())
+        ]
+        return F.array_min(F.array(*structs))
+
+    for _ in range(iters):
+        assigned = df.withColumn("__cluster", assign(cents)["c"])
+        new = quantized_centroids(assigned, vec_col, "__cluster").collect()
+        cents.update({r["__cluster"]: list(r["__centroid"]) for r in new})
+
+    best = assign(cents)
+    return df.withColumn("cluster", best["c"]).withColumn("dist2", best["d"])
+
+
+def kmeans_sql(
+    from_table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 4,
+    iters: int = 3,
+) -> str:
+    """DuckDB twin: the same fixed Lloyd iterations unrolled as chained
+    CTEs (init → [assign → update → carry-forward] × iters → final
+    assignment). Same integer arithmetic, same tie-breaks."""
+    q = (
+        f"list_transform(range(1, {dim} + 1), i -> "
+        f"cast(round(cast({{v}}[i] AS double) * {QUANT}) AS bigint))"
+    )
+    dist = qdist2_int_sql(f"e.{vec_col}", "c.centroid")
+    ctes = [
+        f"""cents_0 AS (
+            SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS c,
+                   {q.format(v=vec_col)} AS centroid
+            FROM (SELECT * FROM {from_table} ORDER BY {id_col} LIMIT {k})
+        )"""
+    ]
+    for i in range(iters):
+        ctes.append(f"""assign_{i} AS (
+            SELECT e.{id_col}, c.c, {dist} AS d
+            FROM {from_table} e CROSS JOIN cents_{i} c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.{id_col} ORDER BY d, c.c) = 1
+        )""")
+        ctes.append(f"""upd_{i} AS (
+            SELECT c, list(cq ORDER BY i) AS centroid FROM (
+                SELECT a.c, i,
+                       cast(floor((2 * sum(cast(round(cast(e.{vec_col}[i]
+                            AS double) * {QUANT}) AS bigint)) + count(*))
+                            / (2 * count(*))) AS bigint) AS cq
+                FROM assign_{i} a
+                JOIN {from_table} e USING ({id_col}),
+                     range(1, {dim} + 1) t(i)
+                GROUP BY 1, 2
+            ) GROUP BY 1
+        )""")
+        ctes.append(f"""cents_{i + 1} AS (
+            SELECT o.c, coalesce(u.centroid, o.centroid) AS centroid
+            FROM cents_{i} o LEFT JOIN upd_{i} u USING (c)
+        )""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT e.{id_col}, c.c AS cluster, {dist} AS dist2
+        FROM {from_table} e CROSS JOIN cents_{iters} c
+        QUALIFY row_number() OVER (PARTITION BY e.{id_col} ORDER BY {dist}, c.c) = 1
+    """

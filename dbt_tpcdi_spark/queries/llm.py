@@ -183,6 +183,23 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kmeans_clusters",
+    oracle=S.kmeans_sql("embeddings", "vec_id", "embedding", dim=64,
+                        k=4, iters=3),
+    tags=["llm-kmeans", "iterative"],
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding column (3 fixed
+    iterations, k=4): broadcast-literal centroid assignment (pure
+    projection), exact integer distances, deterministic tie-breaks.
+    The oracle unrolls the identical iterations as chained CTEs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_quantized(e, "vec_id", "embedding", k=4, iters=3).select(
+        "vec_id", "cluster", "dist2"
+    )
+
+
 _CLUSTER_PAIRS_SQL = D.jaccard_pairs_sql(
     "doc_id", "text", "documents", block_col="lang", threshold=0.8
 )

@@ -140,3 +140,36 @@ def test_redact_pii_noop_and_markup(spark):
         strip_markup(F.col("text")).alias("s")).collect()}
     assert rows[1].r == "no pii here, just words"
     assert rows[2].s == "hello world"
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    from dbt_tpcdi_spark.operators.similarity import kmeans_quantized
+
+    # two tight blobs far apart; ids interleaved so init picks one
+    # point from each blob region
+    rows = []
+    for i in range(20):
+        base = [10.0, 10.0] if i % 2 == 0 else [-10.0, -10.0]
+        rows.append((i, [base[0] + (i % 5) * 0.01, base[1] - (i % 3) * 0.01]))
+    df = spark.createDataFrame(rows, "id bigint, v array<float>")
+    out = kmeans_quantized(df, "id", "v", k=2, iters=3)
+    got = {r.id: r.cluster for r in out.collect()}
+    evens = {got[i] for i in range(0, 20, 2)}
+    odds = {got[i] for i in range(1, 20, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+
+def test_kmeans_partitioning_invariant_and_empty_cluster(spark):
+    from dbt_tpcdi_spark.operators.similarity import kmeans_quantized
+
+    # k=3 over data with only 2 real blobs -> one cluster goes empty
+    # and must keep its previous centroid without erroring
+    rows = [(i, [float(i % 2) * 8.0, 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "id bigint, v array<float>")
+    a = {(r.id, r.cluster, r.dist2)
+         for r in kmeans_quantized(df.coalesce(1), "id", "v",
+                                   k=3, iters=2).collect()}
+    b = {(r.id, r.cluster, r.dist2)
+         for r in kmeans_quantized(df.repartition(7), "id", "v",
+                                   k=3, iters=2).collect()}
+    assert a == b
