@@ -131,3 +131,42 @@ def phone_number(
         F.when(ext == "", empty).otherwise(F.lit(" ext: ")),
         ext,
     )
+
+
+def stratified_sample(
+    col: Column,
+    stratum: Column,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> Column:
+    """Deterministic per-stratum sampling predicate: each stratum keeps
+    its own hash fraction (rebalancing skewed corpora — e.g. downsample
+    the dominant language, keep all of a rare one). Same
+    partitioning-invariant md5 bucket as ``hash_sample``; the stratum
+    value is salted into the hash so the same key draws independently
+    across strata."""
+    out = hash_sample(col, default_fraction, salt=f"{salt}|__default")
+    for value, frac in sorted(fractions.items()):
+        out = F.when(
+            stratum.cast("string") == str(value),
+            hash_sample(col, frac, salt=f"{salt}|{value}"),
+        ).otherwise(out)
+    return out
+
+
+def stratified_sample_sql(
+    col: str,
+    stratum: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> str:
+    out = hash_sample_sql(col, default_fraction, salt=f"{salt}|__default")
+    for value, frac in sorted(fractions.items()):
+        keep = hash_sample_sql(col, frac, salt=f"{salt}|{value}")
+        out = (
+            f"CASE WHEN cast({stratum} AS varchar) = '{value}' "
+            f"THEN {keep} ELSE {out} END"
+        )
+    return out

@@ -302,3 +302,77 @@ def kmeans_sql(
         FROM {from_table} e CROSS JOIN cents_{iters} c
         QUALIFY row_number() OVER (PARTITION BY e.{id_col} ORDER BY {dist}, c.c) = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# embedding codecs: L2 normalization + symmetric int8 quantization —
+# the storage/serving transforms an embedding pipeline applies before
+# indexing (int8 cuts the column 4x; normalized vectors make cosine a
+# plain dot product).
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-norm embedding as array<double>, each element round4'd.
+    x/||x|| == x_q/sqrt(||x_q||²) (the fixed-point scale cancels), so
+    the only float ops are one sqrt + one division per element — both
+    IEEE-exact, hence engine-independent. Zero vectors map to zeros."""
+    norm = F.sqrt(qnorm2(vec).cast("double"))
+    return F.transform(
+        vec,
+        lambda x: F.when(norm == 0.0, F.lit(0.0)).otherwise(
+            round4(_q(x).cast("double") / norm)
+        ),
+    )
+
+
+def l2_normalize_sql(vec: str) -> str:
+    norm = f"sqrt(cast({qdot_sql(vec, vec)} AS double))"
+    el = f"cast(round(cast({vec}[i] AS double) * {QUANT}) AS bigint)"
+    return (
+        f"list_transform(range(1, len({vec}) + 1), i -> "
+        f"CASE WHEN {norm} = 0 THEN 0.0 ELSE "
+        f"{round4_sql(f'cast({el} AS double) / {norm}')} END)"
+    )
+
+
+def int8_scale(vec: Column) -> Column:
+    """Per-vector quantization scale: max |q(x)| (bigint)."""
+    return F.array_max(F.transform(vec, lambda x: F.abs(_q(x))))
+
+
+def int8_scale_sql(vec: str) -> str:
+    return (
+        f"list_max(list_transform(range(1, len({vec}) + 1), i -> "
+        f"abs(cast(round(cast({vec}[i] AS double) * {QUANT}) AS bigint))))"
+    )
+
+
+def int8_codes(vec: Column) -> Column:
+    """Symmetric int8 codes in [-127, 127]: sign(x)·round(127·|x_q|/s)
+    computed as exact integer math — floor((254·|x_q| + s) / (2s)) —
+    so codes never hit a cross-engine float-rounding boundary. Zero
+    vectors (s = 0) code to all zeros."""
+    s = int8_scale(vec)
+
+    def code(x: Column) -> Column:
+        xq = _q(x)
+        mag = F.floor((F.lit(254) * F.abs(xq) + s) / (F.lit(2) * s))
+        return (
+            F.when(s == 0, F.lit(0))
+            .when(xq < 0, -mag)
+            .otherwise(mag)
+            .cast("int")
+        )
+
+    return F.transform(vec, code)
+
+
+def int8_codes_sql(vec: str) -> str:
+    s = int8_scale_sql(vec)
+    el = f"cast(round(cast({vec}[i] AS double) * {QUANT}) AS bigint)"
+    mag = f"cast(floor((254 * abs({el}) + ({s})) / (2 * ({s}))) AS int)"
+    return (
+        f"list_transform(range(1, len({vec}) + 1), i -> "
+        f"CASE WHEN ({s}) = 0 THEN 0 WHEN {el} < 0 THEN -{mag} "
+        f"ELSE {mag} END)"
+    )

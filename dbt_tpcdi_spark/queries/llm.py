@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbt_tpcdi_spark.functions.scalar import hash_sample, hash_sample_sql, round4
+from dbt_tpcdi_spark.functions.scalar import (
+    hash_sample,
+    hash_sample_sql,
+    round4,
+    stratified_sample_sql,
+)
 from dbt_tpcdi_spark.operators import dedup as D
 from dbt_tpcdi_spark.operators import graph as G
 from dbt_tpcdi_spark.operators import multimodal as M
@@ -180,6 +185,69 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.8)
         .distinct()
+    )
+
+
+_STRATA_FRACS = {"en": 0.25, "de": 1.0}
+_STRATA_SQL = stratified_sample_sql(
+    "doc_id", "lang", _STRATA_FRACS, default_fraction=0.0, salt="strat"
+)
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT lang, count(*) AS n_docs, min(doc_id) AS min_doc
+    FROM documents
+    WHERE {_STRATA_SQL}
+    GROUP BY lang
+    """,
+    tags=["llm-sampling", "A1"],
+)
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: downsample English to 25%,
+    keep all German, drop other languages (default fraction 0) —
+    corpus rebalancing as one partitioning-invariant predicate."""
+    from dbt_tpcdi_spark.functions.scalar import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(
+        stratified_sample(F.col("doc_id"), F.col("lang"), _STRATA_FRACS,
+                          default_fraction=0.0, salt="strat")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+@query(
+    "embedding_codecs",
+    oracle=f"""
+    SELECT vec_id,
+           {S.int8_scale_sql('embedding')} AS scale,
+           array_to_string({S.int8_codes_sql('embedding')}, ',') AS codes,
+           array_to_string(list_transform({S.l2_normalize_sql('embedding')},
+               x -> cast(round(x * 10000) AS bigint)), ',') AS unit_q
+    FROM embeddings
+    """,
+    tags=["llm-embedding-codec"],
+)
+def embedding_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding storage codecs: symmetric int8 quantization (exact
+    integer rounding — no float boundary) and L2 normalization (scale
+    cancels in fixed point, so the only float ops are IEEE-exact).
+    Arrays emitted as joined strings; unit vectors re-quantized to
+    ints before joining so no double ever gets formatted."""
+    e = load_table(spark, sf_dir, "embeddings")
+    unit_q = F.transform(
+        S.l2_normalize(F.col("embedding")),
+        lambda x: F.round(x * 10000).cast("bigint"),
+    )
+    return e.select(
+        "vec_id",
+        S.int8_scale(F.col("embedding")).alias("scale"),
+        F.array_join(S.int8_codes(F.col("embedding")), ",").alias("codes"),
+        F.array_join(unit_q, ",").alias("unit_q"),
     )
 
 
