@@ -95,3 +95,38 @@ def test_no_global_window_anywhere(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_pii_redaction_stays_in_codegen(spark):
+    plan = _plan(spark, "pii_redaction")
+    # redaction is a pure expression chain: no Python evaluation, no
+    # shuffle — one codegen'd scan+project
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "*(1) Project" in plan  # whole-stage-codegen'd projection
+
+
+def test_embedding_codecs_projection_only(spark):
+    plan = _plan(spark, "embedding_codecs")
+    assert "Exchange" not in plan  # per-row codecs never shuffle
+    assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_assignment_is_joinless(spark):
+    # centroids enter the plan as literals (driver state, MLlib-style):
+    # the returned assignment must contain no join and exactly zero
+    # exchanges — pure projection over the scan
+    plan = _plan(spark, "kmeans_clusters")
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_dedup_clusters_no_cartesian_no_global_sort(spark):
+    import re
+
+    plan = _plan(spark, "dedup_clusters")
+    assert "CartesianProduct" not in plan
+    # star-contraction never sorts globally (the scale-killer pattern
+    # the round-1 review flagged elsewhere); per-partition sorts
+    # (SMJ locals — "..., false") are fine
+    assert not re.search(r"Sort \[[^\]]*\], true", plan), plan
