@@ -115,3 +115,57 @@ def join_asof(
         filled.filter(F.col("__is_fact") == 1)
         .drop("__is_fact", "__t")
     )
+
+
+def range_join_binned(
+    fact: DataFrame,
+    dim: DataFrame,
+    val: str,
+    lo: str,
+    hi: str,
+    bin_width: int,
+    keys: list[tuple[str, str]] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join without broadcast: the scale path for ``fact.val
+    BETWEEN dim.lo AND dim.hi`` when the dim outgrows the broadcast
+    threshold (where plain Catalyst planning degenerates — no equi key
+    means BroadcastNestedLoop/cartesian; a low-cardinality equi key
+    means one SMJ partition scanning every version).
+
+    The binning technique (as in Databricks' range-join optimization,
+    re-expressed with public DataFrame ops): facts hash into
+    ``floor(val / bin_width)``; each dim interval explodes to the bins
+    it covers; the join becomes an equi-join on (``keys`` +, bin) with
+    the exact BETWEEN as residual. Each fact lands in exactly ONE bin,
+    so no post-join dedup is needed. Cost: dim rows multiply by
+    ``span/bin_width`` (choose bin_width ≈ median interval span;
+    callers must CLAMP open-ended sentinels — e.g. SCD2's 9999-12-31 —
+    to the observed max fact value or the explode blows up), and the
+    shuffle is a plain hash exchange both sides — AQE handles skewed
+    bins like any other key.
+
+    ``val``/``lo``/``hi`` are integer-valued columns (cast timestamps
+    with ``F.unix_micros`` first).
+    """
+    if how != "inner":
+        raise ValueError("range_join_binned supports how='inner'")
+    f = fact.alias("__f")
+    d = dim.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / bin_width).cast("long"),
+                F.floor(F.col(hi) / bin_width).cast("long"),
+            )
+        ),
+    ).alias("__d")
+    fbin = F.floor(F.col(f"__f.{val}") / bin_width).cast("long")
+    cond = fbin == F.col("__d.__bin")
+    for k in keys or []:
+        fk, pk = (k, k) if isinstance(k, str) else k
+        cond = cond & (F.col(f"__f.{fk}") == F.col(f"__d.{pk}"))
+    cond = cond & F.col(f"__f.{val}").between(
+        F.col(f"__d.{lo}"), F.col(f"__d.{hi}")
+    )
+    return f.join(d, cond, "inner").drop("__bin")

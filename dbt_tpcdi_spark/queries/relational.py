@@ -184,9 +184,7 @@ def scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J6 — temporal join (equi key + BETWEEN validity window)
 
 
-@query(
-    "temporal_join_agg",
-    oracle=f"""
+_TEMPORAL_AGG_ORACLE = f"""
     WITH dim AS ({_ORDER_VERSIONS_DUCK}),
          fact AS (
            SELECT o.o_custkey AS f_cust, l.l_shipdate AS f_ts, l.l_quantity
@@ -198,7 +196,12 @@ def scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fact f
     JOIN dim d ON f.f_cust = d.o_custkey AND f.f_ts BETWEEN d.eff_ts AND d.end_timestamp
     GROUP BY d.o_orderkey
-    """,
+"""
+
+
+@query(
+    "temporal_join_agg",
+    oracle=_TEMPORAL_AGG_ORACLE,
     tags=["J6", "J1", "A1"],
     headline=True,
 )
@@ -213,6 +216,51 @@ def temporal_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tj = temporal_join(fact, dim, [("f_cust", "o_custkey")], ts="f_ts", eff="eff_ts")
     return tj.groupBy(dim["o_orderkey"].alias("version_orderkey")).agg(
+        F.count("*").alias("n_items"),
+        money_sum(F.col("l_quantity"), "sum_qty"),
+    )
+
+
+@query(
+    "temporal_join_binned",
+    oracle=_TEMPORAL_AGG_ORACLE,
+    tags=["J6", "range-join"],
+)
+def temporal_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same J6 semantics computed through the NON-broadcast scale
+    path: ``range_join_binned`` (interval binning → plain equi-join on
+    (key, bin) + exact BETWEEN residual). This is what replaces the
+    broadcast temporal join when the versioned dim outgrows the
+    broadcast threshold; same oracle as temporal_join_agg proves the
+    plans are interchangeable. SCD2's open-ended sentinel is clamped to
+    the max fact timestamp (an O(1)-row driver action) so the bin
+    explode stays proportional to real validity spans."""
+    from dbt_tpcdi_spark.operators.temporal import range_join_binned
+
+    dim = _order_versions(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fact = li.join(o, li["l_orderkey"] == o["o_orderkey"], "inner").select(
+        o["o_custkey"].alias("f_cust"),
+        F.unix_micros(li["l_shipdate"].cast("timestamp")).alias("f_us"),
+        li["l_quantity"],
+    )
+    max_f = fact.agg(F.max("f_us")).first()[0]
+    dim_b = dim.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("eff_ts").cast("timestamp")).alias("lo_us"),
+        F.least(
+            F.unix_micros(F.col("end_timestamp").cast("timestamp")),
+            F.lit(max_f),
+        ).alias("hi_us"),
+    ).filter(F.col("lo_us") <= F.col("hi_us"))
+    month_us = 30 * 24 * 3600 * 1_000_000
+    tj = range_join_binned(
+        fact, dim_b, val="f_us", lo="lo_us", hi="hi_us",
+        bin_width=month_us, keys=[("f_cust", "o_custkey")],
+    )
+    return tj.groupBy(F.col("o_orderkey").alias("version_orderkey")).agg(
         F.count("*").alias("n_items"),
         money_sum(F.col("l_quantity"), "sum_qty"),
     )

@@ -194,3 +194,37 @@ def test_trailing_agg_excludes_current(spark):
         ).collect()
     }
     assert got == {1: 0.0, 2: 10.0, 3: 30.0}
+
+
+def test_range_join_binned_matches_between(spark):
+    from dbt_tpcdi_spark.operators.temporal import range_join_binned
+
+    # intervals crossing bin boundaries, touching endpoints, single-bin
+    dim = spark.createDataFrame(
+        [(1, 0, 25), (1, 26, 26), (2, 10, 99), (3, 5, 7)],
+        "k int, lo long, hi long",
+    )
+    fact = spark.createDataFrame(
+        [(1, 0), (1, 25), (1, 26), (1, 27), (2, 10), (2, 99), (2, 100),
+         (3, 6), (4, 6)],
+        "k int, v long",
+    )
+    got = {
+        (r.k, r.v, r.lo, r.hi)
+        for r in range_join_binned(
+            fact, dim, val="v", lo="lo", hi="hi", bin_width=10, keys=["k"]
+        ).collect()
+    }
+    expected = {
+        (fk, v, lo, hi)
+        for fk, v in [(1, 0), (1, 25), (1, 26), (1, 27), (2, 10), (2, 99),
+                      (2, 100), (3, 6), (4, 6)]
+        for dk, lo, hi in [(1, 0, 25), (1, 26, 26), (2, 10, 99), (3, 5, 7)]
+        if fk == dk and lo <= v <= hi
+    }
+    assert got == expected
+    # no duplicate matches despite multi-bin intervals
+    rows = range_join_binned(
+        fact, dim, val="v", lo="lo", hi="hi", bin_width=10, keys=["k"]
+    ).count()
+    assert rows == len(expected)

@@ -130,3 +130,11 @@ def test_dedup_clusters_no_cartesian_no_global_sort(spark):
     # the round-1 review flagged elsewhere); per-partition sorts
     # (SMJ locals — "..., false") are fine
     assert not re.search(r"Sort \[[^\]]*\], true", plan), plan
+
+
+def test_temporal_join_binned_avoids_broadcast_nested_loop(spark):
+    # the non-broadcast interval-join path must be an equi-join on
+    # (key, bin) — never a nested-loop/cartesian over the dim
+    plan = _plan(spark, "temporal_join_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
