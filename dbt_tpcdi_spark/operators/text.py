@@ -373,3 +373,118 @@ def strip_markup_sql(col: str) -> str:
         f"trim(regexp_replace(regexp_replace({col}, '<[^>]+>', ' ', 'g'), "
         f"'\\s+', ' ', 'g'))"
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate detection: n-grams shared across many documents (headers,
+# footers, license blocks) are the classic repeated-content signal a
+# training corpus filters before training.
+
+
+def ngram_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles ('w1 w2 w3' strings); empty array when
+    the doc has fewer than n tokens."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # guard: Spark's sequence(1, stop) counts DOWN when stop < 1, so
+    # short docs must short-circuit to an empty array
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_shingles_sql(col: str, n: int = 3) -> str:
+    t = tokens_sql(col)
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({t}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(({t})[i : i + {n - 1}], ' ')))"
+    )
+
+
+def boilerplate_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 10,
+) -> DataFrame:
+    """Per-document boilerplate measurement: the fraction of a doc's
+    distinct n-gram shingles that appear in ≥ ``min_docs`` documents.
+
+    Plan: explode per-doc-distinct shingles (so a gram counts once per
+    doc), count docs per gram (one map-side-combined shuffle), keep
+    the frequent set, equi-join it back (AQE broadcasts it when small)
+    and re-aggregate per doc. Docs with < n tokens score 0. All counts
+    are exact — no sketches — so the DuckDB twin matches by hash.
+
+    Output: ``id_col``, n_grams, n_frequent, boilerplate_ratio
+    (round4'd double).
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(ngram_shingles(F.col(text_col), n)).alias("__g")
+    )
+    freq = (
+        grams.groupBy("__g")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__g")
+    )
+    per_doc = (
+        grams.join(freq.withColumn("__hit", F.lit(1)), "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_frequent"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_frequent"), F.lit(0)).cast("bigint")
+            .alias("n_frequent"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                round4(F.col("n_frequent") / F.col("n_grams")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boilerplate_ratio"),
+        )
+    )
+
+
+def boilerplate_scores_sql(
+    from_table: str,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 10,
+) -> str:
+    grams = ngram_shingles_sql(text_col, n)
+    return f"""
+    WITH grams AS (
+        SELECT {id_col}, unnest({grams}) AS g FROM {from_table}
+    ),
+    freq AS (
+        SELECT g FROM grams GROUP BY g HAVING count(*) >= {min_docs}
+    ),
+    per_doc AS (
+        SELECT gr.{id_col}, count(*) AS n_grams,
+               sum(CASE WHEN f.g IS NOT NULL THEN 1 ELSE 0 END) AS n_frequent
+        FROM grams gr LEFT JOIN freq f USING (g)
+        GROUP BY 1
+    )
+    SELECT d.{id_col},
+           cast(coalesce(p.n_grams, 0) AS bigint) AS n_grams,
+           cast(coalesce(p.n_frequent, 0) AS bigint) AS n_frequent,
+           CASE WHEN coalesce(p.n_grams, 0) > 0
+                THEN {round4_sql('p.n_frequent / p.n_grams')}
+                ELSE 0.0 END AS boilerplate_ratio
+    FROM {from_table} d LEFT JOIN per_doc p USING ({id_col})
+    """

@@ -188,6 +188,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "boilerplate_detect",
+    oracle=X.boilerplate_scores_sql("documents", "doc_id", "text",
+                                    n=3, min_docs=10),
+    tags=["llm-boilerplate", "A1"],
+)
+def boilerplate_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-content detection: per-doc fraction of distinct
+    3-gram shingles shared by ≥10 documents — the headers/footers/
+    license-block signal a corpus cleaner thresholds on. Exact counts
+    (one map-side-combined shuffle + an equi-join back)."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.boilerplate_scores(d, "doc_id", "text", n=3, min_docs=10)
+
+
 _STRATA_FRACS = {"en": 0.25, "de": 1.0}
 _STRATA_SQL = stratified_sample_sql(
     "doc_id", "lang", _STRATA_FRACS, default_fraction=0.0, salt="strat"

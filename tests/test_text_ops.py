@@ -173,3 +173,25 @@ def test_kmeans_partitioning_invariant_and_empty_cluster(spark):
          for r in kmeans_quantized(df.repartition(7), "id", "v",
                                    k=3, iters=2).collect()}
     assert a == b
+
+
+def test_boilerplate_scores_edges(spark):
+    from dbt_tpcdi_spark.operators.text import boilerplate_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "common header line alpha"),     # shares 'common header line'
+            (2, "common header line beta"),
+            (3, "totally unique content here"),
+            (4, "ab"),                           # < 3 tokens -> 0 grams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in boilerplate_scores(
+        df, "doc_id", "text", n=3, min_docs=2).collect()}
+    assert got[4].n_grams == 0 and got[4].boilerplate_ratio == 0.0
+    assert got[3].n_frequent == 0
+    # docs 1/2: 2 grams each, 1 frequent ('common header line')
+    assert got[1].n_grams == 2 and got[1].n_frequent == 1
+    assert got[1].boilerplate_ratio == 0.5
+    assert got[2].n_frequent == 1
