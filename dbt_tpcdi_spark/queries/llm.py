@@ -188,6 +188,60 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 2048
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT lang, doc_id, {X.token_count_sql('text')} AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT lang, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sized
+    )
+    SELECT lang, doc_id, n_tokens,
+           cast(floor((cum_tokens - n_tokens) / {_PACK_BUDGET}) AS bigint)
+               AS seq_id,
+           cast(cum_tokens - n_tokens
+                - floor((cum_tokens - n_tokens) / {_PACK_BUDGET})
+                  * {_PACK_BUDGET} AS bigint) AS seq_offset
+    FROM cum
+    """,
+    tags=["llm-packing", "W5"],
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate documents (per language
+    shard, deterministic doc_id order) and cut every ``_PACK_BUDGET``
+    tokens — each doc gets the training-sequence id and offset where
+    its first token lands. One keyed running-sum window per shard (no
+    global sort; shards pack independently, which is how packing is
+    actually run at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang", "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return sized.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.floor(start / _PACK_BUDGET).cast("bigint").alias("seq_id"),
+        (start - F.floor(start / _PACK_BUDGET) * _PACK_BUDGET)
+        .cast("bigint")
+        .alias("seq_offset"),
+    )
+
+
 @query(
     "boilerplate_detect",
     oracle=X.boilerplate_scores_sql("documents", "doc_id", "text",
