@@ -110,18 +110,18 @@ def main(argv: list[str] | None = None) -> int:
         return spark.read.parquet(path)
 
     if args.cmd == "validate":
-        from dbt_tpcdi_spark.plans.runner import duplicate_keys
+        # the reference's singular test plus the dbt-generic suite
+        # (unique / not_null / relationships / accepted_values)
+        from dbt_tpcdi_spark.plans.validators import run_checks
 
-        # the reference's singular test (tests/fact_trade__unique_trade.sql)
-        df = read_model("fact_trade")
-        dups = duplicate_keys(df, ["sk_trade_id"])
-        n = dups.count()
-        if n:
-            print(f"FAIL fact_trade__unique_trade: {n} duplicated keys")
-            dups.show(10, truncate=False)
-            return 1
-        print("PASS fact_trade__unique_trade")
-        return 0
+        failed = 0
+        for name, n in run_checks(read_model):
+            if n:
+                failed += 1
+                print(f"FAIL {name}: {n} violations")
+            else:
+                print(f"PASS {name}")
+        return 1 if failed else 0
 
     if args.cmd == "show":
         read_model(args.model).show(args.n)

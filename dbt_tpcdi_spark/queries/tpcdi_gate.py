@@ -228,6 +228,7 @@ def _xml_oracle() -> str:
 #: covered by the full-DAG pytest oracle).
 GATE_DAG_TARGETS = (
     "dim_customer", "dim_account", "fact_holdings", "fact_trade", "watches",
+    "dim_trade",
 )
 
 _CACHE: dict = {}
@@ -459,6 +460,33 @@ def _incremental_vs_rebuild(spark: SparkSession) -> list[tuple[str, bool]]:
         results.append((name, equal))
     _CACHE[key] = results
     return results
+
+
+from dbt_tpcdi_spark.plans.validators import STANDARD_CHECKS, run_checks
+
+
+@query(
+    "warehouse_validation",
+    oracle="SELECT * FROM (VALUES " + ", ".join(
+        f"('{c.name}', 0)" for c in sorted(STANDARD_CHECKS,
+                                           key=lambda c: c.name)
+    ) + ") t(check_name, violations)",
+    tags=["§3.3-dbt-test", "A3"],
+)
+def warehouse_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-test surface (reference §3.3: one singular test + dbt's
+    generic machinery): the standard unique / not_null / relationships
+    / accepted_values suite over the fixture-built warehouse. The
+    oracle pins every violation count to zero."""
+    wh = _warehouse(spark)
+
+    def resolve(name: str) -> DataFrame:
+        return spark.read.parquet(str(wh / name))
+
+    rows = [(n, v) for n, v in run_checks(resolve)]
+    return spark.createDataFrame(
+        rows, "check_name string, violations int"
+    ).withColumn("violations", F.col("violations").cast("int"))
 
 
 @query(
