@@ -729,3 +729,72 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-checked against a lateral-range SQL oracle."""
     d = load_table(spark, sf_dir, "documents")
     return M.sample_frames(M.with_binary_payload(d))
+
+
+# ---------------------------------------------------------------------------
+# UDTF — the third escape hatch (SURVEY §2.10): one row in, N typed
+# rows out, driven from SQL. Row-at-a-time by nature, so it's the LAST
+# resort after built-ins and Arrow-batched mapInPandas — registered
+# here to complete the UDF/UDAF/UDTF surface, not as a hot path.
+
+
+def _sentence_udtf_cls():
+    import re
+
+    class SplitSentences:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            idx = 0
+            for s in re.split(r"[.!?]\s+", text):
+                s = s.strip()
+                if s:
+                    yield doc_id, idx, s
+                    idx += 1
+
+    return SplitSentences
+
+
+@query(
+    "split_sentences_udtf",
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, regexp_split_to_array(text, '[.!?]\\s+') AS parts
+        FROM documents
+    ),
+    indexed AS (
+        SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i
+        FROM split
+    ),
+    pieces AS (
+        SELECT doc_id, i, trim(parts[i]) AS sentence FROM indexed
+    )
+    SELECT doc_id,
+           cast(row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                - 1 AS bigint) AS sentence_idx,
+           sentence
+    FROM pieces WHERE sentence <> ''
+    """,
+    tags=["§2.10-udtf"],
+)
+def split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation via a registered Python UDTF invoked from
+    SQL (LATERAL join) — the split rule avoids lookbehind so the
+    DuckDB twin (regexp_split_to_array) computes identical pieces."""
+    from pyspark.sql.functions import udtf
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__docs_udtf"
+    )
+    spark.udtf.register(
+        "split_sentences",
+        udtf(_sentence_udtf_cls(),
+             returnType="doc_id bigint, sentence_idx bigint, sentence string"),
+    )
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.sentence_idx, s.sentence
+        FROM __docs_udtf d,
+             LATERAL split_sentences(d.doc_id, d.text) s
+        """
+    )

@@ -195,3 +195,25 @@ def test_boilerplate_scores_edges(spark):
     assert got[1].n_grams == 2 and got[1].n_frequent == 1
     assert got[1].boilerplate_ratio == 0.5
     assert got[2].n_frequent == 1
+
+
+def test_split_sentences_udtf_multi(spark):
+    from pyspark.sql.functions import udtf
+
+    from dbt_tpcdi_spark.queries.llm import _sentence_udtf_cls
+
+    spark.udtf.register(
+        "split_sentences_t",
+        udtf(_sentence_udtf_cls(),
+             returnType="doc_id bigint, sentence_idx bigint, sentence string"),
+    )
+    spark.createDataFrame(
+        [(1, "First one. Second!  Third?Tail"), (2, None), (3, "")],
+        "doc_id bigint, text string",
+    ).createOrReplaceTempView("__t_udtf")
+    rows = spark.sql(
+        "SELECT s.* FROM __t_udtf d, LATERAL split_sentences_t(d.doc_id, d.text) s"
+    ).collect()
+    got = [(r.doc_id, r.sentence_idx, r.sentence) for r in rows]
+    # '?' not followed by whitespace does NOT split (rule is [.!?]\s+)
+    assert got == [(1, 0, "First one"), (1, 1, "Second"), (1, 2, "Third?Tail")]
