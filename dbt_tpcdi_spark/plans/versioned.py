@@ -169,6 +169,38 @@ class VersionedTable:
             )
         return self.read(candidates[-1]["version"])
 
+    def read_conformed(self, version: int) -> DataFrame:
+        """Time travel with schema evolution: the old snapshot presented
+        in the LATEST version's schema — columns added since then come
+        back NULL, dropped ones disappear, changed types cast. Lets
+        code written against today's schema consume any historical
+        version (the Delta/Iceberg schema-merge read behavior)."""
+        from pyspark.sql import functions as F
+
+        current = self.read().schema
+        old = self.read(version)
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in old.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in current.fields
+        ]
+        return old.select(cols)
+
+    def compact(self, target_files: int = 1, max_retries: int = 10) -> int:
+        """Rewrite the latest snapshot as ``target_files`` files and
+        commit it — the small-file remedy for tables grown by many
+        incremental commits. Readers of prior versions are untouched
+        (it's just another commit); run ``vacuum`` afterwards to
+        reclaim the fragmented snapshot."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(f"{self.root}: no commits yet")
+        df = self.read(latest).coalesce(target_files)
+        data_dir = f"data-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, data_dir))
+        return self._commit_entry(data_dir, f"compact({latest})", max_retries)
+
     # -- maintenance -------------------------------------------------------
 
     def vacuum(self, keep_last: int = 2) -> list[str]:

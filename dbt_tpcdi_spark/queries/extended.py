@@ -533,3 +533,48 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("p").over(w), 2).cast("double").alias("lifetime_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation: salted join (driver-gated — result must equal the
+# plain join exactly, salt machinery invisible)
+
+
+@query(
+    "salted_join_agg",
+    oracle=f"""
+    SELECT n.n_name,
+           count(*) AS n_items,
+           cast(round(sum(cast(l.l_extendedprice AS {MONEY})), 2) AS double)
+               AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=["skew-salted-join", "J1", "A1"],
+)
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The de-skew pattern end-to-end: fact→dim join executed through
+    ``salted_join`` (dim replicated 8×, fact scattered by a
+    deterministic hash of its id), then aggregated. The oracle is the
+    PLAIN join — salting must be semantically invisible."""
+    from dbt_tpcdi_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice"
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = salted_join(li, sup, key="l_suppkey", salt_from="l_orderkey",
+                    n_salts=8)
+    return (
+        j.join(F.broadcast(nat), j["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(F.col("l_extendedprice"), "revenue"),
+        )
+    )

@@ -118,3 +118,30 @@ def test_runner_versioned_build_and_merge(spark, tmp_path):
     runner.run(["companies"])
     assert vt.latest_version() == 2
     assert vt.read().count() == v0
+
+
+def test_read_conformed_schema_evolution(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(spark.createDataFrame([(1, "a")], "x int, old string"))
+    vt.commit(spark.createDataFrame(
+        [(2, 7.5, "k")], "x int, score double, kind string"))
+    # old snapshot in today's schema: score/kind NULL, 'old' dropped
+    got = vt.read_conformed(0)
+    assert [f.name for f in got.schema.fields] == ["x", "score", "kind"]
+    row = got.first()
+    assert (row.x, row.score, row.kind) == (1, None, None)
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_df(spark, *range(50)).repartition(10))
+    frag = vt.versions()[-1]["data"]
+    assert len(glob.glob(str(tmp_path / "t" / frag / "*.parquet"))) == 10
+    v = vt.compact(target_files=1)
+    comp = vt.versions()[-1]["data"]
+    assert v == 1 and comp != frag
+    assert len(glob.glob(str(tmp_path / "t" / comp / "*.parquet"))) == 1
+    assert _vals(vt.read()) == list(range(50))
+    assert _vals(vt.read(version=0)) == list(range(50))  # old intact
