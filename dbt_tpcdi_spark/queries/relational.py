@@ -721,6 +721,44 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sliding_window",
+    oracle=f"""
+    SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           cast(round(sum(cast(value AS {MONEY})), 2) AS double) AS total_value
+    FROM (
+        SELECT e.*,
+               time_bucket(INTERVAL 15 MINUTE, ts)
+                   - k.k * INTERVAL 15 MINUTE AS ws
+        FROM events e, (SELECT unnest(range(0, 4)) AS k) k
+    )
+    GROUP BY 1, 2
+    """,
+    tags=["§2.9-window", "A1"],
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — 1-hour span every 15 minutes, so
+    each event lands in exactly 4 windows. The oracle enumerates the
+    4 covering window starts per event explicitly."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                  "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # O1/top-k — deterministic top-N (rank on rounded value + key tiebreak)
 
