@@ -169,6 +169,31 @@ class VersionedTable:
             )
         return self.read(candidates[-1]["version"])
 
+    def upsert(
+        self,
+        updates: DataFrame,
+        key: str | list[str],
+        max_retries: int = 10,
+    ) -> int:
+        """MERGE-shaped commit (dbt's incremental `merge` strategy /
+        Delta MERGE INTO, last-writer-wins by key): rows whose key
+        matches an update are replaced, new keys are inserted,
+        untouched rows carry over. One anti-join + union — O(table)
+        write but O(batch) shuffle on the key; published as a single
+        atomic commit. For versioned SCD2 history use
+        ``Runner.merge_refresh`` instead."""
+        keys = [key] if isinstance(key, str) else list(key)
+        existing = self.read()
+        keep = existing.join(
+            updates.select(*keys).distinct(), keys, "left_anti"
+        )
+        merged = keep.unionByName(updates.select(existing.columns))
+        data_dir = f"data-{uuid.uuid4().hex[:12]}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self.root, data_dir)
+        )
+        return self._commit_entry(data_dir, "upsert", max_retries)
+
     def read_conformed(self, version: int) -> DataFrame:
         """Time travel with schema evolution: the old snapshot presented
         in the LATEST version's schema — columns added since then come

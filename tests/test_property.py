@@ -150,3 +150,51 @@ def test_approx_distinct_bounded_error(spark):
     for r in rows:
         assert r.exact_parts == exact[r.l_returnflag]
         assert r.hll_within_rel_err and r.median_within_rel_err
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_merge_scd2_random_splits_equal_full_build(spark, seed):
+    """Any partition of the version stream into base + N delta batches,
+    merged sequentially, must equal the one-shot SCD2 build — the
+    invariant behind Batch2/3 incremental loading AND the streaming
+    merge (which replays arbitrary re-batchings)."""
+    rng = random.Random(seed)
+    rows = _random_versions(rng, n_keys=10, max_versions=6)
+    schema = "k int, effective_timestamp timestamp, payload string"
+    n_batches = rng.randint(2, 4)
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for row in rows:
+        batches[rng.randrange(n_batches)].append(row)
+    base, *deltas = batches
+    if not base:  # keep the base non-empty: steal a row from a delta
+        donor = next(d for d in deltas if d)
+        base.append(donor.pop())
+
+    merged = with_scd2(spark.createDataFrame(base, schema), key="k")
+    for d in deltas:
+        if not d:
+            continue
+        merged = merge_scd2(
+            merged, spark.createDataFrame(d, schema), key="k"
+        )
+    full = with_scd2(spark.createDataFrame(rows, schema), key="k")
+    assert merged.exceptAll(full).isEmpty()
+    assert full.exceptAll(merged).isEmpty()
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_versioned_upsert_last_writer_wins(spark, seed, tmp_path):
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+    rng = random.Random(seed)
+    state = {k: rng.randint(0, 99) for k in range(12)}
+    vt = VersionedTable(spark, str(tmp_path / f"t{seed}"))
+    vt.commit(spark.createDataFrame(list(state.items()), "k int, v int"))
+    for _ in range(3):
+        ups = {rng.randrange(18): rng.randint(100, 199)
+               for _ in range(rng.randint(1, 6))}
+        vt.upsert(spark.createDataFrame(list(ups.items()), "k int, v int"),
+                  key="k")
+        state.update(ups)
+    got = {r.k: r.v for r in vt.read().collect()}
+    assert got == state
