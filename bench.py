@@ -115,15 +115,17 @@ def main() -> None:
                        "temporal_join_agg", "sessionize", "ann_topk")
         for name in x10_queries:
             df = all_queries()[name].build(spark, x10_dir)
+            _timed(probes, f"x10:{name}", df)
+            # inspect the plan AFTER execution: with AQE, the
+            # pre-execution plan is provisional (isFinalPlan=false) and
+            # can't show a runtime broadcast->SMJ demotion — the very
+            # regression this scale point exists to catch
             plan = df._jdf.queryExecution().executedPlan().toString()
             if name in ("revenue_by_nation", "temporal_join_agg"):
-                # the small-dim side must still broadcast at 10x — the
-                # AQE demotion this scale point exists to catch
                 plan_checks[f"x10_{name}_broadcasts"] = (
                     "BroadcastHashJoin" in plan)
             plan_checks[f"x10_{name}_no_cartesian"] = (
                 "CartesianProduct" not in plan)
-            _timed(probes, f"x10:{name}", df)
 
     total = round(sum(times.values()), 3)
     print(

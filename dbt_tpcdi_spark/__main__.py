@@ -128,9 +128,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd in ("history", "restore", "vacuum"):
-        from dbt_tpcdi_spark.plans.versioned import VersionedTable
+        from dbt_tpcdi_spark.plans.versioned import VersionedTable, is_versioned
 
-        vt = VersionedTable(spark, f"{args.warehouse}/{args.model}")
+        path = f"{args.warehouse}/{args.model}"
+        if not is_versioned(path):
+            print(f"{args.model} is not a versioned table "
+                  f"(build with --versioned)")
+            return 2
+        vt = VersionedTable(spark, path)
         if args.cmd == "history":
             for e in vt.versions():
                 ts = time.strftime("%Y-%m-%d %H:%M:%S",

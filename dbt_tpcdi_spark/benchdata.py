@@ -90,12 +90,28 @@ REPLICATE_SHIFTS: dict[str, list[str]] = {
 REPLICATE_COPY = ("nation", "region", "supplier", "part")
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Size+mtime digest of the source tables — regenerated testdata
+    must invalidate a cached replica, not silently reuse it."""
+    import hashlib
+
+    h = hashlib.md5()
+    for name in sorted(list(REPLICATE_SHIFTS) + list(REPLICATE_COPY)):
+        p = table_path(sf_dir, name)
+        st = os.stat(p)
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
+
+
 def replicate_sf(
     spark: SparkSession, sf_dir: str, out_dir: str, copies: int
 ) -> str:
     """Write a ``copies``× key-shifted testdata tree; returns out_dir.
-    Idempotent via a marker file (bench reruns reuse it)."""
-    marker = os.path.join(out_dir, f"_COMPLETE_x{copies}")
+    Idempotent via a marker keyed by the SOURCE fingerprint (bench
+    reruns reuse the replica; regenerated testdata rebuilds it)."""
+    marker = os.path.join(
+        out_dir, f"_COMPLETE_x{copies}_{_source_fingerprint(sf_dir)}"
+    )
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -115,5 +131,8 @@ def replicate_sf(
         load_table(spark, sf_dir, name).write.mode("overwrite").parquet(
             table_path(out_dir, name)
         )
+    for stale in os.listdir(out_dir):  # markers from older source states
+        if stale.startswith("_COMPLETE_x"):
+            os.unlink(os.path.join(out_dir, stale))
     open(marker, "w").close()
     return out_dir

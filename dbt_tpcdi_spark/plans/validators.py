@@ -67,10 +67,12 @@ def relationships(model: str, col: str, to_model: str, to_col: str) -> Check:
 
 def accepted_values(model: str, col: str, values: list) -> Check:
     def v(resolve: Resolve) -> DataFrame:
+        # NULLs pass, as in dbt's generic (NOT IN over NULL filters
+        # itself out there too) — nullability is not_null's job
         return (
             resolve(model)
             .select(col)
-            .filter(~F.col(col).isin(values) | F.col(col).isNull())
+            .filter(F.col(col).isNotNull() & ~F.col(col).isin(values))
             .distinct()
         )
 

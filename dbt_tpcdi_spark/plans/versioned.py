@@ -52,11 +52,21 @@ class CommitConflict(RuntimeError):
     max retries)."""
 
 
+def is_versioned(root: str) -> bool:
+    """True if ``root`` carries a commit log (cheap existence check —
+    used by CLI/refresh routing so read-only operations never touch a
+    plain parquet directory)."""
+    return os.path.isdir(os.path.join(root, _LOG))
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, root: str) -> None:
+        # deliberately no mkdir: constructing a handle must not mutate
+        # the path (a read-only `history` on a plain parquet dir would
+        # otherwise plant a `_log/` and misroute every later reader);
+        # the log directory is created at first commit
         self.spark = spark
         self.root = root
-        os.makedirs(os.path.join(root, _LOG), exist_ok=True)
 
     # -- log ---------------------------------------------------------------
 
@@ -64,9 +74,11 @@ class VersionedTable:
         return os.path.join(self.root, _LOG, f"{version:010d}.json")
 
     def versions(self) -> list[dict]:
-        """Committed log entries, oldest first."""
+        """Committed log entries, oldest first ([] when no log yet)."""
         out = []
         log_dir = os.path.join(self.root, _LOG)
+        if not os.path.isdir(log_dir):
+            return out
         for name in sorted(os.listdir(log_dir)):
             if not name.endswith(".json") or name.startswith("_tmp"):
                 continue
@@ -103,12 +115,31 @@ class VersionedTable:
         writer.parquet(os.path.join(self.root, data_dir))
         return self._commit_entry(data_dir, op, max_retries)
 
-    def _commit_entry(self, data_dir: str, op: str, max_retries: int) -> int:
+    def _commit_entry(
+        self,
+        data_dir: str,
+        op: str,
+        max_retries: int,
+        expected_latest: int | None | str = "any",
+    ) -> int:
+        """``expected_latest="any"`` (full-snapshot overwrite): losing a
+        version race re-links the same snapshot at the next number —
+        last writer wins the whole table, which is exactly overwrite
+        semantics. Derived commits (upsert/merge) must instead pass the
+        version their snapshot was COMPUTED from: losing the race then
+        raises ``CommitConflict`` so the caller rebases on the winner's
+        data instead of silently reverting it."""
         log_dir = os.path.join(self.root, _LOG)
+        os.makedirs(log_dir, exist_ok=True)
         staged = os.path.join(log_dir, f"_tmp-{uuid.uuid4().hex[:12]}.json")
         try:
             for _ in range(max_retries):
                 latest = self.latest_version()
+                if expected_latest != "any" and latest != expected_latest:
+                    raise CommitConflict(
+                        f"{self.root}: table moved to v{latest} while this "
+                        f"commit was derived from v{expected_latest} — rebase"
+                    )
                 version = 0 if latest is None else latest + 1
                 with open(staged, "w") as f:
                     json.dump(
@@ -183,16 +214,28 @@ class VersionedTable:
         atomic commit. For versioned SCD2 history use
         ``Runner.merge_refresh`` instead."""
         keys = [key] if isinstance(key, str) else list(key)
-        existing = self.read()
-        keep = existing.join(
-            updates.select(*keys).distinct(), keys, "left_anti"
-        )
-        merged = keep.unionByName(updates.select(existing.columns))
-        data_dir = f"data-{uuid.uuid4().hex[:12]}"
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.root, data_dir)
-        )
-        return self._commit_entry(data_dir, "upsert", max_retries)
+        for _ in range(max_retries):
+            base_version = self.latest_version()
+            existing = self.read(base_version)
+            keep = existing.join(
+                updates.select(*keys).distinct(), keys, "left_anti"
+            )
+            merged = keep.unionByName(updates.select(existing.columns))
+            data_dir = f"data-{uuid.uuid4().hex[:12]}"
+            merged.write.mode("overwrite").parquet(
+                os.path.join(self.root, data_dir)
+            )
+            try:
+                # CAS on the base version: a concurrent commit means our
+                # snapshot is stale — rebase on the winner and recompute
+                # (never blind-retry, which would silently revert it)
+                return self._commit_entry(
+                    data_dir, "upsert", max_retries=1,
+                    expected_latest=base_version,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"{self.root}: upsert lost {max_retries} races")
 
     def read_conformed(self, version: int) -> DataFrame:
         """Time travel with schema evolution: the old snapshot presented
@@ -230,24 +273,37 @@ class VersionedTable:
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop snapshot directories unreferenced by the last
-        ``keep_last`` versions (plus crash garbage: staged tmp entries
-        and data dirs no surviving entry points to). Returns removed
-        paths. NOT snapshot-safe for readers older than the kept tail —
-        same contract as Delta VACUUM."""
+        ``keep_last`` (≥1 — the current version is never vacuumable)
+        versions, plus crash garbage: staged tmp entries and data dirs
+        no surviving entry points to. Returns removed paths.
+
+        NOT snapshot-safe for readers older than the kept tail (same
+        contract as Delta VACUUM). An unreferenced dir is deleted only
+        if it predates the newest kept commit — an in-flight writer's
+        freshly written, not-yet-linked snapshot is newer than that and
+        survives; true crash garbage ages past the next commit and is
+        collected then."""
         import shutil
 
+        if keep_last < 1:
+            raise ValueError("vacuum(keep_last) must be >= 1")
         entries = self.versions()
-        kept = entries[-keep_last:] if keep_last > 0 else []
+        if not entries:
+            return []
+        kept = entries[-keep_last:]
         keep_dirs = {e["data"] for e in kept}
+        cutoff = max(e["committed_at"] for e in kept)
         removed = []
         for e in entries[: len(entries) - len(kept)]:
             os.unlink(self._entry_path(e["version"]))
         for name in os.listdir(self.root):
-            if name == _LOG:
+            if name == _LOG or name in keep_dirs:
                 continue
-            if name not in keep_dirs:
-                shutil.rmtree(os.path.join(self.root, name))
-                removed.append(name)
+            path = os.path.join(self.root, name)
+            if os.path.getmtime(path) > cutoff:
+                continue  # possibly a concurrent writer's staging
+            shutil.rmtree(path)
+            removed.append(name)
         log_dir = os.path.join(self.root, _LOG)
         for name in os.listdir(log_dir):
             if name.startswith("_tmp"):

@@ -44,8 +44,10 @@ def _nanos_columns(path: str) -> list[str]:
 
     import pyarrow.parquet as pq
 
-    if os.path.isdir(path):  # Spark-written table (part files in a dir)
-        parts = glob.glob(os.path.join(path, "*.parquet"))
+    if os.path.isdir(path):  # Spark-written table (part files in a dir,
+        # possibly nested under partition key=value subdirectories)
+        parts = glob.glob(os.path.join(path, "**", "*.parquet"),
+                          recursive=True)
         if not parts:
             return []
         path = parts[0]

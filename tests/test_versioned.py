@@ -73,10 +73,68 @@ def test_uncommitted_garbage_invisible_and_vacuumed(spark, tmp_path):
     (root / "_log" / "_tmp-crashed.json").write_text("{}")
     assert _vals(vt.read()) == [1]
     assert vt.latest_version() == 0
+    # vacuum right away: the unreferenced dir is NEWER than the newest
+    # kept commit, so it's indistinguishable from an in-flight writer's
+    # staging and must survive
+    assert vt.vacuum(keep_last=1) == []
+    assert (root / "data-deadbeef").exists()
+    # after the next commit the garbage has aged past the kept tail
+    vt.commit(_df(spark, 2))
     removed = vt.vacuum(keep_last=1)
     assert "data-deadbeef" in removed
     assert not (root / "_log" / "_tmp-crashed.json").exists()
-    assert _vals(vt.read()) == [1]
+    assert _vals(vt.read()) == [2]
+
+
+def test_vacuum_rejects_keep_last_zero(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_df(spark, 1))
+    with pytest.raises(ValueError):
+        vt.vacuum(keep_last=0)
+
+
+def test_history_on_plain_table_does_not_corrupt(spark, tmp_path):
+    # constructing a handle / listing versions must not plant _log
+    # inside a plain parquet directory
+    _df(spark, 1, 2).write.parquet(str(tmp_path / "plain"))
+    vt = VersionedTable(spark, str(tmp_path / "plain"))
+    assert vt.versions() == []
+    assert vt.latest_version() is None
+    assert not (tmp_path / "plain" / "_log").exists()
+    assert _vals(spark.read.parquet(str(tmp_path / "plain"))) == [1, 2]
+
+
+def test_upsert_rebases_on_commit_race(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+
+    # rival commits v1 (replacing the table with k=1 -> 11) between our
+    # read and our link: simulate by monkeypatching latest_version once
+    rival_dir = "data-rival"
+    spark.createDataFrame([(1, 11), (2, 20)], "k int, v int") \
+        .write.parquet(str(tmp_path / "t" / rival_dir))
+    real_commit_entry = vt._commit_entry
+    calls = {"n": 0}
+
+    def racing_commit_entry(data_dir, op, max_retries, expected_latest="any"):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            entry = {"version": 1, "data": rival_dir, "op": "rival",
+                     "committed_at": 0.0}
+            with open(_os.path.join(str(tmp_path / "t"), "_log",
+                                    "0000000001.json"), "w") as f:
+                _json.dump(entry, f)
+        return real_commit_entry(data_dir, op, max_retries, expected_latest)
+
+    vt._commit_entry = racing_commit_entry
+    vt.upsert(spark.createDataFrame([(3, 30)], "k int, v int"), key="k")
+    got = {r.k: r.v for r in vt.read().collect()}
+    # the rival's k=1 -> 11 update must survive our upsert (no lost
+    # update), and our k=3 insert must land
+    assert got == {1: 11, 2: 20, 3: 30}
 
 
 def test_commit_race_bumps_version(spark, tmp_path):
