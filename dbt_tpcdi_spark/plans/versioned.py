@@ -255,6 +255,22 @@ class VersionedTable:
         ]
         return old.select(cols)
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed between two versions (Delta CDF-shaped):
+        rows only in ``to`` are ``insert``, rows only in ``from`` are
+        ``delete`` — an updated row appears as one of each. Multiset
+        semantics via exceptAll, so duplicate rows diff correctly.
+        Cost: two anti-diffs over the two snapshots — O(both sides),
+        which is the floor without per-commit row lineage."""
+        from pyspark.sql import functions as F
+
+        if to_version is None:
+            to_version = self.latest_version()
+        old, new = self.read(from_version), self.read(to_version)
+        inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
     def compact(self, target_files: int = 1, max_retries: int = 10) -> int:
         """Rewrite the latest snapshot as ``target_files`` files and
         commit it — the small-file remedy for tables grown by many

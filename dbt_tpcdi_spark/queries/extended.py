@@ -578,3 +578,79 @@ def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("l_extendedprice"), "revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# data profiling — per-column stats in ONE scan (expand + stack),
+# the table-health sibling of plans/validators.py
+
+
+_PROFILE_COLS = ("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+
+
+@query(
+    "profile_table",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+               count(*) - count({c}) AS n_nulls,
+               cast(count(DISTINCT {c}) AS bigint) AS n_distinct,
+               cast(min({c}) AS varchar) AS min_value,
+               cast(max({c}) AS varchar) AS max_value
+            FROM customer"""
+        for c in _PROFILE_COLS
+    ),
+    tags=["profiling", "A1"],
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (null count, distinct count, min/max) for every
+    profiled column in a SINGLE scan: one aggregate computes all
+    per-column stats, then stack() pivots them to one row per column.
+    At 100 TB this is the difference between 1 and N table scans."""
+    df = _t(spark, sf_dir, "customer")
+    aggs = [F.count("*").alias("__n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"__cnt_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n - __cnt_{c}, __nd_{c}, __min_{c}, __max_{c}"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end — the same engine driven by a SQL string (spark.sql),
+# proving the declarative surface isn't DataFrame-only
+
+
+_SQL_FRONTEND = """
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           cast(round(sum(cast(o.o_totalprice AS {money})), 2) AS double)
+               AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+"""
+
+
+@query(
+    "sql_frontend",
+    oracle=_SQL_FRONTEND.format(money=MONEY),
+    tags=["sql-api", "J1", "A1"],
+)
+def sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME SQL text, executed by Spark SQL over registered views
+    and by DuckDB as the oracle — dialect-portable by construction
+    (ANSI joins, decimal money casts)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SQL_FRONTEND.format(money=MONEY))

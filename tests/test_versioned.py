@@ -203,3 +203,22 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     assert len(glob.glob(str(tmp_path / "t" / comp / "*.parquet"))) == 1
     assert _vals(vt.read()) == list(range(50))
     assert _vals(vt.read(version=0)) == list(range(50))  # old intact
+
+
+def test_changes_between_versions(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (3, "c")], "k int, v string"))
+    vt.upsert(spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"),
+              key="k")
+    got = {(r.k, r.v, r._change_type) for r in vt.changes(0).collect()}
+    assert got == {
+        (2, "b", "delete"), (2, "B", "insert"), (4, "d", "insert"),
+    }
+    # duplicate rows diff as a multiset: dropping ONE of the (3,'c')
+    # pair shows exactly one delete
+    vt.commit(spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (4, "d")], "k int, v string"))
+    got2 = {(r.k, r.v, r._change_type)
+            for r in vt.changes(1, 2).collect()}
+    assert got2 == {(3, "c", "delete")}
