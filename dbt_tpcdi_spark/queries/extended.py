@@ -654,3 +654,58 @@ def sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_SQL_FRONTEND.format(money=MONEY))
+
+
+# ---------------------------------------------------------------------------
+# time-series resampling: irregular events -> dense daily series
+
+
+@query(
+    "resample_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, cast(ts AS date) AS d,
+               cast(round(sum(cast(value AS {MONEY})), 2) AS double)
+                   AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id, cast(unnest(generate_series(mn, mx,
+               INTERVAL 1 DAY)) AS date) AS d
+        FROM bounds
+    ),
+    j AS (
+        SELECT s.user_id, s.d, dd.day_value
+        FROM spine s LEFT JOIN daily dd USING (user_id, d)
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           last_value(day_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS day_value,
+           day_value IS NULL AS is_filled
+    FROM j
+    """,
+    tags=["timeseries-resample", "W7", "A1"],
+)
+def resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series per user: per-key calendar spine +
+    forward fill (operators/timeseries.py) over the irregular events
+    stream — no driver-side calendar, two key shuffles total."""
+    from dbt_tpcdi_spark.operators.timeseries import resample_daily_fill
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(money_sum(F.col("value"), "day_value"))
+    )
+    filled = resample_daily_fill(daily, "user_id", "d", ["day_value"])
+    return filled.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "day_value",
+        "is_filled",
+    )

@@ -228,3 +228,24 @@ def test_range_join_binned_matches_between(spark):
         fact, dim, val="v", lo="lo", hi="hi", bin_width=10, keys=["k"]
     ).count()
     assert rows == len(expected)
+
+
+def test_resample_daily_fill_gaps(spark):
+    import datetime as ddt
+
+    from dbt_tpcdi_spark.operators.timeseries import resample_daily_fill
+
+    d = lambda day: ddt.date(2021, 3, day)
+    df = spark.createDataFrame(
+        [(1, d(1), 10.0), (1, d(4), 40.0), (2, d(2), 5.0)],
+        "k int, d date, v double",
+    )
+    out = {(r.k, r.d): (r.v, r.is_filled)
+           for r in resample_daily_fill(df, "k", "d", ["v"]).collect()}
+    assert out == {
+        (1, d(1)): (10.0, False),
+        (1, d(2)): (10.0, True),   # gap forward-filled
+        (1, d(3)): (10.0, True),
+        (1, d(4)): (40.0, False),
+        (2, d(2)): (5.0, False),   # single-day key: spine of one
+    }
