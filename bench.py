@@ -116,16 +116,21 @@ def main() -> None:
         for name in x10_queries:
             df = all_queries()[name].build(spark, x10_dir)
             _timed(probes, f"x10:{name}", df)
-            # inspect the plan AFTER execution: with AQE, the
-            # pre-execution plan is provisional (isFinalPlan=false) and
-            # can't show a runtime broadcast->SMJ demotion — the very
-            # regression this scale point exists to catch
+            # AQE only finalizes a DataFrame's OWN QueryExecution when
+            # that execution runs an action — the noop write above runs
+            # a separate one, so force df's plan to final with a
+            # collect() (untimed; x10 results are group-by-sized) and
+            # only then inspect it. A provisional plan (isFinalPlan=
+            # false) can't show the runtime broadcast->SMJ demotion
+            # this probe exists to catch.
+            df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
             if name in ("revenue_by_nation", "temporal_join_agg"):
                 plan_checks[f"x10_{name}_broadcasts"] = (
                     "BroadcastHashJoin" in plan)
             plan_checks[f"x10_{name}_no_cartesian"] = (
                 "CartesianProduct" not in plan)
+            plan_checks[f"x10_{name}_final_plan"] = "isFinalPlan=true" in plan
 
     total = round(sum(times.values()), 3)
     print(

@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--version", type=int, required=True)
         if cmd == "vacuum":
             sp.add_argument("--keep-last", type=int, default=2)
+            sp.add_argument("--retention-seconds", type=float, default=600.0,
+                            help="only reclaim files older than this "
+                                 "(in-flight writer protection); 0 only "
+                                 "when no writer can be active")
 
     r = sub.add_parser("refresh", help="incremental refresh (stale subtrees)")
     r.add_argument("--raw-dir", required=True)
@@ -100,12 +104,10 @@ def main(argv: list[str] | None = None) -> int:
 
     def read_model(model: str):
         """Latest snapshot for versioned tables, plain parquet else."""
-        import os
+        from dbt_tpcdi_spark.plans.versioned import VersionedTable, is_versioned
 
         path = f"{args.warehouse}/{model}"
-        if os.path.isdir(os.path.join(path, "_log")):
-            from dbt_tpcdi_spark.plans.versioned import VersionedTable
-
+        if is_versioned(path):
             return VersionedTable(spark, path).read()
         return spark.read.parquet(path)
 
@@ -146,7 +148,8 @@ def main(argv: list[str] | None = None) -> int:
             v = vt.restore(args.version)
             print(f"restored {args.model} to v{args.version} (as new v{v})")
             return 0
-        removed = vt.vacuum(keep_last=args.keep_last)
+        removed = vt.vacuum(keep_last=args.keep_last,
+                            retention_seconds=args.retention_seconds)
         print(f"vacuumed {len(removed)} snapshot(s)")
         return 0
 

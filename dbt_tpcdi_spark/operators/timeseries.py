@@ -40,17 +40,29 @@ def resample_daily_fill(
     """Dense daily series per key: missing days appear with the last
     observed value (forward fill) and ``is_filled = true``. Leading
     gaps can't exist (the spine starts at each key's first
-    observation)."""
+    observation).
+
+    ``is_filled`` comes from a join-side presence marker, NOT value
+    nullness — a genuinely observed NULL value stays NULL and is
+    reported as an observation (fills only cover missing DAYS)."""
     spine = daily_spine(df, key, date_col)
-    joined = spine.join(df, [key, date_col], "left")
+    joined = spine.join(
+        df.withColumn("__obs", F.lit(True)), [key, date_col], "left"
+    )
     w = (
         Window.partitionBy(key)
         .orderBy(F.col(date_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = joined.withColumn(
-        "is_filled", F.col(value_cols[0]).isNull()
-    )
+    out = joined.withColumn("is_filled", F.col("__obs").isNull())
     for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out
+        # struct-wrap observed values so an observed NULL is remembered
+        # (struct(NULL) is non-NULL) and never overwritten by the fill
+        last_obs = F.last(
+            F.when(F.col("__obs"), F.struct(F.col(c).alias("v"))),
+            ignorenulls=True,
+        ).over(w)
+        out = out.withColumn(
+            c, F.when(F.col("is_filled"), last_obs["v"]).otherwise(F.col(c))
+        )
+    return out.drop("__obs")

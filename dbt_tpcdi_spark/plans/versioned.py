@@ -87,8 +87,18 @@ class VersionedTable:
         return out
 
     def latest_version(self) -> int | None:
-        vs = self.versions()
-        return vs[-1]["version"] if vs else None
+        """Max committed version — from the zero-padded entry NAMES
+        alone (one directory listing, no JSON reads: the commit CAS
+        loops call this per attempt)."""
+        log_dir = os.path.join(self.root, _LOG)
+        if not os.path.isdir(log_dir):
+            return None
+        versions = [
+            int(name[:-5])
+            for name in os.listdir(log_dir)
+            if name.endswith(".json") and not name.startswith("_tmp")
+        ]
+        return max(versions) if versions else None
 
     def _entry(self, version: int) -> dict:
         path = self._entry_path(version)
@@ -216,11 +226,16 @@ class VersionedTable:
         keys = [key] if isinstance(key, str) else list(key)
         for _ in range(max_retries):
             base_version = self.latest_version()
-            existing = self.read(base_version)
-            keep = existing.join(
-                updates.select(*keys).distinct(), keys, "left_anti"
-            )
-            merged = keep.unionByName(updates.select(existing.columns))
+            if base_version is None:
+                # bootstrap: the whole batch IS the table (still CAS'd —
+                # a rival seeding v0 first triggers a rebase)
+                merged = updates
+            else:
+                existing = self.read(base_version)
+                keep = existing.join(
+                    updates.select(*keys).distinct(), keys, "left_anti"
+                )
+                merged = keep.unionByName(updates.select(existing.columns))
             data_dir = f"data-{uuid.uuid4().hex[:12]}"
             merged.write.mode("overwrite").parquet(
                 os.path.join(self.root, data_dir)
@@ -266,7 +281,21 @@ class VersionedTable:
 
         if to_version is None:
             to_version = self.latest_version()
-        old, new = self.read(from_version), self.read(to_version)
+        new = self.read(to_version)
+        old = self.read(from_version)
+        if [
+            (f.name, f.dataType) for f in old.schema.fields
+        ] != [(f.name, f.dataType) for f in new.schema.fields]:
+            # schema evolution between the versions: conform the old
+            # snapshot to the TO schema (added cols NULL, dropped cols
+            # gone) so the multiset diff is well-defined
+            cols = [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in old.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in new.schema.fields
+            ]
+            old = old.select(cols)
         inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
         deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
@@ -277,28 +306,45 @@ class VersionedTable:
         incremental commits. Readers of prior versions are untouched
         (it's just another commit); run ``vacuum`` afterwards to
         reclaim the fragmented snapshot."""
-        latest = self.latest_version()
-        if latest is None:
-            raise ValueError(f"{self.root}: no commits yet")
-        df = self.read(latest).coalesce(target_files)
-        data_dir = f"data-{uuid.uuid4().hex[:12]}"
-        df.write.mode("overwrite").parquet(os.path.join(self.root, data_dir))
-        return self._commit_entry(data_dir, f"compact({latest})", max_retries)
+        for _ in range(max_retries):
+            latest = self.latest_version()
+            if latest is None:
+                raise ValueError(f"{self.root}: no commits yet")
+            df = self.read(latest).coalesce(target_files)
+            data_dir = f"data-{uuid.uuid4().hex[:12]}"
+            df.write.mode("overwrite").parquet(
+                os.path.join(self.root, data_dir)
+            )
+            try:
+                # CAS like upsert: this snapshot derives from `latest`,
+                # so losing the race must rebase on the winner's data,
+                # never re-link the stale compaction over it
+                return self._commit_entry(
+                    data_dir, f"compact({latest})", max_retries=1,
+                    expected_latest=latest,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"{self.root}: compact lost {max_retries} races")
 
     # -- maintenance -------------------------------------------------------
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(
+        self, keep_last: int = 2, retention_seconds: float = 600.0
+    ) -> list[str]:
         """Drop snapshot directories unreferenced by the last
         ``keep_last`` (≥1 — the current version is never vacuumable)
         versions, plus crash garbage: staged tmp entries and data dirs
         no surviving entry points to. Returns removed paths.
 
         NOT snapshot-safe for readers older than the kept tail (same
-        contract as Delta VACUUM). An unreferenced dir is deleted only
-        if it predates the newest kept commit — an in-flight writer's
-        freshly written, not-yet-linked snapshot is newer than that and
-        survives; true crash garbage ages past the next commit and is
-        collected then."""
+        contract as Delta VACUUM). In-flight-writer protection is the
+        Delta retention contract: unreferenced data dirs and staged
+        log entries are deleted only once older than
+        ``retention_seconds`` — any write-then-link in progress is by
+        definition younger than its own wall-clock age, so a live
+        commit can't lose its files no matter how commits interleave.
+        Set ``retention_seconds=0`` only when no writer can be active."""
         import shutil
 
         if keep_last < 1:
@@ -308,7 +354,7 @@ class VersionedTable:
             return []
         kept = entries[-keep_last:]
         keep_dirs = {e["data"] for e in kept}
-        cutoff = max(e["committed_at"] for e in kept)
+        age_cutoff = time.time() - retention_seconds
         removed = []
         for e in entries[: len(entries) - len(kept)]:
             os.unlink(self._entry_path(e["version"]))
@@ -316,12 +362,13 @@ class VersionedTable:
             if name == _LOG or name in keep_dirs:
                 continue
             path = os.path.join(self.root, name)
-            if os.path.getmtime(path) > cutoff:
-                continue  # possibly a concurrent writer's staging
+            if os.path.getmtime(path) >= age_cutoff:
+                continue  # within retention: possibly a live writer's
             shutil.rmtree(path)
             removed.append(name)
         log_dir = os.path.join(self.root, _LOG)
         for name in os.listdir(log_dir):
-            if name.startswith("_tmp"):
-                os.unlink(os.path.join(log_dir, name))
+            path = os.path.join(log_dir, name)
+            if name.startswith("_tmp") and os.path.getmtime(path) < age_cutoff:
+                os.unlink(path)
         return removed

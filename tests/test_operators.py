@@ -249,3 +249,22 @@ def test_resample_daily_fill_gaps(spark):
         (1, d(4)): (40.0, False),
         (2, d(2)): (5.0, False),   # single-day key: spine of one
     }
+
+
+def test_resample_daily_fill_observed_null_preserved(spark):
+    import datetime as ddt
+
+    from dbt_tpcdi_spark.operators.timeseries import resample_daily_fill
+
+    d = lambda day: ddt.date(2021, 3, day)
+    df = spark.createDataFrame(
+        [(1, d(1), 10.0), (1, d(2), None), (1, d(4), 40.0)],
+        "k int, d date, v double",
+    )
+    out = {(r.k, r.d): (r.v, r.is_filled)
+           for r in resample_daily_fill(df, "k", "d", ["v"]).collect()}
+    # the observed NULL is an observation, not a gap; the gap on day 3
+    # fills from the LAST OBSERVATION (the NULL), not from day 1
+    assert out[(1, d(2))] == (None, False)
+    assert out[(1, d(3))] == (None, True)
+    assert out[(1, d(4))] == (40.0, False)

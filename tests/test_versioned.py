@@ -55,7 +55,9 @@ def test_vacuum_drops_unreferenced_keeps_restored(spark, tmp_path):
     vt.commit(_df(spark, 2))
     vt.commit(_df(spark, 3))
     vt.restore(0)  # v3 references v0's snapshot dir
-    removed = vt.vacuum(keep_last=2)  # keep v2 and v3
+    # default retention protects the just-written dirs — nothing goes
+    assert vt.vacuum(keep_last=2) == []
+    removed = vt.vacuum(keep_last=2, retention_seconds=0)  # keep v2+v3
     # v0's dir survives (v3 points at it); v1's dir is dropped
     assert len(removed) == 1
     assert _vals(vt.read()) == [1]
@@ -73,17 +75,16 @@ def test_uncommitted_garbage_invisible_and_vacuumed(spark, tmp_path):
     (root / "_log" / "_tmp-crashed.json").write_text("{}")
     assert _vals(vt.read()) == [1]
     assert vt.latest_version() == 0
-    # vacuum right away: the unreferenced dir is NEWER than the newest
-    # kept commit, so it's indistinguishable from an in-flight writer's
-    # staging and must survive
+    # within the retention window the unreferenced dir is
+    # indistinguishable from an in-flight writer's staging — survives
     assert vt.vacuum(keep_last=1) == []
     assert (root / "data-deadbeef").exists()
-    # after the next commit the garbage has aged past the kept tail
-    vt.commit(_df(spark, 2))
-    removed = vt.vacuum(keep_last=1)
+    assert (root / "_log" / "_tmp-crashed.json").exists()
+    # past retention (simulated with 0) it's crash garbage — collected
+    removed = vt.vacuum(keep_last=1, retention_seconds=0)
     assert "data-deadbeef" in removed
     assert not (root / "_log" / "_tmp-crashed.json").exists()
-    assert _vals(vt.read()) == [2]
+    assert _vals(vt.read()) == [1]
 
 
 def test_vacuum_rejects_keep_last_zero(spark, tmp_path):
