@@ -223,3 +223,31 @@ def test_changes_between_versions(spark, tmp_path):
     got2 = {(r.k, r.v, r._change_type)
             for r in vt.changes(1, 2).collect()}
     assert got2 == {(3, "c", "delete")}
+
+
+def test_changes_apply_reconstructs_target(spark, tmp_path):
+    """CDF invertibility: old - deletes + inserts == new (multiset)."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b")], "k int, v string"))
+    vt.commit(spark.createDataFrame(
+        [(1, "A"), (2, "b"), (3, "c")], "k int, v string"))
+    ch = vt.changes(0, 1)
+    old, new = vt.read(0), vt.read(1)
+    dels = ch.filter("_change_type = 'delete'").drop("_change_type")
+    ins = ch.filter("_change_type = 'insert'").drop("_change_type")
+    rebuilt = old.exceptAll(dels).unionByName(ins)
+    assert rebuilt.exceptAll(new).isEmpty()
+    assert new.exceptAll(rebuilt).isEmpty()
+
+
+def test_changes_across_schema_evolution(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(spark.createDataFrame([(1, "a")], "k int, v string"))
+    vt.commit(spark.createDataFrame([(1, "a", 5.0)],
+                                    "k int, v string, w double"))
+    got = {(r.k, r.v, r.w, r._change_type)
+           for r in vt.changes(0, 1).collect()}
+    # the conformed old row (w=NULL) differs from the new row (w=5.0):
+    # one delete + one insert, no crash
+    assert got == {(1, "a", None, "delete"), (1, "a", 5.0, "insert")}
