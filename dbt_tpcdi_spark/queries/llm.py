@@ -375,6 +375,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_corpus",
+    oracle=f"""
+    WITH comp AS ({G.components_sql(_CLUSTER_PAIRS_SQL)})
+    SELECT d.lang,
+           count(*) AS n_docs,
+           cast(sum(CASE WHEN c.node IS NULL OR c.node = c.component
+                    THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+           min(CASE WHEN c.node IS NULL OR c.node = c.component
+                    THEN d.doc_id END) AS first_kept_doc
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    GROUP BY d.lang
+    """,
+    tags=["llm-dedup-pipeline", "graph-cc", "A1"],
+)
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup dedup pipeline END-TO-END: jaccard pairs →
+    connected components → keep one canonical doc (cluster-min) per
+    cluster plus every unpaired doc — reported as per-language
+    kept/total counts. This is the composition a training-data
+    pipeline actually runs; each stage is an already-gated operator."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs_bitset(
+        d, "doc_id", "text", block_col="lang", threshold=0.8
+    )
+    comp = G.connected_components(pairs, src="id_a", dst="id_b")
+    labeled = d.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    kept = F.col("component").isNull() | (
+        F.col("doc_id") == F.col("component")
+    )
+    return labeled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.min(F.when(kept, F.col("doc_id"))).alias("first_kept_doc"),
+    )
+
+
+@query(
     "embedding_neardup",
     oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

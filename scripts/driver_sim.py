@@ -22,7 +22,8 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 #: output-quadratic dedup pipelines: their DuckDB oracles are heavy at
 #: sf0.1; verified at sf0.001 (pytest) and sf0.01
-HEAVY = {"minhash_lsh_pairs", "ngram_jaccard_pairs", "dedup_clusters"}
+HEAVY = {"minhash_lsh_pairs", "ngram_jaccard_pairs", "dedup_clusters",
+         "dedup_corpus"}
 
 
 def main() -> int:
