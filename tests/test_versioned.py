@@ -251,3 +251,30 @@ def test_changes_across_schema_evolution(spark, tmp_path):
     # the conformed old row (w=NULL) differs from the new row (w=5.0):
     # one delete + one insert, no crash
     assert got == {(1, "a", None, "delete"), (1, "a", 5.0, "insert")}
+
+
+def test_concurrent_upserts_no_lost_updates(spark, tmp_path):
+    """Two real threads upserting disjoint keys simultaneously: the CAS
+    loop serializes them into consecutive versions and BOTH key sets
+    land — whatever the interleaving."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(spark.createDataFrame([(0, 0)], "k int, v int"))
+
+    def up(lo):
+        df = spark.createDataFrame(
+            [(k, k * 10) for k in range(lo, lo + 5)], "k int, v int"
+        )
+        vt.upsert(df, key="k")
+
+    with ThreadPoolExecutor(2) as pool:
+        for f in [pool.submit(up, 100), pool.submit(up, 200)]:
+            f.result()
+
+    got = {r.k: r.v for r in vt.read().collect()}
+    expected = {0: 0}
+    expected.update({k: k * 10 for k in range(100, 105)})
+    expected.update({k: k * 10 for k in range(200, 205)})
+    assert got == expected
+    assert vt.latest_version() == 2
