@@ -131,3 +131,39 @@ def streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("end_timestamp", TS_FMT).alias("end_ts"),
         "is_current",
     )
+
+
+@query(
+    "streaming_sliding",
+    oracle=f"""
+    SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM (
+        SELECT e.*,
+               time_bucket(INTERVAL 15 MINUTE, ts)
+                   - k.k * INTERVAL 15 MINUTE AS ws
+        FROM events e, (SELECT unnest(range(0, 4)) AS k) k
+    )
+    GROUP BY 1, 2
+    """,
+    tags=["§2.9-streaming", "A1"],
+)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows executed BY the streaming engine (1h span /
+    15min slide — each event in 4 windows); same enumeration oracle as
+    the batch sliding_window query."""
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                 "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    run_to_memory(agg, "q_streaming_sliding")
+    return spark.table("q_streaming_sliding")
