@@ -188,6 +188,58 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tf_df_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({X.tokens_sql('text')}) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    doclen AS (
+        SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1
+    ),
+    df AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY 1
+    )
+    SELECT t.doc_id, t.token, t.tf, d.df,
+           (SELECT count(*) FROM documents) AS n_docs,
+           cast(floor(t.tf * 10000 / l.n_tokens) AS bigint) AS tf_norm_q
+    FROM tf t
+    JOIN df d USING (token)
+    JOIN doclen l USING (doc_id)
+    WHERE d.df >= 20
+    """,
+    tags=["llm-tfidf", "A1"],
+)
+def tf_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF building blocks in exact integer math: per-(doc, token)
+    term frequency, per-token document frequency, corpus size, and a
+    quantized length-normalized tf — everything a downstream idf
+    weighting needs, with no cross-engine log() in the checked output
+    (JVM Math.log and libm can differ in the last ulp). Plan: one
+    explode + two map-side-combined shuffles + an equi-join back."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = d.count()  # O(1) driver scalar, broadcast as a literal
+    return (
+        tf.join(df, "token")
+        .join(doclen, "doc_id")
+        .filter(F.col("df") >= 20)
+        .select(
+            "doc_id", "token", "tf", "df",
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            F.floor(F.col("tf") * 10000 / F.col("n_tokens"))
+            .cast("bigint").alias("tf_norm_q"),
+        )
+    )
+
+
 _PACK_BUDGET = 2048
 
 
