@@ -54,6 +54,10 @@ def get_spark(
         # refuses by default; read as long and convert at load
         # (sources/parquet.py restores TimestampType at µs).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata timestamps are timezone-naive parquet µs; read them as
+        # session-TZ TIMESTAMP (UTC above) rather than TIMESTAMP_NTZ so
+        # unix_micros()/interval arithmetic and the DuckDB oracle agree.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
@@ -71,4 +75,5 @@ def configure_for_oracle(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
