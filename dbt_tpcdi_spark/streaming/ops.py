@@ -24,28 +24,41 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: events schema as stored (ts is TIMESTAMP(NANOS) parquet → long under
-#: nanosAsLong; restored to µs timestamp in stream_events)
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """Pinned schema for the events file stream. Streaming sources never
+    infer, and the driver's generator has stored ``ts`` as either
+    TIMESTAMP(NANOS) (readable only as long under nanosAsLong) or
+    TIMESTAMP(MICROS) (native TimestampType) across rounds — probe the
+    footer like sources/parquet._nanos_columns does and pin whichever
+    shape is on disk. Returns (schema, ts_is_nanos_long)."""
+    from dbt_tpcdi_spark.sources.parquet import _nanos_columns, table_path
+
+    nanos = "ts" in _nanos_columns(table_path(sf_dir, "events"))
+    ts_type: T.DataType = T.LongType() if nanos else T.TimestampType()
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    return schema, nanos
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file stream (schema pinned — streaming sources never
     infer)."""
+    schema, nanos = _events_schema(sf_dir)
     # the file-stream source wants a directory; select just events.parquet
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(
