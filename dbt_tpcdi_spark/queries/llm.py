@@ -26,6 +26,21 @@ from dbt_tpcdi_spark.operators import text as X
 from dbt_tpcdi_spark.queries import query
 from dbt_tpcdi_spark.sources.parquet import load_table
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a small-file scan across all cores.
+
+    The testdata ships one parquet file per table; below
+    ``maxPartitionBytes`` that scan is a single partition, so a
+    CPU-heavy projection (16 minhash transforms, bitset packing) runs
+    on one core no matter how many the session has. At real scale the
+    table is many files and this is a no-op-sized shuffle; locally it
+    is the difference between 1× and 32× parallelism on the compute
+    stage. Row distribution does not affect any downstream result —
+    every consumer re-shuffles on its own keys."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -118,7 +133,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the identical exact result in O(pairs·vocab/63) integer
     ops. ``jaccard_pairs_via_postings`` remains the open-vocabulary
     path; both match the same oracle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     return D.jaccard_pairs_bitset(
         d, "doc_id", "text", block_col="lang", threshold=0.8
     )
@@ -164,12 +179,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket self-join candidates → exact-jaccard verification.
     Deterministic md5-based hashing; the oracle runs the identical
     pipeline, so LSH misses match too."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     sigs = D.with_minhash_signature(d, "text")
-    # distinct=False + final distinct: verification via packed masks is
-    # cheap, so deduping the verified output shuffles less than
-    # deduping the larger band-duplicated candidate set first
-    cand = D.lsh_candidate_pairs(sigs, "doc_id", distinct=False)
+    # distinct BEFORE verification: a near-identical doc pair matches in
+    # all LSH_BANDS bands, so the candidate multiset is ~4× the pair
+    # set on a duplicate-dense corpus — deduping the narrow (id_a,id_b)
+    # rows first shrinks both verification joins and removes the output
+    # distinct entirely
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", distinct=True)
     masks = D.with_token_masks(d, "doc_id", "text", [])
     a = masks.alias("sa")
     b = masks.alias("sb")
@@ -184,7 +201,6 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", round4(inter / union).alias("jaccard")
         )
         .filter(F.col("jaccard") >= 0.8)
-        .distinct()
     )
 
 
@@ -412,7 +428,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows are the ones a dedup pass drops. Distributed path is
     alternating large-star/small-star (operators/graph.py); the oracle
     recomputes labels via a recursive CTE."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     pairs = D.jaccard_pairs_bitset(
         d, "doc_id", "text", block_col="lang", threshold=0.8
     )
@@ -447,7 +463,7 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster plus every unpaired doc — reported as per-language
     kept/total counts. This is the composition a training-data
     pipeline actually runs; each stage is an already-gated operator."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     pairs = D.jaccard_pairs_bitset(
         d, "doc_id", "text", block_col="lang", threshold=0.8
     )
