@@ -488,3 +488,255 @@ def boilerplate_scores_sql(
                 ELSE 0.0 END AS boilerplate_ratio
     FROM {from_table} d LEFT JOIN per_doc p USING ({id_col})
     """
+
+
+# ---------------------------------------------------------------------------
+# repetition filters (Gopher-style quality rules)
+
+#: Gopher repetition thresholds (Rae et al. 2021, table A1 shapes):
+#: a doc is repetitive when any measure exceeds its threshold.
+DUP_LINE_FRAC_MAX = 0.30
+TOP_2GRAM_FRAC_MAX = 0.20
+TOP_3GRAM_FRAC_MAX = 0.18
+
+
+def ngram_list(col: Column, n: int) -> Column:
+    """ALL n-token shingles with multiplicity (ngram_shingles dedups;
+    repetition measures need the multiset)."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_list_sql(col: str, n: int) -> str:
+    t = tokens_sql(col)
+    return (
+        f"list_transform(range(1, greatest(len({t}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(({t})[i : i + {n - 1}], ' '))"
+    )
+
+
+def _top_ngram_frac(
+    df: DataFrame, id_col: str, text_col: str, n: int, out: str
+) -> DataFrame:
+    """(id, out): count of the most frequent n-gram over total n-grams
+    per doc — one explode + one map-side-combined shuffle keyed by
+    (doc, gram), then a per-doc max. Work is O(total grams); no
+    all-pairs anything."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(ngram_list(F.col(text_col), n)).alias("__g"),
+    )
+    per_gram = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+    return per_gram.groupBy(id_col).agg(
+        round4(F.max("__c") / F.sum("__c")).alias(out)
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition measures per document:
+
+    - ``dup_token_frac``: 1 − |distinct tokens| / |tokens| (pure array
+      expression, no shuffle);
+    - ``dup_line_frac``: fraction of newline-split lines that repeat an
+      earlier line (degenerates to 0 for single-line docs);
+    - ``top_2gram_frac`` / ``top_3gram_frac``: share of the doc's
+      n-gram multiset taken by its most frequent n-gram;
+    - ``is_repetitive``: any measure over its Gopher threshold.
+
+    The array-expression features stay in whole-stage codegen; the two
+    n-gram measures are explode + per-(doc,gram) count + per-doc max —
+    linear in corpus token count, shuffle keyed by doc so it shards
+    across executors at any scale.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    dup_tok = F.when(
+        n_tokens > 0,
+        round4((n_tokens - F.size(F.array_distinct(toks))) / n_tokens),
+    ).otherwise(F.lit(0.0))
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        round4((n_lines - F.size(F.array_distinct(lines))) / n_lines),
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        F.col(id_col),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        dup_tok.alias("dup_token_frac"),
+        dup_line.alias("dup_line_frac"),
+    )
+    g2 = _top_ngram_frac(df, id_col, text_col, 2, "top_2gram_frac")
+    g3 = _top_ngram_frac(df, id_col, text_col, 3, "top_3gram_frac")
+    out = (
+        base.join(g2, id_col, "left")
+        .join(g3, id_col, "left")
+        .withColumn("top_2gram_frac",
+                    F.coalesce("top_2gram_frac", F.lit(0.0)))
+        .withColumn("top_3gram_frac",
+                    F.coalesce("top_3gram_frac", F.lit(0.0)))
+    )
+    return out.withColumn(
+        "is_repetitive",
+        (F.col("dup_line_frac") > DUP_LINE_FRAC_MAX)
+        | (F.col("top_2gram_frac") > TOP_2GRAM_FRAC_MAX)
+        | (F.col("top_3gram_frac") > TOP_3GRAM_FRAC_MAX),
+    )
+
+
+def repetition_features_sql(
+    from_table: str, id_col: str, text_col: str = "text"
+) -> str:
+    t = tokens_sql(text_col)
+    lines = f"string_split({text_col}, chr(10))"
+
+    def top_frac(n: int) -> str:
+        return f"""
+        SELECT {id_col},
+               {round4_sql('max(c) / sum(c)')} AS frac
+        FROM (
+            SELECT {id_col}, g, count(*) AS c
+            FROM (SELECT {id_col},
+                         unnest({ngram_list_sql(text_col, n)}) AS g
+                  FROM {from_table})
+            GROUP BY 1, 2
+        ) GROUP BY 1
+        """
+
+    dup_tok = round4_sql(f"(len({t}) - len(list_distinct({t}))) / len({t})")
+    dup_line = round4_sql(
+        f"(len({lines}) - len(list_distinct({lines}))) / len({lines})"
+    )
+    return f"""
+    WITH g2 AS ({top_frac(2)}), g3 AS ({top_frac(3)}),
+    base AS (
+        SELECT {id_col},
+               cast(len({t}) AS bigint) AS n_tokens,
+               CASE WHEN len({t}) > 0 THEN {dup_tok} ELSE 0.0 END
+                   AS dup_token_frac,
+               CASE WHEN len({lines}) > 0 THEN {dup_line} ELSE 0.0 END
+                   AS dup_line_frac
+        FROM {from_table}
+    )
+    SELECT b.{id_col}, b.n_tokens, b.dup_token_frac, b.dup_line_frac,
+           coalesce(g2.frac, 0.0) AS top_2gram_frac,
+           coalesce(g3.frac, 0.0) AS top_3gram_frac,
+           (b.dup_line_frac > {DUP_LINE_FRAC_MAX}
+            OR coalesce(g2.frac, 0.0) > {TOP_2GRAM_FRAC_MAX}
+            OR coalesce(g3.frac, 0.0) > {TOP_3GRAM_FRAC_MAX})
+               AS is_repetitive
+    FROM base b
+    LEFT JOIN g2 ON b.{id_col} = g2.{id_col}
+    LEFT JOIN g3 ON b.{id_col} = g3.{id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination detection
+
+CONTAMINATION_NGRAM = 5
+CONTAMINATION_MIN_OVERLAP = 0.2
+
+
+def contamination_scores(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = CONTAMINATION_NGRAM,
+) -> DataFrame:
+    """Per-document n-gram overlap against an evaluation corpus — the
+    decontamination pass every training pipeline runs before a model
+    sees the data.
+
+    ``overlap_frac`` = |doc's distinct n-grams ∩ eval n-grams| /
+    |doc's distinct n-grams|; ``is_contaminated`` flags docs at ≥
+    CONTAMINATION_MIN_OVERLAP.
+
+    Scale shape: the eval-side distinct n-gram set is small by nature
+    (benchmarks are MBs, the corpus is TBs), so it is explicitly
+    ``broadcast()`` — the corpus side streams through a broadcast hash
+    join with zero shuffle of corpus grams; the only shuffle is the
+    per-doc re-aggregation, keyed by doc id.
+    """
+    eval_grams = (
+        eval_df.select(
+            F.explode(ngram_shingles(F.col(text_col), n)).alias("__g")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(ngram_shingles(F.col(text_col), n)).alias("__g"),
+    )
+    per_doc = (
+        doc_grams.join(F.broadcast(eval_grams), "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_matched"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_matched", F.lit(0)).cast("bigint")
+            .alias("n_matched"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                round4(F.col("n_matched") / F.col("n_grams")),
+            ).otherwise(F.lit(0.0)).alias("overlap_frac"),
+        )
+        .withColumn(
+            "is_contaminated",
+            F.col("overlap_frac") >= CONTAMINATION_MIN_OVERLAP,
+        )
+    )
+
+
+def contamination_scores_sql(
+    from_sql: str,
+    eval_sql: str,
+    id_col: str,
+    text_col: str = "text",
+    n: int = CONTAMINATION_NGRAM,
+) -> str:
+    grams = ngram_shingles_sql(text_col, n)
+    return f"""
+    WITH eval_grams AS (
+        SELECT DISTINCT unnest({grams}) AS g FROM ({eval_sql})
+    ),
+    doc_grams AS (
+        SELECT {id_col}, unnest({grams}) AS g FROM ({from_sql})
+    ),
+    per_doc AS (
+        SELECT dg.{id_col}, count(*) AS n_grams,
+               sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+        FROM doc_grams dg LEFT JOIN eval_grams e USING (g)
+        GROUP BY 1
+    )
+    SELECT d.{id_col},
+           cast(coalesce(p.n_grams, 0) AS bigint) AS n_grams,
+           cast(coalesce(p.n_matched, 0) AS bigint) AS n_matched,
+           CASE WHEN coalesce(p.n_grams, 0) > 0
+                THEN {round4_sql('p.n_matched / p.n_grams')}
+                ELSE 0.0 END AS overlap_frac,
+           (CASE WHEN coalesce(p.n_grams, 0) > 0
+                 THEN {round4_sql('p.n_matched / p.n_grams')}
+                 ELSE 0.0 END) >= {CONTAMINATION_MIN_OVERLAP}
+               AS is_contaminated
+    FROM ({from_sql}) d LEFT JOIN per_doc p USING ({id_col})
+    """

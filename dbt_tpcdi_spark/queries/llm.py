@@ -905,3 +905,44 @@ def split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL split_sentences(d.doc_id, d.text) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition filtering + decontamination (Gopher-style corpus hygiene)
+
+
+@query(
+    "gopher_repetition",
+    oracle=X.repetition_features_sql("documents", "doc_id"),
+    tags=["llm-quality-repetition", "A1", "W-none"],
+)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules per document: duplicate
+    token/line fractions (pure array expressions) plus top-2/3-gram
+    multiset share (explode + per-(doc,gram) count), with the
+    is_repetitive gate a cleaning pipeline filters on."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.repetition_features(d, "doc_id")
+
+
+_EVAL_MOD = 23  # ~4% of docs act as the held-out eval set
+
+
+@query(
+    "contamination_check",
+    oracle=X.contamination_scores_sql(
+        f"SELECT * FROM documents WHERE doc_id % {_EVAL_MOD} != 0",
+        f"SELECT * FROM documents WHERE doc_id % {_EVAL_MOD} = 0",
+        "doc_id",
+    ),
+    tags=["llm-decontamination", "J1"],
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 5-gram overlap of every training doc
+    against a deterministic held-out eval slice (doc_id % 23 == 0 —
+    standing in for a real benchmark corpus). The eval n-gram set is
+    broadcast; the corpus side never shuffles its grams."""
+    d = load_table(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    train = d.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    return X.contamination_scores(train, eval_df, "doc_id")
