@@ -16,6 +16,7 @@ from dbt_tpcdi_spark.functions.scalar import (
     hash_sample,
     hash_sample_sql,
     round4,
+    round4_sql,
     stratified_sample_sql,
 )
 from dbt_tpcdi_spark.operators import dedup as D
@@ -946,3 +947,177 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = d.filter(F.col("doc_id") % _EVAL_MOD == 0)
     train = d.filter(F.col("doc_id") % _EVAL_MOD != 0)
     return X.contamination_scores(train, eval_df, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: quantile gating, mixture resampling, semantic dedup
+
+
+@query(
+    "quantile_filter",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {X.quality_features_sql('text')['quality_score']}
+                   AS quality_score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, {round4_sql('''percent_rank() OVER (
+                   PARTITION BY lang ORDER BY quality_score, doc_id)''')}
+                   AS qrank
+        FROM scored
+    )
+    SELECT doc_id, lang, quality_score, qrank
+    FROM ranked WHERE qrank >= 0.25
+    """,
+    tags=["llm-quality-quantile", "W3"],
+)
+def quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality gate: drop the bottom quartile of
+    quality_score within each language. Exact percent_rank over a
+    (score, doc_id) total order — deterministic under ties. The window
+    shards by language; for open-ended group sizes at 100 TB swap the
+    exact rank for a two-pass approx_percentile threshold (same
+    filter, no per-group sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = X.quality_features(d.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", "quality_score"
+    )
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    return (
+        scored.withColumn("qrank", round4(F.percent_rank().over(w)))
+        .filter(F.col("qrank") >= 0.25)
+    )
+
+
+_MIX_SALT = "mix|"
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT source, n,
+               cast((cast(substr(source, 4) AS int) % 4) + 1 AS bigint) AS u
+        FROM counts
+    ),
+    tot AS (SELECT cast(sum(u) AS bigint) AS wsum FROM w),
+    caps AS (
+        SELECT source, n, u, (n * wsum) // u AS cap FROM w, tot
+    ),
+    feasible AS (SELECT min(cap) AS t FROM caps),
+    ks AS (
+        SELECT source, cast((t * u) // wsum AS bigint) AS k
+        FROM caps, feasible, tot
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{_MIX_SALT}' || cast(doc_id AS varchar)),
+                            doc_id) AS samp_rank
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.samp_rank
+    FROM ranked r JOIN ks USING (source)
+    WHERE r.samp_rank <= ks.k
+    """,
+    tags=["llm-mixture-sampling", "A1", "W3"],
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: downsample each source to exact
+    target proportions (weight (idx % 4) + 1 per source, standing in
+    for a configured mixture), keeping the largest feasible total.
+
+    All sizing math is integer (caps = n·Σu div u, then k_s = T·u div
+    Σu), so it is bit-identical cross-engine; the row selection is a
+    per-source row_number over the md5 hash — reproducible on any
+    cluster size, unlike df.sample(). The sizing aggregations are
+    metadata-sized (one row per source); the only data-scale work is
+    the per-source rank, sharded by source."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    w = counts.withColumn(
+        "u",
+        ((F.substring("source", 4, 10).cast("int") % 4) + 1).cast("bigint"),
+    )
+    tot = w.agg(F.sum("u").cast("bigint").alias("wsum"))
+    caps = w.crossJoin(F.broadcast(tot)).withColumn(
+        "cap", F.expr("(n * wsum) div u")
+    )
+    feasible = caps.agg(F.min("cap").alias("t"))
+    ks = caps.crossJoin(F.broadcast(feasible)).select(
+        "source", F.expr("cast((t * u) div wsum AS bigint)").alias("k")
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(rw).alias("samp_rank")
+    )
+    return ranked.join(F.broadcast(ks), "source").filter(
+        F.col("samp_rank") <= F.col("k")
+    ).select("doc_id", "source", "samp_rank")
+
+
+_SEMDEDUP_THRESHOLD = 0.4
+_KMEANS_SQL = S.kmeans_sql("embeddings", "vec_id", "embedding", dim=64,
+                           k=4, iters=3)
+
+
+@query(
+    "semdedup",
+    oracle=f"""
+    WITH km AS (SELECT * FROM ({_KMEANS_SQL})),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM km a JOIN km b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {S.qcosine_sql('ea.embedding', 'eb.embedding')}
+              >= {_SEMDEDUP_THRESHOLD}
+    ),
+    dropped AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT km.vec_id, km.cluster, d.id_b IS NULL AS is_kept
+    FROM km LEFT JOIN dropped d ON km.vec_id = d.id_b
+    """,
+    tags=["llm-semdedup", "iterative", "J8"],
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023 shape): k-means the embedding space,
+    then drop any vector with a ≥-threshold cosine neighbor of smaller
+    id *within its cluster* — the cluster assignment bounds the pair
+    space to O(n²/k), and k grows with corpus size so cluster width
+    stays constant. Composes two already-gated operators (deterministic
+    quantized k-means + integer cosine)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    km = S.kmeans_quantized(e, "vec_id", "embedding", k=4, iters=3).select(
+        "vec_id", "cluster", "embedding"
+    )
+    a, b = km.alias("a"), km.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("id_b"),
+            S.qcosine(F.col("a.embedding"), F.col("b.embedding"))
+            .alias("qcos"),
+        )
+        .filter(F.col("qcos") >= _SEMDEDUP_THRESHOLD)
+    )
+    dropped = pairs.select("id_b").distinct().withColumn("__d", F.lit(1))
+    return (
+        km.join(dropped, km["vec_id"] == dropped["id_b"], "left")
+        .select(
+            "vec_id", "cluster", F.col("__d").isNull().alias("is_kept")
+        )
+    )
