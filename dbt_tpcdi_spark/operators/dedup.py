@@ -370,3 +370,58 @@ def jaccard_pairs_sql(
         WHERE {round4_sql('__common / (__na + __nb - __common)')}
               >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# fuzzy record linkage (blocked edit-distance matching)
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: within each block, all id<id
+    pairs whose ``name_col`` edit distance is ≤ ``max_dist``.
+
+    The block join is the scale contract — pair work is Σ block², never
+    n²; pick the blocking key (region, phonetic code, name prefix) so
+    blocks stay bounded. levenshtein() is a JVM builtin (codegen'd),
+    identical to DuckDB's."""
+    a, b = df.alias("la"), df.alias("lb")
+    return (
+        a.join(
+            b,
+            (F.col(f"la.{block_col}") == F.col(f"lb.{block_col}"))
+            & (F.col(f"la.{id_col}") < F.col(f"lb.{id_col}")),
+        )
+        .select(
+            F.col(f"la.{id_col}").alias("id_a"),
+            F.col(f"lb.{id_col}").alias("id_b"),
+            F.col(f"la.{block_col}").alias("block"),
+            F.levenshtein(
+                F.col(f"la.{name_col}"), F.col(f"lb.{name_col}")
+            ).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )
+
+
+def blocked_levenshtein_sql(
+    from_table: str,
+    id_col: str,
+    name_col: str,
+    block_col: str,
+    max_dist: int = 1,
+) -> str:
+    return f"""
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           a.{block_col} AS block,
+           cast(levenshtein(a.{name_col}, b.{name_col}) AS int)
+               AS edit_dist
+    FROM {from_table} a JOIN {from_table} b
+      ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+    WHERE levenshtein(a.{name_col}, b.{name_col}) <= {max_dist}
+    """

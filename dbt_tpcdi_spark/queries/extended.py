@@ -11,7 +11,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_tpcdi_spark.functions.scalar import round4
+from dbt_tpcdi_spark.operators import dedup as D
+from dbt_tpcdi_spark.operators import layout as L
 from dbt_tpcdi_spark.queries import query
+from dbt_tpcdi_spark.sources.parquet import load_table
 from dbt_tpcdi_spark.queries.relational import (
     _EFF_TS_DUCK,
     _EFF_TS_SPARK,
@@ -708,4 +711,63 @@ def resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "day_value",
         "is_filled",
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy record linkage + write-layout clustering
+
+
+@query(
+    "record_linkage",
+    oracle=D.blocked_levenshtein_sql(
+        "customer", "c_custkey", "c_name", "c_nationkey", max_dist=1
+    ),
+    tags=["linkage-levenshtein", "J1"],
+)
+def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: candidate customer pairs within a nation
+    block whose names are ≤1 edit apart — the blocked edit-distance
+    join every entity-resolution pipeline starts from. Pair work is
+    Σ block², bounded by the blocking key."""
+    c = load_table(spark, sf_dir, "customer")
+    return D.blocked_levenshtein_pairs(
+        c, "c_custkey", "c_name", "c_nationkey", max_dist=1
+    ).withColumn("edit_dist", F.col("edit_dist").cast("int"))
+
+
+_Z_SHIFT = 16  # bucket = z >> 16: ~64 buckets at sf0.01, file-sized cells
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    SELECT ({L.zorder_value_sql('l_partkey', 'l_suppkey')} >> {_Z_SHIFT})
+               AS z_bucket,
+           count(*) AS n_rows,
+           min(l_partkey) AS part_min, max(l_partkey) AS part_max,
+           min(l_suppkey) AS supp_min, max(l_suppkey) AS supp_max
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=["layout-zorder", "A1"],
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering quality report: interleave (l_partkey,
+    l_suppkey) bits, bucket the z-space as a range-partitioned write
+    would, and show each bucket's min/max per dimension — the narrow
+    per-file ranges that parquet stats skip on. The write path itself
+    is operators/layout.zorder_repartition (same z-value)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = L.zorder_value(F.col("l_partkey"), F.col("l_suppkey"))
+    return (
+        li.withColumn("z_bucket", F.shiftright(z, _Z_SHIFT).cast("bigint"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("part_min"),
+            F.max("l_partkey").alias("part_max"),
+            F.min("l_suppkey").alias("supp_min"),
+            F.max("l_suppkey").alias("supp_max"),
+        )
     )

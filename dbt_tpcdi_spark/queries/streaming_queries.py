@@ -167,3 +167,38 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "q_streaming_sliding")
     return spark.table("q_streaming_sliding")
+
+
+@query(
+    "streaming_dedup",
+    oracle=f"""
+    SELECT event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+           event_type, user_id
+    FROM events
+    """,
+    tags=["§2.9-streaming", "A4"],
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery dedup IN the streaming engine: the events
+    stream unioned with itself (simulated redelivery) through
+    ``dropDuplicatesWithinWatermark`` on event_id — state is scoped to
+    the watermark horizon instead of growing forever, which is what
+    makes exactly-once-style dedup viable on an unbounded stream. The
+    batch oracle is simply the original (un-doubled) events."""
+    from dbt_tpcdi_spark.streaming.ops import stream_events
+
+    doubled = stream_events(spark, sf_dir).union(
+        stream_events(spark, sf_dir)
+    )
+    dedup = (
+        doubled.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            F.date_format("ts", TS_FMT).alias("ts_s"),
+            "event_type",
+            "user_id",
+        )
+    )
+    run_to_memory(dedup, "q_streaming_dedup", output_mode="append")
+    return spark.table("q_streaming_dedup")
