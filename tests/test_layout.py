@@ -1,0 +1,51 @@
+"""Z-order write layout: the clustered write must actually produce
+files whose per-file min/max spans are narrow on BOTH interleaved
+dimensions — that is the property parquet stat-based skipping prunes
+on."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from dbt_tpcdi_spark.operators.layout import zorder_repartition
+from dbt_tpcdi_spark.sources.parquet import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _file_spans(path_glob: str, col: str) -> list[tuple[int, int]]:
+    spans = []
+    for f in glob.glob(path_glob):
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.names.index(col)
+        lo = min(
+            pf.metadata.row_group(i).column(idx).statistics.min
+            for i in range(pf.metadata.num_row_groups)
+        )
+        hi = max(
+            pf.metadata.row_group(i).column(idx).statistics.max
+            for i in range(pf.metadata.num_row_groups)
+        )
+        spans.append((lo, hi))
+    return spans
+
+
+def test_zorder_write_narrow_spans(spark, tmp_path):
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    out = str(tmp_path / "z")
+    zorder_repartition(li, "l_partkey", "l_suppkey", 8).write.parquet(out)
+    spans = _file_spans(f"{out}/*.parquet", "l_partkey")
+    assert len(spans) >= 4  # range partitioner actually split the space
+    global_lo = min(lo for lo, _ in spans)
+    global_hi = max(hi for _, hi in spans)
+    avg_span = sum(hi - lo for lo, hi in spans) / len(spans)
+    # each file covers a small slice of the partkey domain: a point
+    # lookup on l_partkey overlaps few files (stat-based skipping)
+    assert avg_span < (global_hi - global_lo) / 2.5, spans
+    # and a given partkey value overlaps at most a couple of files
+    probe = (global_lo + global_hi) // 2
+    overlapping = sum(1 for lo, hi in spans if lo <= probe <= hi)
+    assert overlapping <= max(2, len(spans) // 3), spans

@@ -138,3 +138,27 @@ def test_temporal_join_binned_avoids_broadcast_nested_loop(spark):
     plan = _plan(spark, "temporal_join_binned")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_eval_set_broadcasts(spark):
+    # the eval-side n-gram set must broadcast: corpus grams stream
+    # through a broadcast hash join, never a sort-merge shuffle
+    plan = _plan(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["record_linkage", "semdedup", "gopher_repetition"]
+)
+def test_new_pair_ops_no_cartesian(spark, name):
+    # blocked/clustered pair generation is always an equi-join on the
+    # block key — a cartesian product would be the n^2 scale-killer
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_mixture_sample_sizing_broadcasts(spark):
+    # the per-source k table is metadata-sized and must broadcast back
+    # onto the ranked rows
+    plan = _plan(spark, "mixture_sample")
+    assert "BroadcastHashJoin" in plan, plan
