@@ -15,6 +15,7 @@ from dbt_tpcdi_spark.operators import dedup as D
 from dbt_tpcdi_spark.operators import layout as L
 from dbt_tpcdi_spark.queries import query
 from dbt_tpcdi_spark.sources.parquet import load_table
+from dbt_tpcdi_spark.sources.parquet import spread as _spread
 from dbt_tpcdi_spark.queries.relational import (
     _EFF_TS_DUCK,
     _EFF_TS_SPARK,
@@ -730,7 +731,7 @@ def record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     block whose names are ≤1 edit apart — the blocked edit-distance
     join every entity-resolution pipeline starts from. Pair work is
     Σ block², bounded by the blocking key."""
-    c = load_table(spark, sf_dir, "customer")
+    c = _spread(load_table(spark, sf_dir, "customer"))
     return D.blocked_levenshtein_pairs(
         c, "c_custkey", "c_name", "c_nationkey", max_dist=1
     ).withColumn("edit_dist", F.col("edit_dist").cast("int"))

@@ -26,20 +26,7 @@ from dbt_tpcdi_spark.operators import similarity as S
 from dbt_tpcdi_spark.operators import text as X
 from dbt_tpcdi_spark.queries import query
 from dbt_tpcdi_spark.sources.parquet import load_table
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a small-file scan across all cores.
-
-    The testdata ships one parquet file per table; below
-    ``maxPartitionBytes`` that scan is a single partition, so a
-    CPU-heavy projection (16 minhash transforms, bitset packing) runs
-    on one core no matter how many the session has. At real scale the
-    table is many files and this is a no-op-sized shuffle; locally it
-    is the difference between 1× and 32× parallelism on the compute
-    stage. Row distribution does not affect any downstream result —
-    every consumer re-shuffles on its own keys."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+from dbt_tpcdi_spark.sources.parquet import spread as _spread
 
 
 # ---------------------------------------------------------------------------
@@ -916,13 +903,14 @@ def split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gopher_repetition",
     oracle=X.repetition_features_sql("documents", "doc_id"),
     tags=["llm-quality-repetition", "A1", "W-none"],
+    headline=True,
 )
 def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality rules per document: duplicate
     token/line fractions (pure array expressions) plus top-2/3-gram
     multiset share (explode + per-(doc,gram) count), with the
     is_repetitive gate a cleaning pipeline filters on."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     return X.repetition_features(d, "doc_id")
 
 
@@ -937,13 +925,14 @@ _EVAL_MOD = 23  # ~4% of docs act as the held-out eval set
         "doc_id",
     ),
     tags=["llm-decontamination", "J1"],
+    headline=True,
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 5-gram overlap of every training doc
     against a deterministic held-out eval slice (doc_id % 23 == 0 —
     standing in for a real benchmark corpus). The eval n-gram set is
     broadcast; the corpus side never shuffles its grams."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     eval_df = d.filter(F.col("doc_id") % _EVAL_MOD == 0)
     train = d.filter(F.col("doc_id") % _EVAL_MOD != 0)
     return X.contamination_scores(train, eval_df, "doc_id")
@@ -980,7 +969,7 @@ def quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards by language; for open-ended group sizes at 100 TB swap the
     exact rank for a two-pass approx_percentile threshold (same
     filter, no per-group sort)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     scored = X.quality_features(d.select("doc_id", "lang", "text")).select(
         "doc_id", "lang", "quality_score"
     )
@@ -1027,6 +1016,7 @@ _MIX_SALT = "mix|"
     WHERE r.samp_rank <= ks.k
     """,
     tags=["llm-mixture-sampling", "A1", "W3"],
+    headline=True,
 )
 def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling: downsample each source to exact
@@ -1088,6 +1078,7 @@ _KMEANS_SQL = S.kmeans_sql("embeddings", "vec_id", "embedding", dim=64,
     FROM km LEFT JOIN dropped d ON km.vec_id = d.id_b
     """,
     tags=["llm-semdedup", "iterative", "J8"],
+    headline=True,
 )
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup (Abbas et al. 2023 shape): k-means the embedding space,
@@ -1096,7 +1087,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     space to O(n²/k), and k grows with corpus size so cluster width
     stays constant. Composes two already-gated operators (deterministic
     quantized k-means + integer cosine)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
     km = S.kmeans_quantized(e, "vec_id", "embedding", k=4, iters=3).select(
         "vec_id", "cluster", "embedding"
     )
@@ -1120,4 +1111,41 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", "cluster", F.col("__d").isNull().alias("is_kept")
         )
+    )
+
+
+_SPLIT_SALT = "split|"
+
+
+@query(
+    "dataset_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN {hash_sample_sql('doc_id', 0.90, salt=_SPLIT_SALT)}
+                    THEN 'train'
+                    WHEN {hash_sample_sql('doc_id', 0.95, salt=_SPLIT_SALT)}
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM assigned GROUP BY 1, 2
+    """,
+    tags=["llm-dataset-split", "A1"],
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment from the md5
+    bucket of doc_id — stable under reruns, repartitioning, and
+    cluster resizes (df.randomSplit is none of those). Nested CASE on
+    the same hash keeps the three splits disjoint by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(hash_sample(F.col("doc_id"), 0.90, salt=_SPLIT_SALT), "train")
+        .when(hash_sample(F.col("doc_id"), 0.95, salt=_SPLIT_SALT), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
     )

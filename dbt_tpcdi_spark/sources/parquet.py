@@ -84,3 +84,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a small-file scan across all cores.
+
+    Below ``maxPartitionBytes`` a single-file table scans as ONE
+    partition, so any CPU-heavy projection or explode over it runs on
+    one core regardless of session size. At real scale the table is
+    many files and this shuffle is noise; locally it is the difference
+    between 1× and N× parallelism on the compute stage. Downstream
+    results are unaffected — every consumer re-shuffles on its own
+    keys."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
