@@ -147,3 +147,110 @@ def components_sql(
     )
     SELECT node, min(lbl) AS component FROM reach GROUP BY node
     """
+
+
+# ---------------------------------------------------------------------------
+# PageRank (quantized-integer, fixed iterations)
+
+PR_SCALE = 1_000_000  # rank unit: 1.0 == 10^6
+#: damping 0.85 as the exact rational 17/20 — multiplications stay in
+#: integer arithmetic so iteration results are bit-identical on any
+#: engine or partitioning (floating-point damping would accumulate
+#: summation-order drift across engines).
+PR_D_NUM, PR_D_DEN = 17, 20
+
+
+def pagerank_quantized(
+    edges: DataFrame, iters: int = 3
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (``src``,
+    ``dst``), all math in scaled integers:
+
+        r'(v) = (3·SCALE) div 20  +  (17 · Σ_{u→v} (r(u) div out(u))) div 20
+
+    Per iteration: one equi-join of ranks onto the (pre-degreed) edge
+    list + one map-side-combined sum by dst — the exact shape MLlib's
+    PageRank lowers to, with no driver-side data movement at all.
+    Integer contributions make the sum order-independent, so the
+    result is deterministic under AQE re-partitioning and matches the
+    DuckDB twin (``pagerank_sql``) bit-for-bit. Fixed ``iters`` keeps
+    the computation SQL-unrollable; nodes with no outgoing edges
+    contribute nothing (their mass evaporates — the standard
+    simplification when ranks are compared, not summed).
+
+    Returns (node, rank_q): every node that appears as src or dst,
+    with its scaled-integer rank after ``iters`` iterations from a
+    uniform SCALE start.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+    fan = edges.join(deg, "src")  # (src, dst, __deg); degree never changes
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("rank_q", F.lit(PR_SCALE).cast("bigint"))
+    teleport = (3 * PR_SCALE) // PR_D_DEN
+    for _ in range(iters):
+        contrib = (
+            fan.join(ranks, fan["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_q div __deg").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({PR_D_NUM} * coalesce(__in, 0)) div {PR_D_DEN}"
+                    )
+                ).cast("bigint").alias("rank_q"),
+            )
+        )
+        # flatten the lineage each round (durable checkpoint() on a
+        # real cluster); keeps the per-iteration plan two shuffles
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def pagerank_sql(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB twin: the same iterations unrolled as chained CTEs over
+    an ``edges_sql`` subquery producing (src, dst)."""
+    teleport = (3 * PR_SCALE) // PR_D_DEN
+    ctes = [
+        f"__e AS (SELECT src, dst FROM ({edges_sql}))",
+        """__deg AS (SELECT src, count(*) AS deg FROM __e GROUP BY 1)""",
+        """__nodes AS (
+            SELECT src AS node FROM __e
+            UNION SELECT dst FROM __e
+        )""",
+        f"""__r0 AS (
+            SELECT node, cast({PR_SCALE} AS bigint) AS rank_q FROM __nodes
+        )""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""__c{i} AS (
+            SELECT e.dst AS node,
+                   sum(r.rank_q // d.deg) AS inflow
+            FROM __e e
+            JOIN __deg d ON d.src = e.src
+            JOIN __r{i} r ON r.node = e.src
+            GROUP BY 1
+        )""")
+        ctes.append(f"""__r{i + 1} AS (
+            SELECT n.node,
+                   cast({teleport}
+                        + ({PR_D_NUM} * coalesce(c.inflow, 0)) // {PR_D_DEN}
+                        AS bigint) AS rank_q
+            FROM __nodes n LEFT JOIN __c{i} c ON n.node = c.node
+        )""")
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, rank_q FROM __r{iters}"
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from dbt_tpcdi_spark.functions.scalar import round4
 from dbt_tpcdi_spark.operators import dedup as D
+from dbt_tpcdi_spark.operators import graph as G
 from dbt_tpcdi_spark.operators import layout as L
 from dbt_tpcdi_spark.queries import query
 from dbt_tpcdi_spark.sources.parquet import load_table
@@ -772,3 +773,38 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("supp_max"),
         )
     )
+
+
+_PR_OFFSET = 1_000_000_000  # order-node ids, disjoint from part ids
+
+_PR_EDGES_SQL = f"""
+    SELECT l_orderkey + {_PR_OFFSET} AS src, l_partkey AS dst FROM lineitem
+    UNION ALL
+    SELECT l_partkey AS src, l_orderkey + {_PR_OFFSET} AS dst FROM lineitem
+"""
+
+
+@query(
+    "pagerank_parts",
+    oracle=G.pagerank_sql(_PR_EDGES_SQL, iters=3),
+    tags=["graph-pagerank", "iterative", "J1", "A1"],
+)
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the bipartite order↔part graph (both
+    directions, multigraph): 3 fixed iterations of quantized-integer
+    rank flow — the iterative-join workload pattern (join ranks onto
+    edges, sum by destination, repeat) at graph scale. The DuckDB twin
+    unrolls identical iterations, so ranks match bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = li.select(
+        (F.col("l_orderkey") + _PR_OFFSET).alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    ).unionAll(
+        li.select(
+            F.col("l_partkey").cast("long").alias("src"),
+            (F.col("l_orderkey") + _PR_OFFSET).alias("dst"),
+        )
+    )
+    return G.pagerank_quantized(edges, iters=3)
