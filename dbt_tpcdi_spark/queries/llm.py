@@ -1089,20 +1089,31 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized k-means + integer cosine)."""
     e = _spread(load_table(spark, sf_dir, "embeddings"))
     km = S.kmeans_quantized(e, "vec_id", "embedding", k=4, iters=3).select(
-        "vec_id", "cluster", "embedding"
+        "vec_id", "cluster", "embedding",
+        # per-vector norm ONCE: qcosine recomputes both norms per pair,
+        # which is 2/3 of the pairwise work — hoisting them out of the
+        # join leaves only the dot product per pair
+        S.qnorm2(F.col("embedding")).alias("__n2"),
     )
+    # materialize the assignment once (tiny: one row per vector) so the
+    # self-join reads it twice instead of compiling + computing the
+    # literal-centroid argmin twice; checkpoint() on a real cluster
+    km = km.localCheckpoint(eager=True)
     a, b = km.alias("a"), km.alias("b")
+    qcos = round4(
+        S.qdot(F.col("a.embedding"), F.col("b.embedding"))
+        / (
+            F.sqrt(F.col("a.__n2").cast("double"))
+            * F.sqrt(F.col("b.__n2").cast("double"))
+        )
+    )
     pairs = (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("b.vec_id").alias("id_b"),
-            S.qcosine(F.col("a.embedding"), F.col("b.embedding"))
-            .alias("qcos"),
-        )
+        .select(F.col("b.vec_id").alias("id_b"), qcos.alias("qcos"))
         .filter(F.col("qcos") >= _SEMDEDUP_THRESHOLD)
     )
     dropped = pairs.select("id_b").distinct().withColumn("__d", F.lit(1))
