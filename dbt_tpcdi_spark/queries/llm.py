@@ -19,6 +19,7 @@ from dbt_tpcdi_spark.functions.scalar import (
     round4_sql,
     stratified_sample_sql,
 )
+from dbt_tpcdi_spark.operators import bpe as B
 from dbt_tpcdi_spark.operators import dedup as D
 from dbt_tpcdi_spark.operators import graph as G
 from dbt_tpcdi_spark.operators import multimodal as M
@@ -1160,3 +1161,20 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
     )
+
+
+@query(
+    "bpe_vocab",
+    oracle=B.bpe_vocab_sql("documents", "text", merges=4),
+    tags=["llm-bpe", "iterative", "A1"],
+)
+def bpe_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (4 merges) over the documents corpus:
+    corpus collapses to the distinct-word count table once, then every
+    merge iteration is vocabulary-sized — pair counts via explode +
+    map-side-combined sum, top pair via TakeOrderedAndProject, merge
+    via a left-to-right string replace (exactly BPE's greedy order).
+    The DuckDB twin unrolls identical steps, so the learned vocabulary
+    matches bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    return B.bpe_vocab(d, "text", merges=4)
