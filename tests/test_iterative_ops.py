@@ -1,0 +1,93 @@
+"""Edge-case units for the iterative operators (PageRank, BPE): the
+failure modes fixtures can't hit — dangling nodes, merge cascades,
+tie-breaks, partitioning invariance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.operators.bpe import bpe_train, bpe_vocab
+from dbt_tpcdi_spark.operators.graph import PR_SCALE, pagerank_quantized
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_dangling_node_keeps_teleport_only(spark):
+    # 1 -> 2; node 2 has no out-edges (dangling): after one iteration
+    # its rank is teleport + damped inflow; node 1 gets teleport only
+    r = {
+        row["node"]: row["rank_q"]
+        for row in pagerank_quantized(
+            _edges(spark, [(1, 2)]), iters=1
+        ).collect()
+    }
+    teleport = (3 * PR_SCALE) // 20
+    assert r[1] == teleport
+    assert r[2] == teleport + (17 * PR_SCALE) // 20
+
+
+def test_pagerank_symmetric_pair_is_stationary(spark):
+    # 1 <-> 2: uniform start is the fixed point; ranks must stay at
+    # ~SCALE for every iteration count (up to integer floor loss)
+    for iters in (1, 3):
+        rows = pagerank_quantized(
+            _edges(spark, [(1, 2), (2, 1)]), iters=iters
+        ).collect()
+        for row in rows:
+            assert abs(row["rank_q"] - PR_SCALE) <= 2, rows
+
+
+def test_pagerank_partitioning_invariant(spark):
+    edges = _edges(
+        spark, [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (4, 2)]
+    )
+    a = {
+        (r["node"], r["rank_q"])
+        for r in pagerank_quantized(edges, iters=3).collect()
+    }
+    b = {
+        (r["node"], r["rank_q"])
+        for r in pagerank_quantized(edges.repartition(7), iters=3).collect()
+    }
+    assert a == b
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(t,) for t in texts], "text string")
+
+
+def test_bpe_merge_is_left_to_right_nonoverlapping(spark):
+    # 'aaa' with top pair (a,a) must segment as [aa, a], not [a, aa]
+    merges, w = bpe_train(_docs(spark, ["aaa aaa"]), "text", merges=1)
+    assert merges[0][0] == "a a"
+    sp = w.filter(F.col("word") == "aaa").collect()[0]["sp"]
+    assert sp == "aa a"
+
+
+def test_bpe_tie_break_is_lexicographic(spark):
+    # 'ab' and 'cd' both occur once: pair counts tie; 'a b' < 'c d'
+    merges, _ = bpe_train(_docs(spark, ["ab cd"]), "text", merges=1)
+    assert merges[0][0] == "a b"
+
+
+def test_bpe_single_char_corpus_stops_cleanly(spark):
+    merges, w = bpe_train(_docs(spark, ["a b a"]), "text", merges=3)
+    assert merges == []
+    vocab = {
+        r["symbol"]: r["n_occurrences"]
+        for r in bpe_vocab(_docs(spark, ["a b a"]), "text", merges=3).collect()
+    }
+    assert vocab == {"a": 2, "b": 1}
+
+
+def test_bpe_merge_count_and_cascade(spark):
+    # frequent word: merges should cascade into longer symbols
+    merges, w = bpe_train(
+        _docs(spark, ["the the the cat"]), "text", merges=3
+    )
+    assert [m[0] for m in merges] == ["h e", "t he", "a t"]
+    sp = {r["word"]: r["sp"] for r in w.collect()}
+    assert sp["the"] == "the"
+    assert sp["cat"] == "c at"
