@@ -191,7 +191,12 @@ def pagerank_quantized(
     )
     ranks = nodes.withColumn("rank_q", F.lit(PR_SCALE).cast("bigint"))
     teleport = (3 * PR_SCALE) // PR_D_DEN
-    for _ in range(iters):
+    for it in range(iters):
+        # flatten lineage BETWEEN rounds (durable checkpoint() on a
+        # real cluster) so the plan stays two shuffles per iteration;
+        # the final iteration returns a live plan, not a checkpoint
+        if it:
+            ranks = ranks.localCheckpoint(eager=True)
         contrib = (
             fan.join(ranks, fan["src"] == ranks["node"])
             .select(
@@ -213,9 +218,6 @@ def pagerank_quantized(
                 ).cast("bigint").alias("rank_q"),
             )
         )
-        # flatten the lineage each round (durable checkpoint() on a
-        # real cluster); keeps the per-iteration plan two shuffles
-        ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
