@@ -112,7 +112,9 @@ def main() -> None:
         prep["x10_replicate"] = round(time.perf_counter() - t0, 3)
 
         x10_queries = ("pricing_summary", "revenue_by_nation",
-                       "temporal_join_agg", "sessionize", "ann_topk")
+                       "temporal_join_agg", "sessionize", "ann_topk",
+                       "contamination_check", "mixture_sample",
+                       "pagerank_parts")
         for name in x10_queries:
             df = all_queries()[name].build(spark, x10_dir)
             _timed(probes, f"x10:{name}", df)
@@ -125,7 +127,8 @@ def main() -> None:
             # this probe exists to catch.
             df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
-            if name in ("revenue_by_nation", "temporal_join_agg"):
+            if name in ("revenue_by_nation", "temporal_join_agg",
+                        "contamination_check"):
                 plan_checks[f"x10_{name}_broadcasts"] = (
                     "BroadcastHashJoin" in plan)
             plan_checks[f"x10_{name}_no_cartesian"] = (

@@ -86,6 +86,7 @@ REPLICATE_SHIFTS: dict[str, list[str]] = {
     "customer": ["c_custkey"],
     "events": ["user_id"],
     "embeddings": ["vec_id"],
+    "documents": ["doc_id"],
 }
 REPLICATE_COPY = ("nation", "region", "supplier", "part")
 
