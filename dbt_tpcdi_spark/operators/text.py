@@ -531,21 +531,41 @@ def ngram_list_sql(col: str, n: int) -> str:
     )
 
 
-def _top_ngram_frac(
-    df: DataFrame, id_col: str, text_col: str, n: int, out: str
-) -> DataFrame:
-    """(id, out): count of the most frequent n-gram over total n-grams
-    per doc — one explode + one map-side-combined shuffle keyed by
-    (doc, gram), then a per-doc max. Work is O(total grams); no
-    all-pairs anything."""
-    grams = df.select(
-        F.col(id_col),
-        F.explode(ngram_list(F.col(text_col), n)).alias("__g"),
+def _max_multiplicity(arr: Column) -> Column:
+    """Count of the most frequent element of ``arr`` — the longest run
+    of equal values in the SORTED array, computed by a single fold:
+    pure projection, no explode, no shuffle. acc = (prev, run, best)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
-    per_gram = grams.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
-    return per_gram.groupBy(id_col).agg(
-        round4(F.max("__c") / F.sum("__c")).alias(out)
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(
+        F.sort_array(arr), zero, step, lambda acc: acc["best"]
     )
+
+
+def _top_ngram_frac(df: DataFrame, text_col: str, n: int) -> Column:
+    """Share of the doc's n-gram multiset taken by its most frequent
+    n-gram, as a pure Column expression — repetition scoring stays at
+    scan bandwidth (the explode + per-(doc,gram) shuffle formulation
+    this replaces moved every gram string through an exchange)."""
+    grams = ngram_list(F.col(text_col), n)
+    return F.when(
+        F.size(grams) > 0,
+        round4(_max_multiplicity(grams) / F.size(grams)),
+    ).otherwise(F.lit(0.0))
 
 
 def repetition_features(
@@ -561,10 +581,11 @@ def repetition_features(
       n-gram multiset taken by its most frequent n-gram;
     - ``is_repetitive``: any measure over its Gopher threshold.
 
-    The array-expression features stay in whole-stage codegen; the two
-    n-gram measures are explode + per-(doc,gram) count + per-doc max —
-    linear in corpus token count, shuffle keyed by doc so it shards
-    across executors at any scale.
+    Every measure is a pure array expression — the whole operator is
+    one shuffle-free projection over the scan (the top-n-gram share
+    folds over the sorted gram array instead of exploding to a
+    per-(doc, gram) count), so repetition filtering runs at scan
+    bandwidth at any corpus size.
     """
     c = F.col(text_col)
     toks = tokens(c)
@@ -579,21 +600,13 @@ def repetition_features(
         n_lines > 0,
         round4((n_lines - F.size(F.array_distinct(lines))) / n_lines),
     ).otherwise(F.lit(0.0))
-    base = df.select(
+    out = df.select(
         F.col(id_col),
         n_tokens.cast("bigint").alias("n_tokens"),
         dup_tok.alias("dup_token_frac"),
         dup_line.alias("dup_line_frac"),
-    )
-    g2 = _top_ngram_frac(df, id_col, text_col, 2, "top_2gram_frac")
-    g3 = _top_ngram_frac(df, id_col, text_col, 3, "top_3gram_frac")
-    out = (
-        base.join(g2, id_col, "left")
-        .join(g3, id_col, "left")
-        .withColumn("top_2gram_frac",
-                    F.coalesce("top_2gram_frac", F.lit(0.0)))
-        .withColumn("top_3gram_frac",
-                    F.coalesce("top_3gram_frac", F.lit(0.0)))
+        _top_ngram_frac(df, text_col, 2).alias("top_2gram_frac"),
+        _top_ngram_frac(df, text_col, 3).alias("top_3gram_frac"),
     )
     return out.withColumn(
         "is_repetitive",
