@@ -56,7 +56,8 @@ def main() -> None:
 
     # Warm up the JVM / parquet footers so per-query numbers measure the
     # plans, not first-touch costs.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
     times: dict[str, float] = {}
     for name, q in sorted(queries.items()):

@@ -91,3 +91,18 @@ def test_bpe_merge_count_and_cascade(spark):
     sp = {r["word"]: r["sp"] for r in w.collect()}
     assert sp["the"] == "the"
     assert sp["cat"] == "c at"
+
+
+def test_max_multiplicity_fold(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators.text import _max_multiplicity
+
+    df = spark.createDataFrame(
+        [(["a"],), (["a", "a", "a"],), (["a", "b", "a", "b", "b"],), ([],)],
+        "arr array<string>",
+    )
+    got = [
+        r["m"] for r in df.select(_max_multiplicity(F.col("arr")).alias("m")).collect()
+    ]
+    assert got == [1, 3, 3, 0]
