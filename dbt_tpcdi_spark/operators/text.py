@@ -763,3 +763,99 @@ def contamination_scores_sql(
                AS is_contaminated
     FROM ({from_sql}) d LEFT JOIN per_doc p USING ({id_col})
     """
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM fluency scoring (the KenLM-filter shape, integer-exact)
+
+LM_Q = 10000  # probability quantization: q(p) = floor(p * 10^4)
+
+
+def lm_fluency(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score per document — the shape
+    of perplexity-based quality filtering (CCNet/KenLM) without the
+    external model: train bigram statistics on the corpus itself, score
+    each doc by its mean quantized bigram probability.
+
+    score_q = floor( Σ_bigrams (LM_Q·c(w1 w2)) div c(w1) / n_bigrams )
+
+    All statistics are exact integer counts and every probability is
+    quantized by integer division BEFORE summation, so the score is
+    order-independent and bit-identical cross-engine (a log-prob
+    perplexity would hit libm divergence; the mean-probability form
+    ranks documents the same way for filtering purposes).
+
+    Plan: one explode for bigram counts (map-side combined), one for
+    unigram counts, an equi-join of doc bigrams onto the stats (AQE
+    broadcasts bounded vocabularies; open vocab shuffles on the gram —
+    never on docs²), and a per-doc re-aggregation.
+
+    Output: (id, n_bigrams, fluency_q) — higher = more in-distribution.
+    """
+    bigrams = df.select(
+        F.col(id_col), F.explode(ngram_list(F.col(text_col), 2)).alias("__g")
+    )
+    c2 = bigrams.groupBy("__g").agg(F.count("*").alias("__c2"))
+    c1 = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count("*").alias("__c1"))
+    )
+    stats = c2.withColumn(
+        "__w", F.substring_index(F.col("__g"), " ", 1)
+    ).join(c1, "__w").select(
+        "__g", F.expr(f"({LM_Q} * __c2) div __c1").alias("__q")
+    )
+    per_doc = (
+        bigrams.join(stats, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("sum(__q) div count(*)").alias("fluency_q"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+            .alias("n_bigrams"),
+            F.coalesce("fluency_q", F.lit(0)).cast("bigint")
+            .alias("fluency_q"),
+        )
+    )
+
+
+def lm_fluency_sql(
+    from_table: str, id_col: str, text_col: str = "text"
+) -> str:
+    grams = ngram_list_sql(text_col, 2)
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH bigrams AS (
+        SELECT {id_col}, unnest({grams}) AS g FROM {from_table}
+    ),
+    c2 AS (SELECT g, count(*) AS c2 FROM bigrams GROUP BY 1),
+    c1 AS (
+        SELECT w, count(*) AS c1 FROM (
+            SELECT unnest({toks}) AS w FROM {from_table}
+        ) GROUP BY 1
+    ),
+    stats AS (
+        SELECT c2.g, ({LM_Q} * c2.c2) // c1.c1 AS q
+        FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.w
+    ),
+    per_doc AS (
+        SELECT b.{id_col}, count(*) AS n_bigrams,
+               sum(s.q) // count(*) AS fluency_q
+        FROM bigrams b JOIN stats s USING (g)
+        GROUP BY 1
+    )
+    SELECT d.{id_col},
+           cast(coalesce(p.n_bigrams, 0) AS bigint) AS n_bigrams,
+           cast(coalesce(p.fluency_q, 0) AS bigint) AS fluency_q
+    FROM {from_table} d LEFT JOIN per_doc p USING ({id_col})
+    """

@@ -1178,3 +1178,17 @@ def bpe_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
     return B.bpe_vocab(d, "text", merges=4)
+
+
+@query(
+    "lm_fluency",
+    oracle=X.lm_fluency_sql("documents", "doc_id"),
+    tags=["llm-lm-filter", "A1", "J1"],
+)
+def lm_fluency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring (the perplexity-filter shape): train
+    exact bigram statistics on the corpus, score each doc by its mean
+    quantized bigram probability — integer-exact end to end, so the
+    filter is reproducible on any cluster and across engines."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    return X.lm_fluency(d, "doc_id")
