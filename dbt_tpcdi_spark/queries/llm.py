@@ -1192,3 +1192,83 @@ def lm_fluency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter is reproducible on any cluster and across engines."""
     d = _spread(load_table(spark, sf_dir, "documents"))
     return X.lm_fluency(d, "doc_id")
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH rep AS ({X.repetition_features_sql('documents', 'doc_id')}),
+    survivors AS (
+        SELECT d.doc_id, d.lang, d.text
+        FROM documents d JOIN rep USING (doc_id)
+        WHERE NOT rep.is_repetitive
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               {X.quality_features_sql('text')['quality_score']}
+                   AS quality_score,
+               {X.fingerprint_sql('text')} AS fp
+        FROM survivors
+    ),
+    gated AS (
+        SELECT * FROM (
+            SELECT *, {round4_sql('''percent_rank() OVER (
+                       PARTITION BY lang
+                       ORDER BY quality_score, doc_id)''')} AS qrank
+            FROM scored
+        ) WHERE qrank >= 0.25
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY fp ORDER BY doc_id) AS fp_rn
+            FROM gated
+        ) WHERE fp_rn = 1
+    )
+    SELECT CASE WHEN {hash_sample_sql('doc_id', 0.90, salt=_SPLIT_SALT)}
+                THEN 'train'
+                WHEN {hash_sample_sql('doc_id', 0.95, salt=_SPLIT_SALT)}
+                THEN 'val' ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM deduped GROUP BY 1, 2
+    """,
+    tags=["llm-curation-pipeline", "W3", "A3", "A1"],
+    headline=True,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation pipeline END-TO-END: Gopher repetition
+    filter → per-language quality-quantile gate → exact dedup (first
+    doc per fingerprint) → deterministic train/val/test split, reported
+    as per-(split, lang) counts. Every stage is an already-gated
+    operator; this query proves they COMPOSE — which is what a user
+    actually runs, and each stage keeps the scale shape it was built
+    with (projection / windowed gate / hash groupBy / hash split)."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    rep = X.repetition_features(d, "doc_id").filter(~F.col("is_repetitive"))
+    survivors = d.join(rep.select("doc_id"), "doc_id")
+    scored = X.quality_features(
+        survivors.select("doc_id", "lang", "text")
+    ).select(
+        "doc_id", "lang", "quality_score",
+        X.fingerprint(F.col("text")).alias("fp"),
+    )
+    qw = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    gated = (
+        scored.withColumn("qrank", round4(F.percent_rank().over(qw)))
+        .filter(F.col("qrank") >= 0.25)
+    )
+    fpw = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("fp_rn", F.row_number().over(fpw))
+        .filter(F.col("fp_rn") == 1)
+    )
+    split = (
+        F.when(hash_sample(F.col("doc_id"), 0.90, salt=_SPLIT_SALT), "train")
+        .when(hash_sample(F.col("doc_id"), 0.95, salt=_SPLIT_SALT), "val")
+        .otherwise("test")
+    )
+    return (
+        deduped.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
