@@ -808,3 +808,36 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return G.pagerank_quantized(edges, iters=3)
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           cast(grouping(o_orderstatus) AS int) AS g_status,
+           cast(grouping(o_orderpriority) AS int) AS g_priority,
+           count(*) AS n,
+           cast(round(sum(cast(o_totalprice AS {MONEY})), 2) AS double)
+               AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+    tags=["ext-grouping-sets", "A1"],
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the cube/rollup generalization) with
+    grouping() markers disambiguating real NULL group keys from
+    superaggregate rows — one Expand + one shuffle, same as cube."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               cast(grouping(o_orderstatus) AS int) AS g_status,
+               cast(grouping(o_orderpriority) AS int) AS g_priority,
+               count(*) AS n,
+               cast(round(sum(cast(o_totalprice AS {MONEY})), 2) AS double)
+                   AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+    """)
