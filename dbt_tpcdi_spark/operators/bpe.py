@@ -13,9 +13,14 @@ production BPE trainers run, and why this fits Spark:
 - **Top pair**: global argmax with (count desc, pair asc) tie-break —
   ``orderBy().limit(1)`` plans TakeOrderedAndProject; the single
   winning pair becomes driver state (like k-means centroids).
-- **Merge**: ``replace(' ' || sp || ' ', ' x y ', ' xy ')`` — SQL
-  replace scans left-to-right over non-overlapping occurrences, which
-  is precisely BPE's greedy merge order. Pure projection.
+- **Merge**: symbols are joined with a TWO-space separator and the
+  padded string goes through ``replace(' x  y ', ' xy ')``. SQL
+  replace scans left-to-right over non-overlapping occurrences, and
+  the double-space separator donates one space to each adjacent
+  match, so consecutive occurrences in a run all merge in one pass —
+  'a a a a' → 'aa aa', exactly BPE's greedy merge order (a
+  single-space scheme would leave 'aa a a': the shared boundary space
+  gets consumed by the first match). Pure projection.
 
 Everything is exact string/integer work, so the DuckDB twin
 (``bpe_vocab_sql``) reproduces the training bit-for-bit with the top
@@ -35,21 +40,27 @@ from dbt_tpcdi_spark.operators.text import (
     tokens_sql,
 )
 
+#: symbol separator INSIDE a word's segmentation string. Two spaces so
+#: the single-space-padded merge pattern can match back-to-back pair
+#: occurrences (each separator donates one space to each neighbor).
+SEP = "  "
+
 
 def char_spaced(word: Column) -> Column:
-    """'cat' → 'c a t': per-char substr over a sequence — identical in
-    any engine (split-on-empty-regex is not)."""
+    """'cat' → 'c  a  t' (two-space separator — see module docstring);
+    per-char substr over a sequence — identical in any engine
+    (split-on-empty-regex is not)."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length(word)),
         lambda i: F.substring(word, i, 1),
     )
-    return F.concat_ws(" ", chars)
+    return F.concat_ws(SEP, chars)
 
 
 def char_spaced_sql(word: str) -> str:
     return (
         f"array_to_string(list_transform(range(1, len({word}) + 1), "
-        f"i -> substr({word}, i, 1)), ' ')"
+        f"i -> substr({word}, i, 1)), '{SEP}')"
     )
 
 
@@ -65,11 +76,14 @@ def word_counts(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def _merge_expr(sp: Column, pair: str) -> Column:
-    merged = pair.replace(" ", "")
+    """Apply one learned merge. ``pair`` is the 'x y' gram string; the
+    pattern uses the two-space separator so runs merge greedily."""
+    x, y = pair.split(" ")
+    merged = x + y
     return F.trim(
         F.replace(
             F.concat(F.lit(" "), sp, F.lit(" ")),
-            F.lit(f" {pair} "),
+            F.lit(f" {x}{SEP}{y} "),
             F.lit(f" {merged} "),
         )
     )
@@ -115,7 +129,9 @@ def bpe_vocab(df: DataFrame, text_col: str, merges: int = 4) -> DataFrame:
     n_occurrences) with occurrences weighted by word frequency."""
     _, w = bpe_train(df, text_col, merges)
     return (
-        w.select("wc", F.explode(F.split(F.col("sp"), " ")).alias("symbol"))
+        w.select(
+            "wc", F.explode(F.split(F.col("sp"), " +")).alias("symbol")
+        )
         .groupBy("symbol")
         .agg(F.sum("wc").cast("bigint").alias("n_occurrences"))
     )
@@ -149,7 +165,8 @@ def bpe_vocab_sql(from_table: str, text_col: str, merges: int = 4) -> str:
         ctes.append(f"""__w{i + 1} AS (
             SELECT word, wc,
                    trim(replace(' ' || sp || ' ',
-                                ' ' || (SELECT pair FROM __t{i}) || ' ',
+                                ' ' || replace((SELECT pair FROM __t{i}),
+                                               ' ', '{SEP}') || ' ',
                                 ' ' || replace((SELECT pair FROM __t{i}),
                                                ' ', '') || ' ')) AS sp
             FROM __w{i}
@@ -157,7 +174,7 @@ def bpe_vocab_sql(from_table: str, text_col: str, merges: int = 4) -> str:
     return (
         "WITH " + ", ".join(ctes)
         + f""" SELECT symbol, cast(sum(wc) AS bigint) AS n_occurrences
-        FROM (SELECT wc, unnest(string_split(sp, ' ')) AS symbol
+        FROM (SELECT wc, unnest(regexp_split_to_array(sp, ' +')) AS symbol
               FROM __w{merges})
         GROUP BY 1"""
     )

@@ -416,12 +416,15 @@ def blocked_levenshtein_sql(
     block_col: str,
     max_dist: int = 1,
 ) -> str:
+    # levenshtein is the dominant per-pair cost: compute it once in the
+    # inner projection and filter on the alias (as the Spark twin does)
     return f"""
-    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
-           a.{block_col} AS block,
-           cast(levenshtein(a.{name_col}, b.{name_col}) AS int)
-               AS edit_dist
-    FROM {from_table} a JOIN {from_table} b
-      ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
-    WHERE levenshtein(a.{name_col}, b.{name_col}) <= {max_dist}
+    SELECT * FROM (
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+               a.{block_col} AS block,
+               cast(levenshtein(a.{name_col}, b.{name_col}) AS int)
+                   AS edit_dist
+        FROM {from_table} a JOIN {from_table} b
+          ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+    ) WHERE edit_dist <= {max_dist}
     """

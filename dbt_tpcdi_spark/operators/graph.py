@@ -183,11 +183,15 @@ def pagerank_quantized(
     uniform SCALE start.
     """
     deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
-    fan = edges.join(deg, "src")  # (src, dst, __deg); degree never changes
+    # materialize the degreed edge list and node set ONCE (checkpoint()
+    # on a real cluster): every iteration's action would otherwise
+    # re-scan the edges and re-aggregate degrees through the lineage
+    fan = edges.join(deg, "src").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.withColumn("rank_q", F.lit(PR_SCALE).cast("bigint"))
     teleport = (3 * PR_SCALE) // PR_D_DEN

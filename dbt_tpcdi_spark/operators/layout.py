@@ -31,12 +31,20 @@ ZORDER_BITS = 16
 def zorder_value(x: Column, y: Column, bits: int = ZORDER_BITS) -> Column:
     """Interleave the low ``bits`` bits of two non-negative ints:
     bit i of x lands at position 2i, bit i of y at 2i+1. Pure
-    projection — 2·bits shift/mask terms, all inside codegen."""
+    projection — 2·bits shift/mask terms, all inside codegen.
+
+    Inputs are widened to bigint FIRST: on a 32-bit int column,
+    ``<< 31`` (bit 15 of y with the default 16 bits) wraps to
+    Integer.MIN_VALUE and corrupts the sort key inside the documented
+    input domain."""
+    xl, yl = x.cast("bigint"), y.cast("bigint")
     terms = []
     for i in range(bits):
-        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
         terms.append(
-            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            F.shiftleft(F.shiftright(xl, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(yl, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         )
     out = terms[0]
     for t in terms[1:]:
@@ -45,10 +53,11 @@ def zorder_value(x: Column, y: Column, bits: int = ZORDER_BITS) -> Column:
 
 
 def zorder_value_sql(x: str, y: str, bits: int = ZORDER_BITS) -> str:
+    xl, yl = f"cast({x} AS bigint)", f"cast({y} AS bigint)"
     terms = []
     for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({xl} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yl} >> {i}) & 1) << {2 * i + 1})")
     return "cast((" + " + ".join(terms) + ") AS bigint)"
 
 

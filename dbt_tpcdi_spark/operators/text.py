@@ -556,7 +556,7 @@ def _max_multiplicity(arr: Column) -> Column:
     )
 
 
-def _top_ngram_frac(df: DataFrame, text_col: str, n: int) -> Column:
+def _top_ngram_frac(text_col: str, n: int) -> Column:
     """Share of the doc's n-gram multiset taken by its most frequent
     n-gram, as a pure Column expression — repetition scoring stays at
     scan bandwidth (the explode + per-(doc,gram) shuffle formulation
@@ -605,8 +605,8 @@ def repetition_features(
         n_tokens.cast("bigint").alias("n_tokens"),
         dup_tok.alias("dup_token_frac"),
         dup_line.alias("dup_line_frac"),
-        _top_ngram_frac(df, text_col, 2).alias("top_2gram_frac"),
-        _top_ngram_frac(df, text_col, 3).alias("top_3gram_frac"),
+        _top_ngram_frac(text_col, 2).alias("top_2gram_frac"),
+        _top_ngram_frac(text_col, 3).alias("top_3gram_frac"),
     )
     return out.withColumn(
         "is_repetitive",
@@ -859,3 +859,45 @@ def lm_fluency_sql(
            cast(coalesce(p.fluency_q, 0) AS bigint) AS fluency_q
     FROM {from_table} d LEFT JOIN per_doc p USING ({id_col})
     """
+
+
+# ---------------------------------------------------------------------------
+# per-group quality-quantile gating (shared by quantile_filter and the
+# curation pipeline — one definition so thresholds/tie-breaks can't drift)
+
+QUALITY_QUANTILE_MIN = 0.25
+
+
+def quality_quantile_gate(
+    scored: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep rows at or above the QUALITY_QUANTILE_MIN percent_rank of
+    ``score_col`` within each group — exact, deterministic under ties
+    via the (score, id) total order; appends ``qrank``. At open-ended
+    group sizes swap in a two-pass approx_percentile threshold."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    return scored.withColumn(
+        "qrank", round4(F.percent_rank().over(w))
+    ).filter(F.col("qrank") >= QUALITY_QUANTILE_MIN)
+
+
+def quality_quantile_gate_sql(
+    inner_sql: str,
+    group_col: str = "lang",
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: SELECT * + qrank from ``inner_sql``, gated."""
+    rank = round4_sql(
+        f"percent_rank() OVER (PARTITION BY {group_col} "
+        f"ORDER BY {score_col}, {id_col})"
+    )
+    return (
+        f"SELECT * FROM (SELECT *, {rank} AS qrank FROM ({inner_sql})) "
+        f"WHERE qrank >= {QUALITY_QUANTILE_MIN}"
+    )

@@ -908,21 +908,30 @@ def split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality rules per document: duplicate
-    token/line fractions (pure array expressions) plus top-2/3-gram
-    multiset share (explode + per-(doc,gram) count), with the
-    is_repetitive gate a cleaning pipeline filters on."""
+    token/line fractions and top-2/3-gram multiset share, ALL as pure
+    array expressions (the top-gram share folds over the sorted gram
+    array — no explode, no shuffle), with the is_repetitive gate a
+    cleaning pipeline filters on."""
     d = _spread(load_table(spark, sf_dir, "documents"))
     return X.repetition_features(d, "doc_id")
 
 
-_EVAL_MOD = 23  # ~4% of docs act as the held-out eval set
+_EVAL_MOD = 23  # ~4% of docs act as the held-out eval set...
+_EVAL_MAX_ID = 230_000  # ...capped at 10k docs: the eval slice stands
+# in for a real benchmark corpus, which is FIXED-size — the cap keeps
+# the broadcast n-gram set bounded no matter how large the corpus
+# grows (an uncapped %-slice would scale with the corpus and
+# eventually overflow the broadcast)
 
 
 @query(
     "contamination_check",
     oracle=X.contamination_scores_sql(
-        f"SELECT * FROM documents WHERE doc_id % {_EVAL_MOD} != 0",
-        f"SELECT * FROM documents WHERE doc_id % {_EVAL_MOD} = 0",
+        f"""SELECT * FROM documents
+            WHERE NOT (doc_id % {_EVAL_MOD} = 0
+                       AND doc_id < {_EVAL_MAX_ID})""",
+        f"""SELECT * FROM documents
+            WHERE doc_id % {_EVAL_MOD} = 0 AND doc_id < {_EVAL_MAX_ID}""",
         "doc_id",
     ),
     tags=["llm-decontamination", "J1"],
@@ -934,32 +943,29 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing in for a real benchmark corpus). The eval n-gram set is
     broadcast; the corpus side never shuffles its grams."""
     d = _spread(load_table(spark, sf_dir, "documents"))
-    eval_df = d.filter(F.col("doc_id") % _EVAL_MOD == 0)
-    train = d.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    is_eval = (F.col("doc_id") % _EVAL_MOD == 0) & (
+        F.col("doc_id") < _EVAL_MAX_ID
+    )
+    eval_df = d.filter(is_eval)
+    train = d.filter(~is_eval)
     return X.contamination_scores(train, eval_df, "doc_id")
 
 
 # ---------------------------------------------------------------------------
 # corpus curation: quantile gating, mixture resampling, semantic dedup
 
+_SCORED_DOCS_SQL = f"""
+    SELECT doc_id, lang,
+           {X.quality_features_sql('text')['quality_score']}
+               AS quality_score
+    FROM documents"""
+
 
 @query(
     "quantile_filter",
     oracle=f"""
-    WITH scored AS (
-        SELECT doc_id, lang,
-               {X.quality_features_sql('text')['quality_score']}
-                   AS quality_score
-        FROM documents
-    ),
-    ranked AS (
-        SELECT *, {round4_sql('''percent_rank() OVER (
-                   PARTITION BY lang ORDER BY quality_score, doc_id)''')}
-                   AS qrank
-        FROM scored
-    )
     SELECT doc_id, lang, quality_score, qrank
-    FROM ranked WHERE qrank >= 0.25
+    FROM ({X.quality_quantile_gate_sql(_SCORED_DOCS_SQL)})
     """,
     tags=["llm-quality-quantile", "W3"],
 )
@@ -974,11 +980,7 @@ def quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = X.quality_features(d.select("doc_id", "lang", "text")).select(
         "doc_id", "lang", "quality_score"
     )
-    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
-    return (
-        scored.withColumn("qrank", round4(F.percent_rank().over(w)))
-        .filter(F.col("qrank") >= 0.25)
-    )
+    return X.quality_quantile_gate(scored)
 
 
 _MIX_SALT = "mix|"
@@ -1211,12 +1213,7 @@ def lm_fluency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM survivors
     ),
     gated AS (
-        SELECT * FROM (
-            SELECT *, {round4_sql('''percent_rank() OVER (
-                       PARTITION BY lang
-                       ORDER BY quality_score, doc_id)''')} AS qrank
-            FROM scored
-        ) WHERE qrank >= 0.25
+        {X.quality_quantile_gate_sql('SELECT * FROM scored')}
     ),
     deduped AS (
         SELECT * FROM (
@@ -1252,11 +1249,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "quality_score",
         X.fingerprint(F.col("text")).alias("fp"),
     )
-    qw = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
-    gated = (
-        scored.withColumn("qrank", round4(F.percent_rank().over(qw)))
-        .filter(F.col("qrank") >= 0.25)
-    )
+    gated = X.quality_quantile_gate(scored)
     fpw = Window.partitionBy("fp").orderBy("doc_id")
     deduped = (
         gated.withColumn("fp_rn", F.row_number().over(fpw))

@@ -58,12 +58,27 @@ def _docs(spark, texts):
     return spark.createDataFrame([(t,) for t in texts], "text string")
 
 
+def _segments(w, word):
+    import re
+
+    sp = w.filter(F.col("word") == word).collect()[0]["sp"]
+    return re.split(" +", sp)
+
+
 def test_bpe_merge_is_left_to_right_nonoverlapping(spark):
     # 'aaa' with top pair (a,a) must segment as [aa, a], not [a, aa]
     merges, w = bpe_train(_docs(spark, ["aaa aaa"]), "text", merges=1)
     assert merges[0][0] == "a a"
-    sp = w.filter(F.col("word") == "aaa").collect()[0]["sp"]
-    assert sp == "aa a"
+    assert _segments(w, "aaa") == ["aa", "a"]
+
+
+def test_bpe_merges_runs_like_reference_bpe(spark):
+    # consecutive pair occurrences all merge in ONE pass: 'aaaa' must
+    # become [aa, aa] (a single-space replace scheme leaves [aa, a, a])
+    merges, w = bpe_train(_docs(spark, ["aaaa aaaaa"]), "text", merges=1)
+    assert merges[0][0] == "a a"
+    assert _segments(w, "aaaa") == ["aa", "aa"]
+    assert _segments(w, "aaaaa") == ["aa", "aa", "a"]
 
 
 def test_bpe_tie_break_is_lexicographic(spark):
@@ -88,9 +103,8 @@ def test_bpe_merge_count_and_cascade(spark):
         _docs(spark, ["the the the cat"]), "text", merges=3
     )
     assert [m[0] for m in merges] == ["h e", "t he", "a t"]
-    sp = {r["word"]: r["sp"] for r in w.collect()}
-    assert sp["the"] == "the"
-    assert sp["cat"] == "c at"
+    assert _segments(w, "the") == ["the"]
+    assert _segments(w, "cat") == ["c", "at"]
 
 
 def test_max_multiplicity_fold(spark):

@@ -49,3 +49,23 @@ def test_zorder_write_narrow_spans(spark, tmp_path):
     probe = (global_lo + global_hi) // 2
     overlapping = sum(1 for lo, hi in spans if lo <= probe <= hi)
     assert overlapping <= max(2, len(spans) // 3), spans
+
+
+def test_zorder_value_int32_no_overflow(spark):
+    # bit 15 of a 32-bit int lands at position 31; without bigint
+    # widening the term wraps to Integer.MIN_VALUE
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (0, 40000), (40000, 40000)], "x int, y int"
+    )
+    rows = (
+        df.select("x", "y", zorder_value(F.col("x"), F.col("y")).alias("z"))
+        .orderBy("y", "x")
+        .collect()
+    )
+    zs = [r["z"] for r in rows]
+    assert all(z >= 0 for z in zs), zs
+    assert zs[0] < zs[1] < zs[2], zs
