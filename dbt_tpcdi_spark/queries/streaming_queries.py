@@ -202,3 +202,62 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(dedup, "q_streaming_dedup", output_mode="append")
     return spark.table("q_streaming_dedup")
+
+
+@query(
+    "streaming_join",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    """,
+    tags=["§2.9-streaming", "J6"],
+)
+def streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join IN the streaming engine: each
+    purchase joined to the same user's clicks in the preceding 30
+    minutes. The time bound on both inputs is what lets the engine
+    expire join state past the watermark horizon — the only state
+    shape that survives two unbounded streams. Same rows as the batch
+    interval join the oracle computes."""
+    from dbt_tpcdi_spark.streaming.ops import stream_events
+
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("p_ts", TS_FMT).alias("purchase_ts"),
+        F.date_format("c_ts", TS_FMT).alias("click_ts"),
+    )
+    run_to_memory(joined, "q_streaming_join", output_mode="append")
+    return spark.table("q_streaming_join")
