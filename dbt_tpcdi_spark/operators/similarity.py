@@ -188,23 +188,44 @@ def _qlist(vec: Column) -> Column:
     return F.transform(vec, _q)
 
 
+#: assignment switches from literal-unrolled to broadcast-join above
+#: this k: the literal plan embeds O(k·dim) expression nodes (argmin
+#: unrolled per centroid), which is free of shuffles but blows plan
+#: compilation once k leaves single digits.
+LITERAL_ASSIGN_MAX_K = 8
+
+
 def kmeans_quantized(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 4,
     iters: int = 3,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """Distributed Lloyd iterations, fully deterministic:
 
     - **Init**: centroids = the quantized vectors of the ``k``
       smallest ids (deterministic; k-means++ would add RNG).
-    - **Assign**: centroids are broadcast INTO the plan as literals
-      (the MLlib pattern — centers are driver state in every
-      distributed k-means), so assignment is a pure projection:
-      argmin over k exact integer distances with (dist, cluster)
-      lexicographic tie-break via ``array_min`` of structs. No join,
-      no shuffle.
+    - **Assign** — two plans, same arithmetic and same (dist, cluster)
+      lexicographic tie-break, selected by ``assign_mode``
+      ("literal" | "broadcast" | "auto" = literal iff k ≤
+      LITERAL_ASSIGN_MAX_K):
+
+      * ``literal`` (the MLlib pattern — centers are driver state in
+        every distributed k-means): centroids enter the plan as
+        literals, assignment is a pure projection via ``array_min``
+        of k unrolled structs. No join, no shuffle — but the plan
+        carries O(k·dim) literal expression nodes, so it caps k.
+      * ``broadcast`` (the scale-in-k path): centroids become a
+        k-row broadcast DataFrame; a broadcast nested-loop join fans
+        each row out to its k (row, centroid) pairs and a hash
+        aggregate takes ``min(struct(dist2, cluster))`` per id —
+        map-side partial aggregation collapses the k copies before
+        the exchange, so the shuffle is one row per input row, and
+        the plan size is O(1) in k. This is the path SemDedup-style
+        k ≈ n/width clustering needs (k in the hundreds+).
+
     - **Update**: one (cluster, dim) shuffle with map-side partial
       sums (``quantized_centroids``); integer-rounded means keep
       centroids bit-identical on any engine/partitioning. Empty
@@ -213,11 +234,18 @@ def kmeans_quantized(
     Per iteration the driver holds O(k·dim) integers — metadata-sized.
     Fixed ``iters`` (no convergence test) keeps the computation
     SQL-expressible for the oracle (``kmeans_sql`` unrolls the same
-    iterations as chained CTEs).
+    iterations as chained CTEs; its CROSS JOIN + QUALIFY argmin is
+    arbitrary-k already).
 
     Returns ``df`` + ``cluster`` (int) + ``dist2`` (bigint, exact
     squared distance to the winning centroid).
     """
+    if assign_mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"assign_mode={assign_mode!r}")
+    literal = (
+        assign_mode == "literal"
+        or (assign_mode == "auto" and k <= LITERAL_ASSIGN_MAX_K)
+    )
     seed = (
         df.orderBy(id_col)
         .limit(k)
@@ -241,13 +269,55 @@ def kmeans_quantized(
         ]
         return F.array_min(F.array(*structs))
 
+    def assign_broadcast(
+        base: DataFrame, centroids: dict[int, list[int]]
+    ) -> DataFrame:
+        """(base columns…, __best struct<d,c>) via broadcast join +
+        min(struct) hash aggregate. ``first()`` on the carried columns
+        is value-deterministic: all k fanned-out copies of a row are
+        identical outside the centroid columns."""
+        spark = base.sparkSession
+        cdf = spark.createDataFrame(
+            [
+                (int(cid), [int(v) for v in c])
+                for cid, c in sorted(centroids.items())
+            ],
+            schema="__cl int, __cent array<bigint>",
+        )
+        d = qdist2_int(F.col(vec_col), F.col("__cent"))
+        carried = [c for c in base.columns if c != id_col]
+        return (
+            base.join(F.broadcast(cdf))
+            .groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct(d.alias("d"), F.col("__cl").alias("c"))
+                ).alias("__best"),
+                *[F.first(c).alias(c) for c in carried],
+            )
+        )
+
     for _ in range(iters):
-        assigned = df.withColumn("__cluster", assign(cents)["c"])
+        if literal:
+            assigned = df.withColumn("__cluster", assign(cents)["c"])
+        else:
+            assigned = assign_broadcast(df, cents).withColumn(
+                "__cluster", F.col("__best")["c"]
+            )
         new = quantized_centroids(assigned, vec_col, "__cluster").collect()
         cents.update({r["__cluster"]: list(r["__centroid"]) for r in new})
 
-    best = assign(cents)
-    return df.withColumn("cluster", best["c"]).withColumn("dist2", best["d"])
+    if literal:
+        best = assign(cents)
+        return df.withColumn("cluster", best["c"]).withColumn(
+            "dist2", best["d"]
+        )
+    final = assign_broadcast(df, cents)
+    return final.select(
+        *df.columns,
+        F.col("__best")["c"].alias("cluster"),
+        F.col("__best")["d"].alias("dist2"),
+    )
 
 
 def kmeans_sql(
@@ -257,20 +327,29 @@ def kmeans_sql(
     dim: int,
     k: int = 4,
     iters: int = 3,
+    k_sql: str | None = None,
 ) -> str:
     """DuckDB twin: the same fixed Lloyd iterations unrolled as chained
     CTEs (init → [assign → update → carry-forward] × iters → final
-    assignment). Same integer arithmetic, same tie-breaks."""
+    assignment). Same integer arithmetic, same tie-breaks.
+
+    ``k_sql`` (a scalar SQL expression, e.g. a corpus-size-derived
+    subquery) replaces the literal ``k`` in the seed bound — only the
+    seed depends on k, the unrolled assign/update CTEs are
+    arbitrary-k — so the oracle tracks a Spark side that derives k
+    from the data (SemDedup's k = ⌈n / cluster_width⌉)."""
     q = (
         f"list_transform(range(1, {dim} + 1), i -> "
         f"cast(round(cast({{v}}[i] AS double) * {QUANT}) AS bigint))"
     )
     dist = qdist2_int_sql(f"e.{vec_col}", "c.centroid")
+    k_bound = f"({k_sql})" if k_sql is not None else str(k)
     ctes = [
         f"""cents_0 AS (
             SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS c,
                    {q.format(v=vec_col)} AS centroid
-            FROM (SELECT * FROM {from_table} ORDER BY {id_col} LIMIT {k})
+            FROM {from_table}
+            QUALIFY row_number() OVER (ORDER BY {id_col}) <= {k_bound}
         )"""
     ]
     for i in range(iters):

@@ -377,21 +377,27 @@ def embedding_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 64
+
+
 @query(
     "kmeans_clusters",
     oracle=S.kmeans_sql("embeddings", "vec_id", "embedding", dim=64,
-                        k=4, iters=3),
+                        k=_KMEANS_K, iters=3),
     tags=["llm-kmeans", "iterative"],
 )
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding column (3 fixed
-    iterations, k=4): broadcast-literal centroid assignment (pure
-    projection), exact integer distances, deterministic tie-breaks.
-    The oracle unrolls the identical iterations as chained CTEs."""
+    iterations, k=64): broadcast-DataFrame centroid assignment — a
+    k-row broadcast join + min(struct(dist2, cluster)) hash aggregate,
+    so the plan is O(1) in k (no literal unrolling; the literal path
+    caps at single-digit k) — exact integer distances, deterministic
+    tie-breaks. The oracle unrolls the identical iterations as chained
+    CTEs; its CROSS JOIN + QUALIFY argmin is arbitrary-k already."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.kmeans_quantized(e, "vec_id", "embedding", k=4, iters=3).select(
-        "vec_id", "cluster", "dist2"
-    )
+    return S.kmeans_quantized(
+        e, "vec_id", "embedding", k=_KMEANS_K, iters=3
+    ).select("vec_id", "cluster", "dist2")
 
 
 _CLUSTER_PAIRS_SQL = D.jaccard_pairs_sql(
@@ -1059,8 +1065,17 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_THRESHOLD = 0.4
-_KMEANS_SQL = S.kmeans_sql("embeddings", "vec_id", "embedding", dim=64,
-                           k=4, iters=3)
+#: target average cluster width: k = ⌈n / width⌉, so cluster width —
+#: and with it the within-cluster pair count n·width/2 — stays
+#: CONSTANT as the corpus grows (the SemDedup paper's k-in-the-
+#: thousands prescription). 7 ⇒ k=72 on the 500-vector correctness
+#: corpus, k=286 at bench sf0.1.
+_SEMDEDUP_WIDTH = 7
+_KMEANS_SQL = S.kmeans_sql(
+    "embeddings", "vec_id", "embedding", dim=64, iters=3,
+    k_sql=(f"SELECT (count(*) + {_SEMDEDUP_WIDTH - 1}) "
+           f"// {_SEMDEDUP_WIDTH} FROM embeddings"),
+)
 
 
 @query(
@@ -1086,12 +1101,15 @@ _KMEANS_SQL = S.kmeans_sql("embeddings", "vec_id", "embedding", dim=64,
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup (Abbas et al. 2023 shape): k-means the embedding space,
     then drop any vector with a ≥-threshold cosine neighbor of smaller
-    id *within its cluster* — the cluster assignment bounds the pair
-    space to O(n²/k), and k grows with corpus size so cluster width
-    stays constant. Composes two already-gated operators (deterministic
-    quantized k-means + integer cosine)."""
+    id *within its cluster*. k is DERIVED from the corpus — k =
+    ⌈n / _SEMDEDUP_WIDTH⌉ (one metadata-sized count) — so the
+    within-cluster pair space stays O(n·width/2), linear in n, exactly
+    the paper's k-grows-with-corpus prescription; assignment runs the
+    broadcast-join path (plan O(1) in k). Composes two already-gated
+    operators (deterministic quantized k-means + integer cosine)."""
     e = _spread(load_table(spark, sf_dir, "embeddings"))
-    km = S.kmeans_quantized(e, "vec_id", "embedding", k=4, iters=3).select(
+    k = -(-e.count() // _SEMDEDUP_WIDTH)
+    km = S.kmeans_quantized(e, "vec_id", "embedding", k=k, iters=3).select(
         "vec_id", "cluster", "embedding",
         # per-vector norm ONCE: qcosine recomputes both norms per pair,
         # which is 2/3 of the pairwise work — hoisting them out of the

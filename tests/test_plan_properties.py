@@ -112,13 +112,35 @@ def test_embedding_codecs_projection_only(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_kmeans_assignment_is_joinless(spark):
-    # centroids enter the plan as literals (driver state, MLlib-style):
-    # the returned assignment must contain no join and exactly zero
-    # exchanges — pure projection over the scan
-    plan = _plan(spark, "kmeans_clusters")
+def test_kmeans_literal_assignment_is_joinless(spark):
+    # small-k path: centroids enter the plan as literals (driver
+    # state, MLlib-style) — no join, zero exchanges, pure projection
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators.similarity import kmeans_quantized
+    from dbt_tpcdi_spark.sources.parquet import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    out = kmeans_quantized(e, "vec_id", "embedding", k=4, iters=1,
+                           assign_mode="literal")
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_kmeans_broadcast_assignment_scales_in_k(spark):
+    # scale-in-k path (registered kmeans_clusters, k=64): the only
+    # join is the k-row broadcast fan-out (BroadcastNestedLoopJoin
+    # over a metadata-sized LocalRelation — NOT a CartesianProduct),
+    # collapsed by a partial-aggregating min(struct) before the one
+    # row-per-input exchange; no sort anywhere
+    plan = _plan(spark, "kmeans_clusters")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # min(struct) is sort-based, but the PARTIAL aggregate before the
+    # exchange is what bounds the shuffle to one row per input row
+    assert "partial_min(struct(d," in plan, plan
 
 
 def test_dedup_clusters_no_cartesian_no_global_sort(spark):
@@ -155,6 +177,31 @@ def test_new_pair_ops_no_cartesian(spark, name):
     # blocked/clustered pair generation is always an equi-join on the
     # block key — a cartesian product would be the n^2 scale-killer
     assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_semdedup_pair_space_is_linear_in_n(spark):
+    # the corpus-derived k (= ⌈n/width⌉) must keep the within-cluster
+    # pair count O(n·width) — the bound that makes SemDedup linear at
+    # 100 TB. 4× slack over perfectly balanced clusters allows k-means
+    # imbalance without letting a degenerate one-big-cluster (O(n²))
+    # assignment through.
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators import similarity as S
+    from dbt_tpcdi_spark.queries.llm import _SEMDEDUP_WIDTH
+    from dbt_tpcdi_spark.sources.parquet import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    n = e.count()
+    k = -(-n // _SEMDEDUP_WIDTH)
+    km = S.kmeans_quantized(e, "vec_id", "embedding", k=k, iters=3)
+    pairs = (
+        km.groupBy("cluster")
+        .agg(F.count("*").alias("sz"))
+        .agg(F.sum(F.expr("sz * (sz - 1) div 2")).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert pairs <= 4 * n * _SEMDEDUP_WIDTH, (pairs, n)
 
 
 def test_mixture_sample_sizing_broadcasts(spark):
