@@ -89,6 +89,38 @@ def _merge_expr(sp: Column, pair: str) -> Column:
     )
 
 
+def _persistent_ids(sc) -> set[int]:
+    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _checkpoint_replacing(
+    w: DataFrame, prev_ids: set[int]
+) -> tuple[DataFrame, set[int]]:
+    """Eagerly localCheckpoint ``w`` (flattening lineage to one tiny
+    row per word), then release the PREVIOUS iteration's checkpoint
+    blocks — safe only in this order: the new checkpoint's
+    materialization is the last read of the old blocks. Returns (new
+    df, its checkpoint RDD ids). Best-effort: if the persistent-RDD
+    registry isn't reachable, behaves like plain localCheckpoint
+    (blocks accumulate, as before)."""
+    sc = w.sparkSession.sparkContext
+    try:
+        before = _persistent_ids(sc)
+    except Exception:
+        return w.localCheckpoint(eager=True), set()
+    new = w.localCheckpoint(eager=True)
+    try:
+        registry = sc._jsc.getPersistentRDDs()
+        new_ids = _persistent_ids(sc) - before
+        for rid in prev_ids:
+            jrdd = registry.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist()
+    except Exception:
+        new_ids = set()
+    return new, new_ids
+
+
 def bpe_train(
     df: DataFrame, text_col: str, merges: int = 4
 ) -> tuple[list[tuple[str, int]], DataFrame]:
@@ -96,11 +128,23 @@ def bpe_train(
 
     Returns (merge table [(pair, count), ...] in rank order, and the
     final (word, wc, sp) DataFrame with ``sp`` the space-joined symbol
-    segmentation of each word)."""
+    segmentation of each word).
+
+    **Cost note (public API contract)**: this exact path performs ONE
+    driver round-trip (a 1-row TakeOrderedAndProject collect) and one
+    eager vocabulary-sized localCheckpoint PER MERGE — the per-
+    iteration data shape is vocabulary-sized, but ``merges`` sequential
+    Spark jobs make realistic vocabularies (32k–50k merges) an hours-
+    long driver loop. Use ``bpe_train_batched`` for merges beyond a
+    few dozen: it learns up to ``batch`` merges per round-trip with
+    identically deterministic results. Superseded checkpoint blocks
+    are released each iteration (``_checkpoint_replacing``), so peak
+    storage is one vocabulary snapshot, not ``merges`` of them."""
     w = word_counts(df, text_col).withColumn(
         "sp", char_spaced(F.col("word"))
     )
     learned: list[tuple[str, int]] = []
+    ckpt_ids: set[int] = set()
     for _ in range(merges):
         # symbol-pair counts, weighted by word frequency
         top = (
@@ -119,8 +163,88 @@ def bpe_train(
         learned.append((pair, count))
         w = w.withColumn("sp", _merge_expr(F.col("sp"), pair))
         # one tiny row per word: flatten lineage so the plan doesn't
-        # stack `merges` replace-projections over the explode
-        w = w.localCheckpoint(eager=True)
+        # stack `merges` replace-projections over the explode; drop
+        # the now-superseded previous snapshot
+        w, ckpt_ids = _checkpoint_replacing(w, ckpt_ids)
+    return learned, w
+
+
+def _units(pair: str) -> set[str]:
+    """The symbols a merge touches: both operands and the merged
+    output (the output matters: 'a b'→'ab' colliding with a later
+    'ab c' in the same round would make batched application order-
+    dependent)."""
+    x, y = pair.split(" ")
+    return {x, y, x + y}
+
+
+def select_disjoint(ranked: list[str]) -> list[str]:
+    """Greedy batch selection shared with the SQL twin: walk the
+    ranked window top-down, select a pair iff its units are disjoint
+    from every ALREADY-SELECTED pair's units. This is exactly the
+    order BPE's one-at-a-time greedy would realize for these pairs
+    (a selected pair's merges can't touch a higher-ranked selected
+    pair's symbols), and the SQL twin unrolls the same scan as one
+    ≤1-row CTE per rank (``bpe_vocab_batched_sql``). Rank 1 is always
+    selected."""
+    used: set[str] = set()
+    out: list[str] = []
+    for pair in ranked:
+        u = _units(pair)
+        if u.isdisjoint(used):
+            out.append(pair)
+            used |= u
+    return out
+
+
+def bpe_train_batched(
+    df: DataFrame, text_col: str, rounds: int = 4, batch: int = 4
+) -> tuple[list[tuple[str, int]], DataFrame]:
+    """Batched BPE: up to ``batch`` merges learned per driver
+    round-trip, ``rounds`` round-trips total (vs one per merge in
+    ``bpe_train`` — the difference between 4 and 32k sequential Spark
+    jobs at a realistic vocabulary).
+
+    Per round: ONE vocabulary-sized pair-count aggregation collects
+    the top-``batch`` pairs by (count desc, pair asc); the
+    ``select_disjoint`` rule keeps the subset whose symbols cannot
+    interact; all selected merges apply in rank order inside a single
+    nested-replace projection. Disjointness makes the nesting order
+    immaterial — but rank order is kept anyway so the DuckDB twin
+    (``bpe_vocab_batched_sql``) is textually parallel. Deterministic
+    end-to-end: the learned table is a pure function of the corpus.
+
+    Returns (merge table in learned order — ≤ rounds·batch entries,
+    data-dependent — and the final (word, wc, sp) DataFrame)."""
+    w = word_counts(df, text_col).withColumn(
+        "sp", char_spaced(F.col("word"))
+    )
+    learned: list[tuple[str, int]] = []
+    ckpt_ids: set[int] = set()
+    for _ in range(rounds):
+        top = (
+            w.select(
+                "wc", F.explode(ngram_list(F.col("sp"), 2)).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.sum("wc").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(batch)
+            .collect()
+        )
+        if not top:
+            break
+        by_pair = {r["pair"]: int(r["c"]) for r in top}
+        selected = select_disjoint([r["pair"] for r in top])
+        learned.extend((p, by_pair[p]) for p in selected)
+        padded = F.concat(F.lit(" "), F.col("sp"), F.lit(" "))
+        for pair in selected:
+            x, y = pair.split(" ")
+            padded = F.replace(
+                padded, F.lit(f" {x}{SEP}{y} "), F.lit(f" {x}{y} ")
+            )
+        w = w.withColumn("sp", F.trim(padded))
+        w, ckpt_ids = _checkpoint_replacing(w, ckpt_ids)
     return learned, w
 
 
@@ -134,6 +258,108 @@ def bpe_vocab(df: DataFrame, text_col: str, merges: int = 4) -> DataFrame:
         )
         .groupBy("symbol")
         .agg(F.sum("wc").cast("bigint").alias("n_occurrences"))
+    )
+
+
+def bpe_vocab_batched(
+    df: DataFrame, text_col: str, rounds: int = 4, batch: int = 4
+) -> DataFrame:
+    """Final symbol vocabulary after batched training: (symbol,
+    n_occurrences) weighted by word frequency."""
+    _, w = bpe_train_batched(df, text_col, rounds, batch)
+    return (
+        w.select(
+            "wc", F.explode(F.split(F.col("sp"), " +")).alias("symbol")
+        )
+        .groupBy("symbol")
+        .agg(F.sum("wc").cast("bigint").alias("n_occurrences"))
+    )
+
+
+#: never-matching replace pattern for absent sel ranks in the SQL twin
+#: (sp holds word characters only — no control bytes)
+_NOMATCH = "chr(1)"
+
+
+def bpe_vocab_batched_sql(
+    from_table: str, text_col: str, rounds: int = 4, batch: int = 4
+) -> str:
+    """DuckDB twin of the batched training, unrolled per ROUND (not per
+    merge): each round is a pair-count CTE, a rank-window CTE, the
+    unrolled greedy selection (one ≤1-row CTE per rank: rank j
+    survives iff its units [x, y, x||y] are disjoint from every
+    SELECTED higher rank — ``select_disjoint``'s exact scan), and one
+    projection nesting ``batch`` replaces — rank j's pattern comes
+    from a scalar subquery, coalesced to a never-matching control-char
+    pattern when rank j wasn't selected."""
+    units = (
+        "[split_part({p}, ' ', 1), split_part({p}, ' ', 2), "
+        "replace({p}, ' ', '')]"
+    )
+    ctes = [
+        f"""__bwc AS MATERIALIZED (
+            SELECT word, cast(count(*) AS bigint) AS wc FROM (
+                SELECT unnest({tokens_sql(text_col)}) AS word
+                FROM {from_table}
+            ) GROUP BY 1
+        )""",
+        f"""__bw0 AS MATERIALIZED (
+            SELECT word, wc, {char_spaced_sql('word')} AS sp FROM __bwc
+        )""",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""__bp{r} AS MATERIALIZED (
+            SELECT pair, sum(wc) AS c FROM (
+                SELECT wc, unnest({ngram_list_sql('sp', 2)}) AS pair
+                FROM __bw{r}
+            ) GROUP BY 1
+        )""")
+        ctes.append(f"""__brk{r} AS MATERIALIZED (
+            SELECT pair, c,
+                   row_number() OVER (ORDER BY c DESC, pair ASC) AS rnk
+            FROM __bp{r}
+            QUALIFY rnk <= {batch}
+        )""")
+        # greedy selection unrolled: __bg{r}_{j} holds rank j's pair
+        # iff it is unit-disjoint from every selected higher rank
+        for j in range(1, batch + 1):
+            if j == 1:
+                ctes.append(f"""__bg{r}_1 AS MATERIALIZED (
+                    SELECT pair, rnk FROM __brk{r} WHERE rnk = 1
+                )""")
+                continue
+            prev = " UNION ALL ".join(
+                f"SELECT pair FROM __bg{r}_{i}" for i in range(1, j)
+            )
+            ctes.append(f"""__bg{r}_{j} AS MATERIALIZED (
+                SELECT p.pair, p.rnk FROM __brk{r} p
+                WHERE p.rnk = {j} AND NOT EXISTS (
+                    SELECT 1 FROM ({prev}) q
+                    WHERE list_has_any({units.format(p='p.pair')},
+                                       {units.format(p='q.pair')})
+                )
+            )""")
+        sel_union = " UNION ALL ".join(
+            f"SELECT pair, rnk FROM __bg{r}_{j}"
+            for j in range(1, batch + 1)
+        )
+        ctes.append(f"__bsel{r} AS MATERIALIZED ({sel_union})")
+        sp = "' ' || sp || ' '"
+        for j in range(1, batch + 1):
+            sel = f"(SELECT pair FROM __bsel{r} WHERE rnk = {j})"
+            pat = (f"' ' || replace(coalesce({sel}, {_NOMATCH}), "
+                   f"' ', '{SEP}') || ' '")
+            rep = f"' ' || replace(coalesce({sel}, ''), ' ', '') || ' '"
+            sp = f"replace({sp}, {pat}, {rep})"
+        ctes.append(f"""__bw{r + 1} AS MATERIALIZED (
+            SELECT word, wc, trim({sp}) AS sp FROM __bw{r}
+        )""")
+    return (
+        "WITH " + ", ".join(ctes)
+        + f""" SELECT symbol, cast(sum(wc) AS bigint) AS n_occurrences
+        FROM (SELECT wc, unnest(regexp_split_to_array(sp, ' +')) AS symbol
+              FROM __bw{rounds})
+        GROUP BY 1"""
     )
 
 

@@ -1201,6 +1201,23 @@ def bpe_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_vocab_batched",
+    oracle=B.bpe_vocab_batched_sql("documents", "text", rounds=4, batch=12),
+    tags=["llm-bpe", "iterative", "A1"],
+)
+def bpe_vocab_batched_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training — the realistic-vocabulary path: 4 driver
+    round-trips learn ~23 merges (up to 12 per round; greedy
+    unit-disjoint selection per rank window), vs one round-trip PER
+    merge in the exact path. This is the rounds×batch scheme that
+    makes 32k-merge tokenizer training a ~3k-job driver loop instead
+    of 32k sequential jobs, with bit-exact determinism preserved (the
+    oracle unrolls the identical greedy selection per rank)."""
+    d = load_table(spark, sf_dir, "documents")
+    return B.bpe_vocab_batched(d, "text", rounds=4, batch=12)
+
+
+@query(
     "lm_fluency",
     oracle=X.lm_fluency_sql("documents", "doc_id"),
     tags=["llm-lm-filter", "A1", "J1"],
