@@ -901,3 +901,100 @@ def quality_quantile_gate_sql(
         f"SELECT * FROM (SELECT *, {rank} AS qrank FROM ({inner_sql})) "
         f"WHERE qrank >= {QUALITY_QUANTILE_MIN}"
     )
+
+
+#: the gate quantile as an exact rational (1/4), so the rank target
+#: ceil(q·n) = (n + 3) div 4 stays in integer arithmetic cross-engine
+QUALITY_QUANTILE_NUM, QUALITY_QUANTILE_DEN = 1, 4
+
+
+def quality_quantile_gate_approx(
+    scored: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """The 100 TB quantile gate: two aggregation passes, NO
+    per-group row sort.
+
+    The exact gate (``quality_quantile_gate``) ranks every row inside
+    a ``Window.partitionBy(group)`` — at open-ended group sizes each
+    language becomes one multi-TB sort task. This variant computes the
+    same q-quantile THRESHOLD from a (group, score) histogram instead:
+
+    1. one shuffle on (group, score) with map-side combine — the
+       sorted work is over DISTINCT SCORES per group (quality_score is
+       round4-quantized, so ≤ 10⁴ rows per group regardless of corpus
+       size);
+    2. threshold T(group) = min score whose ascending cumulative count
+       reaches ceil(q·n) — the inverse-CDF quantile, integer-exact via
+       the rational q (ceil(n/4) = (n+3) div 4);
+    3. broadcast T back and keep rows with score ≥ T.
+
+    Semantics differ from the exact gate ONLY at the threshold score
+    under ties: percent_rank's (score, id) total order splits equal
+    scores around the cut, the threshold keeps them all. On tie-free
+    groups the kept set is identical (pinned by a test). Appends
+    ``qthreshold`` (the per-group cut) instead of ``qrank``."""
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(group_col, score_col).agg(
+        F.count("*").alias("__c")
+    )
+    cum_w = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(cum_w))
+    tot = hist.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+    target = F.expr(
+        f"({QUALITY_QUANTILE_NUM} * __n + {QUALITY_QUANTILE_DEN} - 1) "
+        f"div {QUALITY_QUANTILE_DEN}"
+    )
+    thr = (
+        cum.join(tot, group_col)
+        .filter(F.col("__cum") >= target)
+        .groupBy(group_col)
+        .agg(F.min(score_col).alias("qthreshold"))
+    )
+    return (
+        scored.join(F.broadcast(thr), group_col)
+        .filter(F.col(score_col) >= F.col("qthreshold"))
+        .select(*scored.columns, "qthreshold")
+    )
+
+
+def quality_quantile_gate_approx_sql(
+    inner_sql: str,
+    group_col: str = "lang",
+    score_col: str = "quality_score",
+) -> str:
+    """DuckDB twin of the histogram-threshold gate (identical
+    inverse-CDF threshold rule, same integer rank target)."""
+    tgt = (
+        f"({QUALITY_QUANTILE_NUM} * n.__n + {QUALITY_QUANTILE_DEN} - 1) "
+        f"// {QUALITY_QUANTILE_DEN}"
+    )
+    return f"""
+    SELECT s.*, t.qthreshold
+    FROM ({inner_sql}) s
+    JOIN (
+        SELECT c.{group_col}, min(c.{score_col}) AS qthreshold
+        FROM (
+            SELECT {group_col}, {score_col},
+                   sum(__c) OVER (PARTITION BY {group_col}
+                                  ORDER BY {score_col}) AS __cum
+            FROM (
+                SELECT {group_col}, {score_col}, count(*) AS __c
+                FROM ({inner_sql}) GROUP BY 1, 2
+            )
+        ) c
+        JOIN (
+            SELECT {group_col}, count(*) AS __n
+            FROM ({inner_sql}) GROUP BY 1
+        ) n USING ({group_col})
+        WHERE c.__cum >= {tgt}
+        GROUP BY 1
+    ) t USING ({group_col})
+    WHERE s.{score_col} >= t.qthreshold
+    """

@@ -989,6 +989,28 @@ def quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.quality_quantile_gate(scored)
 
 
+@query(
+    "quantile_filter_approx",
+    oracle=f"""
+    SELECT doc_id, lang, quality_score, qthreshold
+    FROM ({X.quality_quantile_gate_approx_sql(_SCORED_DOCS_SQL)})
+    """,
+    tags=["llm-quality-quantile", "A1"],
+)
+def quantile_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe per-language quality gate: histogram-derived
+    inverse-CDF threshold (two aggregations + broadcast filter) in
+    place of the exact gate's per-language percent_rank window — no
+    per-group row sort anywhere, so a multi-TB language can't funnel
+    into one task. The sorted work is over distinct round4 scores
+    (≤ 10⁴/group) — see quality_quantile_gate_approx."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    scored = X.quality_features(d.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", "quality_score"
+    )
+    return X.quality_quantile_gate_approx(scored)
+
+
 _MIX_SALT = "mix|"
 
 
@@ -1231,9 +1253,7 @@ def lm_fluency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.lm_fluency(d, "doc_id")
 
 
-@query(
-    "curation_pipeline",
-    oracle=f"""
+_CURATION_ORACLE = f"""
     WITH rep AS ({X.repetition_features_sql('documents', 'doc_id')}),
     survivors AS (
         SELECT d.doc_id, d.lang, d.text
@@ -1263,18 +1283,14 @@ def lm_fluency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'val' ELSE 'test' END AS split,
            lang, count(*) AS n_docs, min(doc_id) AS first_doc
     FROM deduped GROUP BY 1, 2
-    """,
-    tags=["llm-curation-pipeline", "W3", "A3", "A1"],
-    headline=True,
-)
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-curation pipeline END-TO-END: Gopher repetition
-    filter → per-language quality-quantile gate → exact dedup (first
-    doc per fingerprint) → deterministic train/val/test split, reported
-    as per-(split, lang) counts. Every stage is an already-gated
-    operator; this query proves they COMPOSE — which is what a user
-    actually runs, and each stage keeps the scale shape it was built
-    with (projection / windowed gate / hash groupBy / hash split)."""
+    """
+
+
+def _curation_pipeline(spark: SparkSession, sf_dir: str, gate) -> DataFrame:
+    """Shared pipeline body; ``gate`` is the quantile-gate stage
+    (exact percent_rank or the scale-safe histogram threshold) —
+    the one stage with two legitimate scale/semantics trade-offs, so
+    it is a parameter rather than a fork of the pipeline."""
     d = _spread(load_table(spark, sf_dir, "documents"))
     rep = X.repetition_features(d, "doc_id").filter(~F.col("is_repetitive"))
     survivors = d.join(rep.select("doc_id"), "doc_id")
@@ -1284,7 +1300,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "quality_score",
         X.fingerprint(F.col("text")).alias("fp"),
     )
-    gated = X.quality_quantile_gate(scored)
+    gated = gate(scored)
     fpw = Window.partitionBy("fp").orderBy("doc_id")
     deduped = (
         gated.withColumn("fp_rn", F.row_number().over(fpw))
@@ -1299,4 +1315,69 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.select(split.alias("split"), "lang", "doc_id")
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@query(
+    "curation_pipeline",
+    oracle=_CURATION_ORACLE,
+    tags=["llm-curation-pipeline", "W3", "A3", "A1"],
+    headline=True,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation pipeline END-TO-END: Gopher repetition
+    filter → per-language quality-quantile gate → exact dedup (first
+    doc per fingerprint) → deterministic train/val/test split, reported
+    as per-(split, lang) counts. Every stage is an already-gated
+    operator; this query proves they COMPOSE — which is what a user
+    actually runs, and each stage keeps the scale shape it was built
+    with (projection / windowed gate / hash groupBy / hash split)."""
+    return _curation_pipeline(spark, sf_dir, X.quality_quantile_gate)
+
+
+_CURATION_APPROX_ORACLE = f"""
+    WITH rep AS ({X.repetition_features_sql('documents', 'doc_id')}),
+    survivors AS (
+        SELECT d.doc_id, d.lang, d.text
+        FROM documents d JOIN rep USING (doc_id)
+        WHERE NOT rep.is_repetitive
+    ),
+    scored AS MATERIALIZED (
+        SELECT doc_id, lang,
+               {X.quality_features_sql('text')['quality_score']}
+                   AS quality_score,
+               {X.fingerprint_sql('text')} AS fp
+        FROM survivors
+    ),
+    gated AS (
+        {X.quality_quantile_gate_approx_sql('SELECT * FROM scored')}
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY fp ORDER BY doc_id) AS fp_rn
+            FROM gated
+        ) WHERE fp_rn = 1
+    )
+    SELECT CASE WHEN {hash_sample_sql('doc_id', 0.90, salt=_SPLIT_SALT)}
+                THEN 'train'
+                WHEN {hash_sample_sql('doc_id', 0.95, salt=_SPLIT_SALT)}
+                THEN 'val' ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM deduped GROUP BY 1, 2
+    """
+
+
+@query(
+    "curation_pipeline_approx",
+    oracle=_CURATION_APPROX_ORACLE,
+    tags=["llm-curation-pipeline", "A3", "A1"],
+)
+def curation_pipeline_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with the scale-safe histogram-threshold
+    quantile gate swapped in — the variant whose every stage survives
+    an unbounded per-language corpus (no per-group row sort; see
+    quality_quantile_gate_approx)."""
+    return _curation_pipeline(
+        spark, sf_dir, X.quality_quantile_gate_approx
     )

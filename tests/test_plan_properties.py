@@ -179,6 +179,18 @@ def test_new_pair_ops_no_cartesian(spark, name):
     assert "CartesianProduct" not in _plan(spark, name)
 
 
+def test_quantile_gate_approx_has_no_per_group_row_sort(spark):
+    # the scale-safe gate must not rank the data rows: no percent_rank
+    # window anywhere, and the scored rows reach the filter through a
+    # broadcast of the metadata-sized threshold table. (The only sort
+    # allowed is the cumulative window over the per-(lang, score)
+    # HISTOGRAM — aggregate output, bounded by score cardinality.)
+    for name in ("quantile_filter_approx", "curation_pipeline_approx"):
+        plan = _plan(spark, name)
+        assert "percent_rank" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
 def test_semdedup_pair_space_is_linear_in_n(spark):
     # the corpus-derived k (= ⌈n/width⌉) must keep the within-cluster
     # pair count O(n·width) — the bound that makes SemDedup linear at

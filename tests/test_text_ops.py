@@ -217,3 +217,69 @@ def test_split_sentences_udtf_multi(spark):
     got = [(r.doc_id, r.sentence_idx, r.sentence) for r in rows]
     # '?' not followed by whitespace does NOT split (rule is [.!?]\s+)
     assert got == [(1, 0, "First one"), (1, 1, "Second"), (1, 2, "Third?Tail")]
+
+
+def _scored_docs(spark):
+    from dbt_tpcdi_spark.operators import text as X
+    from dbt_tpcdi_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    return X.quality_features(d.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", "quality_score"
+    )
+
+
+def test_quantile_gate_approx_threshold_is_exact_quantile(spark):
+    # on bounded groups the histogram threshold must EQUAL the exact
+    # inverse-CDF quantile (value at ascending position ceil(n/4))
+    from math import ceil
+
+    from dbt_tpcdi_spark.operators import text as X
+
+    scored = _scored_docs(spark)
+    got = {
+        (r["lang"], r["qthreshold"])
+        for r in X.quality_quantile_gate_approx(scored)
+        .select("lang", "qthreshold").distinct().collect()
+    }
+    by_lang: dict[str, list[float]] = {}
+    for r in scored.collect():
+        by_lang.setdefault(r["lang"], []).append(r["quality_score"])
+    want = set()
+    for lang, scores in by_lang.items():
+        scores.sort()
+        want.add((lang, scores[ceil(len(scores) / 4) - 1]))
+    assert got == want
+
+
+def test_quantile_gate_approx_keeps_superset_of_exact(spark):
+    # threshold semantics keep ALL rows tied at the cut score; the
+    # exact percent_rank gate splits ties by id — so approx-kept must
+    # be a superset of exact-kept, and identical on tie-free groups
+    from dbt_tpcdi_spark.operators import text as X
+
+    scored = _scored_docs(spark)
+    exact = {r["doc_id"] for r in X.quality_quantile_gate(scored).collect()}
+    approx = {
+        r["doc_id"] for r in X.quality_quantile_gate_approx(scored).collect()
+    }
+    assert exact <= approx, exact - approx
+
+
+def test_quantile_gate_approx_tie_flood(spark):
+    # skewed fixture: one language where 90% of rows share one score —
+    # the threshold lands ON the flooded score and keeps all of it;
+    # the kept fraction stays within [3/4, 1] (never drops below the
+    # exact gate's keep rate)
+    rows = [(i, "xx", 0.5) for i in range(90)] + [
+        (90 + j, "xx", 0.1 * (j % 3)) for j in range(10)
+    ]
+    from dbt_tpcdi_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, quality_score double"
+    )
+    kept = X.quality_quantile_gate_approx(df).collect()
+    assert all(r["qthreshold"] == 0.5 for r in kept)
+    assert len(kept) == 90  # the flood is at/above the cut, all kept
