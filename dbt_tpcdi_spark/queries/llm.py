@@ -833,6 +833,38 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(M.with_binary_payload(d))
 
 
+@query(
+    "multimodal_bmp",
+    oracle=M.bmp_features_sql("documents"),
+    tags=["llm-multimodal", "llm-codec"],
+)
+def multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: each document becomes an actual
+    24-bit BMP container (encoder mapInPandas), then the pure-stdlib
+    parser reads it back — honoring pixel-data offset, bottom-up row
+    order, 4-byte row padding, and BGR byte order — into per-channel
+    sums. The oracle recomputes features from the construction formula
+    without touching bytes, so any parser misread hash-fails."""
+    d = load_table(spark, sf_dir, "documents")
+    packed = M.with_media_payload(d, "bmp")
+    return M.decode_image_features(packed, codec="bmp")
+
+
+@query(
+    "multimodal_wav",
+    oracle=M.wav_features_sql("documents"),
+    tags=["llm-multimodal", "llm-codec"],
+)
+def multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: each document becomes a PCM WAV
+    (RIFF container), parsed back by walking fmt/data chunks into
+    amplitude statistics. Same formula-oracle scheme as
+    multimodal_bmp."""
+    d = load_table(spark, sf_dir, "documents")
+    packed = M.with_media_payload(d, "wav")
+    return M.decode_audio_features(packed, codec="wav")
+
+
 # ---------------------------------------------------------------------------
 # UDTF — the third escape hatch (SURVEY §2.10): one row in, N typed
 # rows out, driven from SQL. Row-at-a-time by nature, so it's the LAST

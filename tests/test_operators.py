@@ -268,3 +268,57 @@ def test_resample_daily_fill_observed_null_preserved(spark):
     assert out[(1, d(2))] == (None, False)
     assert out[(1, d(3))] == (None, True)
     assert out[(1, d(4))] == (40.0, False)
+
+
+def test_bmp_parser_handles_topdown_and_rejects_garbage():
+    import struct
+
+    from dbt_tpcdi_spark.operators.multimodal import make_bmp, parse_bmp
+
+    # round-trip sanity at several shapes (incl. width hitting padding)
+    for doc_id, text in ((0, ""), (5, "ab"), (11, "abcdefg"), (3, "x" * 29)):
+        w, h, r, g, b = parse_bmp(make_bmp(doc_id, text))
+        assert w == len(text.encode()) % 8 + 2 and h == doc_id % 6 + 2
+    # top-down variant (negative height) must read rows in file order:
+    # flip the height sign on a 2-row image whose rows differ, and the
+    # channel sums must be unchanged (sums are row-order invariant) —
+    # but a parser that ignores the sign and double-flips would still
+    # pass a sum check, so ALSO check first-pixel asymmetry via a
+    # hand-built 1x2 image
+    def tiny(topdown):
+        htx = -2 if topdown else 2
+        row0, row1 = bytes((1, 2, 3, 0)), bytes((9, 8, 7, 0))  # stride 4
+        # bottom-up storage writes row1 (y=1) first
+        body = (row1 + row0) if not topdown else (row0 + row1)
+        hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+        dib = struct.pack("<IiiHHIIiiII", 40, 1, htx, 1, 24, 0,
+                          len(body), 0, 0, 0, 0)
+        return hdr + dib + body
+    assert parse_bmp(tiny(False)) == parse_bmp(tiny(True))
+    try:
+        parse_bmp(b"JUNKJUNKJUNK")
+        raise AssertionError("parser accepted garbage")
+    except ValueError:
+        pass
+
+
+def test_wav_parser_walks_unknown_chunks():
+    import struct
+
+    from dbt_tpcdi_spark.operators.multimodal import make_wav, parse_wav
+
+    base = make_wav(2, "hello")
+    rate, n, s, lo, hi = parse_wav(base)
+    assert (rate, n) == (10000, 5)
+    # splice a LIST chunk with an ODD size between fmt and data: a
+    # reader assuming the fixed 44-byte layout, or skipping the RIFF
+    # word-alignment pad byte, breaks here
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # pad
+    spliced = base[:fmt_end] + extra + base[fmt_end:]
+    assert parse_wav(spliced) == (rate, n, s, lo, hi)
+    try:
+        parse_wav(b"RIFFxxxxJUNK")
+        raise AssertionError("parser accepted garbage")
+    except ValueError:
+        pass
