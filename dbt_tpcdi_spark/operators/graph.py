@@ -161,7 +161,7 @@ PR_D_NUM, PR_D_DEN = 17, 20
 
 
 def pagerank_quantized(
-    edges: DataFrame, iters: int = 3
+    edges: DataFrame, iters: int = 3, conserve_dangling: bool = False
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (``src``,
     ``dst``), all math in scaled integers:
@@ -174,9 +174,20 @@ def pagerank_quantized(
     Integer contributions make the sum order-independent, so the
     result is deterministic under AQE re-partitioning and matches the
     DuckDB twin (``pagerank_sql``) bit-for-bit. Fixed ``iters`` keeps
-    the computation SQL-unrollable; nodes with no outgoing edges
-    contribute nothing (their mass evaporates — the standard
-    simplification when ranks are compared, not summed).
+    the computation SQL-unrollable.
+
+    Dangling nodes (no outgoing edges): by default their mass
+    evaporates — the standard simplification when ranks are compared,
+    not summed. With ``conserve_dangling=True`` each iteration adds
+    one scalar aggregation (Σ rank over sink nodes, a 1-row broadcast
+    kept IN the plan — no extra driver round-trip) and every node
+    receives ``dmass div n`` extra inflow before damping:
+
+        r'(v) = teleport + (17 · (inflow(v) + dmass div n)) div 20
+
+    which keeps total mass ≈ n·SCALE (up to integer-floor loss) — the
+    textbook stochastic-matrix completion, still bit-exact cross-
+    engine because the redistribution is one integer division.
 
     Returns (node, rank_q): every node that appears as src or dst,
     with its scaled-integer rank after ``iters`` iterations from a
@@ -195,6 +206,13 @@ def pagerank_quantized(
     )
     ranks = nodes.withColumn("rank_q", F.lit(PR_SCALE).cast("bigint"))
     teleport = (3 * PR_SCALE) // PR_D_DEN
+    if conserve_dangling:
+        # sink set and node count are loop-invariant: one anti-join +
+        # one metadata-sized count, computed once
+        sinks = nodes.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_nodes = nodes.count()
     for it in range(iters):
         # flatten lineage BETWEEN rounds (durable checkpoint() on a
         # real cluster) so the plan stays two shuffles per iteration;
@@ -210,29 +228,40 @@ def pagerank_quantized(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({PR_D_NUM} * coalesce(__in, 0)) div {PR_D_DEN}"
-                    )
-                ).cast("bigint").alias("rank_q"),
+        joined = nodes.join(contrib, "node", "left")
+        if conserve_dangling:
+            dmass = ranks.join(sinks, "node").agg(
+                F.coalesce(F.sum("rank_q"), F.lit(0)).alias("__dm")
             )
+            joined = joined.crossJoin(F.broadcast(dmass))
+            damped = (
+                f"({PR_D_NUM} * (coalesce(__in, 0) + __dm div {n_nodes}))"
+                f" div {PR_D_DEN}"
+            )
+        else:
+            damped = f"({PR_D_NUM} * coalesce(__in, 0)) div {PR_D_DEN}"
+        ranks = joined.select(
+            "node",
+            (F.lit(teleport) + F.expr(damped)).cast("bigint")
+            .alias("rank_q"),
         )
     return ranks
 
 
-def pagerank_sql(edges_sql: str, iters: int = 3) -> str:
+def pagerank_sql(
+    edges_sql: str, iters: int = 3, conserve_dangling: bool = False
+) -> str:
     """DuckDB twin: the same iterations unrolled as chained CTEs over
-    an ``edges_sql`` subquery producing (src, dst)."""
+    an ``edges_sql`` subquery producing (src, dst). With
+    ``conserve_dangling`` each iteration adds the sink-mass scalar CTE
+    and the identical ``dmass div n`` redistribution term."""
     teleport = (3 * PR_SCALE) // PR_D_DEN
     ctes = [
-        f"__e AS (SELECT src, dst FROM ({edges_sql}))",
-        """__deg AS (SELECT src, count(*) AS deg FROM __e GROUP BY 1)""",
-        """__nodes AS (
+        f"__e AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}))",
+        """__deg AS MATERIALIZED (
+            SELECT src, count(*) AS deg FROM __e GROUP BY 1
+        )""",
+        """__nodes AS MATERIALIZED (
             SELECT src AS node FROM __e
             UNION SELECT dst FROM __e
         )""",
@@ -240,6 +269,10 @@ def pagerank_sql(edges_sql: str, iters: int = 3) -> str:
             SELECT node, cast({PR_SCALE} AS bigint) AS rank_q FROM __nodes
         )""",
     ]
+    if conserve_dangling:
+        ctes.append(
+            "__n AS (SELECT count(*) AS n FROM __nodes)"
+        )
     for i in range(iters):
         ctes.append(f"""__c{i} AS (
             SELECT e.dst AS node,
@@ -249,10 +282,22 @@ def pagerank_sql(edges_sql: str, iters: int = 3) -> str:
             JOIN __r{i} r ON r.node = e.src
             GROUP BY 1
         )""")
+        if conserve_dangling:
+            ctes.append(f"""__s{i} AS (
+                SELECT coalesce(sum(r.rank_q), 0) AS dm
+                FROM __r{i} r LEFT JOIN __deg d ON d.src = r.node
+                WHERE d.src IS NULL
+            )""")
+            redistributed = (
+                f"coalesce(c.inflow, 0) + (SELECT dm FROM __s{i}) "
+                f"// (SELECT n FROM __n)"
+            )
+        else:
+            redistributed = "coalesce(c.inflow, 0)"
         ctes.append(f"""__r{i + 1} AS (
             SELECT n.node,
                    cast({teleport}
-                        + ({PR_D_NUM} * coalesce(c.inflow, 0)) // {PR_D_DEN}
+                        + ({PR_D_NUM} * ({redistributed})) // {PR_D_DEN}
                         AS bigint) AS rank_q
             FROM __nodes n LEFT JOIN __c{i} c ON n.node = c.node
         )""")

@@ -810,6 +810,35 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank_quantized(edges, iters=3)
 
 
+_PR_DIRECTED_SQL = f"""
+    SELECT l_orderkey + {_PR_OFFSET} AS src, l_partkey AS dst FROM lineitem
+"""
+
+
+@query(
+    "pagerank_conserving",
+    oracle=G.pagerank_sql(_PR_DIRECTED_SQL, iters=3,
+                          conserve_dangling=True),
+    tags=["graph-pagerank", "iterative", "J1", "A1"],
+)
+def pagerank_conserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass conservation over the DIRECTED
+    order→part graph — every part node is a sink, so this is the
+    workload where evaporating mass actually distorts ranks. Each
+    iteration adds one scalar sink-mass aggregation (1-row broadcast,
+    in-plan — no driver round-trip) redistributing ``dmass div n`` to
+    every node before damping; still integer-exact, so the unrolled
+    DuckDB twin matches bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = li.select(
+        (F.col("l_orderkey") + _PR_OFFSET).alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    )
+    return G.pagerank_quantized(edges, iters=3, conserve_dangling=True)
+
+
 @query(
     "grouping_sets_revenue",
     oracle=f"""

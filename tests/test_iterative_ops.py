@@ -39,6 +39,32 @@ def test_pagerank_symmetric_pair_is_stationary(spark):
             assert abs(row["rank_q"] - PR_SCALE) <= 2, rows
 
 
+def test_pagerank_conserving_keeps_total_mass(spark):
+    # star into a sink: 1,2,3 -> 4. Default mode lets 4's mass
+    # evaporate (total < n·SCALE); conserving mode redistributes it,
+    # keeping total within integer-floor loss of n·SCALE, and every
+    # node's rank weakly increases
+    edges = _edges(spark, [(1, 4), (2, 4), (3, 4)])
+    plain = {
+        r["node"]: r["rank_q"]
+        for r in pagerank_quantized(edges, iters=3).collect()
+    }
+    cons = {
+        r["node"]: r["rank_q"]
+        for r in pagerank_quantized(
+            edges, iters=3, conserve_dangling=True
+        ).collect()
+    }
+    n = 4
+    # evaporating: after i1 the sink holds 3·SCALE·17/20 that never
+    # returns — total drops well below n·SCALE
+    assert sum(plain.values()) < n * PR_SCALE * 0.9
+    # conserving: total mass stays within floor-loss of n·SCALE
+    loss_bound = 3 * 4 * (n + 2)  # ≤ (edges + 2n) units per iteration
+    assert abs(sum(cons.values()) - n * PR_SCALE) <= loss_bound, cons
+    assert all(cons[k] >= plain[k] for k in plain)
+
+
 def test_pagerank_partitioning_invariant(spark):
     edges = _edges(
         spark, [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (4, 2)]
