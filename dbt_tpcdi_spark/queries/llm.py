@@ -1054,7 +1054,8 @@ _MIX_SALT = "mix|"
     ),
     w AS (
         SELECT source, n,
-               cast((cast(substr(source, 4) AS int) % 4) + 1 AS bigint) AS u
+               cast((try_cast(substr(source, 4) AS int) % 4) + 1
+                    AS bigint) AS u
         FROM counts
     ),
     tot AS (SELECT cast(sum(u) AS bigint) AS wsum FROM w),
@@ -1094,9 +1095,13 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-source rank, sharded by source."""
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    # unbounded substring + try_cast, textually parallel with the
+    # oracle, so a >10-char or non-numeric suffix degrades identically
+    # (null weight) in both engines instead of diverging
     w = counts.withColumn(
         "u",
-        ((F.substring("source", 4, 10).cast("int") % 4) + 1).cast("bigint"),
+        ((F.expr("try_cast(substring(source, 4) AS int)") % 4) + 1)
+        .cast("bigint"),
     )
     tot = w.agg(F.sum("u").cast("bigint").alias("wsum"))
     caps = w.crossJoin(F.broadcast(tot)).withColumn(

@@ -87,13 +87,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a small-file scan across all cores.
+    """Round-robin repartition a small-file scan across all cores —
+    ONLY when the scan is actually under-parallel.
 
     Below ``maxPartitionBytes`` a single-file table scans as ONE
     partition, so any CPU-heavy projection or explode over it runs on
-    one core regardless of session size. At real scale the table is
-    many files and this shuffle is noise; locally it is the difference
-    between 1× and N× parallelism on the compute stage. Downstream
-    results are unaffected — every consumer re-shuffles on its own
-    keys."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    one core regardless of session size; locally the repartition is
+    the difference between 1× and N× parallelism on the compute
+    stage. At real scale the table is many files and already spans
+    ≥ defaultParallelism partitions — there the gate below makes this
+    a no-op, so production plans never pay a pointless full exchange
+    of the widest column just to fix local scan parallelism.
+    Downstream results are unaffected either way — every consumer
+    re-shuffles on its own keys."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -11,7 +11,7 @@ import pytest
 from dbt_tpcdi_spark.sources.delimited import SCHEMAS, read_delimited
 from dbt_tpcdi_spark.sources.finwire import read_finwire
 from dbt_tpcdi_spark.sources.xml import read_customer_mgmt
-from tests.conftest import normalize
+from tests.conftest import SF_CORRECT, SF_SMOKE, normalize
 from dbt_tpcdi_spark.tpcdi.fixtures import generate
 
 RAW_FILES = {
@@ -65,3 +65,26 @@ def test_customer_mgmt_xml(spark, tpcdi_dir):
     df = read_customer_mgmt(spark, str(tpcdi_dir / "raw" / "CustomerMgmt.xml"))
     _assert_same(df, tpcdi_dir / "logical" / "customer_mgmt.parquet",
                  "customer_mgmt")
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECT])
+def test_events_event_id_unique_fixture_guard(spark, sf_dir):
+    # streaming_dedup's oracle is the RAW events table, which is only
+    # the right answer because event_id is unique in the fixture (its
+    # only duplicates are the query's own simulated redelivery). A
+    # regenerated fixture with duplicate event_ids would silently flip
+    # the query's meaning vs the oracle — assert the assumption.
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("d"),
+    ).collect()[0]
+    assert counts["n"] == counts["d"], (
+        f"{sf_dir}: events.event_id no longer unique "
+        f"({counts['n']} rows, {counts['d']} distinct) — "
+        "streaming_dedup's oracle assumption is broken"
+    )
