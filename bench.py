@@ -136,6 +136,125 @@ def main() -> None:
                 "CartesianProduct" not in plan)
             plan_checks[f"x10_{name}_final_plan"] = "isFinalPlan=true" in plan
 
+        # -- zipfian hot-key skew probes ---------------------------------
+        # the driver testdata is uniform, so the skew machinery is
+        # proven correct but never proven NECESSARY; these probes run a
+        # 50%-on-3-keys fact against a (forced non-broadcastable) dim:
+        # once through plain SMJ where AQE's skew-split must fire, once
+        # through the deterministic salted join
+        from dbt_tpcdi_spark.operators.skew import salted_join
+
+        t0 = time.perf_counter()
+        zipf = benchdata.zipf_events(spark).persist()
+        zipf.count()
+        prep["zipf_gen"] = round(time.perf_counter() - t0, 3)
+        zdim = benchdata.zipf_dim(spark)
+        saved = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            # scale AQE's skew thresholds down to bench-sized shuffles
+            # (defaults are 256 MB / 5x median — real-cluster numbers);
+            # the probe pins the MECHANISM: the hot partitions of this
+            # corpus must trip the detector and split
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes", "1m")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+            plain = (
+                zipf.join(zdim, "k")
+                .groupBy("grp").agg(F.sum("v").alias("s"))
+            )
+            _timed(probes, "skew:plain_join_zipf", plain)
+            plain.collect()
+            pplan = (plain._jdf.queryExecution().executedPlan().toString())
+            plan_checks["skew_plain_join_aqe_split"] = "skew=true" in pplan
+            salted = (
+                salted_join(zipf, zdim, key="k", salt_from="row_id",
+                            n_salts=16)
+                .groupBy("grp").agg(F.sum("v").alias("s"))
+            )
+            _timed(probes, "skew:salted_join_zipf", salted)
+            salted.collect()
+            splan = (salted._jdf.queryExecution().executedPlan().toString())
+            plan_checks["skew_salted_join_on_salt"] = "__salt" in splan
+            plan_checks["skew_salted_no_cartesian"] = (
+                "CartesianProduct" not in splan)
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+        # per-key windows can't be AQE-split — record the honest cost
+        # of sessionizing a hot-key distribution (the mitigation for
+        # truly unbounded keys is chunked two-phase sessionization)
+        from pyspark.sql import Window
+
+        zev = zipf.select(
+            F.col("k").alias("user_id"),
+            F.col("row_id").alias("event_id"), "ts_ms",
+        )
+        zw = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        zgap = zev.withColumn(
+            "new_s",
+            F.when(
+                (F.col("ts_ms") - F.lag("ts_ms").over(zw) > 1800000)
+                | F.lag("ts_ms").over(zw).isNull(), 1).otherwise(0),
+        )
+        zsess = zgap.withColumn(
+            "session_id",
+            F.sum("new_s").over(
+                zw.rowsBetween(Window.unboundedPreceding, 0)),
+        ).groupBy("user_id", "session_id").agg(
+            F.count("*").alias("n_events"))
+        _timed(probes, "skew:sessionize_zipf", zsess)
+        zipf.unpersist()
+
+    # -- full-DAG build at ×10 fixture scale (key-shifted replicas) -----
+    dag_x10 = None
+    if os.environ.get("SPARK_GRAFT_BENCH_DAG", "1") != "0":
+        import shutil
+
+        from dbt_tpcdi_spark.plans.runner import Runner
+        from dbt_tpcdi_spark.plans.sources import load_dag_sources
+        from dbt_tpcdi_spark.tpcdi.replicate import replicate_raw
+
+        dag_dir = "/tmp/spark_graft_bench/dagx10"
+        raw = replicate_raw(dag_dir, copies=10)
+        model_times: dict[str, float] = {}
+
+        class _TimedRunner(Runner):
+            def _materialize(self, name, df):
+                m0 = time.perf_counter()
+                out = super()._materialize(name, df)
+                model_times[name] = round(time.perf_counter() - m0, 3)
+                return out
+
+        wh = os.path.join(dag_dir, "wh")
+        shutil.rmtree(wh, ignore_errors=True)
+        t0 = time.perf_counter()
+        dag_sources = load_dag_sources(spark, str(raw))
+        _TimedRunner(spark, dag_sources, warehouse_dir=wh).run(
+            parallelism=8
+        )
+        total_wall = round(time.perf_counter() - t0, 3)
+        probes["dag_build_x10"] = total_wall
+        dag_x10 = {
+            "total_wall": total_wall,
+            "parallelism": 8,
+            "models": dict(
+                sorted(model_times.items(), key=lambda kv: -kv[1])
+            ),
+        }
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -148,6 +267,7 @@ def main() -> None:
                 "scale_probes": probes,
                 "prep": prep,
                 "plan_checks": plan_checks,
+                "dag_build_x10": dag_x10,
             }
         )
     )

@@ -137,3 +137,44 @@ def replicate_sf(
             os.unlink(os.path.join(out_dir, stale))
     open(marker, "w").close()
     return out_dir
+
+
+def zipf_events(
+    spark: SparkSession,
+    n_rows: int = 1_000_000,
+    hot_keys: int = 3,
+    cold_keys: int = 100_000,
+    hot_pct: int = 50,
+) -> DataFrame:
+    """(row_id, k, ts_ms, v): a fact table with a zipf-like hot head —
+    ``hot_pct`` percent of all rows land on just ``hot_keys`` keys, the
+    rest spread uniformly over ``cold_keys``. Pure projection over
+    ``spark.range`` (hash-derived, deterministic, no RNG state); the
+    shape the uniform driver testdata never produces, so skew
+    mitigations (AQE skew-split, salting) can be proven NECESSARY, not
+    just correct."""
+    pick = F.pmod(F.xxhash64(F.col("id"), F.lit("zipf-pick")), F.lit(100))
+    hot = F.pmod(F.xxhash64(F.col("id"), F.lit("zipf-hot")),
+                 F.lit(hot_keys))
+    cold = (
+        F.pmod(F.xxhash64(F.col("id"), F.lit("zipf-cold")),
+               F.lit(cold_keys))
+        + hot_keys
+    )
+    return spark.range(n_rows).select(
+        F.col("id").alias("row_id"),
+        F.when(pick < hot_pct, hot).otherwise(cold).alias("k"),
+        (F.col("id") * 137 % 86_400_000).alias("ts_ms"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+
+
+def zipf_dim(spark: SparkSession, hot_keys: int = 3,
+             cold_keys: int = 100_000) -> DataFrame:
+    """(k, grp): the dimension joined against zipf_events — small but
+    (for the probe) forced non-broadcastable, the exact regime salting
+    exists for."""
+    return spark.range(hot_keys + cold_keys).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(25)).alias("grp"),
+    )

@@ -1127,9 +1127,12 @@ _SEMDEDUP_THRESHOLD = 0.4
 #: target average cluster width: k = ⌈n / width⌉, so cluster width —
 #: and with it the within-cluster pair count n·width/2 — stays
 #: CONSTANT as the corpus grows (the SemDedup paper's k-in-the-
-#: thousands prescription). 7 ⇒ k=72 on the 500-vector correctness
-#: corpus, k=286 at bench sf0.1.
-_SEMDEDUP_WIDTH = 7
+#: thousands prescription). 25 ⇒ k=80 at the 2000-vector bench
+#: corpus (sf0.1), k=800 at its x10 probe; width also bounds the
+#: flat n·k·dim assignment cost (n²·dim/width), which is what caps
+#: how small width should be pushed before an IVF-style coarse
+#: pre-filter takes over.
+_SEMDEDUP_WIDTH = 25
 _KMEANS_SQL = S.kmeans_sql(
     "embeddings", "vec_id", "embedding", dim=64, iters=3,
     k_sql=(f"SELECT (count(*) + {_SEMDEDUP_WIDTH - 1}) "

@@ -58,16 +58,27 @@ def main() -> int:
             if not qs:
                 print("--only matched zero registered queries")
                 return 2
+    json_out = None
+    for i, a in enumerate(sys.argv):
+        if a == "--json":
+            if i + 1 >= len(sys.argv):
+                print("--json needs an output path")
+                return 2
+            json_out = sys.argv[i + 1]
     fails: list[str] = []
+    results: dict[str, dict] = {}
     t0 = time.perf_counter()
     for name in sorted(qs):
         if name in HEAVY and not include_heavy:
             print(f"{name}: skipped (heavy oracle at {sf})")
+            results[name] = {"skipped": f"heavy oracle at {sf}"}
             continue
         try:
             got = qs[name](spark, sf_dir).toPandas()
             if name not in oracles:
                 print(f"{name}: rows-only, {len(got)} rows")
+                results[name] = {"rows_only": True, "spark_rows": len(got),
+                                 "match": len(got) >= 0}
                 continue
             want = con.execute(oracles[name]).df()
             g = got[sorted(got.columns)].sort_values(
@@ -77,13 +88,28 @@ def main() -> int:
             ok = g.shape == w.shape and bool(
                 (g.astype(str).values == w.astype(str).values).all())
             print(f"{name}: {g.shape} match={ok}")
+            results[name] = {"spark_rows": int(g.shape[0]),
+                             "oracle_rows": int(w.shape[0]),
+                             "n_cols": int(g.shape[1]), "match": ok}
             if not ok:
                 fails.append(name)
         except Exception as ex:  # noqa: BLE001 — report and continue
             print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:150]}")
+            results[name] = {"match": False,
+                             "err": f"{type(ex).__name__}: {str(ex)[:150]}"}
             fails.append(name)
+    wall = round(time.perf_counter() - t0, 1)
     print(f"\nTOTAL: {len(qs)} queries, {len(fails)} failures in "
-          f"{time.perf_counter() - t0:.0f}s: {fails}")
+          f"{wall:.0f}s: {fails}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {"sf": sf, "n_queries": len(qs), "n_failures": len(fails),
+                 "wall_sec": wall, "failures": fails, "results": results},
+                fh, indent=1)
+        print(f"wrote {json_out}")
     return 1 if fails else 0
 
 
