@@ -216,6 +216,39 @@ def main() -> None:
         ).groupBy("user_id", "session_id").agg(
             F.count("*").alias("n_events"))
         _timed(probes, "skew:sessionize_zipf", zsess)
+        # the two-phase chunked plan on the same hot-key corpus: phase
+        # 1 windows by (user, hour-chunk) — hot users spread across
+        # tasks — phase 2 merges boundary sessions over session rows
+        zchunk = zev.withColumn("__chunk", F.expr("ts_ms div 3600000"))
+        w1 = Window.partitionBy("user_id", "__chunk").orderBy(
+            "ts_ms", "event_id")
+        zs1 = (
+            zchunk.withColumn(
+                "new_s",
+                F.when(
+                    (F.col("ts_ms") - F.lag("ts_ms").over(w1) > 1800000)
+                    | F.lag("ts_ms").over(w1).isNull(), 1).otherwise(0))
+            .withColumn(
+                "s1",
+                F.sum("new_s").over(
+                    w1.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "__chunk", "s1")
+            .agg(F.count("*").alias("n"), F.min("ts_ms").alias("a"),
+                 F.max("ts_ms").alias("b"))
+        )
+        w2 = Window.partitionBy("user_id").orderBy("a", "b")
+        zs2 = (
+            zs1.withColumn(
+                "new_g",
+                F.when((F.col("a") - F.lag("b").over(w2) > 1800000)
+                       | F.lag("b").over(w2).isNull(), 1).otherwise(0))
+            .withColumn(
+                "sid",
+                F.sum("new_g").over(
+                    w2.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "sid").agg(F.sum("n").alias("n_events"))
+        )
+        _timed(probes, "skew:sessionize_chunked_zipf", zs2)
         zipf.unpersist()
 
     # -- full-DAG build at ×10 fixture scale (key-shifted replicas) -----

@@ -30,14 +30,14 @@ from dbt_tpcdi_spark.queries.relational import (
 # sessionization (batch): lag-gap + cumulative session ids
 
 
-@query(
-    "sessionize",
-    oracle=f"""
+_SESSION_GAP_MS = 1_800_000
+
+_SESSIONIZE_ORACLE = f"""
     WITH e AS (
         SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
     ),
     gaps AS (
-        SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER w > 1800000
+        SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER w > {_SESSION_GAP_MS}
                        OR lag(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
     ),
@@ -49,7 +49,12 @@ from dbt_tpcdi_spark.queries.relational import (
     SELECT user_id, cast(session_id AS bigint) AS session_id,
            count(*) AS n_events, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
     FROM sess GROUP BY 1, 2
-    """,
+    """
+
+
+@query(
+    "sessionize",
+    oracle=_SESSIONIZE_ORACLE,
     tags=["ext-sessionize", "W1"],
     headline=True,
 )
@@ -77,6 +82,77 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts_ms").alias("start_ms"),
         F.max("ts_ms").alias("end_ms"),
+    )
+
+
+_SESSION_CHUNK_MS = 3_600_000  # 1h time chunks for the two-phase path
+
+
+@query(
+    "sessionize_chunked",
+    oracle=_SESSIONIZE_ORACLE,
+    tags=["ext-sessionize", "W1", "skew"],
+)
+def sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase sessionization — the hot-key scale path for per-user
+    windows, proven result-identical by sharing ``sessionize``'s
+    oracle.
+
+    A plain per-user window funnels a hot user's entire history into
+    one task (windows can't be AQE-split — measured in bench's
+    ``skew:sessionize_zipf``). Phase 1 here sessionizes within
+    (user, 1-hour time chunk), so a hot user's events spread across
+    as many tasks as hours of activity; phase 2 runs the SAME gap
+    logic per user over the phase-1 SESSION rows — bounded by active
+    hours, orders of magnitude smaller than events — merging sessions
+    that straddle chunk edges. Correct for ANY chunk size: within-
+    chunk splits are the global splits, and phase 2 compares adjacent
+    sessions regardless of which chunks they came from (an empty
+    chunk between sessions just means a gap that won't merge).
+    session_id ordinals come out identical to the single-window
+    plan's."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long").alias("ts_ms"),
+    ).withColumn("__chunk", F.expr(f"ts_ms div {_SESSION_CHUNK_MS}"))
+    w1 = Window.partitionBy("user_id", "__chunk").orderBy("ts_ms", "event_id")
+    gaps = e.withColumn(
+        "__new",
+        F.when(
+            (F.col("ts_ms") - F.lag("ts_ms").over(w1) > _SESSION_GAP_MS)
+            | F.lag("ts_ms").over(w1).isNull(), 1).otherwise(0),
+    )
+    s1 = (
+        gaps.withColumn(
+            "__s1",
+            F.sum("__new").over(
+                w1.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "__chunk", "__s1")
+        .agg(
+            F.count("*").alias("__n"),
+            F.min("ts_ms").alias("start_ms"),
+            F.max("ts_ms").alias("end_ms"),
+        )
+    )
+    # phase 2: session-level rows — per-user windows again, but over
+    # per-(user, active-hour) counts, not per-event rows
+    w2 = Window.partitionBy("user_id").orderBy("start_ms", "end_ms")
+    merged = s1.withColumn(
+        "__newg",
+        F.when(
+            (F.col("start_ms") - F.lag("end_ms").over(w2)
+             > _SESSION_GAP_MS)
+            | F.lag("end_ms").over(w2).isNull(), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("__newg").over(
+            w2.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return merged.groupBy("user_id", "session_id").agg(
+        F.sum("__n").alias("n_events"),
+        F.min("start_ms").alias("start_ms"),
+        F.max("end_ms").alias("end_ms"),
     )
 
 
