@@ -1262,6 +1262,94 @@ def bpe_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_vocab(d, "text", merges=4)
 
 
+_FLUENCY_SCORED_SQL = f"""
+    SELECT f.doc_id, d.lang, f.fluency_q
+    FROM ({X.lm_fluency_sql('documents', 'doc_id')}) f
+    JOIN documents d USING (doc_id)"""
+
+
+@query(
+    "fluency_buckets",
+    oracle=f"""
+    WITH scored AS MATERIALIZED ({_FLUENCY_SCORED_SQL}),
+    hist AS (
+        SELECT lang, fluency_q, count(*) AS c FROM scored GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT lang, fluency_q,
+               sum(c) OVER (PARTITION BY lang ORDER BY fluency_q) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT lang, count(*) AS n FROM scored GROUP BY 1),
+    thr AS (
+        SELECT c.lang,
+               min(CASE WHEN c.cum >= (n + 2) // 3
+                        THEN c.fluency_q END) AS t1,
+               min(CASE WHEN c.cum >= (2 * n + 2) // 3
+                        THEN c.fluency_q END) AS t2
+        FROM cum c JOIN tot USING (lang) GROUP BY 1
+    )
+    SELECT s.doc_id, s.lang, s.fluency_q,
+           CASE WHEN s.fluency_q < t.t1 THEN 'tail'
+                WHEN s.fluency_q < t.t2 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM scored s JOIN thr t USING (lang)
+    """,
+    tags=["llm-lm-filter", "llm-quality-quantile", "A1"],
+)
+def fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: every document
+    lands in the head/middle/tail third of its language's fluency
+    distribution. Thresholds come from the same scale-safe machinery
+    as the approx quantile gate — a (lang, fluency) histogram (the
+    scores are already integers, so grouping is exact), cumulative
+    counts over distinct scores, tercile cuts at ceil(n/3) and
+    ceil(2n/3), broadcast back. No per-language row sort anywhere;
+    this is the bucketing a curation pipeline uses to mix
+    high/medium/low-quality data at controlled ratios."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    scored = (
+        X.lm_fluency(d, "doc_id")
+        .select("doc_id", "fluency_q")
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+    hist = scored.groupBy("lang", "fluency_q").agg(F.count("*").alias("__c"))
+    cum_w = (
+        Window.partitionBy("lang")
+        .orderBy("fluency_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(cum_w))
+    tot = scored.groupBy("lang").agg(F.count("*").alias("__n"))
+    thr = (
+        cum.join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.expr("(__n + 2) div 3"),
+                    F.col("fluency_q"),
+                )
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.expr("(2 * __n + 2) div 3"),
+                    F.col("fluency_q"),
+                )
+            ).alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("fluency_q") < F.col("t1"), "tail")
+        .when(F.col("fluency_q") < F.col("t2"), "middle")
+        .otherwise("head")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .select("doc_id", "lang", "fluency_q", bucket.alias("bucket"))
+    )
+
+
 @query(
     "bpe_vocab_batched",
     oracle=B.bpe_vocab_batched_sql("documents", "text", rounds=4, batch=12),
