@@ -1262,6 +1262,86 @@ def bpe_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_vocab(d, "text", merges=4)
 
 
+_PASSAGE_CHUNK = 16  # tokens per passage chunk
+
+_PASSAGE_CHUNKS_SQL = f"""
+    SELECT doc_id, i AS chunk_idx,
+           md5(array_to_string(list_slice({X.tokens_sql('text')},
+               i * {_PASSAGE_CHUNK} + 1,
+               i * {_PASSAGE_CHUNK} + {_PASSAGE_CHUNK}), ' ')) AS ch
+    FROM documents, range(0, 65536) t(i)
+    WHERE i * {_PASSAGE_CHUNK} < len({X.tokens_sql('text')})"""
+
+
+@query(
+    "passage_dedup",
+    oracle=f"""
+    WITH chunks AS MATERIALIZED ({_PASSAGE_CHUNKS_SQL}),
+    shared AS (
+        SELECT ch FROM chunks GROUP BY ch
+        HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           cast(sum(CASE WHEN s.ch IS NULL THEN 0 ELSE 1 END) AS bigint)
+               AS n_dup_chunks,
+           cast(floor(sum(CASE WHEN s.ch IS NULL THEN 0 ELSE 1 END)
+                * 10000 / count(*)) AS bigint) AS dup_frac_q
+    FROM chunks c LEFT JOIN shared s USING (ch)
+    GROUP BY 1
+    """,
+    tags=["llm-dedup-passage", "A1", "A3"],
+)
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplicate detection (the Lee et al. train-data
+    dedup shape at chunk granularity): split each document into
+    16-token chunks, hash them, and flag every chunk whose text occurs
+    in ≥2 distinct documents — per-doc duplicated-chunk fraction is
+    the signal a curation pipeline thresholds or uses to excise
+    passages. Plan shape: chunking is a projection + explode; the only
+    shuffles are the map-side-combined chunk-hash aggregation (Σ
+    chunks = corpus tokens / 16) and the hash equi-join back — no
+    pairwise comparisons anywhere, so cost is linear in corpus size
+    at any scale."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    toks = X.tokens(F.col("text"))
+    n_chunks_arr = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / _PASSAGE_CHUNK).cast("int")
+    )
+    chunk = lambda i: F.md5(  # noqa: E731
+        F.array_join(F.slice(toks, i * _PASSAGE_CHUNK + 1, _PASSAGE_CHUNK),
+                     " ")
+    )
+    chunks = (
+        d.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), n_chunks_arr - 1), chunk)
+            ).alias("chunk_idx", "ch"),
+        )
+    )
+    shared = (
+        chunks.groupBy("ch")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") > 1)
+        .select("ch", F.lit(1).alias("__shared"))
+    )
+    return (
+        chunks.join(shared, "ch", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("__shared"), F.lit(0)))
+            .cast("bigint").alias("n_dup_chunks"),
+            F.expr(
+                "cast(floor(sum(coalesce(__shared, 0)) * 10000 "
+                "/ count(*)) AS bigint)"
+            ).alias("dup_frac_q"),
+        )
+    )
+
+
 _FLUENCY_SCORED_SQL = f"""
     SELECT f.doc_id, d.lang, f.fluency_q
     FROM ({X.lm_fluency_sql('documents', 'doc_id')}) f
