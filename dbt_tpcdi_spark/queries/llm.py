@@ -1434,6 +1434,7 @@ def fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_vocab_batched",
     oracle=B.bpe_vocab_batched_sql("documents", "text", rounds=4, batch=12),
     tags=["llm-bpe", "iterative", "A1"],
+    headline=True,
 )
 def bpe_vocab_batched_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched BPE training — the realistic-vocabulary path: 4 driver
@@ -1580,6 +1581,7 @@ _CURATION_APPROX_ORACLE = f"""
     "curation_pipeline_approx",
     oracle=_CURATION_APPROX_ORACLE,
     tags=["llm-curation-pipeline", "A3", "A1"],
+    headline=True,
 )
 def curation_pipeline_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline with the scale-safe histogram-threshold
