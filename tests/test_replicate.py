@@ -68,3 +68,26 @@ def test_symbols_fit_finwire_field_width():
         _rt, _layout, sec_recs = R._shift_finwire(rep)[1]
         for _pts, f in sec_recs:
             assert len(f["symbol"]) <= width
+
+
+def test_x3_build_passes_warehouse_checks(spark, tmp_path):
+    # end-to-end: a key-shifted x3 tree must build the full DAG with
+    # every generic warehouse check green (unique surrogate keys,
+    # referential integrity, accepted values) — proof the replicas
+    # are disjoint AND joinable through all 45 models, not just at
+    # the raw layer
+    from dbt_tpcdi_spark.plans.runner import Runner
+    from dbt_tpcdi_spark.plans.sources import load_dag_sources
+    from dbt_tpcdi_spark.plans.validators import run_checks
+    from dbt_tpcdi_spark.tpcdi.replicate import replicate_raw
+
+    raw = replicate_raw(tmp_path / "x3", copies=3)
+    built = Runner(
+        spark, load_dag_sources(spark, str(raw)),
+        warehouse_dir=str(tmp_path / "wh"),
+    ).run(parallelism=4)
+    assert len(built) == 45
+    # entity volume scaled exactly 3x vs the single-world fixture
+    assert built["fact_trade"].count() == 3 * 6
+    failures = [(n, v) for n, v in run_checks(built.__getitem__) if v]
+    assert not failures, failures
