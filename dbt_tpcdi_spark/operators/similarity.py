@@ -73,13 +73,13 @@ def qcosine_sql(a: str, b: str) -> str:
     )
 
 
-def sign_bucket(a: Column, planes: int = LSH_PLANES) -> Column:
-    """LSH bucket id: bit j = sign of Σ_i s_ij·q(x_i) with
-    s_ij = +1 if (i·7 + j·13) % 3 == 0 else −1 (fixed pattern)."""
+def sign_bucket_q(a: Column, planes: int = LSH_PLANES) -> Column:
+    """``sign_bucket`` over an ALREADY-quantized integer vector (the
+    form centroids live in): bit j = sign of Σ_i s_ij·x_i."""
     def signed(j: int):
         return lambda x, i: F.when(
-            ((i * 7 + F.lit(j) * 13) % 3) == 0, _q(x)
-        ).otherwise(-_q(x))
+            ((i * 7 + F.lit(j) * 13) % 3) == 0, x
+        ).otherwise(-x)
 
     bucket = None
     for j in range(planes):
@@ -91,6 +91,40 @@ def sign_bucket(a: Column, planes: int = LSH_PLANES) -> Column:
         bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("int")
+
+
+def sign_bucket(a: Column, planes: int = LSH_PLANES) -> Column:
+    """LSH bucket id: bit j = sign of Σ_i s_ij·q(x_i) with
+    s_ij = +1 if (i·7 + j·13) % 3 == 0 else −1 (fixed pattern)."""
+    return sign_bucket_q(F.transform(a, _q), planes)
+
+
+def bucket_of_qvec(qvec: list[int], planes: int = LSH_PLANES) -> int:
+    """Driver-side twin of ``sign_bucket_q`` for centroid lists —
+    exact integer sums, so it agrees bit-for-bit with the Spark and
+    SQL forms."""
+    b = 0
+    for j in range(planes):
+        s = sum(
+            v if (i * 7 + j * 13) % 3 == 0 else -v
+            for i, v in enumerate(qvec)
+        )
+        if s > 0:
+            b |= 1 << j
+    return b
+
+
+def sign_bucket_q_sql(a: str, planes: int = LSH_PLANES) -> str:
+    """DuckDB twin of ``sign_bucket_q`` (1-based list index)."""
+    terms = []
+    for j in range(planes):
+        proj = (
+            f"cast(list_sum(list_transform(range(1, len({a}) + 1), i -> "
+            f"CASE WHEN ((i - 1) * 7 + {j} * 13) % 3 = 0 "
+            f"THEN {a}[i] ELSE -{a}[i] END)) AS bigint)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
+    return f"cast({' + '.join(terms)} AS int)"
 
 
 def quantized_centroids(
@@ -455,3 +489,131 @@ def int8_codes_sql(vec: str) -> str:
         f"CASE WHEN ({s}) = 0 THEN 0 WHEN {el} < 0 THEN -{mag} "
         f"ELSE {mag} END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style prefiltered assignment — the next rung above the flat
+# broadcast-join argmin. Flat assignment computes n·k distances; at
+# SemDedup's k = n/width that is O(n²·dim/width). Prefiltering by the
+# shared sign-LSH bucket cuts the candidate set to the centroids in
+# the vector's bucket (~k/2^planes), trading exactness for the
+# classic IVF bound: assignment may pick the nearest IN-BUCKET
+# centroid rather than the global nearest. Vectors whose bucket holds
+# no centroid fall back to the exact global argmin, so assignment is
+# always total.
+
+
+def assign_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: dict[int, list[int]],
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Assign each vector to its nearest same-bucket centroid
+    (broadcast join on the bucket id — candidates ≈ k/2^planes per
+    row instead of k), exact-global fallback for empty buckets.
+
+    Returns (id_col, cluster, dist2, via_bucket): ``via_bucket`` is
+    false for fallback rows. Deterministic end-to-end — bucket ids,
+    distances, and tie-breaks are all exact integer arithmetic shared
+    with the SQL twin (``assign_ivf_sql``)."""
+    spark = df.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(c), [int(v) for v in vec], bucket_of_qvec(vec, planes))
+                for c, vec in sorted(cents.items())
+            ],
+            schema="__cl int, __cent array<bigint>, __cb int",
+        )
+    )
+    e = df.select(
+        id_col, vec_col, sign_bucket(F.col(vec_col), planes).alias("__b")
+    )
+    d = qdist2_int(F.col(vec_col), F.col("__cent"))
+    best = (
+        e.join(cdf, e["__b"] == cdf["__cb"])
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(d.alias("d"), F.col("__cl").alias("c"))
+            ).alias("__best")
+        )
+        .select(
+            id_col,
+            F.col("__best")["c"].alias("cluster"),
+            F.col("__best")["d"].alias("dist2"),
+            F.lit(True).alias("via_bucket"),
+        )
+    )
+    missing = e.join(best.select(id_col), id_col, "left_anti")
+    fallback = (
+        missing.join(cdf)
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(d.alias("d"), F.col("__cl").alias("c"))
+            ).alias("__best")
+        )
+        .select(
+            id_col,
+            F.col("__best")["c"].alias("cluster"),
+            F.col("__best")["d"].alias("dist2"),
+            F.lit(False).alias("via_bucket"),
+        )
+    )
+    return best.unionByName(fallback)
+
+
+def assign_ivf_sql(
+    from_table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k_bound: str,
+    planes: int = LSH_PLANES,
+) -> str:
+    """DuckDB twin: seed centroids (k smallest ids, same as
+    ``kmeans_sql``), bucket both sides with the shared sign formula,
+    nearest-in-bucket via QUALIFY, NOT-EXISTS fallback to the global
+    argmin. ``k_bound`` is a SQL scalar expression (literal or
+    subquery)."""
+    q = (
+        f"list_transform(range(1, {dim} + 1), i -> "
+        f"cast(round(cast({vec_col}[i] AS double) * {QUANT}) AS bigint))"
+    )
+    dist = qdist2_int_sql(f"e.{vec_col}", "c.centroid")
+    return f"""
+    WITH cents AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS c,
+               {q} AS centroid
+        FROM {from_table}
+        QUALIFY row_number() OVER (ORDER BY {id_col}) <= ({k_bound})
+    ),
+    cb AS MATERIALIZED (
+        SELECT c, centroid, {sign_bucket_q_sql('centroid', planes)} AS b
+        FROM cents
+    ),
+    e AS MATERIALIZED (
+        SELECT {id_col}, {vec_col},
+               {sign_bucket_q_sql(q, planes)} AS b
+        FROM {from_table}
+    ),
+    best AS (
+        SELECT e.{id_col}, c.c AS cluster, {dist} AS dist2,
+               true AS via_bucket
+        FROM e JOIN cb c USING (b)
+        QUALIFY row_number() OVER (
+            PARTITION BY e.{id_col} ORDER BY {dist}, c.c) = 1
+    ),
+    fallback AS (
+        SELECT e.{id_col}, c.c AS cluster, {dist} AS dist2,
+               false AS via_bucket
+        FROM e CROSS JOIN cb c
+        WHERE NOT EXISTS (SELECT 1 FROM cb x WHERE x.b = e.b)
+        QUALIFY row_number() OVER (
+            PARTITION BY e.{id_col} ORDER BY {dist}, c.c) = 1
+    )
+    SELECT * FROM best UNION ALL SELECT * FROM fallback
+    """

@@ -400,6 +400,33 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster", "dist2")
 
 
+@query(
+    "kmeans_assign_ivf",
+    oracle=S.assign_ivf_sql("embeddings", "vec_id", "embedding", dim=64,
+                            k_bound=str(_KMEANS_K)),
+    tags=["llm-kmeans", "llm-ann-ivf"],
+)
+def kmeans_assign_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rung above flat centroid assignment: candidates prefiltered
+    to the centroids sharing the vector's sign-LSH bucket (broadcast
+    equi-join on the bucket id — ~k/2^planes distance computations per
+    row instead of k), with an exact global-argmin fallback for
+    vectors whose bucket holds no centroid. This is the IVF trade
+    (nearest-IN-BUCKET, not global nearest) that keeps assignment
+    tractable when SemDedup-style k = n/width reaches the tens of
+    thousands; the n·k·dim flat cost becomes n·k·dim/2^planes.
+    Deterministic end-to-end — bucket ids, integer distances, and
+    tie-breaks shared bit-for-bit with the SQL twin."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    seed = (
+        e.orderBy("vec_id").limit(_KMEANS_K)
+        .select(F.transform("embedding", S._q).alias("__c"))
+        .collect()
+    )
+    cents = {i: list(r["__c"]) for i, r in enumerate(seed)}
+    return S.assign_ivf(e, "vec_id", "embedding", cents)
+
+
 _CLUSTER_PAIRS_SQL = D.jaccard_pairs_sql(
     "doc_id", "text", "documents", block_col="lang", threshold=0.8
 )

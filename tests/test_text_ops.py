@@ -283,3 +283,47 @@ def test_quantile_gate_approx_tie_flood(spark):
     kept = X.quality_quantile_gate_approx(df).collect()
     assert all(r["qthreshold"] == 0.5 for r in kept)
     assert len(kept) == 90  # the flood is at/above the cut, all kept
+
+
+def test_assign_ivf_properties(spark):
+    # IVF assignment is total (every vector assigned once), in-bucket
+    # rows really share the centroid's bucket, and the approximation
+    # never beats the exact argmin — equality exactly when the global
+    # winner lives in the vector's bucket
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators import similarity as S
+    from dbt_tpcdi_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    seed = (
+        e.orderBy("vec_id").limit(16)
+        .select(F.transform("embedding", S._q).alias("c")).collect()
+    )
+    cents = {i: list(r["c"]) for i, r in enumerate(seed)}
+    ivf = S.assign_ivf(e, "vec_id", "embedding", cents)
+    rows = ivf.collect()
+    assert len(rows) == e.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    cbucket = {c: S.bucket_of_qvec(v) for c, v in cents.items()}
+    vbucket = {
+        r["vec_id"]: r["b"]
+        for r in e.select(
+            "vec_id", S.sign_bucket(F.col("embedding")).alias("b")
+        ).collect()
+    }
+    flat = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in S.kmeans_quantized(
+            e, "vec_id", "embedding", k=16, iters=0,
+            assign_mode="broadcast",
+        ).collect()
+    }
+    for r in rows:
+        if r["via_bucket"]:
+            assert cbucket[r["cluster"]] == vbucket[r["vec_id"]]
+        fc, fd = flat[r["vec_id"]]
+        assert r["dist2"] >= fd
+        if cbucket[fc] == vbucket[r["vec_id"]]:
+            assert (r["cluster"], r["dist2"]) == (fc, fd)
