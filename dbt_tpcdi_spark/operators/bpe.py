@@ -363,10 +363,10 @@ def bpe_vocab_batched_sql(
     )
 
 
-def bpe_vocab_sql(from_table: str, text_col: str, merges: int = 4) -> str:
-    """DuckDB twin: identical training unrolled as CTEs; the top pair
-    per step is a scalar subquery with the same (count desc, pair asc)
-    tie-break."""
+def _train_ctes(from_table: str, text_col: str, merges: int) -> list[str]:
+    """The unrolled exact-training CTE chain shared by ``bpe_vocab_sql``
+    and ``bpe_encode_sql``; the final CTE ``__w{merges}`` holds (word,
+    wc, sp) with ``sp`` the fully-merged segmentation."""
     ctes = [
         f"""__wc AS (
             SELECT word, cast(count(*) AS bigint) AS wc FROM (
@@ -397,10 +397,91 @@ def bpe_vocab_sql(from_table: str, text_col: str, merges: int = 4) -> str:
                                                ' ', '') || ' ')) AS sp
             FROM __w{i}
         )""")
+    return ctes
+
+
+def bpe_vocab_sql(from_table: str, text_col: str, merges: int = 4) -> str:
+    """DuckDB twin: identical training unrolled as CTEs; the top pair
+    per step is a scalar subquery with the same (count desc, pair asc)
+    tie-break."""
+    ctes = _train_ctes(from_table, text_col, merges)
     return (
         "WITH " + ", ".join(ctes)
         + f""" SELECT symbol, cast(sum(wc) AS bigint) AS n_occurrences
         FROM (SELECT wc, unnest(regexp_split_to_array(sp, ' +')) AS symbol
               FROM __w{merges})
         GROUP BY 1"""
+    )
+
+
+def bpe_encode_counts(
+    df: DataFrame, id_col: str, text_col: str, merges: int = 4
+) -> DataFrame:
+    """Tokenize every document with a BPE tokenizer trained on the
+    corpus itself: (id, n_words, n_bpe_tokens).
+
+    The scale observation that makes encoding cheap: documents repeat
+    words, so the merge chain is applied to the DISTINCT-WORD table
+    (vocabulary-sized — ``bpe_train`` already returns each word's
+    fully-merged segmentation) and documents just equi-join their
+    exploded words against it (AQE broadcasts bounded vocabularies).
+    Encoding cost is therefore |vocab|·merges, not |corpus|·merges.
+    """
+    _, w = bpe_train(df, text_col, merges)
+    vocab = w.select(
+        "word",
+        F.size(F.split(F.col("sp"), " +")).cast("bigint").alias("__n_sub"),
+    )
+    words = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    per_doc = (
+        words.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("__n_sub").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_encode_sql(
+    from_table: str, id_col: str, text_col: str, merges: int = 4
+) -> str:
+    """DuckDB twin of ``bpe_encode_counts``: re-derives the merge table
+    with the same unrolled training CTEs, then applies the final
+    segmentation to each document via the same distinct-word join."""
+    ctes = _train_ctes(from_table, text_col, merges)
+    return (
+        "WITH " + ", ".join(ctes)
+        + f""",
+    __enc AS (
+        SELECT word,
+               cast(len(regexp_split_to_array(sp, ' +')) AS bigint)
+                   AS n_sub
+        FROM __w{merges}
+    ),
+    __dw AS (
+        SELECT {id_col}, unnest({tokens_sql(text_col)}) AS word
+        FROM {from_table}
+    ),
+    __per_doc AS (
+        SELECT d.{id_col}, count(*) AS n_words, sum(e.n_sub) AS n_bpe_tokens
+        FROM __dw d JOIN __enc e USING (word)
+        GROUP BY 1
+    )
+    SELECT t.{id_col},
+           cast(coalesce(p.n_words, 0) AS bigint) AS n_words,
+           cast(coalesce(p.n_bpe_tokens, 0) AS bigint) AS n_bpe_tokens
+    FROM {from_table} t LEFT JOIN __per_doc p USING ({id_col})"""
     )

@@ -214,6 +214,59 @@ def sign_bucket_sql(a: str, planes: int = LSH_PLANES) -> str:
 
 
 # ---------------------------------------------------------------------------
+# banded sign-LSH: independent bucket per band, OR-ed for recall.
+# The single-bucket family above has period 3 in j (13 ≡ 1 mod 3), so
+# stacking more of ITS planes into bands would give perfectly
+# correlated buckets; this family varies the index multiplier per band
+# (mod 5, threshold 2) so bands are genuinely distinct hash functions.
+
+
+def band_sign_bucket_q(
+    a: Column, band: int, planes: int = LSH_PLANES
+) -> Column:
+    """Sign-LSH bucket for one band over an already-quantized vector:
+    bit j = sign of Σ_i s_ijb·x_i with s_ijb = +1 iff
+    (i·(7+2·band) + j·13) % 5 < 2, else −1."""
+    mult = 7 + 2 * band
+
+    def signed(j: int):
+        return lambda x, i: F.when(
+            ((i * mult + F.lit(j) * 13) % 5) < 2, x
+        ).otherwise(-x)
+
+    bucket = None
+    for j in range(planes):
+        proj = F.aggregate(
+            F.transform(a, signed(j)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + p,
+        )
+        bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def band_sign_bucket(a: Column, band: int, planes: int = LSH_PLANES) -> Column:
+    return band_sign_bucket_q(F.transform(a, _q), band, planes)
+
+
+def band_sign_bucket_sql(a: str, band: int, planes: int = LSH_PLANES) -> str:
+    """DuckDB twin of ``band_sign_bucket`` (1-based list index)."""
+    mult = 7 + 2 * band
+    terms = []
+    for j in range(planes):
+        proj = (
+            f"cast(list_sum(list_transform(range(1, len({a}) + 1), i -> "
+            f"CASE WHEN ((i - 1) * {mult} + {j} * 13) % 5 < 2 "
+            f"THEN cast(round(cast({a}[i] AS double) * {QUANT}) AS bigint) "
+            f"ELSE -cast(round(cast({a}[i] AS double) * {QUANT}) AS bigint) "
+            f"END)) AS bigint)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
+    return f"cast({' + '.join(terms)} AS int)"
+
+
+# ---------------------------------------------------------------------------
 # k-means (Lloyd) over quantized embeddings — the clustering step a
 # training-data pipeline needs for corpus bucketing / IVF training.
 

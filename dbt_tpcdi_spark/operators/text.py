@@ -998,3 +998,263 @@ def quality_quantile_gate_approx_sql(
     ) t USING ({group_col})
     WHERE s.{score_col} >= t.qthreshold
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — public): hashed n-gram
+# bag features, target-vs-raw distribution ratio, per-document
+# importance score. Selection on top of the score reuses the existing
+# gates (quantile / hash-sample), so this operator only scores.
+
+DSIR_BUCKETS = 1024  # hashed feature space size
+DSIR_Q = 10000  # ratio quantization: r = floor(Q * p_hat / q_hat)
+
+
+def _dsir_bucket(s: Column) -> Column:
+    """md5-derived feature bucket in [0, DSIR_BUCKETS) — cross-engine
+    identical (same idiom as the minhash token hash)."""
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+
+
+def _dsir_bucket_sql(s: str) -> str:
+    powers = [16 ** (8 - i) for i in range(1, 9)]
+    return (
+        "(list_sum(list_transform(range(1, 9), i -> "
+        f"cast(strpos('0123456789abcdef', substr(md5({s}), i, 1)) - 1 "
+        f"AS bigint) * cast({powers}[i] AS bigint)))::bigint "
+        f"% {DSIR_BUCKETS})"
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    is_target: Column,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR importance score: how much more likely the
+    doc's hashed n-gram features are under the TARGET distribution
+    (rows where ``is_target``) than under the RAW corpus distribution.
+
+    Features are unigrams + bigrams hashed into DSIR_BUCKETS buckets
+    (multiplicity kept). With add-1-smoothed bucket probabilities
+    p̂_k = (p_k+1)/(Np+B) and q̂_k = (q_k+1)/(Nq+B), each bucket gets
+    an integer ratio r_k = (DSIR_Q·(p_k+1)·(Nq+B)) div ((q_k+1)·(Np+B))
+    and a doc scores the MEAN r over its features — the same
+    no-libm-logs trade ``lm_fluency`` makes (a log-ratio sum would not
+    be bit-identical cross-engine; the mean-ratio form ranks documents
+    equivalently for selection).
+
+    Plan shape at 100 TB: bucket statistics are BOUNDED (≤ DSIR_BUCKETS
+    rows per agg, map-side combined), the totals are scalars, and both
+    join back to the feature stream as broadcasts — the only data-scale
+    shuffle is the final per-doc re-aggregation on ``id_col``.
+
+    Output: (id, n_feats, dsir_q); docs with no features score 0.
+    """
+    feats = df.select(
+        F.col(id_col),
+        is_target.alias("__t"),
+        F.explode(
+            F.concat(tokens(F.col(text_col)), ngram_list(F.col(text_col), 2))
+        ).alias("__g"),
+    ).select(id_col, "__t", _dsir_bucket(F.col("__g")).alias("__b"))
+    stats = feats.groupBy("__b").agg(
+        F.count("*").alias("__q"),
+        F.sum(F.col("__t").cast("long")).alias("__p"),
+    )
+    tot = stats.agg(
+        (F.sum("__q") + F.lit(DSIR_BUCKETS)).alias("__nq"),
+        (F.sum("__p") + F.lit(DSIR_BUCKETS)).alias("__np"),
+    )
+    ratios = stats.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        F.expr(f"({DSIR_Q} * (__p + 1) * __nq) div ((__q + 1) * __np)")
+        .alias("__r"),
+    )
+    per_doc = (
+        feats.join(F.broadcast(ratios), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.expr("sum(__r) div count(*)").alias("dsir_q"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce("dsir_q", F.lit(0)).cast("bigint").alias("dsir_q"),
+        )
+    )
+
+
+def dsir_scores_sql(
+    from_table: str,
+    id_col: str,
+    is_target_sql: str,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``dsir_scores`` (identical smoothing, identical
+    integer ratio/mean arithmetic)."""
+    grams = (
+        f"list_concat({tokens_sql(text_col)}, "
+        f"{ngram_list_sql(text_col, 2)})"
+    )
+    return f"""
+    WITH feats AS (
+        SELECT {id_col}, t, {_dsir_bucket_sql('g')} AS b
+        FROM (
+            SELECT {id_col}, ({is_target_sql}) AS t, unnest({grams}) AS g
+            FROM {from_table}
+        )
+    ),
+    stats AS (
+        SELECT b, count(*) AS q,
+               sum(CASE WHEN t THEN 1 ELSE 0 END) AS p
+        FROM feats GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(q) + {DSIR_BUCKETS} AS nq,
+               sum(p) + {DSIR_BUCKETS} AS np
+        FROM stats
+    ),
+    ratios AS (
+        SELECT b, ({DSIR_Q} * (p + 1) * nq) // ((q + 1) * np) AS r
+        FROM stats, tot
+    ),
+    per_doc AS (
+        SELECT f.{id_col}, count(*) AS n_feats,
+               sum(r.r) // count(*) AS dsir_q
+        FROM feats f JOIN ratios r USING (b)
+        GROUP BY 1
+    )
+    SELECT d.{id_col},
+           cast(coalesce(p.n_feats, 0) AS bigint) AS n_feats,
+           cast(coalesce(p.dsir_q, 0) AS bigint) AS dsir_q
+    FROM {from_table} d LEFT JOIN per_doc p USING ({id_col})
+    """
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 "Winnowing:
+# Local Algorithms for Document Fingerprinting" — public): char k-gram
+# rolling hashes, one fingerprint per window of w consecutive hashes
+# (the RIGHTMOST minimal hash, the paper's tie rule), so any shared
+# substring of length >= k+w-1 between two documents is guaranteed to
+# share a fingerprint. A pure projection + explode — no shuffle until
+# the caller aggregates fingerprints.
+
+WINNOW_K = 5  # char k-gram length
+WINNOW_W = 4  # winnowing window (hashes per window)
+
+#: fingerprints pack as pos * 2^31 + hash (hash < 2^31), so the
+#: (pos, fp) pair survives a single bigint column cross-engine and
+#: decodes exactly.
+_WINNOW_PACK = 1 << 31
+_WINNOW_P = 2147483647
+
+
+def _winnow_h31(s: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % _WINNOW_P
+    )
+
+
+def _winnow_h31_sql(s: str) -> str:
+    # lambda var MUST NOT be `i`: callers pass an `s` that references an
+    # enclosing list_transform's `i`, which this lambda would shadow.
+    powers = [16 ** (8 - i) for i in range(1, 9)]
+    return (
+        "(list_sum(list_transform(range(1, 9), __hx -> "
+        f"cast(strpos('0123456789abcdef', substr(md5({s}), __hx, 1)) - 1 "
+        f"AS bigint) * cast({powers}[__hx] AS bigint)))::bigint "
+        f"% {_WINNOW_P})"
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Distinct winnowed fingerprints per document: (id, pos, fp)
+    where ``pos`` is the 1-based char position of the selected k-gram
+    and ``fp`` its hash. Docs shorter than k+w-1 chars yield no rows
+    (the paper's guarantee threshold). O(n·w) expression work per doc,
+    zero shuffles before the final distinct."""
+    t = F.lower(F.col(text_col))
+    n_hashes = F.greatest(F.length(t) - (k - 1), F.lit(0))
+    hs = F.transform(
+        F.sequence(F.lit(1), n_hashes),
+        lambda i: _winnow_h31(F.substr(t, i, F.lit(k))),
+    )
+    d = df.select(F.col(id_col), hs.alias("__hs"))
+    hsc = F.col("__hs")
+    n_wins = F.greatest(F.size(hsc) - (w - 1), F.lit(0))
+
+    def packed(i: Column) -> Column:
+        window = F.slice(hsc, i, w)
+        mh = F.array_min(window)
+        rightmost = F.aggregate(
+            F.sequence(i, i + (w - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: F.when(
+                F.element_at(hsc, j.cast("int")) == mh, j.cast("long")
+            ).otherwise(acc),
+        )
+        return rightmost * _WINNOW_PACK + mh
+
+    wins = d.select(
+        id_col,
+        F.explode(F.transform(F.sequence(F.lit(1), n_wins), packed)).alias(
+            "__pf"
+        ),
+    ).distinct()
+    return wins.select(
+        id_col,
+        F.expr(f"__pf div {_WINNOW_PACK}").cast("bigint").alias("pos"),
+        (F.col("__pf") % _WINNOW_PACK).cast("bigint").alias("fp"),
+    )
+
+
+def winnow_fingerprints_sql(
+    from_table: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> str:
+    """DuckDB twin — same hashes, same rightmost-minimum tie rule,
+    same bigint packing."""
+    t = f"lower({text_col})"
+    hs = (
+        f"list_transform(range(1, greatest(len({t}) - {k - 1}, 0) + 1), "
+        f"i -> {_winnow_h31_sql(f'substr({t}, i, {k})')})"
+    )
+    mh = f"list_min(h[i : i + {w - 1}])"
+    rightmost = (
+        f"list_max(list_transform(range(i, i + {w}), j -> "
+        f"CASE WHEN h[j] = {mh} THEN cast(j AS bigint) "
+        f"ELSE cast(0 AS bigint) END))"
+    )
+    return f"""
+    SELECT DISTINCT {id_col},
+           cast(pf // {_WINNOW_PACK} AS bigint) AS pos,
+           cast(pf % {_WINNOW_PACK} AS bigint) AS fp
+    FROM (
+        SELECT {id_col},
+               unnest(list_transform(
+                   range(1, greatest(len(h) - {w - 1}, 0) + 1),
+                   i -> {rightmost} * {_WINNOW_PACK} + {mh})) AS pf
+        FROM (SELECT {id_col}, {hs} AS h FROM {from_table})
+    )
+    """

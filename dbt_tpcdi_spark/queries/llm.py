@@ -102,6 +102,23 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.simhash(d, ["doc_id"], "text")
 
 
+@query(
+    "winnow_fingerprints",
+    oracle=X.winnow_fingerprints_sql("documents", "doc_id"),
+    tags=["llm-fingerprint-winnow"],
+)
+def winnow_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003): char 5-gram
+    rolling hashes, rightmost-minimum per 4-hash window, so any shared
+    substring >= 8 chars between two docs shares a fingerprint — the
+    substring-level dedup/plagiarism probe that complements the
+    token-level minhash/simhash family. Pure projection + explode;
+    joining fingerprints to find substring overlaps is one equi-join
+    on fp, never pairwise."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.winnow_fingerprints(d, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # near-duplicate detection
 
@@ -533,6 +550,99 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             qcos.alias("qcos"),
         )
         .filter(F.col("qcos") >= 0.4)
+    )
+
+
+_NEARDUP_BANDS = 2
+_NEARDUP_PLANES = 4
+_NEARDUP_THRESHOLD = 0.4
+
+_NEARDUP_BANDED_SQL = " UNION ALL ".join(
+    f"""SELECT vec_id, embedding,
+           {S.qdot_sql('embedding', 'embedding')} AS n2,
+           {b} AS band,
+           {S.band_sign_bucket_sql('embedding', b, _NEARDUP_PLANES)} AS bucket
+    FROM embeddings"""
+    for b in range(_NEARDUP_BANDS)
+)
+
+_NEARDUP_QCOS_SQL = round4_sql(
+    f"{S.qdot_sql('a.embedding', 'b.embedding')} / "
+    "(sqrt(cast(a.n2 AS double)) * sqrt(cast(b.n2 AS double)))"
+)
+
+
+@query(
+    "embedding_neardup_lsh",
+    oracle=f"""
+    WITH banded AS ({_NEARDUP_BANDED_SQL})
+    SELECT DISTINCT id_a, id_b, qcos FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_NEARDUP_QCOS_SQL} AS qcos
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    ) WHERE qcos >= {_NEARDUP_THRESHOLD}
+    """,
+    tags=["llm-dedup-embedding"],
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: the blocking key is a sign-LSH
+    bucket instead of a label — the 100 TB form of
+    ``embedding_neardup``, which needs no pre-existing labels.
+
+    Each vector hashes into one bucket per band (bands are
+    INDEPENDENT hyperplane sets — see ``band_sign_bucket``); candidate
+    pairs come from a single exploded (band, bucket) equi-join, so the
+    pair space is Σ_bucket |bucket|² per band, never all-pairs, and
+    recall is OR-ed across bands exactly like MinHash banding. Norms
+    are computed once per row BEFORE the join (only the dot product is
+    per-pair); duplicates from multi-band collisions are dropped after
+    the selective cosine filter."""
+    e = load_table(spark, sf_dir, "embeddings")
+    banded = (
+        e.select(
+            "vec_id",
+            "embedding",
+            S.qnorm2(F.col("embedding")).alias("n2"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            S.band_sign_bucket(
+                                F.col("embedding"), b, _NEARDUP_PLANES
+                            ).alias("bucket"),
+                        )
+                        for b in range(_NEARDUP_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("vec_id", "embedding", "n2", "bb.band", "bb.bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    qcos = round4(
+        S.qdot(F.col("a.embedding"), F.col("b.embedding"))
+        / (
+            F.sqrt(F.col("a.n2").cast("double"))
+            * F.sqrt(F.col("b.n2").cast("double"))
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            qcos.alias("qcos"),
+        )
+        .filter(F.col("qcos") >= _NEARDUP_THRESHOLD)
+        .distinct()
     )
 
 
@@ -1289,6 +1399,23 @@ def bpe_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_vocab(d, "text", merges=4)
 
 
+@query(
+    "bpe_encode",
+    oracle=B.bpe_encode_sql("documents", "doc_id", "text", merges=4),
+    tags=["llm-bpe", "iterative", "J1", "A1"],
+)
+def bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: per-doc encoded token counts using
+    merges trained on the same corpus. The merge chain runs over the
+    distinct-word table only (vocabulary-sized — `bpe_train` already
+    yields each word's merged segmentation); documents equi-join their
+    exploded words against it, so encoding cost is |vocab|·merges +
+    one corpus join, never |corpus|·merges. The oracle re-derives the
+    merge table independently with the unrolled-CTE training twin."""
+    d = load_table(spark, sf_dir, "documents")
+    return B.bpe_encode_counts(d, "doc_id", "text", merges=4)
+
+
 _PASSAGE_CHUNK = 16  # tokens per passage chunk
 
 _PASSAGE_CHUNKS_SQL = f"""
@@ -1487,6 +1614,23 @@ def lm_fluency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter is reproducible on any cluster and across engines."""
     d = _spread(load_table(spark, sf_dir, "documents"))
     return X.lm_fluency(d, "doc_id")
+
+
+@query(
+    "dsir_importance",
+    oracle=X.dsir_scores_sql("documents", "doc_id", "lang = 'en'"),
+    tags=["llm-data-selection", "A1", "J1"],
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023): hashed unigram+bigram
+    bag features, English docs as the target distribution, the whole
+    corpus as raw; each doc scores the mean quantized probability
+    ratio of its features. Bucket stats are bounded (≤1024 rows) and
+    broadcast — the only data-scale shuffle is the per-doc
+    re-aggregation. Selection on the score composes with the existing
+    quantile/hash-sample gates."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    return X.dsir_scores(d, "doc_id", F.col("lang") == "en")
 
 
 _CURATION_ORACLE = f"""
