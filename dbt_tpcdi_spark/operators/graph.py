@@ -305,3 +305,101 @@ def pagerank_sql(
         "WITH " + ", ".join(ctes)
         + f" SELECT node, rank_q FROM __r{iters}"
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered orientation — Suri & Vassilvitskii,
+# "Counting Triangles and the Curse of the Last Reducer", WWW'11 —
+# public literature). Orienting every edge from its lower-(degree, id)
+# endpoint to the higher one makes each triangle a unique directed
+# wedge + closing edge, and bounds every node's OUT-degree by
+# O(sqrt(m)) — the hub that would explode a naive wedge join fans out
+# from its low-degree neighbors instead. Two equi-joins, no node ever
+# enumerates its full neighborhood.
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Orient canonical undirected edges (u < v) by (degree, id):
+    src = lower endpoint in that total order."""
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("n", "u")
+                      .withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v")
+                 .withColumnRenamed("d", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected simple
+    graph given as (u, v) rows with u < v, deduped.
+
+    Wedges pair two out-edges of the same source; a wedge closes iff
+    the oriented edge between its endpoints exists (exactly one
+    orientation can, so each triangle is found once). The triangle's
+    three corners then explode to per-node counts. Output: (node,
+    n_triangles), nodes in >= 1 triangle only."""
+    oe = _oriented(edges)
+    w1 = oe.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    w2 = oe.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = (
+        w1.join(w2, "a")
+        .where(F.col("b") != F.col("c"))
+        .join(
+            oe,
+            (F.col("b") == F.col("src")) & (F.col("c") == F.col("dst")),
+        )
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+
+
+def triangle_counts_sql(edges_sql: str) -> str:
+    """DuckDB twin: identical orientation rule, wedge join, and
+    per-corner explode. ``edges_sql`` must yield (u, v) with u < v,
+    deduped."""
+    return f"""
+    WITH __te AS ({edges_sql}),
+    __td AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM __te UNION ALL SELECT v AS n FROM __te
+        ) GROUP BY 1
+    ),
+    __toe AS (
+        SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+                    THEN u ELSE v END AS src,
+               CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+                    THEN v ELSE u END AS dst
+        FROM __te JOIN __td du ON du.n = __te.u
+                  JOIN __td dv ON dv.n = __te.v
+    ),
+    __tri AS (
+        SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+        FROM __toe w1
+        JOIN __toe w2 ON w1.src = w2.src AND w1.dst <> w2.dst
+        JOIN __toe ce ON ce.src = w1.dst AND ce.dst = w2.dst
+    )
+    SELECT node, cast(count(*) AS bigint) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM __tri)
+    GROUP BY 1
+    """

@@ -1258,3 +1258,135 @@ def winnow_fingerprints_sql(
         FROM (SELECT {id_col}, {hs} AS h FROM {from_table})
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson/Sparck-Jones probabilistic weighting
+# — public literature): the full-text search primitive a corpus needs
+# once it is deduped and curated. Integer-exact throughout, with the
+# same two no-libm trades the rest of this module makes:
+#
+# - IDF keeps the RATIO inside the classic log, quantized:
+#   idf_q = floor(RQ·(2N−2df+1)/(2df+1)) — a monotone transform of
+#   Robertson IDF, so rankings are preserved and cross-engine exact.
+# - avgdl is quantized to centitokens (avgdl_q = 100·T div N), making
+#   the tf-saturation term a pure-integer rational. With k1=1.2 and
+#   b=0.75 the classic tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)) becomes
+#   tfn_q = floor(TFQ·44·avgdl_q·tf / (20·avgdl_q·tf + 6·avgdl_q
+#   + 1800·dl)) — every factor is per-document bounded, so the
+#   arithmetic never grows with corpus size; idf_q·tfn_q stays in
+#   bigint up to ~10^9 documents (≈100 TB at 100 KB/doc).
+
+BM25_RQ = 10000  # IDF-ratio quantization
+BM25_TFQ = 10000  # tf-saturation quantization
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    terms: list[str],
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query by quantized BM25.
+
+    Plan shape at 100 TB: corpus tokens explode ONCE and are filtered
+    to the query's terms immediately (predicate on the exploded value —
+    everything else prunes before any shuffle); document frequencies
+    collapse to ≤|terms| rows and broadcast back; N/T are one scalar
+    row. The only corpus-scale shuffles are the (doc, term) tf count
+    and the final per-doc sum; top-k is TakeOrderedAndProject.
+
+    Output: (id, score_q), score desc / id asc, k rows."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+    ).filter(F.col("__w").isin(terms))
+    dl = df.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("__dl")
+    )
+    nt = df.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("__t"),
+    )
+    tf = toks.groupBy(id_col, "__w").agg(
+        F.count("*").cast("long").alias("__tf")
+    )
+    dfreq = tf.groupBy("__w").agg(F.count("*").cast("long").alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__w")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(nt))
+        .withColumn("__adl", F.expr("(100 * __t) div __n"))
+        .withColumn(
+            "__idf",
+            F.expr(
+                f"({BM25_RQ} * (2 * __n - 2 * __df + 1)) div (2 * __df + 1)"
+            ),
+        )
+        .withColumn(
+            "__tfn",
+            F.expr(
+                f"({BM25_TFQ} * 44 * __adl * __tf) div "
+                "(20 * __adl * __tf + 6 * __adl + 1800 * __dl)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum(F.expr("__idf * __tfn")).cast("bigint").alias("score_q")
+    )
+    return per_doc.orderBy(
+        F.col("score_q").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def bm25_topk_sql(
+    from_table: str,
+    id_col: str,
+    terms: list[str],
+    text_col: str = "text",
+    k: int = 10,
+) -> str:
+    """DuckDB twin — identical quantized IDF / tf-saturation / top-k
+    tie-break."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH __toks AS (
+        SELECT {id_col}, w FROM (
+            SELECT {id_col}, unnest({tokens_sql(text_col)}) AS w
+            FROM {from_table}
+        ) WHERE w IN ({in_list})
+    ),
+    __dl AS (
+        SELECT {id_col}, cast({token_count_sql(text_col)} AS bigint) AS dl
+        FROM {from_table}
+    ),
+    __nt AS (
+        SELECT cast(count(*) AS bigint) AS n,
+               cast(sum({token_count_sql(text_col)}) AS bigint) AS t
+        FROM {from_table}
+    ),
+    __tf AS (
+        SELECT {id_col}, w, cast(count(*) AS bigint) AS tf
+        FROM __toks GROUP BY 1, 2
+    ),
+    __dfreq AS (
+        SELECT w, cast(count(*) AS bigint) AS df FROM __tf GROUP BY 1
+    ),
+    __scored AS (
+        SELECT f.{id_col},
+               ({BM25_RQ} * (2 * nt.n - 2 * d.df + 1)) // (2 * d.df + 1)
+                   AS idf,
+               ({BM25_TFQ} * 44 * ((100 * nt.t) // nt.n) * f.tf) //
+               (20 * ((100 * nt.t) // nt.n) * f.tf
+                + 6 * ((100 * nt.t) // nt.n) + 1800 * l.dl) AS tfn
+        FROM __tf f
+        JOIN __dfreq d USING (w)
+        JOIN __dl l USING ({id_col})
+        CROSS JOIN __nt nt
+    )
+    SELECT {id_col}, cast(sum(idf * tfn) AS bigint) AS score_q
+    FROM __scored
+    GROUP BY 1
+    ORDER BY score_q DESC, {id_col} ASC
+    LIMIT {k}
+    """

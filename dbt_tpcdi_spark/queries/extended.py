@@ -915,6 +915,49 @@ def pagerank_conserving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank_quantized(edges, iters=3, conserve_dangling=True)
 
 
+_TRI_EDGES_SQL = """
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+@query(
+    "triangle_counts",
+    oracle=G.triangle_counts_sql(_TRI_EDGES_SQL),
+    tags=["graph-triangles", "J1", "A1"],
+)
+def triangle_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-purchase graph (parts
+    sharing >= 2 orders) via degree-ordered orientation (Suri &
+    Vassilvitskii WWW'11): orienting edges low->high (degree, id)
+    bounds out-degree by O(sqrt(m)), so the wedge join never explodes
+    on hubs — the scale-canonical triangle plan, two equi-joins total.
+    """
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    return G.triangle_counts(edges)
+
+
 @query(
     "grouping_sets_revenue",
     oracle=f"""

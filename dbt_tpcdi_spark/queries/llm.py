@@ -1616,6 +1616,24 @@ def lm_fluency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.lm_fluency(d, "doc_id")
 
 
+_BM25_TERMS = ["hash", "join", "spark"]
+
+
+@query(
+    "bm25_topk",
+    oracle=X.bm25_topk_sql("documents", "doc_id", _BM25_TERMS),
+    tags=["llm-retrieval-bm25", "A1", "J1", "O1"],
+)
+def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents corpus for a 3-term
+    bag-of-words query — quantized-integer IDF and tf-saturation (no
+    libm logs), so the ranking is bit-identical cross-engine. Corpus
+    tokens filter to query terms before any shuffle; document
+    frequencies broadcast; top-10 is TakeOrderedAndProject."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    return X.bm25_topk(d, "doc_id", _BM25_TERMS)
+
+
 @query(
     "dsir_importance",
     oracle=X.dsir_scores_sql("documents", "doc_id", "lang = 'en'"),
