@@ -215,29 +215,43 @@ def sign_bucket_sql(a: str, planes: int = LSH_PLANES) -> str:
 
 # ---------------------------------------------------------------------------
 # banded sign-LSH: independent bucket per band, OR-ed for recall.
-# The single-bucket family above has period 3 in j (13 ≡ 1 mod 3), so
-# stacking more of ITS planes into bands would give perfectly
-# correlated buckets; this family varies the index multiplier per band
-# (mod 5, threshold 2) so bands are genuinely distinct hash functions.
+# The single-bucket family above is fine for ONE coarse bucket but has
+# algebraic structure (period 3 in j), so stacking planes/bands from it
+# yields correlated bits and far fewer effective buckets than 2^planes.
+# This family bakes md5-derived ±1 sign matrices as plan literals —
+# genuinely independent balanced hyperplanes, identical constants on
+# every engine, and the per-row cost is one zip_with per plane.
+
+import hashlib as _hashlib
+
+
+def _band_signs(band: int, planes: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random ±1 matrix for (band, plane, dim) —
+    derived from md5 of the index triple, so any engine/driver
+    regenerates the identical family."""
+    return [
+        [
+            1
+            if _hashlib.md5(f"{band}:{j}:{i}".encode()).digest()[0] % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(planes)
+    ]
 
 
 def band_sign_bucket_q(
-    a: Column, band: int, planes: int = LSH_PLANES
+    a: Column, band: int, planes: int = LSH_PLANES, dim: int = 64
 ) -> Column:
-    """Sign-LSH bucket for one band over an already-quantized vector:
-    bit j = sign of Σ_i s_ijb·x_i with s_ijb = +1 iff
-    (i·(7+2·band) + j·13) % 5 < 2, else −1."""
-    mult = 7 + 2 * band
-
-    def signed(j: int):
-        return lambda x, i: F.when(
-            ((i * mult + F.lit(j) * 13) % 5) < 2, x
-        ).otherwise(-x)
-
+    """Sign-LSH bucket for one band over an already-quantized integer
+    vector of length ``dim``: bit j = sign of Σ_i s_ij·x_i with the
+    ±1 matrix from ``_band_signs``."""
+    rows = _band_signs(band, planes, dim)
     bucket = None
     for j in range(planes):
+        signs = F.array(*[F.lit(s) for s in rows[j]])
         proj = F.aggregate(
-            F.transform(a, signed(j)),
+            F.zip_with(a, signs, lambda x, s: x * s.cast("long")),
             F.lit(0).cast("long"),
             lambda acc, p: acc + p,
         )
@@ -246,21 +260,41 @@ def band_sign_bucket_q(
     return bucket.cast("int")
 
 
-def band_sign_bucket(a: Column, band: int, planes: int = LSH_PLANES) -> Column:
-    return band_sign_bucket_q(F.transform(a, _q), band, planes)
+def band_sign_bucket(
+    a: Column, band: int, planes: int = LSH_PLANES, dim: int = 64
+) -> Column:
+    return band_sign_bucket_q(F.transform(a, _q), band, planes, dim)
 
 
-def band_sign_bucket_sql(a: str, band: int, planes: int = LSH_PLANES) -> str:
-    """DuckDB twin of ``band_sign_bucket`` (1-based list index)."""
-    mult = 7 + 2 * band
+def quantize_vec(a: Column) -> Column:
+    """float vector → quantized integer vector (materialize ONCE per
+    row before any pair join: per-pair re-quantization doubles the
+    dominant cost of a candidate-verification join)."""
+    return F.transform(a, _q)
+
+
+def rawdot(a: Column, b: Column) -> Column:
+    """Integer dot of two ALREADY-quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + p,
+    )
+
+
+def band_sign_bucket_sql(
+    a: str, band: int, planes: int = LSH_PLANES, dim: int = 64
+) -> str:
+    """DuckDB twin of ``band_sign_bucket`` (1-based list index, same
+    baked ±1 literals)."""
+    rows = _band_signs(band, planes, dim)
     terms = []
     for j in range(planes):
+        signs = "[" + ", ".join(str(s) for s in rows[j]) + "]"
         proj = (
-            f"cast(list_sum(list_transform(range(1, len({a}) + 1), i -> "
-            f"CASE WHEN ((i - 1) * {mult} + {j} * 13) % 5 < 2 "
-            f"THEN cast(round(cast({a}[i] AS double) * {QUANT}) AS bigint) "
-            f"ELSE -cast(round(cast({a}[i] AS double) * {QUANT}) AS bigint) "
-            f"END)) AS bigint)"
+            f"cast(list_sum(list_transform(range(1, {dim} + 1), i -> "
+            f"cast(round(cast({a}[i] AS double) * {QUANT}) AS bigint) "
+            f"* ({signs})[i])) AS bigint)"
         )
         terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
     return f"cast({' + '.join(terms)} AS int)"

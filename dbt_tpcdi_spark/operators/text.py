@@ -1161,22 +1161,22 @@ _WINNOW_PACK = 1 << 31
 _WINNOW_P = 2147483647
 
 
-def _winnow_h31(s: Column) -> Column:
-    return (
-        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % _WINNOW_P
-    )
+#: polynomial hash base (k-gram value = Σ codepoint·B^j mod P) — a true
+#: rolling-hash form: pure integer arithmetic, ~10× cheaper than an md5
+#: per position and exactly equal in any engine with ord()/ascii().
+#: Max pre-mod value at k=5: 1114111·(256⁴+…+1) < 2⁶² — no overflow.
+_WINNOW_B = 256
 
 
-def _winnow_h31_sql(s: str) -> str:
-    # lambda var MUST NOT be `i`: callers pass an `s` that references an
-    # enclosing list_transform's `i`, which this lambda would shadow.
-    powers = [16 ** (8 - i) for i in range(1, 9)]
-    return (
-        "(list_sum(list_transform(range(1, 9), __hx -> "
-        f"cast(strpos('0123456789abcdef', substr(md5({s}), __hx, 1)) - 1 "
-        f"AS bigint) * cast({powers}[__hx] AS bigint)))::bigint "
-        f"% {_WINNOW_P})"
+def _winnow_poly_sql(t: str, i: str, k: int) -> str:
+    """k-gram polynomial hash at 1-based position ``i`` — the oracle's
+    form of the hash the Spark side assembles from lead() windows."""
+    terms = " + ".join(
+        f"cast(ord(substr({t}, {i} + {j}, 1)) AS bigint) "
+        f"* {_WINNOW_B ** (k - 1 - j)}"
+        for j in range(k)
     )
+    return f"(({terms}) % {_WINNOW_P})"
 
 
 def winnow_fingerprints(
@@ -1189,40 +1189,66 @@ def winnow_fingerprints(
     """Distinct winnowed fingerprints per document: (id, pos, fp)
     where ``pos`` is the 1-based char position of the selected k-gram
     and ``fp`` its hash. Docs shorter than k+w-1 chars yield no rows
-    (the paper's guarantee threshold). O(n·w) expression work per doc,
-    zero shuffles before the final distinct."""
+    (the paper's guarantee threshold).
+
+    Plan: documents posexplode ONCE into (doc, pos, codepoint) rows;
+    the k-gram polynomial hash is a chain of ``lead()`` windows over
+    that stream (each char is touched exactly once — an array-of-
+    substrings formulation is O(pos) per char on UTF-8 strings, i.e.
+    quadratic per doc, measured 10× slower); the rightmost-minimum of
+    each w-hash window is then a single ``min(struct(h, -pos))`` over
+    a forward row frame — struct ordering gives smallest hash, then
+    largest position, exactly the paper's tie rule. Both window
+    passes share one per-doc shuffle + sort."""
+    from pyspark.sql import Window
+
     t = F.lower(F.col(text_col))
-    n_hashes = F.greatest(F.length(t) - (k - 1), F.lit(0))
-    hs = F.transform(
-        F.sequence(F.lit(1), n_hashes),
-        lambda i: _winnow_h31(F.substr(t, i, F.lit(k))),
+    chars = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(t == "", F.array().cast("array<string>")).otherwise(
+                F.split(t, "")
+            )
+        ).alias("__p0", "__c"),
+    ).select(
+        id_col,
+        (F.col("__p0") + 1).cast("long").alias("__pos"),
+        F.ascii(F.col("__c")).cast("long").alias("__cp"),
     )
-    d = df.select(F.col(id_col), hs.alias("__hs"))
-    hsc = F.col("__hs")
-    n_wins = F.greatest(F.size(hsc) - (w - 1), F.lit(0))
-
-    def packed(i: Column) -> Column:
-        window = F.slice(hsc, i, w)
-        mh = F.array_min(window)
-        rightmost = F.aggregate(
-            F.sequence(i, i + (w - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, j: F.when(
-                F.element_at(hsc, j.cast("int")) == mh, j.cast("long")
-            ).otherwise(acc),
+    order = Window.partitionBy(id_col).orderBy("__pos")
+    h = None
+    for j in range(k):
+        cp_j = F.col("__cp") if j == 0 else F.lead("__cp", j).over(order)
+        term = cp_j * (_WINNOW_B ** (k - 1 - j))
+        h = term if h is None else h + term
+    hrows = (
+        chars.withColumn("__h", h % _WINNOW_P)
+        .filter(F.col("__h").isNotNull())  # last k-1 positions
+        .select(id_col, "__pos", "__h")
+    )
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    full = Window.partitionBy(id_col)
+    sel = (
+        hrows.withColumn(
+            "__sel",
+            F.min(
+                F.struct(F.col("__h"), (-F.col("__pos")).alias("__np"))
+            ).over(frame),
         )
-        return rightmost * _WINNOW_PACK + mh
-
-    wins = d.select(
-        id_col,
-        F.explode(F.transform(F.sequence(F.lit(1), n_wins), packed)).alias(
-            "__pf"
-        ),
-    ).distinct()
-    return wins.select(
-        id_col,
-        F.expr(f"__pf div {_WINNOW_PACK}").cast("bigint").alias("pos"),
-        (F.col("__pf") % _WINNOW_PACK).cast("bigint").alias("fp"),
+        .withColumn("__n", F.count("*").over(full))
+        .filter(F.col("__pos") <= F.col("__n") - (w - 1))
+    )
+    return (
+        sel.select(
+            id_col,
+            (-F.col("__sel.__np")).cast("bigint").alias("pos"),
+            F.col("__sel.__h").cast("bigint").alias("fp"),
+        )
+        .distinct()
     )
 
 
@@ -1238,7 +1264,7 @@ def winnow_fingerprints_sql(
     t = f"lower({text_col})"
     hs = (
         f"list_transform(range(1, greatest(len({t}) - {k - 1}, 0) + 1), "
-        f"i -> {_winnow_h31_sql(f'substr({t}, i, {k})')})"
+        f"i -> {_winnow_poly_sql(t, 'i', k)})"
     )
     mh = f"list_min(h[i : i + {w - 1}])"
     rightmost = (

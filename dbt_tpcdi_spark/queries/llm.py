@@ -554,7 +554,11 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEARDUP_BANDS = 2
-_NEARDUP_PLANES = 4
+#: 8 planes → 256 buckets per band. The bucket count is the pair-space
+#: throttle (Σ|bucket|² per band): planes must GROW with corpus size —
+#: at the 2k-vector bench corpus 8 planes already cuts candidate pairs
+#: ~16× vs 4 planes; at 100 TB you'd run 16-20 planes + more bands.
+_NEARDUP_PLANES = 8
 _NEARDUP_THRESHOLD = 0.4
 
 _NEARDUP_BANDED_SQL = " UNION ALL ".join(
@@ -585,6 +589,7 @@ _NEARDUP_QCOS_SQL = round4_sql(
     ) WHERE qcos >= {_NEARDUP_THRESHOLD}
     """,
     tags=["llm-dedup-embedding"],
+    headline=True,
 )
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: the blocking key is a sign-LSH
@@ -599,19 +604,21 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are computed once per row BEFORE the join (only the dot product is
     per-pair); duplicates from multi-band collisions are dropped after
     the selective cosine filter."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", S.quantize_vec(F.col("embedding")).alias("qe")
+    )
     banded = (
         e.select(
             "vec_id",
-            "embedding",
-            S.qnorm2(F.col("embedding")).alias("n2"),
+            "qe",
+            S.rawdot(F.col("qe"), F.col("qe")).alias("n2"),
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            S.band_sign_bucket(
-                                F.col("embedding"), b, _NEARDUP_PLANES
+                            S.band_sign_bucket_q(
+                                F.col("qe"), b, _NEARDUP_PLANES
                             ).alias("bucket"),
                         )
                         for b in range(_NEARDUP_BANDS)
@@ -619,11 +626,11 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("bb"),
         )
-        .select("vec_id", "embedding", "n2", "bb.band", "bb.bucket")
+        .select("vec_id", "qe", "n2", "bb.band", "bb.bucket")
     )
     a, b = banded.alias("a"), banded.alias("b")
     qcos = round4(
-        S.qdot(F.col("a.embedding"), F.col("b.embedding"))
+        S.rawdot(F.col("a.qe"), F.col("b.qe"))
         / (
             F.sqrt(F.col("a.n2").cast("double"))
             * F.sqrt(F.col("b.n2").cast("double"))
@@ -1623,6 +1630,7 @@ _BM25_TERMS = ["hash", "join", "spark"]
     "bm25_topk",
     oracle=X.bm25_topk_sql("documents", "doc_id", _BM25_TERMS),
     tags=["llm-retrieval-bm25", "A1", "J1", "O1"],
+    headline=True,
 )
 def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval over the documents corpus for a 3-term
@@ -1638,6 +1646,7 @@ def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dsir_importance",
     oracle=X.dsir_scores_sql("documents", "doc_id", "lang = 'en'"),
     tags=["llm-data-selection", "A1", "J1"],
+    headline=True,
 )
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scoring (Xie et al. 2023): hashed unigram+bigram
