@@ -1789,3 +1789,260 @@ def curation_pipeline_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curation_pipeline(
         spark, sf_dir, X.quality_quantile_gate_approx
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 (lexical) and
+# quantized-cosine (semantic) candidate lists — the standard way a
+# retrieval stack combines a term index with an embedding index
+# (Cormack/Clarke/Buettcher RRF, public literature). Contributions are
+# exact integers (10^9 // (K + rank)), so fusion scores never touch a
+# float and tie-breaks are total.
+
+_RRF_K = 60  # the canonical RRF dampening constant
+_RRF_SCALE = 1_000_000_000
+_RRF_CAND = 50  # candidates taken from each branch before fusion
+
+
+@query(
+    "rrf_hybrid_topk",
+    oracle=f"""
+    WITH lex_scored AS (
+        {X.bm25_topk_sql('(SELECT * FROM documents WHERE doc_id <> 0)',
+                         'doc_id', _BM25_TERMS, k=_RRF_CAND)}
+    ),
+    lex AS (
+        SELECT doc_id, cast(row_number() OVER (
+                   ORDER BY score_q DESC, doc_id) AS bigint) AS lex_rank
+        FROM lex_scored
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sem_scored AS (
+        SELECT e.vec_id AS doc_id,
+               {S.qdot_sql('e.embedding', 'q.qv')} AS qdot
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY qdot DESC, doc_id LIMIT {_RRF_CAND}
+    ),
+    sem AS (
+        SELECT doc_id, cast(row_number() OVER (
+                   ORDER BY qdot DESC, doc_id) AS bigint) AS sem_rank
+        FROM sem_scored
+    )
+    SELECT doc_id, lex_rank, sem_rank,
+           cast(coalesce({_RRF_SCALE} // ({_RRF_K} + lex_rank), 0)
+                + coalesce({_RRF_SCALE} // ({_RRF_K} + sem_rank), 0)
+                AS bigint) AS rrf_q
+    FROM lex FULL OUTER JOIN sem USING (doc_id)
+    ORDER BY rrf_q DESC, doc_id LIMIT 10
+    """,
+    tags=["llm-retrieval-rrf", "J7", "O1"],
+)
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid top-10 via reciprocal-rank fusion: the BM25 branch and
+    the quantized-cosine branch each reduce the corpus to
+    ``_RRF_CAND`` candidates FIRST (TakeOrderedAndProject — the only
+    corpus-scale work), so ranking windows and the fusion full-outer
+    join run on 2·50 rows regardless of corpus size. Score =
+    Σ 10⁹//(60+rank) over the lists containing the doc — exact
+    integers end to end."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+
+    def ranked(scored: DataFrame, score: str, rank_alias: str) -> DataFrame:
+        """(doc_id, rank) from a candidate list ALREADY reduced to
+        ≤ _RRF_CAND rows by TakeOrderedAndProject: collapse to one
+        sorted array and posexplode — rank derivation costs one
+        bounded-size aggregate, no window, no per-row sort."""
+        arr = scored.agg(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col(score)).alias("s"), "doc_id"))
+            ).alias("__a")
+        )
+        pe = F.posexplode(F.col("__a"))
+        return arr.select(pe.alias("__pos", "__e")).select(
+            F.col("__e.doc_id").alias("doc_id"),
+            (F.col("__pos") + 1).cast("long").alias(rank_alias),
+        )
+
+    lex_scored = X.bm25_topk(d, "doc_id", _BM25_TERMS, k=_RRF_CAND)
+    lex = ranked(lex_scored, "score_q", "lex_rank")
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sem_scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            S.qdot(F.col("embedding"), F.col("qv")).alias("qdot"),
+        )
+        .orderBy(F.col("qdot").desc(), F.col("doc_id"))
+        .limit(_RRF_CAND)
+    )
+    sem = ranked(sem_scored, "qdot", "sem_rank")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.expr(f"{_RRF_SCALE} div ({_RRF_K} + {r})"), F.lit(0)
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (contrib("lex_rank") + contrib("sem_rank"))
+            .cast("long")
+            .alias("rrf_q"),
+        )
+        .orderBy(F.col("rrf_q").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# passage excision: the write-side counterpart of passage_dedup —
+# actually REMOVE cross-document duplicated chunks (keeping each
+# chunk's first-occurrence document, by min doc_id) and reassemble the
+# surviving text. This is the RefinedWeb/CCNet line-removal shape at
+# chunk granularity: detection tells you how contaminated a doc is,
+# excision produces the corpus you train on.
+
+_EXCISE_CHUNKS_SQL = f"""
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(list_slice({X.tokens_sql('text')},
+               i * {_PASSAGE_CHUNK} + 1,
+               i * {_PASSAGE_CHUNK} + {_PASSAGE_CHUNK}), ' ') AS ctext
+    FROM documents, range(0, 65536) t(i)
+    WHERE i * {_PASSAGE_CHUNK} < len({X.tokens_sql('text')})"""
+
+
+@query(
+    "passage_excise",
+    oracle=f"""
+    WITH chunks AS MATERIALIZED ({_EXCISE_CHUNKS_SQL}),
+    owner AS (
+        SELECT md5(ctext) AS ch, min(doc_id) AS keep_doc
+        FROM chunks GROUP BY 1
+    )
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           cast(sum(CASE WHEN o.keep_doc = c.doc_id THEN 1 ELSE 0 END)
+                AS bigint) AS n_kept,
+           md5(coalesce(string_agg(
+               CASE WHEN o.keep_doc = c.doc_id THEN c.ctext END, ' '
+               ORDER BY c.chunk_idx), '')) AS new_text_md5
+    FROM chunks c JOIN owner o ON md5(c.ctext) = o.ch
+    GROUP BY 1
+    """,
+    tags=["llm-dedup-passage", "A2", "J1"],
+)
+def passage_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite the corpus with cross-document duplicated 16-token
+    chunks excised: a chunk survives only in the doc with the smallest
+    doc_id among those containing its text (within-doc repeats of a
+    doc's own chunk survive with it). Output per doc: chunk counts +
+    md5 of the reassembled text.
+
+    Plan shape at 100 TB: chunking is a projection + explode; owner
+    resolution is one map-side-combined min() per chunk hash; the join
+    back is a hash equi-join on the chunk hash; reassembly is a
+    per-doc sort_array(collect_list) whose width is the DOCUMENT's own
+    chunk count — bounded by max doc length, not corpus size. No
+    pairwise work anywhere; linear in corpus tokens."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    toks = X.tokens(F.col("text"))
+    n_chunks_arr = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / _PASSAGE_CHUNK).cast("int")
+    )
+    ctext = lambda i: F.array_join(  # noqa: E731
+        F.slice(toks, i * _PASSAGE_CHUNK + 1, _PASSAGE_CHUNK), " "
+    )
+    chunks = (
+        d.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), n_chunks_arr - 1), ctext)
+            ).alias("chunk_idx", "ctext"),
+        )
+        .withColumn("ch", F.md5(F.col("ctext")))
+    )
+    owner = chunks.groupBy("ch").agg(F.min("doc_id").alias("keep_doc"))
+    kept = F.col("keep_doc") == F.col("doc_id")
+    return (
+        chunks.join(owner, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    kept,
+                                    F.struct(
+                                        F.col("chunk_idx"), F.col("ctext")
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s["ctext"],
+                    ),
+                    " ",
+                )
+            ).alias("new_text_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source budget capping (the UniMax mixture shape, public
+# literature: cap each source's contribution at a budget; selection
+# within a source is uniform-without-replacement via deterministic
+# hash order, so the sample is partitioning- and rerun-invariant).
+
+_CAP_PER_SOURCE = 15
+_CAP_SALT = "srccap:"
+
+
+@query(
+    "source_cap_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               cast(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{_CAP_SALT}' || cast(doc_id AS varchar)),
+                            doc_id) AS bigint) AS samp_rank
+        FROM documents
+    )
+    SELECT doc_id, source, samp_rank
+    FROM ranked WHERE samp_rank <= {_CAP_PER_SOURCE}
+    """,
+    tags=["llm-mixture-cap", "W3"],
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at {_CAP_PER_SOURCE} documents, selected by
+    md5-hash order (deterministic uniform-without-replacement — the
+    UniMax per-source budget step of mixture construction).
+
+    Scale shape: one window sort per source — the same top-B-per-group
+    shape as topk_per_group; the sort key is a hash, so data skew in
+    doc ids doesn't skew the sort, but a multi-TB single source still
+    serializes through one partition's sort. For cap ≪ source size the
+    scale-out is the two-pass trick the approx quantile gate uses:
+    per-source count → hash-threshold prefilter to ~2·cap survivors →
+    exact window on the survivors. The prefilter is a pure projection,
+    so the exact window then runs on O(cap) rows per source."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit(_CAP_SALT), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return (
+        d.select(
+            "doc_id", "source",
+            F.row_number().over(w).cast("long").alias("samp_rank"),
+        )
+        .filter(F.col("samp_rank") <= _CAP_PER_SOURCE)
+    )
