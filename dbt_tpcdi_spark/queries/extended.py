@@ -989,3 +989,143 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
     """)
+
+
+# ---------------------------------------------------------------------------
+# trailing EWMA: exponential smoothing with dyadic (2^-j) weights over
+# the trailing 8 observations per user. Dyadic weights make the
+# weighted sum EXACT integer arithmetic (value quantized to 1e-4,
+# weight 2^(7-lag)) — float EWMA recursions are summation-order
+# dependent and never cross-engine stable; this form is, and the
+# 8-term truncation error is bounded by 2^-8 of the weight mass.
+
+_EWMA_DEPTH = 8
+
+
+@query(
+    "ewma_trailing",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+               cast(round(cast(value AS decimal(18,4)) * 10000) AS bigint)
+                   AS vq
+        FROM events
+    )
+    SELECT user_id, event_id,
+           cast((
+               {' + '.join(
+                   f"coalesce(lag(vq, {j}) OVER w, 0) * {1 << (_EWMA_DEPTH - 1 - j)}"
+                   for j in range(_EWMA_DEPTH))}
+           ) AS bigint) AS num_q,
+           cast((
+               {' + '.join(
+                   f"CASE WHEN lag(vq, {j}) OVER w IS NULL THEN 0 "
+                   f"ELSE {1 << (_EWMA_DEPTH - 1 - j)} END"
+                   for j in range(_EWMA_DEPTH))}
+           ) AS bigint) AS den_q
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    """,
+    tags=["ext-ewma", "W6"],
+)
+def ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing EWMA (half-life decay, 8-term window): emits
+    the exact integer numerator Σ vq·2^(7-lag) and weight mass — the
+    consumer's smoothed value is num_q/(den_q·10⁴), one float division
+    it performs itself, so the engine's output never touches a float.
+
+    Scale shape: one window sort per user (the same shard-by-key shape
+    as forward_fill/sessionize); the 8 lag() calls share the single
+    sorted pass — Spark evaluates all frame offsets in one WindowExec."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long").alias("ts_ms"),
+        F.round(F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("bigint")
+        .alias("vq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    num = sum(
+        (
+            F.coalesce(F.lag("vq", j).over(w), F.lit(0))
+            * F.lit(1 << (_EWMA_DEPTH - 1 - j))
+        )
+        for j in range(_EWMA_DEPTH)
+    )
+    den = sum(
+        F.when(F.lag("vq", j).over(w).isNull(), F.lit(0)).otherwise(
+            F.lit(1 << (_EWMA_DEPTH - 1 - j))
+        )
+        for j in range(_EWMA_DEPTH)
+    )
+    return e.select(
+        "user_id", "event_id",
+        num.cast("bigint").alias("num_q"),
+        den.cast("bigint").alias("den_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# z-score anomaly flagging: per-user outlier counts with the 2σ test
+# done in EXACT integer arithmetic — |v−μ| > 2σ is algebraically
+# (n·vq−s)² > 4·(n·Σvq²−s²), so no float mean/stddev ever enters the
+# comparison and the flag can't flip on a cross-engine rounding edge.
+
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               cast(round(cast(value AS decimal(18,4)) * 10000) AS bigint)
+                   AS vq
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id, count(*) AS n,
+               sum(vq) AS s, sum(cast(vq AS hugeint) * vq) AS ss
+        FROM e GROUP BY 1
+    )
+    SELECT e.user_id,
+           cast(max(t.n) AS bigint) AS n_events,
+           cast(sum(CASE WHEN
+                    cast(t.n * e.vq - t.s AS hugeint)
+                    * cast(t.n * e.vq - t.s AS hugeint)
+                    > 4 * (t.n * t.ss - cast(t.s AS hugeint) * t.s)
+                    THEN 1 ELSE 0 END) AS bigint) AS n_anomalies
+    FROM e JOIN stats t USING (user_id)
+    GROUP BY 1
+    """,
+    tags=["ext-anomaly", "A1", "J1"],
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count each user's >2σ outlier events. Plan shape: one
+    map-side-combined stats aggregation per user, an equi-join back on
+    user_id (both sides hash-partitioned on the same key — AQE plans
+    it shuffle-once), and a second per-user aggregation. No window, no
+    sort; decimal(38,0) intermediates keep the squared comparison
+    exact far beyond bigint range (n·vq up to ~10¹⁸ before the square)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("bigint")
+        .alias("vq"),
+    )
+    stats = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("vq").alias("s"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq")).alias("ss"),
+    )
+    dev = (F.col("n") * F.col("vq") - F.col("s")).cast("decimal(38,0)")
+    flag = (dev * dev) > (
+        F.lit(4).cast("decimal(38,0)")
+        * (F.col("n") * F.col("ss") - F.col("s").cast("decimal(38,0)") * F.col("s"))
+    )
+    return (
+        e.join(stats, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.sum(flag.cast("int")).cast("bigint").alias("n_anomalies"),
+        )
+    )

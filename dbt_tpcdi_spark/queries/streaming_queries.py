@@ -261,3 +261,50 @@ def streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(joined, "q_streaming_join", output_mode="append")
     return spark.table("q_streaming_join")
+
+
+@query(
+    "streaming_sessionize",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, ts, epoch_ms(ts) AS ts_ms FROM events
+    ),
+    gaps AS (
+        SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER w >= 1800000
+                       OR lag(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+    ),
+    sess AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}')
+               AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=["§2.9-streaming", "A1", "W1"],
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows executed BY the streaming engine
+    (``F.session_window`` — the engine merges overlapping per-event
+    [ts, ts+gap) ranges in the state store, so a session splits
+    exactly when a gap ≥ 30 min appears; the oracle is the equivalent
+    batch gaps-and-islands with the same >= split rule). Watermark
+    bounds session state; keyed by user, so state shards across
+    executors."""
+    from dbt_tpcdi_spark.streaming.ops import session_windows
+
+    events = stream_events(spark, sf_dir)
+    sess = session_windows(events, gap="30 minutes", watermark="2 hours")
+    out = sess.select(
+        "user_id",
+        F.date_format(F.col("session_start"), TS_FMT).alias("session_start"),
+        F.date_format(F.col("session_end"), TS_FMT).alias("session_end"),
+        "n_events",
+    )
+    run_to_memory(out, "q_streaming_sessionize")
+    return spark.table("q_streaming_sessionize")
