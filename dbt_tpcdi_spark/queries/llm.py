@@ -1837,6 +1837,7 @@ _RRF_CAND = 50  # candidates taken from each branch before fusion
     ORDER BY rrf_q DESC, doc_id LIMIT 10
     """,
     tags=["llm-retrieval-rrf", "J7", "O1"],
+    headline=True,
 )
 def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid top-10 via reciprocal-rank fusion: the BM25 branch and
@@ -1933,6 +1934,7 @@ _EXCISE_CHUNKS_SQL = f"""
     GROUP BY 1
     """,
     tags=["llm-dedup-passage", "A2", "J1"],
+    headline=True,
 )
 def passage_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rewrite the corpus with cross-document duplicated 16-token

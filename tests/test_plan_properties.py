@@ -221,3 +221,34 @@ def test_mixture_sample_sizing_broadcasts(spark):
     # onto the ranked rows
     plan = _plan(spark, "mixture_sample")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_anomaly_zscore_no_sort(spark):
+    # the 2-sigma gate is groupBy + equi-join + groupBy: no window,
+    # no per-user sort anywhere in the plan
+    plan = _plan(spark, "anomaly_zscore")
+    assert "Window" not in plan
+    assert "Sort " not in plan and "SortExec" not in plan, plan
+
+
+def test_ewma_single_window_pass(spark):
+    # all 8 lag() offsets must share ONE WindowExec (one sort per
+    # user), not one window per term
+    plan = _plan(spark, "ewma_trailing")
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1, plan
+
+
+def test_rrf_no_cartesian_no_corpus_window(spark):
+    # both branches reduce via TakeOrderedAndProject before ranking;
+    # ranks come from a bounded sorted-array posexplode, so no Window
+    # node exists at all
+    plan = _plan(spark, "rrf_hybrid_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan, plan
+
+
+def test_passage_excise_linear_shape(spark):
+    # owner resolution + join back are hash-keyed; no pairwise work
+    plan = _plan(spark, "passage_excise")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
