@@ -2136,3 +2136,90 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("replayed batch was not idempotent")
         _INCR_DEDUP_CACHE[cache_key] = index
     return _INCR_DEDUP_CACHE[cache_key].read()
+
+
+# ---------------------------------------------------------------------------
+# corpus-trained document classifier (the model-based quality/domain
+# filter shape — fastText/DCLM classifiers, public literature — as a
+# naive-Bayes-style bag-of-words scorer trained on the corpus's own
+# labels). Same no-libm trade as lm_fluency: class score is the SUM of
+# quantized P(token|class) instead of Σ log P — exact integer
+# arithmetic, order-independent, identical ranking behavior for
+# filtering/classification purposes.
+
+_NB_Q = 1_000_000_000  # probability quantization for per-class scores
+
+
+@query(
+    "nb_lang_classify",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({X.tokens_sql('text')}) AS w
+        FROM documents
+    ),
+    ctl AS (SELECT w, lang, count(*) AS c FROM toks GROUP BY 1, 2),
+    cl AS (SELECT lang, count(*) AS t FROM toks GROUP BY 1),
+    stats AS (
+        SELECT ctl.w, ctl.lang, ({_NB_Q} * ctl.c) // cl.t AS pq
+        FROM ctl JOIN cl USING (lang)
+    ),
+    scored AS (
+        SELECT t.doc_id, s.lang AS cand, sum(s.pq) AS score_q
+        FROM toks t JOIN stats s ON t.w = s.w
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT doc_id, cand AS predicted FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_q DESC, cand) = 1
+    )
+    SELECT d.lang AS labeled_lang, p.predicted AS predicted_lang,
+           count(*) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+    """,
+    tags=["llm-classifier", "A1", "J1", "W3"],
+)
+def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a bag-of-words per-language token model ON the corpus
+    labels, re-classify every document, emit the confusion matrix —
+    the shape of model-based quality filtering without an external
+    model artifact.
+
+    Plan shape at 100 TB: token explode feeds two map-side-combined
+    count shuffles ((token, class) and class totals — vocabulary- and
+    #class-sized results); scoring re-joins doc tokens to the stats on
+    the token hash (AQE broadcasts bounded vocabularies); argmax is a
+    per-doc min(struct(-score, class)) aggregation — no window, no
+    sort, nothing quadratic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("w")
+    )
+    ctl = toks.groupBy("w", "lang").agg(F.count("*").alias("c"))
+    cl = toks.groupBy("lang").agg(F.count("*").alias("t"))
+    stats = ctl.join(cl, "lang").select(
+        "w",
+        F.col("lang").alias("cand"),
+        F.expr(f"({_NB_Q} * c) div t").alias("pq"),
+    )
+    scored = (
+        toks.join(stats, "w")
+        .groupBy("doc_id", "cand")
+        .agg(F.sum("pq").alias("score_q"))
+    )
+    pred = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("score_q")).alias("ns"), F.col("cand"))
+            ).alias("__best")
+        )
+        .select("doc_id", F.col("__best.cand").alias("predicted"))
+    )
+    return (
+        d.select("doc_id", F.col("lang").alias("labeled_lang"))
+        .join(pred, "doc_id")
+        .groupBy("labeled_lang", F.col("predicted").alias("predicted_lang"))
+        .agg(F.count("*").alias("n_docs"))
+    )
