@@ -131,6 +131,7 @@ class VersionedTable:
         op: str,
         max_retries: int,
         expected_latest: int | None | str = "any",
+        extra: dict | None = None,
     ) -> int:
         """``expected_latest="any"`` (full-snapshot overwrite): losing a
         version race re-links the same snapshot at the next number —
@@ -158,6 +159,7 @@ class VersionedTable:
                             "data": data_dir,
                             "op": op,
                             "committed_at": time.time(),
+                            **(extra or {}),
                         },
                         f,
                     )
@@ -177,10 +179,17 @@ class VersionedTable:
 
     def restore(self, version: int, max_retries: int = 10) -> int:
         """Append a new commit that points at ``version``'s snapshot
-        (no data movement)."""
+        (no data movement). Partition-manifest versions restore by
+        carrying the whole manifest forward."""
         entry = self._entry(version)
+        extra = {
+            k: entry[k]
+            for k in ("parts", "part_col", "part_type")
+            if k in entry
+        }
         return self._commit_entry(
-            entry["data"], f"restore({version})", max_retries
+            entry["data"], f"restore({version})", max_retries,
+            extra=extra or None,
         )
 
     # -- read --------------------------------------------------------------
@@ -188,15 +197,29 @@ class VersionedTable:
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot-isolated read: resolves the (given or latest)
         version NOW; the returned DataFrame keeps reading that snapshot
-        regardless of later commits."""
+        regardless of later commits. Partition-manifest versions
+        (``partitioned_upsert``) resolve to one leaf-directory read per
+        partition — a directory-listing-sized operation — re-attaching
+        the partition column from the manifest."""
         if version is None:
             version = self.latest_version()
             if version is None:
                 raise ValueError(f"{self.root}: no commits yet")
         entry = self._entry(version)
-        return self.spark.read.parquet(
-            os.path.join(self.root, entry["data"])
-        )
+        if "parts" not in entry:
+            return self.spark.read.parquet(
+                os.path.join(self.root, entry["data"])
+            )
+        from pyspark.sql import functions as F
+
+        col, dtype = entry["part_col"], entry["part_type"]
+        out = None
+        for val, data_dir in sorted(entry["parts"].items()):
+            leaf = self.spark.read.parquet(
+                os.path.join(self.root, data_dir, f"{col}={val}")
+            ).withColumn(col, F.lit(val).cast(dtype))
+            out = leaf if out is None else out.unionByName(leaf)
+        return out
 
     def as_of(self, timestamp: float) -> DataFrame:
         """Time travel: the table as of a wall-clock instant (latest
@@ -251,6 +274,118 @@ class VersionedTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"{self.root}: upsert lost {max_retries} races")
+
+    def partitioned_upsert(
+        self,
+        updates: DataFrame,
+        key: str | list[str],
+        partition_col: str,
+        max_retries: int = 10,
+    ) -> int:
+        """MERGE that rewrites ONLY the partitions the batch touches —
+        the Iceberg/Delta dynamic-partition-overwrite shape, and the
+        piece that makes a continuously-ingesting index table viable at
+        100 TB (``upsert`` rewrites O(table) per batch; this rewrites
+        O(affected partitions + batch)).
+
+        Mechanics: the commit entry carries a partition manifest
+        ``parts: {value: data_dir}``. Untouched partitions keep
+        pointing at the directories of earlier commits (immutable, so
+        sharing is safe); touched partitions are merged
+        (anti-join-by-key + union, scoped to their leaf directories)
+        and written — ``partitionBy(partition_col)`` — into this
+        commit's directory only. ``read()`` resolves the manifest to
+        one leaf read per partition; ``vacuum`` keeps every directory
+        any kept manifest references; ``compact()`` folds a
+        fragmented manifest back into a single plain snapshot.
+
+        The first partitioned_upsert on a plain (or empty) table
+        rewrites it once in full to establish the manifest.
+
+        Constraints: partition values must be non-null simple scalars
+        whose ``str()`` matches Spark's partition-directory naming
+        (ints, alnum strings — e.g. a hash-prefix bucket column);
+        the affected-value ``collect()`` is partition-count-sized
+        metadata, never data."""
+        from pyspark.sql import functions as F
+
+        keys = [key] if isinstance(key, str) else list(key)
+        dtype = updates.schema[partition_col].dataType.simpleString()
+        for _ in range(max_retries):
+            base_version = self.latest_version()
+            base_entry = (
+                self._entry(base_version) if base_version is not None else None
+            )
+            vals = sorted(
+                str(r[0])
+                for r in updates.select(partition_col).distinct().collect()
+            )
+            if (
+                base_entry is not None
+                and base_entry.get("part_col") == partition_col
+            ):
+                # pruned path: merge only the touched partitions
+                prev_parts = dict(base_entry["parts"])
+                existing = None
+                for v in vals:
+                    if v not in prev_parts:
+                        continue
+                    leaf = self.spark.read.parquet(
+                        os.path.join(
+                            self.root, prev_parts[v], f"{partition_col}={v}"
+                        )
+                    ).withColumn(partition_col, F.lit(v).cast(dtype))
+                    existing = (
+                        leaf if existing is None else existing.unionByName(leaf)
+                    )
+                if existing is None:
+                    merged = updates
+                else:
+                    keep = existing.join(
+                        updates.select(*keys).distinct(), keys, "left_anti"
+                    )
+                    merged = keep.unionByName(
+                        updates.select(existing.columns)
+                    )
+            elif base_entry is not None:
+                # plain → partitioned transition: one full rewrite
+                existing = self.read(base_version)
+                keep = existing.join(
+                    updates.select(*keys).distinct(), keys, "left_anti"
+                )
+                merged = keep.unionByName(updates.select(existing.columns))
+                prev_parts = {}
+                vals = sorted(
+                    str(r[0])
+                    for r in merged.select(partition_col)
+                    .distinct()
+                    .collect()
+                )
+            else:
+                merged = updates
+                prev_parts = {}
+            data_dir = f"data-{uuid.uuid4().hex[:12]}"
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+                os.path.join(self.root, data_dir)
+            )
+            parts = {**prev_parts, **{v: data_dir for v in vals}}
+            try:
+                return self._commit_entry(
+                    data_dir,
+                    "partitioned_upsert",
+                    max_retries=1,
+                    expected_latest=base_version,
+                    extra={
+                        "parts": parts,
+                        "part_col": partition_col,
+                        "part_type": dtype,
+                    },
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"{self.root}: partitioned_upsert lost {max_retries} races"
+        )
 
     def read_conformed(self, version: int) -> DataFrame:
         """Time travel with schema evolution: the old snapshot presented
@@ -353,7 +488,9 @@ class VersionedTable:
         if not entries:
             return []
         kept = entries[-keep_last:]
-        keep_dirs = {e["data"] for e in kept}
+        keep_dirs = {e["data"] for e in kept} | {
+            d for e in kept for d in e.get("parts", {}).values()
+        }
         age_cutoff = time.time() - retention_seconds
         removed = []
         for e in entries[: len(entries) - len(kept)]:

@@ -2076,9 +2076,12 @@ _INCR_DEDUP_CACHE: dict = {}
         SELECT fp, min(doc_id) AS first_doc FROM d
         WHERE doc_id % 2 = 1 GROUP BY 1
     )
-    SELECT fp, first_doc, cast(1 AS int) AS from_batch FROM b1
+    SELECT fp, first_doc, cast(1 AS int) AS from_batch,
+           substr(fp, 1, 1) AS fp_bucket
+    FROM b1
     UNION ALL
-    SELECT b2.fp, b2.first_doc, cast(2 AS int) AS from_batch
+    SELECT b2.fp, b2.first_doc, cast(2 AS int) AS from_batch,
+           substr(b2.fp, 1, 1) AS fp_bucket
     FROM b2 ANTI JOIN b1 USING (fp)
     """,
     tags=["llm-dedup-incremental", "S11", "A2", "J1"],
@@ -2093,11 +2096,12 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay raises before any row reaches the driver).
 
     Scale shape: per batch the work is one fingerprint projection, one
-    map-side-combined min() per fp, and one anti-join against the
-    index on the fp hash — O(batch + index-touched) shuffle, O(index)
-    sequential write (the versioned-table rewrite; on a real
-    deployment the index table is partitioned by fp prefix so the
-    rewrite touches only affected partitions)."""
+    map-side-combined min() per fp, one anti-join against the index on
+    the fp hash, and a ``partitioned_upsert`` keyed by fp-prefix
+    bucket — the commit rewrites ONLY the buckets the batch touches
+    (dynamic partition overwrite; untouched buckets carry forward as
+    immutable directory references in the manifest), so per-batch
+    write cost is O(touched buckets + batch), never O(index)."""
     cache_key = (sf_dir, id(spark))
     if cache_key not in _INCR_DEDUP_CACHE:
         import tempfile
@@ -2115,17 +2119,20 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("fp")
                 .agg(F.min("doc_id").alias("first_doc"))
                 .withColumn("from_batch", F.lit(batch_no).cast("int"))
+                .withColumn("fp_bucket", F.substring("fp", 1, 1))
             )
 
         index = VersionedTable(spark, f"{root}/fp_index")
-        index.commit(batch_fps(0, 1), op="seed")
+        index.partitioned_upsert(
+            batch_fps(0, 1), key="fp", partition_col="fp_bucket"
+        )
 
         def ingest(batch: DataFrame) -> int:
             existing = index.read().select("fp")
             new = batch.join(existing, "fp", "left_anti")
             if new.isEmpty():
                 return 0  # nothing new: no commit at all
-            index.upsert(new, key="fp")
+            index.partitioned_upsert(new, key="fp", partition_col="fp_bucket")
             return 1
 
         b2 = batch_fps(1, 2)

@@ -278,3 +278,108 @@ def test_concurrent_upserts_no_lost_updates(spark, tmp_path):
     expected.update({k: k * 10 for k in range(200, 205)})
     assert got == expected
     assert vt.latest_version() == 2
+
+
+# ---------------------------------------------------------------------------
+# partitioned_upsert: dynamic-partition-overwrite merge
+
+
+def _pdf(spark, rows):
+    # rows: (k, v, b) — key, payload, partition bucket
+    return spark.createDataFrame(rows, "k int, v string, b int")
+
+
+def _prows(df):
+    return sorted((r.k, r.v, r.b) for r in df.collect())
+
+
+def test_partitioned_upsert_bootstrap_and_merge(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    v0 = vt.partitioned_upsert(
+        _pdf(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 1)]), key="k",
+        partition_col="b",
+    )
+    assert v0 == 0
+    assert _prows(vt.read()) == [(1, "a", 0), (2, "b", 1), (3, "c", 1)]
+    # update key 2 (bucket 1), insert key 4 (new bucket 2)
+    vt.partitioned_upsert(
+        _pdf(spark, [(2, "B", 1), (4, "d", 2)]), key="k", partition_col="b"
+    )
+    assert _prows(vt.read()) == [
+        (1, "a", 0), (2, "B", 1), (3, "c", 1), (4, "d", 2)
+    ]
+    # time travel still sees the pre-merge manifest
+    assert _prows(vt.read(version=0)) == [
+        (1, "a", 0), (2, "b", 1), (3, "c", 1)
+    ]
+
+
+def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    root = tmp_path / "t"
+    vt = VersionedTable(spark, str(root))
+    vt.partitioned_upsert(
+        _pdf(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 2)]), key="k",
+        partition_col="b",
+    )
+    entry0 = json.loads((root / "_log" / "0000000000.json").read_text())
+    vt.partitioned_upsert(
+        _pdf(spark, [(2, "B", 1)]), key="k", partition_col="b"
+    )
+    entry1 = json.loads((root / "_log" / "0000000001.json").read_text())
+    # v1's own directory holds ONLY the touched partition
+    subdirs = sorted(
+        n for n in os.listdir(root / entry1["data"]) if n.startswith("b=")
+    )
+    assert subdirs == ["b=1"]
+    # untouched partitions still point at v0's immutable directory
+    assert entry1["parts"]["0"] == entry0["data"]
+    assert entry1["parts"]["2"] == entry0["data"]
+    assert entry1["parts"]["1"] == entry1["data"]
+
+
+def test_partitioned_upsert_plain_table_transition(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_pdf(spark, [(1, "a", 0), (2, "b", 1)]))  # plain snapshot
+    vt.partitioned_upsert(
+        _pdf(spark, [(2, "B", 1), (3, "c", 0)]), key="k", partition_col="b"
+    )
+    assert _prows(vt.read()) == [(1, "a", 0), (2, "B", 1), (3, "c", 0)]
+
+
+def test_partitioned_manifest_survives_restore_and_vacuum(spark, tmp_path):
+    root = tmp_path / "t"
+    vt = VersionedTable(spark, str(root))
+    vt.partitioned_upsert(
+        _pdf(spark, [(1, "a", 0), (2, "b", 1)]), key="k", partition_col="b"
+    )
+    vt.partitioned_upsert(
+        _pdf(spark, [(2, "B", 1)]), key="k", partition_col="b"
+    )
+    vt.restore(1)  # v2: carries v1's manifest
+    vt.partitioned_upsert(
+        _pdf(spark, [(1, "A", 0)]), key="k", partition_col="b"
+    )  # v3
+    # keep v2+v3: both manifests reference v0's dir (bucket carried
+    # forward) — vacuum must keep every referenced directory
+    removed = vt.vacuum(keep_last=2, retention_seconds=0.0)
+    assert _prows(vt.read()) == [(1, "A", 0), (2, "B", 1)]
+    assert _prows(vt.read(version=2)) == [(1, "a", 0), (2, "B", 1)]
+    entry0_dir = json.loads(
+        (root / "_log" / "0000000002.json").read_text()
+    )["parts"]["0"]
+    assert all(entry0_dir not in r for r in removed)
+
+
+def test_compact_folds_manifest_to_plain_snapshot(spark, tmp_path):
+    root = tmp_path / "t"
+    vt = VersionedTable(spark, str(root))
+    vt.partitioned_upsert(
+        _pdf(spark, [(1, "a", 0), (2, "b", 1)]), key="k", partition_col="b"
+    )
+    vt.partitioned_upsert(
+        _pdf(spark, [(3, "c", 2)]), key="k", partition_col="b"
+    )
+    v = vt.compact()
+    entry = json.loads((root / "_log" / f"{v:010d}.json").read_text())
+    assert "parts" not in entry
+    assert _prows(vt.read()) == [(1, "a", 0), (2, "b", 1), (3, "c", 2)]
