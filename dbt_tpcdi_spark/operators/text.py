@@ -1330,9 +1330,12 @@ def bm25_topk(
     dl = df.select(
         F.col(id_col), token_count(F.col(text_col)).cast("long").alias("__dl")
     )
-    nt = df.agg(
+    # N and T derive from the doc-length table — NOT a third scan of
+    # the corpus: tokenization is the dominant per-row cost, and this
+    # aggregation reuses the __dl projection (2 tokenize passes total)
+    nt = dl.agg(
         F.count("*").cast("long").alias("__n"),
-        F.sum(token_count(F.col(text_col))).cast("long").alias("__t"),
+        F.sum("__dl").cast("long").alias("__t"),
     )
     tf = toks.groupBy(id_col, "__w").agg(
         F.count("*").cast("long").alias("__tf")
