@@ -2230,3 +2230,81 @@ def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("labeled_lang", F.col("predicted").alias("predicted_lang"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# two-pass per-source capping: identical semantics/output to
+# source_cap_sample, but the exact window runs on a hash-prefiltered
+# candidate set (~4·cap rows per source) instead of the whole source —
+# the scale path source_cap_sample's docstring promises.
+
+_CAP_BUCKETS = 1_000_000
+
+
+@query(
+    "source_cap_sample_twopass",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               cast(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{_CAP_SALT}' || cast(doc_id AS varchar)),
+                            doc_id) AS bigint) AS samp_rank
+        FROM documents
+    )
+    SELECT doc_id, source, samp_rank
+    FROM ranked WHERE samp_rank <= {_CAP_PER_SOURCE}
+    """,
+    tags=["llm-mixture-cap", "W3", "A1"],
+)
+def source_cap_sample_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source capping with a bounded window: pass 1 counts each
+    source (metadata-sized, broadcast back) and keeps only rows whose
+    md5 PREFIX bucket falls under a per-source threshold sized to
+    admit ~4·cap survivors; pass 2 runs the exact rank window on the
+    survivors only.
+
+    Exactness: the selection order is the full md5 hex string, and
+    md5 is fixed-length lowercase hex, so ordering by the string
+    equals ordering by its numeric prefix — the bucket prefilter keeps
+    a PREFIX-CLOSED set under the full order (every doc ranked above a
+    survivor is itself a survivor). Survivor ranks therefore EQUAL
+    whole-source ranks for every kept row, and the output is
+    bit-identical to source_cap_sample (same oracle). If the hash
+    prefilter ever admitted fewer than cap rows for a source (4×
+    headroom makes that vanishingly rare; a production deployment
+    doubles the threshold and retries), the output would shrink and
+    the oracle gate would catch it — correctness is never silently
+    approximate.
+
+    Scale: the window input is O(cap) rows per source at ANY source
+    size — a multi-TB source contributes ~4·cap rows to the sort
+    instead of all its documents."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("__n"))
+    # ceil(4·cap·BUCKETS / n), capped at keep-everything
+    thr = counts.withColumn(
+        "__thr",
+        F.least(
+            F.lit(_CAP_BUCKETS).cast("long"),
+            F.expr(
+                f"({4 * _CAP_PER_SOURCE * _CAP_BUCKETS} + __n - 1) div __n"
+            ),
+        ),
+    )
+    h = F.md5(F.concat(F.lit(_CAP_SALT), F.col("doc_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 5), 16, 10).cast("long")
+    survivors = (
+        d.join(F.broadcast(thr), "source")
+        # 5 hex chars = 20 bits ≈ 1.05M buckets: compare on the same
+        # scale as _CAP_BUCKETS via ceiling division
+        .filter(bucket * _CAP_BUCKETS < F.col("__thr") * F.lit(1 << 20))
+    )
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        survivors.select(
+            "doc_id", "source",
+            F.row_number().over(w).cast("long").alias("samp_rank"),
+        )
+        .filter(F.col("samp_rank") <= _CAP_PER_SOURCE)
+    )

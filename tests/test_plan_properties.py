@@ -252,3 +252,43 @@ def test_passage_excise_linear_shape(spark):
     plan = _plan(spark, "passage_excise")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_cap_twopass_equals_exact_and_prunes(spark):
+    # at sf0.1 each source has ~250 docs vs cap 15: the bucket
+    # prefilter must actually shrink the window input, and the result
+    # must still be bit-identical to the whole-source rank
+    sf = "/root/testdata/sf0.1"
+    exact = all_queries()["source_cap_sample"].build(spark, sf)
+    two = all_queries()["source_cap_sample_twopass"].build(spark, sf)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, two.collect())
+    )
+    from dbt_tpcdi_spark.queries.llm import (
+        _CAP_BUCKETS, _CAP_PER_SOURCE, _CAP_SALT,
+    )
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("__n"))
+    thr = counts.withColumn(
+        "__thr",
+        F.least(
+            F.lit(_CAP_BUCKETS).cast("long"),
+            F.expr(
+                f"({4 * _CAP_PER_SOURCE * _CAP_BUCKETS} + __n - 1) div __n"
+            ),
+        ),
+    )
+    h = F.md5(F.concat(F.lit(_CAP_SALT), F.col("doc_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 5), 16, 10).cast("long")
+    survivors = d.join(F.broadcast(thr), "source").filter(
+        bucket * _CAP_BUCKETS < F.col("__thr") * F.lit(1 << 20)
+    )
+    n_total, n_surv = d.count(), survivors.count()
+    assert n_surv < n_total / 2, (n_surv, n_total)  # prefilter is active
+    # and still enough headroom for the exact cap everywhere
+    per_src = survivors.groupBy("source").count()
+    assert per_src.agg(F.min("count")).first()[0] >= _CAP_PER_SOURCE
