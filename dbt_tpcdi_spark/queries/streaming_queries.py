@@ -308,3 +308,28 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(out, "q_streaming_sessionize")
     return spark.table("q_streaming_sessionize")
+
+
+@query(
+    "streaming_running_totals",
+    oracle="""
+    SELECT user_id,
+           cast(sum(cast(round(cast(value AS decimal(18,4)) * 10000)
+                AS bigint)) AS bigint) AS total_q,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    tags=["§2.9-streaming", "§2.10-stateful", "A1"],
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator under the driver gate:
+    applyInPandasWithState accumulates exact per-user integer totals
+    (values quantized Spark-side, so the Arrow-batched pandas sum is
+    int64-exact and the result engine-comparable). AvailableNow drains
+    the file stream; update mode emits each user's final state."""
+    from dbt_tpcdi_spark.streaming.ops import running_user_totals_q
+
+    events = stream_events(spark, sf_dir)
+    out = running_user_totals_q(events)
+    run_to_memory(out, "q_streaming_running_totals", output_mode="update")
+    return spark.table("q_streaming_running_totals")

@@ -222,3 +222,46 @@ def stream_merge_scd2(
         .start()
     )
     q.awaitTermination()
+
+
+_STATE_Q_SCHEMA = "total_q bigint, n bigint"
+_OUT_Q_SCHEMA = "user_id bigint, total_q bigint, n bigint"
+
+
+def _accumulate_q(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Exact-integer running totals: the driver-gate-safe twin of
+    ``_accumulate`` — values arrive pre-quantized (vq bigint), so the
+    pandas sum is int64-exact and order-independent, making the
+    operator's output engine-comparable (float accumulation isn't)."""
+    total_q, n = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        total_q += int(pdf["vq"].sum())
+        n += len(pdf)
+    state.update((total_q, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "total_q": [total_q], "n": [n]}
+    )
+
+
+def running_user_totals_q(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) with
+    exact integer state: per-user running quantized-value totals.
+    State is a 2-int tuple per user — bounded, shardable by the
+    grouping key across executors."""
+    quantized = events.select(
+        "user_id",
+        F.round(F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("bigint")
+        .alias("vq"),
+    )
+    return quantized.groupBy("user_id").applyInPandasWithState(
+        _accumulate_q,
+        outputStructType=_OUT_Q_SCHEMA,
+        stateStructType=_STATE_Q_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
