@@ -333,3 +333,44 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = running_user_totals_q(events)
     run_to_memory(out, "q_streaming_running_totals", output_mode="update")
     return spark.table("q_streaming_running_totals")
+
+
+@query(
+    "streaming_enrich",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           count(*) AS n_events,
+           cast(sum(cast(round(cast(e.value AS decimal(18,4)) * 10000)
+                AS bigint)) AS bigint) AS total_q
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=["§2.9-streaming", "J1", "A1"],
+)
+def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join (the third join mode after batch
+    and stream-stream): the event stream joins a static customer
+    dimension — Spark broadcasts the dim into every micro-batch, no
+    join state accumulates (unlike stream-stream, nothing is buffered
+    waiting for the other side) — then aggregates exact quantized
+    totals per nation."""
+    from dbt_tpcdi_spark.sources.parquet import load_table
+
+    events = stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    joined = events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    )
+    agg = joined.groupBy(
+        F.col("c_nationkey").alias("nationkey")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.round(F.col("value").cast("decimal(18,4)") * 10000)
+            .cast("bigint")
+        ).cast("bigint").alias("total_q"),
+    )
+    run_to_memory(agg, "q_streaming_enrich")
+    return spark.table("q_streaming_enrich")
