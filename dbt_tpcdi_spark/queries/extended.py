@@ -1129,3 +1129,64 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(flag.cast("int")).cast("bigint").alias("n_anomalies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# change data feed under the driver gate: a versioned table absorbs an
+# upsert and CDF diffs the two versions — the storage layer's time
+# travel + MERGE + changes() driven end-to-end, with the diff checked
+# against a plain-SQL derivation of what must have changed.
+
+_CDF_CACHE: dict = {}
+
+
+@query(
+    "versioned_cdf",
+    oracle=f"""
+    SELECT o_orderkey,
+           cast(round(cast(o_totalprice AS {MONEY}) * 2, 2) AS double)
+               AS price,
+           'insert' AS _change_type
+    FROM orders WHERE o_orderkey % 7 = 3
+    UNION ALL
+    SELECT o_orderkey,
+           cast(round(cast(o_totalprice AS {MONEY}), 2) AS double) AS price,
+           'delete' AS _change_type
+    FROM orders WHERE o_orderkey % 7 = 3
+    """,
+    tags=["S11", "A2", "J1"],
+)
+def versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two versions of a versioned table:
+    v0 snapshots all orders, v1 upserts a deterministic slice with
+    doubled prices, and ``changes(0, 1)`` must emit exactly one
+    insert (new price) + one delete (old price) per touched key —
+    unchanged rows cancel in the multiset diff. The oracle derives
+    the same feed from the base table alone, so a diff that leaks
+    untouched rows or drops a change hash-mismatches.
+
+    Scale: the CDF is two exceptAll anti-diffs — O(both snapshots)
+    without per-commit row lineage, the documented floor; the upsert
+    itself is the storage layer's CAS-committed MERGE."""
+    cache_key = (sf_dir, id(spark))
+    if cache_key not in _CDF_CACHE:
+        import tempfile
+
+        from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+        root = tempfile.mkdtemp(prefix="cdf_")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round(money(F.col("o_totalprice")), 2)
+            .cast("double")
+            .alias("price"),
+        )
+        vt = VersionedTable(spark, f"{root}/orders_v")
+        vt.commit(o, op="seed")
+        updates = o.filter(F.col("o_orderkey") % 7 == 3).withColumn(
+            "price",
+            (money(F.col("price")) * 2).cast("double"),
+        )
+        vt.upsert(updates, key="o_orderkey")
+        _CDF_CACHE[cache_key] = vt
+    return _CDF_CACHE[cache_key].changes(0, 1)
