@@ -2308,3 +2308,177 @@ def source_cap_sample_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("samp_rank") <= _CAP_PER_SOURCE)
     )
+
+
+# ---------------------------------------------------------------------------
+# second-generation curation pipeline: composes this round's operators
+# end-to-end — passage EXCISION rewrites the corpus, the corpus-trained
+# classifier gates label-consistent docs, per-source capping bounds the
+# mixture, and the deterministic split reports the final corpus. Every
+# stage re-derives from the REWRITTEN text on both engines, so the twins
+# cannot drift.
+
+
+@query(
+    "curation_pipeline_full",
+    oracle=f"""
+    WITH chunks AS MATERIALIZED ({_EXCISE_CHUNKS_SQL}),
+    owner AS (
+        SELECT md5(ctext) AS ch, min(doc_id) AS keep_doc
+        FROM chunks GROUP BY 1
+    ),
+    ex AS (
+        SELECT c.doc_id,
+               coalesce(string_agg(
+                   CASE WHEN o.keep_doc = c.doc_id THEN c.ctext END, ' '
+                   ORDER BY c.chunk_idx), '') AS new_text
+        FROM chunks c JOIN owner o ON md5(c.ctext) = o.ch
+        GROUP BY 1
+    ),
+    docs AS MATERIALIZED (
+        SELECT d.doc_id, d.lang, d.source, ex.new_text
+        FROM documents d JOIN ex USING (doc_id)
+    ),
+    toks AS (
+        SELECT doc_id, lang, unnest({X.tokens_sql('new_text')}) AS w
+        FROM docs
+    ),
+    ctl AS (SELECT w, lang, count(*) AS c FROM toks GROUP BY 1, 2),
+    cl AS (SELECT lang, count(*) AS t FROM toks GROUP BY 1),
+    stats AS (
+        SELECT ctl.w, ctl.lang, ({_NB_Q} * ctl.c) // cl.t AS pq
+        FROM ctl JOIN cl USING (lang)
+    ),
+    scored AS (
+        SELECT t.doc_id, s.lang AS cand, sum(s.pq) AS score_q
+        FROM toks t JOIN stats s ON t.w = s.w
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT doc_id, cand AS predicted FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_q DESC, cand) = 1
+    ),
+    kept AS (
+        SELECT docs.doc_id, docs.lang, docs.source
+        FROM docs JOIN pred USING (doc_id)
+        WHERE pred.predicted = docs.lang
+    ),
+    capped AS (
+        SELECT doc_id, lang FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5('{_CAP_SALT}' || cast(doc_id AS varchar)),
+                         doc_id) AS rn
+            FROM kept
+        ) WHERE rn <= {_CAP_PER_SOURCE}
+    )
+    SELECT CASE WHEN {hash_sample_sql('doc_id', 0.90, salt=_SPLIT_SALT)}
+                THEN 'train'
+                WHEN {hash_sample_sql('doc_id', 0.95, salt=_SPLIT_SALT)}
+                THEN 'val' ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM capped GROUP BY 1, 2
+    """,
+    tags=["llm-curation-pipeline", "A3", "A1", "W3"],
+    headline=True,
+)
+def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 curation pipeline END-TO-END: passage excision
+    rewrites every document (cross-doc duplicated chunks removed),
+    the naive-Bayes classifier — trained on the REWRITTEN corpus —
+    gates docs whose predicted language matches their label (the
+    model-based quality filter), per-source capping bounds the
+    mixture, and the hash split reports final per-(split, lang)
+    counts. Each stage keeps its individual scale shape (linear chunk
+    hashing / vocabulary-sized stats + token equi-join / per-source
+    rank / pure-projection split); composing them adds no new shuffle
+    class."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    toks0 = X.tokens(F.col("text"))
+    n_chunks_arr = F.greatest(
+        F.lit(1), F.ceil(F.size(toks0) / _PASSAGE_CHUNK).cast("int")
+    )
+    ctext = lambda i: F.array_join(  # noqa: E731
+        F.slice(toks0, i * _PASSAGE_CHUNK + 1, _PASSAGE_CHUNK), " "
+    )
+    chunks = (
+        d.filter(F.size(toks0) > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), n_chunks_arr - 1), ctext)
+            ).alias("chunk_idx", "ctext"),
+        )
+        .withColumn("ch", F.md5(F.col("ctext")))
+    )
+    owner = chunks.groupBy("ch").agg(F.min("doc_id").alias("keep_doc"))
+    kept_chunk = F.col("keep_doc") == F.col("doc_id")
+    ex = (
+        chunks.join(owner, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                kept_chunk,
+                                F.struct(F.col("chunk_idx"), F.col("ctext")),
+                            )
+                        )
+                    ),
+                    lambda s: s["ctext"],
+                ),
+                " ",
+            ).alias("new_text")
+        )
+    )
+    docs = d.select("doc_id", "lang", "source").join(ex, "doc_id")
+    # classifier gate, trained on the REWRITTEN corpus
+    toks = docs.select(
+        "doc_id", "lang", F.explode(X.tokens(F.col("new_text"))).alias("w")
+    )
+    ctl = toks.groupBy("w", "lang").agg(F.count("*").alias("c"))
+    cl = toks.groupBy("lang").agg(F.count("*").alias("t"))
+    stats = ctl.join(cl, "lang").select(
+        "w", F.col("lang").alias("cand"),
+        F.expr(f"({_NB_Q} * c) div t").alias("pq"),
+    )
+    scored = (
+        toks.join(stats, "w")
+        .groupBy("doc_id", "cand")
+        .agg(F.sum("pq").alias("score_q"))
+    )
+    pred = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("score_q")).alias("ns"), F.col("cand"))
+            ).alias("__best")
+        )
+        .select("doc_id", F.col("__best.cand").alias("predicted"))
+    )
+    kept = (
+        docs.join(pred, "doc_id")
+        .filter(F.col("predicted") == F.col("lang"))
+        .select("doc_id", "lang", "source")
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit(_CAP_SALT), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    capped = (
+        kept.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= _CAP_PER_SOURCE)
+        .select("doc_id", "lang")
+    )
+    split = (
+        F.when(hash_sample(F.col("doc_id"), 0.90, salt=_SPLIT_SALT), "train")
+        .when(hash_sample(F.col("doc_id"), 0.95, salt=_SPLIT_SALT), "val")
+        .otherwise("test")
+    )
+    return capped.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
