@@ -2165,7 +2165,7 @@ _NB_Q = 1_000_000_000  # probability quantization for per-class scores
         FROM documents
     ),
     ctl AS (SELECT w, lang, count(*) AS c FROM toks GROUP BY 1, 2),
-    cl AS (SELECT lang, count(*) AS t FROM toks GROUP BY 1),
+    cl AS (SELECT lang, sum(c) AS t FROM ctl GROUP BY 1),
     stats AS (
         SELECT ctl.w, ctl.lang, ({_NB_Q} * ctl.c) // cl.t AS pq
         FROM ctl JOIN cl USING (lang)
@@ -2204,7 +2204,9 @@ def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("w")
     )
     ctl = toks.groupBy("w", "lang").agg(F.count("*").alias("c"))
-    cl = toks.groupBy("lang").agg(F.count("*").alias("t"))
+    # class totals fold the vocabulary-sized (token, class) counts —
+    # not a second corpus scan: Σ_w c(w, lang) == token count of lang
+    cl = ctl.groupBy("lang").agg(F.sum("c").alias("t"))
     stats = ctl.join(cl, "lang").select(
         "w",
         F.col("lang").alias("cand"),
@@ -2344,7 +2346,7 @@ def source_cap_sample_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs
     ),
     ctl AS (SELECT w, lang, count(*) AS c FROM toks GROUP BY 1, 2),
-    cl AS (SELECT lang, count(*) AS t FROM toks GROUP BY 1),
+    cl AS (SELECT lang, sum(c) AS t FROM ctl GROUP BY 1),
     stats AS (
         SELECT ctl.w, ctl.lang, ({_NB_Q} * ctl.c) // cl.t AS pq
         FROM ctl JOIN cl USING (lang)
@@ -2440,7 +2442,9 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(X.tokens(F.col("new_text"))).alias("w")
     )
     ctl = toks.groupBy("w", "lang").agg(F.count("*").alias("c"))
-    cl = toks.groupBy("lang").agg(F.count("*").alias("t"))
+    # class totals fold the vocabulary-sized (token, class) counts —
+    # not a second corpus scan: Σ_w c(w, lang) == token count of lang
+    cl = ctl.groupBy("lang").agg(F.sum("c").alias("t"))
     stats = ctl.join(cl, "lang").select(
         "w", F.col("lang").alias("cand"),
         F.expr(f"({_NB_Q} * c) div t").alias("pq"),
