@@ -89,10 +89,6 @@ def _merge_expr(sp: Column, pair: str) -> Column:
     )
 
 
-def _persistent_ids(sc) -> set[int]:
-    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
-
-
 def _checkpoint_replacing(
     w: DataFrame, prev_ids: set[int]
 ) -> tuple[DataFrame, set[int]]:
@@ -100,24 +96,29 @@ def _checkpoint_replacing(
     row per word), then release the PREVIOUS iteration's checkpoint
     blocks — safe only in this order: the new checkpoint's
     materialization is the last read of the old blocks. Returns (new
-    df, its checkpoint RDD ids). Best-effort: if the persistent-RDD
-    registry isn't reachable, behaves like plain localCheckpoint
-    (blocks accumulate, as before)."""
+    df, its checkpoint RDD ids).
+
+    The new checkpoint's id is read off the checkpointed Dataset's OWN
+    plan (``LogicalRDD.rdd().id()``) — never a persistent-RDD registry
+    diff, which under concurrent queries on the same SparkContext
+    would capture (and later unpersist) a DIFFERENT job's live
+    checkpoint blocks. Best-effort: if the internal accessors aren't
+    reachable, behaves like plain localCheckpoint (blocks accumulate,
+    as before)."""
     sc = w.sparkSession.sparkContext
-    try:
-        before = _persistent_ids(sc)
-    except Exception:
-        return w.localCheckpoint(eager=True), set()
     new = w.localCheckpoint(eager=True)
     try:
+        new_ids = {new._jdf.queryExecution().logical().rdd().id()}
+    except Exception:
+        new_ids = set()
+    try:
         registry = sc._jsc.getPersistentRDDs()
-        new_ids = _persistent_ids(sc) - before
         for rid in prev_ids:
             jrdd = registry.get(rid)
             if jrdd is not None:
                 jrdd.unpersist()
     except Exception:
-        new_ids = set()
+        pass
     return new, new_ids
 
 

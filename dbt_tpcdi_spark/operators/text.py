@@ -1316,54 +1316,52 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents for a bag-of-words query by quantized BM25.
 
-    Plan shape at 100 TB: corpus tokens explode ONCE and are filtered
-    to the query's terms immediately (predicate on the exploded value —
-    everything else prunes before any shuffle); document frequencies
-    collapse to ≤|terms| rows and broadcast back; N/T are one scalar
-    row. The only corpus-scale shuffles are the (doc, term) tf count
-    and the final per-doc sum; top-k is TakeOrderedAndProject.
+    Plan shape at 100 TB: one explode over corpus tokens feeds a
+    per-doc conditional aggregation — (doc length, tf per query term)
+    in a single map-side-combined shuffle whose exchange carries ONE
+    row per document. Document frequencies and T then fold that
+    per-doc table to a 1-row broadcast; N is a text-free count (column
+    pruning — the scan never decodes the text bytes). Scoring is a
+    pure projection over the per-doc table; no joins anywhere except
+    the two 1-row broadcasts; top-k is TakeOrderedAndProject. Two
+    tokenize passes total (the per-doc subtree feeds both the stats
+    fold and the scoring projection).
 
     Output: (id, score_q), score desc / id asc, k rows."""
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
-    ).filter(F.col("__w").isin(terms))
-    dl = df.select(
-        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("__dl")
     )
-    # N and T derive from the doc-length table — NOT a third scan of
-    # the corpus: tokenization is the dominant per-row cost, and this
-    # aggregation reuses the __dl projection (2 tokenize passes total)
-    nt = dl.agg(
-        F.count("*").cast("long").alias("__n"),
+    per_doc = toks.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("__dl"),
+        *[
+            F.sum((F.col("__w") == t).cast("long")).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    n = df.agg(F.count("*").cast("long").alias("__n"))
+    stats = per_doc.agg(
         F.sum("__dl").cast("long").alias("__t"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
     )
-    tf = toks.groupBy(id_col, "__w").agg(
-        F.count("*").cast("long").alias("__tf")
-    )
-    dfreq = tf.groupBy("__w").agg(F.count("*").cast("long").alias("__df"))
     scored = (
-        tf.join(F.broadcast(dfreq), "__w")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(nt))
+        per_doc.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(stats))
         .withColumn("__adl", F.expr("(100 * __t) div __n"))
-        .withColumn(
-            "__idf",
-            F.expr(
-                f"({BM25_RQ} * (2 * __n - 2 * __df + 1)) div (2 * __df + 1)"
-            ),
-        )
-        .withColumn(
-            "__tfn",
-            F.expr(
-                f"({BM25_TFQ} * 44 * __adl * __tf) div "
-                "(20 * __adl * __tf + 6 * __adl + 1800 * __dl)"
-            ),
-        )
     )
-    per_doc = scored.groupBy(id_col).agg(
-        F.sum(F.expr("__idf * __tfn")).cast("bigint").alias("score_q")
+    term_score = " + ".join(
+        f"(({BM25_RQ} * (2 * __n - 2 * __df{i} + 1)) div (2 * __df{i} + 1))"
+        f" * (({BM25_TFQ} * 44 * __adl * __tf{i}) div "
+        f"(20 * __adl * __tf{i} + 6 * __adl + 1800 * __dl))"
+        for i in range(len(terms))
     )
-    return per_doc.orderBy(
+    per_doc_score = scored.select(
+        F.col(id_col),
+        F.expr(term_score).cast("bigint").alias("score_q"),
+    ).filter(F.col("score_q") > 0)  # docs without any query term
+    return per_doc_score.orderBy(
         F.col("score_q").desc(), F.col(id_col).asc()
     ).limit(k)
 

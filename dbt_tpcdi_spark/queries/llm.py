@@ -838,8 +838,14 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (size 16, stride 8) — the
     standard long-document → training-sample transform, as pure array
     ops: one chunk per stride start while start < n_tokens."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
+    # tokenize ONCE into a materialized column: embedding the split
+    # inside the per-chunk lambda re-runs it per chunk (quadratic per
+    # doc — Catalyst doesn't hoist loop-invariant subexpressions out of
+    # higher-order-function lambdas)
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__tk", X.tokens(F.col("text"))
+    )
+    toks = F.col("__tk")
     n = F.size(toks)
     # starts k = 0 .. floor((n-1)/stride); docs are non-empty
     starts = F.sequence(F.lit(0), F.floor((n - 1) / _STRIDE).cast("int"))
@@ -1464,8 +1470,10 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = corpus tokens / 16) and the hash equi-join back — no
     pairwise comparisons anywhere, so cost is linear in corpus size
     at any scale."""
-    d = _spread(load_table(spark, sf_dir, "documents"))
-    toks = X.tokens(F.col("text"))
+    d = _spread(load_table(spark, sf_dir, "documents")).withColumn(
+        "__tk", X.tokens(F.col("text"))  # tokenize once, slice many
+    )
+    toks = F.col("__tk")
     n_chunks_arr = F.greatest(
         F.lit(1), F.ceil(F.size(toks) / _PASSAGE_CHUNK).cast("int")
     )
@@ -1949,8 +1957,10 @@ def passage_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sort_array(collect_list) whose width is the DOCUMENT's own
     chunk count — bounded by max doc length, not corpus size. No
     pairwise work anywhere; linear in corpus tokens."""
-    d = _spread(load_table(spark, sf_dir, "documents"))
-    toks = X.tokens(F.col("text"))
+    d = _spread(load_table(spark, sf_dir, "documents")).withColumn(
+        "__tk", X.tokens(F.col("text"))  # tokenize once, slice many
+    )
+    toks = F.col("__tk")
     n_chunks_arr = F.greatest(
         F.lit(1), F.ceil(F.size(toks) / _PASSAGE_CHUNK).cast("int")
     )
@@ -2396,8 +2406,10 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing / vocabulary-sized stats + token equi-join / per-source
     rank / pure-projection split); composing them adds no new shuffle
     class."""
-    d = _spread(load_table(spark, sf_dir, "documents"))
-    toks0 = X.tokens(F.col("text"))
+    d = _spread(load_table(spark, sf_dir, "documents")).withColumn(
+        "__tk", X.tokens(F.col("text"))  # tokenize once, slice many
+    )
+    toks0 = F.col("__tk")
     n_chunks_arr = F.greatest(
         F.lit(1), F.ceil(F.size(toks0) / _PASSAGE_CHUNK).cast("int")
     )

@@ -170,10 +170,10 @@ def test_bpe_checkpoint_blocks_released(spark):
     # superseded per-round checkpoints must be unpersisted: after
     # training, at most ONE extra persistent RDD remains (the final
     # round's snapshot the returned DataFrame still reads)
-    from dbt_tpcdi_spark.operators.bpe import (
-        _persistent_ids,
-        bpe_train_batched,
-    )
+    from dbt_tpcdi_spark.operators.bpe import bpe_train_batched
+
+    def _persistent_ids(sc):
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
 
     sc = spark.sparkContext
     before = _persistent_ids(sc)
