@@ -137,8 +137,14 @@ def bpe_train(
     iteration data shape is vocabulary-sized, but ``merges`` sequential
     Spark jobs make realistic vocabularies (32k–50k merges) an hours-
     long driver loop. Use ``bpe_train_batched`` for merges beyond a
-    few dozen: it learns up to ``batch`` merges per round-trip with
-    identically deterministic results. Superseded checkpoint blocks
+    few dozen: it learns up to ``batch`` merges per round-trip.
+    Batched training is fully deterministic but NOT guaranteed to
+    learn the identical merge table as this sequential path: its
+    greedy unit-disjoint round can admit a lower-ranked pair that
+    sequential training would have re-counted after an earlier merge
+    changed the statistics — both tables are valid BPE vocabularies,
+    and each path is oracle-gated against its own unrolled twin.
+    Superseded checkpoint blocks
     are released each iteration (``_checkpoint_replacing``), so peak
     storage is one vocabulary snapshot, not ``merges`` of them."""
     w = word_counts(df, text_col).withColumn(

@@ -930,11 +930,18 @@ def quality_quantile_gate_approx(
        the rational q (ceil(n/4) = (n+3) div 4);
     3. broadcast T back and keep rows with score ≥ T.
 
-    Semantics differ from the exact gate ONLY at the threshold score
-    under ties: percent_rank's (score, id) total order splits equal
-    scores around the cut, the threshold keeps them all. On tie-free
-    groups the kept set is identical (pinned by a test). Appends
-    ``qthreshold`` (the per-group cut) instead of ``qrank``."""
+    Semantics vs the exact gate: this is the inverse-CDF threshold
+    rule — keep every row at or above the score whose cumulative count
+    reaches ceil(q·n). The exact gate's percent_rank rule cuts on the
+    (score, id) total ORDER instead, so even on tie-free groups the
+    two can disagree by one row at the boundary (e.g. n=8: percent_rank
+    keeps 6 rows, the threshold keeps 7), and under ties the threshold
+    keeps all rows at the cut score while percent_rank splits them.
+    The kept set is always a SUPERSET of the exact gate's (pinned by a
+    test) — the right contract for a quality FILTER, where the
+    boundary row is noise either way; callers needing the exact rank
+    semantics use quality_quantile_gate. Appends ``qthreshold`` (the
+    per-group cut) instead of ``qrank``."""
     from pyspark.sql import Window
 
     hist = scored.groupBy(group_col, score_col).agg(

@@ -1168,7 +1168,9 @@ def versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the CDF is two exceptAll anti-diffs — O(both snapshots)
     without per-commit row lineage, the documented floor; the upsert
     itself is the storage layer's CAS-committed MERGE."""
-    cache_key = (sf_dir, id(spark))
+    # applicationId is unique per SparkContext launch; id(spark)
+    # can alias a new session after the old one is collected
+    cache_key = (sf_dir, spark.sparkContext.applicationId)
     if cache_key not in _CDF_CACHE:
         import tempfile
 

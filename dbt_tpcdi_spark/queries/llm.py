@@ -1430,13 +1430,21 @@ def bpe_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PASSAGE_CHUNK = 16  # tokens per passage chunk
+#: oracle-side chunk enumeration bound: the DuckDB twins enumerate
+#: chunk indexes via range(0, _PASSAGE_MAX_CHUNKS), so a document
+#: beyond _PASSAGE_MAX_CHUNKS * _PASSAGE_CHUNK (~1M) tokens would
+#: chunk fully on the Spark side but truncate in the oracle and
+#: hash-mismatch. The fixture guard in tests/test_sources.py pins
+#: every corpus doc far below this bound so the cap can't silently
+#: bite on a regenerated fixture.
+_PASSAGE_MAX_CHUNKS = 65536
 
 _PASSAGE_CHUNKS_SQL = f"""
     SELECT doc_id, i AS chunk_idx,
            md5(array_to_string(list_slice({X.tokens_sql('text')},
                i * {_PASSAGE_CHUNK} + 1,
                i * {_PASSAGE_CHUNK} + {_PASSAGE_CHUNK}), ' ')) AS ch
-    FROM documents, range(0, 65536) t(i)
+    FROM documents, range(0, {_PASSAGE_MAX_CHUNKS}) t(i)
     WHERE i * {_PASSAGE_CHUNK} < len({X.tokens_sql('text')})"""
 
 
@@ -1919,7 +1927,7 @@ _EXCISE_CHUNKS_SQL = f"""
            array_to_string(list_slice({X.tokens_sql('text')},
                i * {_PASSAGE_CHUNK} + 1,
                i * {_PASSAGE_CHUNK} + {_PASSAGE_CHUNK}), ' ') AS ctext
-    FROM documents, range(0, 65536) t(i)
+    FROM documents, range(0, {_PASSAGE_MAX_CHUNKS}) t(i)
     WHERE i * {_PASSAGE_CHUNK} < len({X.tokens_sql('text')})"""
 
 
@@ -2112,7 +2120,9 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dynamic partition overwrite; untouched buckets carry forward as
     immutable directory references in the manifest), so per-batch
     write cost is O(touched buckets + batch), never O(index)."""
-    cache_key = (sf_dir, id(spark))
+    # applicationId is unique per SparkContext launch; id(spark)
+    # can alias a new session after the old one is collected
+    cache_key = (sf_dir, spark.sparkContext.applicationId)
     if cache_key not in _INCR_DEDUP_CACHE:
         import tempfile
 

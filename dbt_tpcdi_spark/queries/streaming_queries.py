@@ -81,7 +81,9 @@ def streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     over all events, which is what the oracle computes."""
     import tempfile
 
-    cache_key = (sf_dir, id(spark))
+    # applicationId is unique per SparkContext launch; id(spark)
+    # can alias a new session after the old one is collected
+    cache_key = (sf_dir, spark.sparkContext.applicationId)
     if cache_key not in _SCD2_STREAM_CACHE:
         from dbt_tpcdi_spark.operators.scd2 import with_scd2
         from dbt_tpcdi_spark.plans.versioned import VersionedTable

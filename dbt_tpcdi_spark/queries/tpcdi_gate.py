@@ -245,10 +245,10 @@ def _fixture_root() -> Path:
 def _warehouse(spark: SparkSession) -> Path:
     """Materialize the gate targets' DAG cone to parquet once per
     SparkSession (S9 sink + S11 DAG build exercised in-driver)."""
-    key = ("warehouse", id(spark))
+    key = ("warehouse", spark.sparkContext.applicationId)
     if key not in _CACHE:
         root = _fixture_root()
-        wh = root / f"warehouse_{id(spark)}"
+        wh = root / f"warehouse_{spark.sparkContext.applicationId}"
         sources = load_dag_sources(spark, str(root / "raw"))
         Runner(spark, sources, warehouse_dir=str(wh)).run(
             targets=list(GATE_DAG_TARGETS), parallelism=8
@@ -426,7 +426,7 @@ def _incremental_vs_rebuild(spark: SparkSession) -> list[tuple[str, bool]]:
     (Batch2 then Batch3, proving merges compose on an already-merged
     warehouse) — and EXCEPT-ALL compare each model. Memoized per
     SparkSession."""
-    key = ("incremental", id(spark))
+    key = ("incremental", spark.sparkContext.applicationId)
     if key in _CACHE:
         return _CACHE[key]
     root = _fixture_root()
@@ -437,11 +437,11 @@ def _incremental_vs_rebuild(spark: SparkSession) -> list[tuple[str, bool]]:
     cum3 = _combine_batch(cum2, b3)
 
     targets = list(SCD2_MERGE_ORDER)
-    wh_full = root / f"wh_full_{id(spark)}"
+    wh_full = root / f"wh_full_{spark.sparkContext.applicationId}"
     Runner(spark, cum3, warehouse_dir=str(wh_full)).run(
         targets, parallelism=8)
 
-    wh_inc = root / f"wh_inc_{id(spark)}"
+    wh_inc = root / f"wh_inc_{spark.sparkContext.applicationId}"
     inc = Runner(spark, b1, warehouse_dir=str(wh_inc))
     inc.run(targets, parallelism=8)
 

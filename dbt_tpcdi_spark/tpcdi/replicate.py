@@ -149,6 +149,11 @@ def replicate_raw(target: str | Path, copies: int = 10) -> Path:
     marker = target / f"_COMPLETE_x{copies}"
     if marker.exists():
         return raw
+    # a marker from a DIFFERENT copies value describes the files this
+    # run is about to overwrite — drop it, or a later call with that
+    # value would silently return the wrong-scale tree
+    for stale in target.glob("_COMPLETE_x*"):
+        stale.unlink()
     raw.mkdir(parents=True, exist_ok=True)
 
     fixture_tables = FX.delimited_tables()

@@ -76,9 +76,11 @@ def main() -> int:
         try:
             got = qs[name](spark, sf_dir).toPandas()
             if name not in oracles:
+                # no oracle: record that it RAN, not that it "matched" —
+                # an always-true match field would read as verification
                 print(f"{name}: rows-only, {len(got)} rows")
                 results[name] = {"rows_only": True, "spark_rows": len(got),
-                                 "match": len(got) >= 0}
+                                 "ran": True}
                 continue
             want = con.execute(oracles[name]).df()
             g = got[sorted(got.columns)].sort_values(

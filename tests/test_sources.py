@@ -88,3 +88,24 @@ def test_events_event_id_unique_fixture_guard(spark, sf_dir):
         f"({counts['n']} rows, {counts['d']} distinct) — "
         "streaming_dedup's oracle assumption is broken"
     )
+
+
+def test_documents_within_oracle_chunk_bound(spark):
+    # the passage-chunking oracles enumerate chunk indexes up to
+    # _PASSAGE_MAX_CHUNKS; a fixture doc near that bound would chunk
+    # fully in Spark but truncate in DuckDB — pin plenty of headroom
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators.text import token_count
+    from dbt_tpcdi_spark.queries.llm import (
+        _PASSAGE_CHUNK,
+        _PASSAGE_MAX_CHUNKS,
+    )
+    from dbt_tpcdi_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    max_tokens = d.agg(
+        F.max(token_count(F.col("text")))
+    ).first()[0]
+    assert max_tokens * 10 < _PASSAGE_MAX_CHUNKS * _PASSAGE_CHUNK, max_tokens
