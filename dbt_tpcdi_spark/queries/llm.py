@@ -1931,6 +1931,56 @@ _EXCISE_CHUNKS_SQL = f"""
     WHERE i * {_PASSAGE_CHUNK} < len({X.tokens_sql('text')})"""
 
 
+def _owned_chunks(d: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, ctext, ch, keep_doc): every 16-token chunk
+    of every doc with its cross-corpus owner (min doc_id per chunk
+    text) joined on — the shared base of passage excision and the full
+    curation pipeline. Tokenizes ONCE into a materialized column (the
+    split must not live inside the per-chunk lambda — quadratic per
+    doc otherwise)."""
+    d = d.withColumn("__tk", X.tokens(F.col("text")))
+    toks = F.col("__tk")
+    n_chunks_arr = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / _PASSAGE_CHUNK).cast("int")
+    )
+    ctext = lambda i: F.array_join(  # noqa: E731
+        F.slice(toks, i * _PASSAGE_CHUNK + 1, _PASSAGE_CHUNK), " "
+    )
+    chunks = (
+        d.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), n_chunks_arr - 1), ctext)
+            ).alias("chunk_idx", "ctext"),
+        )
+        .withColumn("ch", F.md5(F.col("ctext")))
+    )
+    owner = chunks.groupBy("ch").agg(F.min("doc_id").alias("keep_doc"))
+    return chunks.join(owner, "ch")
+
+
+def _reassembled_kept_text():
+    """Aggregate expression: the doc's surviving chunks (those it
+    owns), reassembled in chunk order. Width is bounded by the
+    document's own chunk count."""
+    kept = F.col("keep_doc") == F.col("doc_id")
+    return F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        kept,
+                        F.struct(F.col("chunk_idx"), F.col("ctext")),
+                    )
+                )
+            ),
+            lambda s: s["ctext"],
+        ),
+        " ",
+    )
+
+
 @query(
     "passage_excise",
     oracle=f"""
@@ -1965,53 +2015,12 @@ def passage_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sort_array(collect_list) whose width is the DOCUMENT's own
     chunk count — bounded by max doc length, not corpus size. No
     pairwise work anywhere; linear in corpus tokens."""
-    d = _spread(load_table(spark, sf_dir, "documents")).withColumn(
-        "__tk", X.tokens(F.col("text"))  # tokenize once, slice many
-    )
-    toks = F.col("__tk")
-    n_chunks_arr = F.greatest(
-        F.lit(1), F.ceil(F.size(toks) / _PASSAGE_CHUNK).cast("int")
-    )
-    ctext = lambda i: F.array_join(  # noqa: E731
-        F.slice(toks, i * _PASSAGE_CHUNK + 1, _PASSAGE_CHUNK), " "
-    )
-    chunks = (
-        d.filter(F.size(toks) > 0)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(F.sequence(F.lit(0), n_chunks_arr - 1), ctext)
-            ).alias("chunk_idx", "ctext"),
-        )
-        .withColumn("ch", F.md5(F.col("ctext")))
-    )
-    owner = chunks.groupBy("ch").agg(F.min("doc_id").alias("keep_doc"))
+    owned = _owned_chunks(_spread(load_table(spark, sf_dir, "documents")))
     kept = F.col("keep_doc") == F.col("doc_id")
-    return (
-        chunks.join(owner, "ch")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(
-                                F.when(
-                                    kept,
-                                    F.struct(
-                                        F.col("chunk_idx"), F.col("ctext")
-                                    ),
-                                )
-                            )
-                        ),
-                        lambda s: s["ctext"],
-                    ),
-                    " ",
-                )
-            ).alias("new_text_md5"),
-        )
+    return owned.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.md5(_reassembled_kept_text()).alias("new_text_md5"),
     )
 
 
@@ -2223,6 +2232,20 @@ def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("w")
     )
+    pred = _nb_predictions(toks)
+    return (
+        d.select("doc_id", F.col("lang").alias("labeled_lang"))
+        .join(pred, "doc_id")
+        .groupBy("labeled_lang", F.col("predicted").alias("predicted_lang"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _nb_predictions(toks: DataFrame) -> DataFrame:
+    """(doc_id, predicted) from a (doc_id, lang, w) token table: train
+    the per-class quantized token probabilities on the labels, score
+    every (doc, class), argmax via min(struct) — shared by
+    nb_lang_classify and curation_pipeline_full."""
     ctl = toks.groupBy("w", "lang").agg(F.count("*").alias("c"))
     # class totals fold the vocabulary-sized (token, class) counts —
     # not a second corpus scan: Σ_w c(w, lang) == token count of lang
@@ -2237,7 +2260,7 @@ def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "cand")
         .agg(F.sum("pq").alias("score_q"))
     )
-    pred = (
+    return (
         scored.groupBy("doc_id")
         .agg(
             F.min(
@@ -2245,12 +2268,6 @@ def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__best")
         )
         .select("doc_id", F.col("__best.cand").alias("predicted"))
-    )
-    return (
-        d.select("doc_id", F.col("lang").alias("labeled_lang"))
-        .join(pred, "doc_id")
-        .groupBy("labeled_lang", F.col("predicted").alias("predicted_lang"))
-        .agg(F.count("*").alias("n_docs"))
     )
 
 
@@ -2416,75 +2433,18 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing / vocabulary-sized stats + token equi-join / per-source
     rank / pure-projection split); composing them adds no new shuffle
     class."""
-    d = _spread(load_table(spark, sf_dir, "documents")).withColumn(
-        "__tk", X.tokens(F.col("text"))  # tokenize once, slice many
-    )
-    toks0 = F.col("__tk")
-    n_chunks_arr = F.greatest(
-        F.lit(1), F.ceil(F.size(toks0) / _PASSAGE_CHUNK).cast("int")
-    )
-    ctext = lambda i: F.array_join(  # noqa: E731
-        F.slice(toks0, i * _PASSAGE_CHUNK + 1, _PASSAGE_CHUNK), " "
-    )
-    chunks = (
-        d.filter(F.size(toks0) > 0)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(F.sequence(F.lit(0), n_chunks_arr - 1), ctext)
-            ).alias("chunk_idx", "ctext"),
-        )
-        .withColumn("ch", F.md5(F.col("ctext")))
-    )
-    owner = chunks.groupBy("ch").agg(F.min("doc_id").alias("keep_doc"))
-    kept_chunk = F.col("keep_doc") == F.col("doc_id")
-    ex = (
-        chunks.join(owner, "ch")
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(
-                            F.when(
-                                kept_chunk,
-                                F.struct(F.col("chunk_idx"), F.col("ctext")),
-                            )
-                        )
-                    ),
-                    lambda s: s["ctext"],
-                ),
-                " ",
-            ).alias("new_text")
-        )
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    owned = _owned_chunks(d)
+    ex = owned.groupBy("doc_id").agg(
+        _reassembled_kept_text().alias("new_text")
     )
     docs = d.select("doc_id", "lang", "source").join(ex, "doc_id")
-    # classifier gate, trained on the REWRITTEN corpus
+    # classifier gate, trained on the REWRITTEN corpus (shared builder
+    # with nb_lang_classify — one implementation, two oracles)
     toks = docs.select(
         "doc_id", "lang", F.explode(X.tokens(F.col("new_text"))).alias("w")
     )
-    ctl = toks.groupBy("w", "lang").agg(F.count("*").alias("c"))
-    # class totals fold the vocabulary-sized (token, class) counts —
-    # not a second corpus scan: Σ_w c(w, lang) == token count of lang
-    cl = ctl.groupBy("lang").agg(F.sum("c").alias("t"))
-    stats = ctl.join(cl, "lang").select(
-        "w", F.col("lang").alias("cand"),
-        F.expr(f"({_NB_Q} * c) div t").alias("pq"),
-    )
-    scored = (
-        toks.join(stats, "w")
-        .groupBy("doc_id", "cand")
-        .agg(F.sum("pq").alias("score_q"))
-    )
-    pred = (
-        scored.groupBy("doc_id")
-        .agg(
-            F.min(
-                F.struct((-F.col("score_q")).alias("ns"), F.col("cand"))
-            ).alias("__best")
-        )
-        .select("doc_id", F.col("__best.cand").alias("predicted"))
-    )
+    pred = _nb_predictions(toks)
     kept = (
         docs.join(pred, "doc_id")
         .filter(F.col("predicted") == F.col("lang"))
