@@ -115,7 +115,7 @@ def main() -> None:
         x10_queries = ("pricing_summary", "revenue_by_nation",
                        "temporal_join_agg", "sessionize", "ann_topk",
                        "contamination_check", "mixture_sample",
-                       "pagerank_parts", "semdedup",
+                       "pagerank_parts", "semdedup", "semdedup_ivf",
                        "curation_pipeline_full")
         for name in x10_queries:
             df = all_queries()[name].build(spark, x10_dir)

@@ -2468,3 +2468,96 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDedup with IVF-prefiltered assignment: the scale path for the one
+# stage of semdedup whose cost is linear in k — flat assignment
+# computes n·k distances, and with SemDedup's k = n/width that is the
+# dominant term at extreme n. Prefiltering candidates to the centroids
+# in the vector's sign-LSH bucket cuts it to n·k/2^planes at the
+# standard IVF nearest-in-bucket trade; the pair scan and drop rule
+# are unchanged.
+
+_SEMDEDUP_IVF_KBOUND = (
+    f"(SELECT (count(*) + {_SEMDEDUP_WIDTH} - 1) // {_SEMDEDUP_WIDTH} "
+    f"FROM embeddings)"
+)
+
+
+@query(
+    "semdedup_ivf",
+    oracle=f"""
+    WITH km AS (
+        {S.assign_ivf_sql("embeddings", "vec_id", "embedding", dim=64,
+                          k_bound=_SEMDEDUP_IVF_KBOUND)}
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM km a JOIN km b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {S.qcosine_sql('ea.embedding', 'eb.embedding')}
+              >= {_SEMDEDUP_THRESHOLD}
+    ),
+    dropped AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT km.vec_id, km.cluster, km.via_bucket,
+           d.id_b IS NULL AS is_kept
+    FROM km LEFT JOIN dropped d ON km.vec_id = d.id_b
+    """,
+    tags=["llm-semdedup", "llm-ann-ivf", "J8"],
+    headline=True,
+)
+def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup with the IVF assignment rung: corpus-derived k
+    (⌈n/width⌉) seed centroids, nearest-IN-BUCKET assignment via the
+    shared sign-LSH bucket (broadcast equi-join — n·k·dim/2^planes
+    distance work instead of n·k·dim, exact-global fallback for empty
+    buckets), then the identical within-cluster cosine pair scan and
+    smaller-id drop rule. Cluster memberships differ from flat
+    semdedup exactly where IVF's approximation bites — which is why
+    this variant carries its own end-to-end oracle rather than
+    claiming equivalence."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    k = -(-e.count() // _SEMDEDUP_WIDTH)
+    seed = (
+        e.orderBy("vec_id").limit(k)
+        .select(F.transform("embedding", S._q).alias("__c"))
+        .collect()
+    )
+    cents = {i: list(r["__c"]) for i, r in enumerate(seed)}
+    assigned = S.assign_ivf(e, "vec_id", "embedding", cents)
+    km = (
+        assigned.join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id", "cluster", "via_bucket", "embedding",
+            S.qnorm2(F.col("embedding")).alias("__n2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = km.alias("a"), km.alias("b")
+    qcos = round4(
+        S.qdot(F.col("a.embedding"), F.col("b.embedding"))
+        / (
+            F.sqrt(F.col("a.__n2").cast("double"))
+            * F.sqrt(F.col("b.__n2").cast("double"))
+        )
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("id_b"), qcos.alias("qcos"))
+        .filter(F.col("qcos") >= _SEMDEDUP_THRESHOLD)
+    )
+    dropped = pairs.select("id_b").distinct().withColumn("__d", F.lit(1))
+    return (
+        km.join(dropped, km["vec_id"] == dropped["id_b"], "left")
+        .select(
+            "vec_id", "cluster", "via_bucket",
+            F.col("__d").isNull().alias("is_kept"),
+        )
+    )
