@@ -41,6 +41,24 @@ def _timed(times: dict[str, float], name: str, df) -> None:
     times[name] = round(time.perf_counter() - t0, 3)
 
 
+#: build-phase wall per query, recorded when ≥ 0.5 s. The headline
+#: ``queries`` numbers time the noop sink of the BUILT DataFrame
+#: (series-comparable across rounds); iterative operators (k-means
+#: Lloyd rounds, BPE merges, the versioned-index ingest) do eager
+#: driver-coordinated work inside build() itself — this dict makes
+#: that cost visible instead of silently excluded.
+EAGER_BUILD: dict[str, float] = {}
+
+
+def _built(queries, name, spark, sf_dir):
+    t0 = time.perf_counter()
+    df = queries[name].build(spark, sf_dir)
+    wall = time.perf_counter() - t0
+    if wall >= 0.5:
+        EAGER_BUILD[name] = round(wall, 3)
+    return df
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -60,12 +78,13 @@ def main() -> None:
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
     times: dict[str, float] = {}
-    for name, q in sorted(queries.items()):
-        _timed(times, name, q.build(spark, sf_dir))
+    for name in sorted(queries):
+        _timed(times, name, _built(queries, name, spark, sf_dir))
 
     probes: dict[str, float] = {}
     prep: dict[str, float] = {}
     plan_checks: dict[str, bool] = {}
+    x10_builds: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
         from dbt_tpcdi_spark import benchdata
         from dbt_tpcdi_spark.operators import dedup as D
@@ -118,7 +137,11 @@ def main() -> None:
                        "pagerank_parts", "semdedup", "semdedup_ivf",
                        "curation_pipeline_full")
         for name in x10_queries:
+            t0 = time.perf_counter()
             df = all_queries()[name].build(spark, x10_dir)
+            bw = time.perf_counter() - t0
+            if bw >= 0.5:
+                x10_builds[f"x10:{name}"] = round(bw, 3)
             _timed(probes, f"x10:{name}", df)
             # AQE only finalizes a DataFrame's OWN QueryExecution when
             # that execution runs an action — the noop write above runs
@@ -302,6 +325,7 @@ def main() -> None:
                 "prep": prep,
                 "plan_checks": plan_checks,
                 "dag_build_x10": dag_x10,
+                "eager_build": {**EAGER_BUILD, **x10_builds},
             }
         )
     )
