@@ -2561,3 +2561,73 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__d").isNull().alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage (OOV rate): the tokenizer-planning metric — for
+# a candidate top-N word vocabulary, what fraction of each document's
+# tokens fall outside it. Drives vocab-size decisions and flags
+# out-of-domain documents before training.
+
+_OOV_VOCAB_N = 32
+
+
+@query(
+    "oov_rate",
+    oracle=f"""
+    WITH wc AS (
+        SELECT w, count(*) AS c FROM (
+            SELECT unnest({X.tokens_sql('text')}) AS w FROM documents
+        ) GROUP BY 1
+    ),
+    vocab AS (
+        SELECT w FROM wc ORDER BY c DESC, w LIMIT {_OOV_VOCAB_N}
+    ),
+    toks AS (
+        SELECT doc_id, unnest({X.tokens_sql('text')}) AS w FROM documents
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           cast(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_oov,
+           cast(floor(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                * 10000 / count(*)) AS bigint) AS oov_frac_q
+    FROM toks t LEFT JOIN vocab v USING (w)
+    GROUP BY 1
+    """,
+    tags=["llm-vocab-coverage", "A1", "J4", "O1"],
+)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-{_OOV_VOCAB_N} word vocabulary. Plan shape: word counts are
+    one map-side-combined shuffle; the vocabulary reduces via
+    TakeOrderedAndProject to N rows and BROADCASTS back; the per-doc
+    measure is then one explode + left join + per-doc re-aggregation —
+    corpus tokens never join anything bigger than the N-row vocab.
+    Integer-quantized fraction (floor(1e4·oov/n)) keeps the output
+    float-free."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(_OOV_VOCAB_N)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("__in_vocab").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.expr(
+                "cast(floor(sum(cast((__in_vocab IS NULL) AS int)) * 10000"
+                " / count(*)) AS bigint)"
+            ).alias("oov_frac_q"),
+        )
+    )

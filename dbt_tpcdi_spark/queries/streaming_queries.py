@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbt_tpcdi_spark.operators import text as X
 from dbt_tpcdi_spark.queries import query
 from dbt_tpcdi_spark.queries.relational import MONEY, TS_FMT, TS_FMT_DUCK
 from dbt_tpcdi_spark.streaming.ops import run_to_memory, stream_events
@@ -376,3 +377,39 @@ def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "q_streaming_enrich")
     return spark.table("q_streaming_enrich")
+
+
+@query(
+    "streaming_curation",
+    oracle=f"""
+    WITH rep AS (
+        {X.repetition_features_sql('documents', 'doc_id')}
+    )
+    SELECT d.lang, rep.is_repetitive, count(*) AS n_docs
+    FROM rep JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """,
+    tags=["§2.9-streaming", "llm-curation-pipeline", "A1", "J1"],
+)
+def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation ON the stream: Gopher repetition features computed as a
+    pure projection over a document file stream (filters that are
+    shuffle-free in batch stay stateless in streaming — the property
+    that lets a crawler curate in-flight), enriched with the static
+    corpus dim via a broadcast stream-static join, aggregated per
+    (lang, is_repetitive). Complete-mode memory sink under
+    AvailableNow; the oracle is the identical batch computation."""
+    from dbt_tpcdi_spark.operators.text import repetition_features
+    from dbt_tpcdi_spark.sources.parquet import load_table
+    from dbt_tpcdi_spark.streaming.ops import stream_documents
+
+    docs = stream_documents(spark, sf_dir)
+    rep = repetition_features(docs, "doc_id")
+    dim = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    agg = (
+        rep.join(F.broadcast(dim), "doc_id")
+        .groupBy("lang", "is_repetitive")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    run_to_memory(agg, "q_streaming_curation")
+    return spark.table("q_streaming_curation")
