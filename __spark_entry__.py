@@ -28,8 +28,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return all_queries()[_FLAGSHIP].build(spark, _SMOKE_SF_DIR)
 
 
+def _rotation_order(names: list[str]) -> list[str]:
+    """Round-keyed ordering so the driver's rotating sample eventually
+    covers every query: names never seen in a committed
+    CORRECTNESS_r*.json come FIRST (within each group, a deterministic
+    md5 order keyed by the round number so successive rounds rotate
+    rather than re-sampling the same prefix)."""
+    import glob
+    import hashlib
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    arts = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    for path in arts:
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            if isinstance(doc, dict):
+                seen.update(doc.keys())
+        except (OSError, json.JSONDecodeError):
+            continue
+    round_key = len(arts) + 1
+
+    def h(name: str) -> str:
+        return hashlib.md5(f"{round_key}:{name}".encode()).hexdigest()
+
+    return sorted(names, key=lambda n: (n in seen, h(n)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2 (ordered so
+    never-yet-sampled queries lead — see _rotation_order)."""
 
     def wrap(build):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,7 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(q.build) for name, q in all_queries().items()}
+    reg = all_queries()
+    return {name: wrap(reg[name].build) for name in _rotation_order(list(reg))}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -313,22 +313,27 @@ def main() -> None:
         }
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "scale_probes": probes,
-                "prep": prep,
-                "plan_checks": plan_checks,
-                "dag_build_x10": dag_x10,
-                "eager_build": {**EAGER_BUILD, **x10_builds},
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "scale_probes": probes,
+            "prep": prep,
+            "plan_checks": plan_checks,
+            "dag_build_x10": dag_x10,
+            "eager_build": {**EAGER_BUILD, **x10_builds},
+        }
     )
+    print(payload)
+    # self-preserving artifact: the driver captures only a stdout tail,
+    # which truncated the r5 JSON — the full line is always on disk too
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_out.json")
+    with open(out_path, "w") as f:
+        f.write(payload + "\n")
     spark.stop()
 
 

@@ -1364,10 +1364,18 @@ def bm25_topk(
         f"(20 * __adl * __tf{i} + 6 * __adl + 1800 * __dl))"
         for i in range(len(terms))
     )
-    per_doc_score = scored.select(
+    # keep docs by TERM PRESENCE, not score>0: a stop-word-like term
+    # can have idf_q==0 (df within ~1/2e4 of n), making a matching
+    # doc's score legitimately 0 — the oracle's tf-row shape keeps it,
+    # so a score>0 filter would diverge when fewer than k docs score
+    # positive
+    has_term = F.greatest(
+        *[F.col(f"__tf{i}") for i in range(len(terms))]
+    ) > 0
+    per_doc_score = scored.filter(has_term).select(
         F.col(id_col),
         F.expr(term_score).cast("bigint").alias("score_q"),
-    ).filter(F.col("score_q") > 0)  # docs without any query term
+    )
     return per_doc_score.orderBy(
         F.col("score_q").desc(), F.col(id_col).asc()
     ).limit(k)

@@ -281,6 +281,7 @@ class VersionedTable:
         key: str | list[str],
         partition_col: str,
         max_retries: int = 10,
+        keys_move_partitions: bool = False,
     ) -> int:
         """MERGE that rewrites ONLY the partitions the batch touches —
         the Iceberg/Delta dynamic-partition-overwrite shape, and the
@@ -306,11 +307,42 @@ class VersionedTable:
         whose ``str()`` matches Spark's partition-directory naming
         (ints, alnum strings — e.g. a hash-prefix bucket column);
         the affected-value ``collect()`` is partition-count-sized
-        metadata, never data."""
+        metadata, never data.
+
+        **The pruned path is only sound when ``partition_col`` is a
+        function of the key** (e.g. ``fp_bucket = hash(fingerprint)
+        % B``): the anti-join scans only the batch's partitions, so a
+        key whose partition value CHANGED between commits would leave
+        its old row alive in the untouched partition — duplicate keys,
+        lost MERGE semantics (Delta/Iceberg dynamic-partition MERGE
+        has the same precondition). ``keys_move_partitions=False``
+        (default) declares that dependence and cheap-checks it on the
+        batch (a key present under two partition values in one batch
+        proves the column is NOT key-derived → ``ValueError``).
+        ``keys_move_partitions=True`` drops the assumption and
+        anti-joins the FULL manifest by key — correct for moving keys
+        but O(table) per batch, the same cost as plain ``upsert``."""
         from pyspark.sql import functions as F
 
         keys = [key] if isinstance(key, str) else list(key)
         dtype = updates.schema[partition_col].dataType.simpleString()
+        if not keys_move_partitions:
+            bad = (
+                updates.groupBy(*keys)
+                .agg(F.countDistinct(partition_col).alias("__np"))
+                .filter(F.col("__np") > 1)
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"{self.root}: key {tuple(bad[0][k] for k in keys)!r} "
+                    f"appears under multiple {partition_col!r} values in "
+                    "one batch — the partition column is not a function "
+                    "of the key; pass keys_move_partitions=True (full "
+                    "anti-join per batch) or derive the partition from "
+                    "the key"
+                )
         for _ in range(max_retries):
             base_version = self.latest_version()
             base_entry = (
@@ -323,8 +355,18 @@ class VersionedTable:
             if (
                 base_entry is not None
                 and base_entry.get("part_col") == partition_col
+                and not keys_move_partitions
             ):
                 # pruned path: merge only the touched partitions
+                if base_entry.get("part_type") != dtype:
+                    raise ValueError(
+                        f"{self.root}: batch {partition_col!r} dtype "
+                        f"{dtype} != manifest part_type "
+                        f"{base_entry.get('part_type')} — a re-typed "
+                        "partition column would silently re-type "
+                        "carried-forward partitions on read(); cast the "
+                        "batch to the manifest's type"
+                    )
                 prev_parts = dict(base_entry["parts"])
                 existing = None
                 for v in vals:
@@ -348,7 +390,10 @@ class VersionedTable:
                         updates.select(existing.columns)
                     )
             elif base_entry is not None:
-                # plain → partitioned transition: one full rewrite
+                # full rewrite: plain → partitioned transition, or
+                # keys_move_partitions=True (the anti-join must see
+                # EVERY partition so a key's old row in its previous
+                # partition is dropped, not carried forward)
                 existing = self.read(base_version)
                 keep = existing.join(
                     updates.select(*keys).distinct(), keys, "left_anti"

@@ -1116,7 +1116,11 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vq").alias("s"),
         F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq")).alias("ss"),
     )
-    dev = (F.col("n") * F.col("vq") - F.col("s")).cast("decimal(38,0)")
+    # promote BEFORE the multiply: n*vq in bigint can wrap silently
+    # under non-ANSI mode at extreme values (the DuckDB twin promotes
+    # the products to hugeint), so the decimal cast must cover the
+    # product, not just its (already-wrapped) result
+    dev = F.col("n").cast("decimal(38,0)") * F.col("vq") - F.col("s")
     flag = (dev * dev) > (
         F.lit(4).cast("decimal(38,0)")
         * (F.col("n") * F.col("ss") - F.col("s").cast("decimal(38,0)") * F.col("s"))

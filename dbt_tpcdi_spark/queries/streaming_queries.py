@@ -329,13 +329,23 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState accumulates exact per-user integer totals
     (values quantized Spark-side, so the Arrow-batched pandas sum is
     int64-exact and the result engine-comparable). AvailableNow drains
-    the file stream; update mode emits each user's final state."""
+    the file stream; update mode emits each user's CURRENT state per
+    micro-batch — the memory sink APPENDS those emissions, so a user
+    updated in several micro-batches (multiple source files, or
+    maxFilesPerTrigger set) appears once per batch. The read below
+    keeps only the LAST emission per user: n is strictly increasing
+    across a user's emissions, so max_by(total_q, n) + max(n) is the
+    final state regardless of how many micro-batches the drain took."""
     from dbt_tpcdi_spark.streaming.ops import running_user_totals_q
 
     events = stream_events(spark, sf_dir)
     out = running_user_totals_q(events)
     run_to_memory(out, "q_streaming_running_totals", output_mode="update")
-    return spark.table("q_streaming_running_totals")
+    sink = spark.table("q_streaming_running_totals")
+    return sink.groupBy("user_id").agg(
+        F.max_by("total_q", "n").alias("total_q"),
+        F.max("n").alias("n"),
+    )
 
 
 @query(
