@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dbt_tpcdi_spark.functions.scalar import round4, round4_sql
 
@@ -128,7 +129,10 @@ def sign_bucket_q_sql(a: str, planes: int = LSH_PLANES) -> str:
 
 
 def quantized_centroids(
-    df: DataFrame, vec_col: str, cluster_col: str
+    df: DataFrame,
+    vec_col: str,
+    cluster_col: str,
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """IVF coarse quantizer: per-cluster integer centroids.
 
@@ -142,11 +146,12 @@ def quantized_centroids(
     collect_list is bounded by the dimension count, not data size.
     """
     q = F.posexplode(F.col(vec_col))
+    elem = F.col("__x") if pre_quantized else _q(F.col("__x"))
     per_dim = (
         df.select(F.col(cluster_col), q.alias("__pos", "__x"))
         .groupBy(cluster_col, "__pos")
         .agg(
-            F.sum(_q(F.col("__x"))).alias("__s"),
+            F.sum(elem).alias("__s"),
             F.count("*").alias("__c"),
         )
         # integer-rounded mean: floor((2s + c) / 2c) == round(s/c) for s>=0;
@@ -316,66 +321,182 @@ def _qlist(vec: Column) -> Column:
 LITERAL_ASSIGN_MAX_K = 8
 
 
-def kmeans_quantized(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 4,
-    iters: int = 3,
-    assign_mode: str = "auto",
+def qdist2_q(a: Column, b: Column) -> Column:
+    """Exact integer squared distance between two ALREADY-quantized
+    integer vectors."""
+    diffs = F.zip_with(a, b, lambda x, c: (x - c) * (x - c))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, d: acc + d)
+
+
+def seed_centroid_table(
+    df: DataFrame, id_col: str, vec_col: str, k: int
 ) -> DataFrame:
-    """Distributed Lloyd iterations, fully deterministic:
-
-    - **Init**: centroids = the quantized vectors of the ``k``
-      smallest ids (deterministic; k-means++ would add RNG).
-    - **Assign** — two plans, same arithmetic and same (dist, cluster)
-      lexicographic tie-break, selected by ``assign_mode``
-      ("literal" | "broadcast" | "auto" = literal iff k ≤
-      LITERAL_ASSIGN_MAX_K):
-
-      * ``literal`` (the MLlib pattern — centers are driver state in
-        every distributed k-means): centroids enter the plan as
-        literals, assignment is a pure projection via ``array_min``
-        of k unrolled structs. No join, no shuffle — but the plan
-        carries O(k·dim) literal expression nodes, so it caps k.
-      * ``broadcast`` (the scale-in-k path): centroids become a
-        k-row broadcast DataFrame; a broadcast nested-loop join fans
-        each row out to its k (row, centroid) pairs and a hash
-        aggregate takes ``min(struct(dist2, cluster))`` per id —
-        map-side partial aggregation collapses the k copies before
-        the exchange, so the shuffle is one row per input row, and
-        the plan size is O(1) in k. This is the path SemDedup-style
-        k ≈ n/width clustering needs (k in the hundreds+).
-
-    - **Update**: one (cluster, dim) shuffle with map-side partial
-      sums (``quantized_centroids``); integer-rounded means keep
-      centroids bit-identical on any engine/partitioning. Empty
-      clusters keep their previous centroid.
-
-    Per iteration the driver holds O(k·dim) integers — metadata-sized.
-    Fixed ``iters`` (no convergence test) keeps the computation
-    SQL-expressible for the oracle (``kmeans_sql`` unrolls the same
-    iterations as chained CTEs; its CROSS JOIN + QUALIFY argmin is
-    arbitrary-k already).
-
-    Returns ``df`` + ``cluster`` (int) + ``dist2`` (bigint, exact
-    squared distance to the winning centroid).
-    """
-    if assign_mode not in ("auto", "literal", "broadcast"):
-        raise ValueError(f"assign_mode={assign_mode!r}")
-    literal = (
-        assign_mode == "literal"
-        or (assign_mode == "auto" and k <= LITERAL_ASSIGN_MAX_K)
+    """Seed centroids as a TABLE — ``(__cl bigint, __cent
+    array<bigint>)`` — never driver-collected: the k smallest ids
+    resolve via orderBy+limit (executor-side top-k), and the cluster
+    LABEL is the seed row's id itself, so no dense 0..k-1 rank (which
+    would need a global window or a collect) ever exists. Labels stay
+    monotone in id, so (dist, label) tie-breaks order identically to
+    the old rank labels and to the SQL twins."""
+    return (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).cast("long").alias("__cl"),
+            _qlist(F.col(vec_col)).alias("__cent"),
+        )
     )
+
+
+def assign_centroids_bcast(
+    base: DataFrame, id_col: str, cdf: DataFrame
+) -> DataFrame:
+    """Flat assignment as a pure-JVM plan: k-row broadcast fan-out +
+    ``min(struct(dist2, label))`` hash aggregate (map-side partials
+    collapse the k copies before the exchange, so the shuffle carries
+    one row per input row and the plan is O(1) in k). ``base`` =
+    (id, __qv quantized vec); ``cdf`` = the centroid table. Output:
+    (id, __qv, cluster, dist2)."""
+    d = qdist2_q(F.col("__qv"), F.col("__cent"))
+    return (
+        base.join(F.broadcast(cdf))
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(d.alias("d"), F.col("__cl").alias("c"))
+            ).alias("__best"),
+            F.first("__qv").alias("__qv"),
+        )
+        .select(
+            id_col,
+            "__qv",
+            F.col("__best")["c"].alias("cluster"),
+            F.col("__best")["d"].alias("dist2"),
+        )
+    )
+
+
+def assign_centroids_blas(
+    base: DataFrame, id_col: str, cdf: DataFrame, parts: int | None = None
+) -> DataFrame:
+    """Flat assignment as a cogrouped Arrow-batched matrix product —
+    the n·k·dim hot loop done by vectorized numpy instead of one
+    zip_with lambda per (row, centroid) pair (~20× on the bench
+    corpus; the per-pair SQL expression path is ``assign_centroids_
+    bcast``).
+
+    Distribution: rows hash into ``parts`` buckets; the centroid
+    table is replicated to every bucket by a crossJoin with a
+    ``range(parts)`` literal (k·parts rows of metadata — the shuffle
+    analog of a broadcast, with NO driver materialization anywhere);
+    ``cogroup(...).applyInPandas`` hands each bucket its rows and the
+    full centroid set as pandas frames. Inside: exact integer argmin
+    via float64 matmul — every product ≤ (QUANT·|x|)²·dim < 2⁵³, so
+    float64 BLAS is bit-exact here; an int64 fallback guards the
+    magnitudes where it wouldn't be. First-occurrence argmin over
+    label-ascending columns = the (dist, label) lexicographic
+    tie-break shared with the SQL twins. Output: (id, __qv, cluster,
+    dist2)."""
+    spark = base.sparkSession
+    if parts is None:
+        try:
+            parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            parts = 32
+    parts = max(1, parts)
+    ep = base.withColumn(
+        "__pid", F.pmod(F.hash(F.col(id_col)), F.lit(parts)).cast("int")
+    )
+    crep = cdf.crossJoin(
+        spark.range(parts).select(F.col("id").cast("int").alias("__pid"))
+    )
+    id_field = base.schema[id_col]
+
+    def fn(left, right):  # pandas cogroup: rows of one bucket × all cents
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=left[id_col].dtype),
+                    "__qv": pd.Series(dtype=object),
+                    "cluster": pd.Series(dtype="int64"),
+                    "dist2": pd.Series(dtype="int64"),
+                }
+            )
+        cents = right.sort_values("__cl")
+        C = np.stack(cents["__cent"].to_numpy()).astype(np.int64)
+        labels = cents["__cl"].to_numpy().astype(np.int64)
+        X = np.stack(left["__qv"].to_numpy()).astype(np.int64)
+        hi = max(int(np.abs(X).max(initial=0)), int(np.abs(C).max(initial=0)))
+        if hi * hi * X.shape[1] < (1 << 52):
+            Xf, Cf = X.astype(np.float64), C.astype(np.float64)
+            d = (
+                (Xf * Xf).sum(axis=1)[:, None]
+                + (Cf * Cf).sum(axis=1)[None, :]
+                - 2.0 * (Xf @ Cf.T)
+            )
+            d = d.astype(np.int64)
+        else:  # magnitudes where float64 would round: exact int64 path
+            d = (
+                (X * X).sum(axis=1)[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2 * (X @ C.T)
+            )
+        j = d.argmin(axis=1)  # first min -> smallest label (sorted cols)
+        return pd.DataFrame(
+            {
+                id_col: left[id_col].to_numpy(),
+                "__qv": left["__qv"].to_numpy(),
+                "cluster": labels[j],
+                "dist2": d[np.arange(len(X)), j],
+            }
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("__qv", T.ArrayType(T.LongType())),
+            T.StructField("cluster", T.LongType()),
+            T.StructField("dist2", T.LongType()),
+        ]
+    )
+    return (
+        ep.groupby("__pid")
+        .cogroup(crep.groupby("__pid"))
+        .applyInPandas(fn, schema=out_schema)
+    )
+
+
+def _literal_centroid_state(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> dict[int, list[int]]:
+    """Driver-held centroid dict for the LITERAL assignment plan only —
+    the MLlib small-k pattern (centers as plan literals). Gated to
+    k ≤ LITERAL_ASSIGN_MAX_K by the caller, so this collect is
+    O(1)-bounded, never corpus-linear; labels match the table path
+    (the seed row's id)."""
     seed = (
         df.orderBy(id_col)
         .limit(k)
-        .select(_qlist(F.col(vec_col)).alias("__c"))
+        .select(
+            F.col(id_col).cast("long").alias("__cl"),
+            _qlist(F.col(vec_col)).alias("__c"),
+        )
         .collect()
     )
-    cents: dict[int, list[int]] = {
-        i: list(r["__c"]) for i, r in enumerate(seed)
-    }
+    return {int(r["__cl"]): list(r["__c"]) for r in seed}
+
+
+def _kmeans_literal(
+    df: DataFrame, id_col: str, vec_col: str, k: int, iters: int
+) -> DataFrame:
+    """Literal-assignment Lloyd (centers as plan literals, MLlib
+    style): joinless, shuffle-free assignment; per-round centroid
+    state lives on the driver — which is why this path is gated to
+    k ≤ LITERAL_ASSIGN_MAX_K and the table path is the default."""
+    cents = _literal_centroid_state(df, id_col, vec_col, k)
 
     def assign(centroids: dict[int, list[int]]) -> Column:
         structs = [
@@ -384,61 +505,109 @@ def kmeans_quantized(
                     F.col(vec_col),
                     F.array(*[F.lit(v).cast("long") for v in c]),
                 ).alias("d"),
-                F.lit(cid).cast("int").alias("c"),
+                F.lit(cid).cast("long").alias("c"),
             )
             for cid, c in sorted(centroids.items())
         ]
         return F.array_min(F.array(*structs))
 
-    def assign_broadcast(
-        base: DataFrame, centroids: dict[int, list[int]]
-    ) -> DataFrame:
-        """(base columns…, __best struct<d,c>) via broadcast join +
-        min(struct) hash aggregate. ``first()`` on the carried columns
-        is value-deterministic: all k fanned-out copies of a row are
-        identical outside the centroid columns."""
-        spark = base.sparkSession
-        cdf = spark.createDataFrame(
-            [
-                (int(cid), [int(v) for v in c])
-                for cid, c in sorted(centroids.items())
-            ],
-            schema="__cl int, __cent array<bigint>",
-        )
-        d = qdist2_int(F.col(vec_col), F.col("__cent"))
-        carried = [c for c in base.columns if c != id_col]
-        return (
-            base.join(F.broadcast(cdf))
-            .groupBy(id_col)
-            .agg(
-                F.min(
-                    F.struct(d.alias("d"), F.col("__cl").alias("c"))
-                ).alias("__best"),
-                *[F.first(c).alias(c) for c in carried],
-            )
-        )
-
     for _ in range(iters):
-        if literal:
-            assigned = df.withColumn("__cluster", assign(cents)["c"])
-        else:
-            assigned = assign_broadcast(df, cents).withColumn(
-                "__cluster", F.col("__best")["c"]
-            )
+        assigned = df.withColumn("__cluster", assign(cents)["c"])
         new = quantized_centroids(assigned, vec_col, "__cluster").collect()
         cents.update({r["__cluster"]: list(r["__centroid"]) for r in new})
+    best = assign(cents)
+    return df.withColumn("cluster", best["c"]).withColumn(
+        "dist2", best["d"]
+    )
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 3,
+    assign_mode: str = "auto",
+    parts: int | None = None,
+) -> DataFrame:
+    """Distributed Lloyd iterations, fully deterministic, with the
+    centroid set held as a DATAFRAME end-to-end (never collected — at
+    SemDedup's k = n/width the centroid set grows linearly with the
+    corpus, so any driver materialization is a scale ceiling):
+
+    - **Init**: ``seed_centroid_table`` — the quantized vectors of
+      the ``k`` smallest ids, labeled BY id (deterministic; k-means++
+      would add RNG).
+    - **Assign** — three plans, same arithmetic and same
+      (dist, label) lexicographic tie-break, selected by
+      ``assign_mode`` ("literal" | "broadcast" | "blas" | "auto" =
+      literal iff k ≤ LITERAL_ASSIGN_MAX_K else blas):
+
+      * ``literal`` (the MLlib pattern — centers are driver state in
+        every distributed k-means): centroids enter the plan as
+        literals, assignment is a pure projection via ``array_min``
+        of k unrolled structs. No join, no shuffle — but the plan
+        carries O(k·dim) literal expression nodes, so it caps k.
+      * ``broadcast``: ``assign_centroids_bcast`` — k-row broadcast
+        fan-out + min(struct) hash aggregate; plan O(1) in k, pure
+        JVM codegen, n·k·dim lambda evaluations.
+      * ``blas`` (the scale-in-n·k path and the non-literal
+        default): ``assign_centroids_blas`` — cogrouped Arrow
+        batches, exact vectorized argmin; same output bit-for-bit.
+
+    - **Update**: one (cluster, dim) shuffle with map-side partial
+      sums (``quantized_centroids``); integer-rounded means keep
+      centroids bit-identical on any engine/partitioning. Empty
+      clusters keep their previous centroid (left-join +
+      coalesce on the centroid TABLE — k-row metadata joins).
+
+    Each round's centroid table is persist()ed (lazy): the final
+    action computes every round once, and nothing round-trips through
+    the driver. Fixed ``iters`` (no convergence test) keeps the
+    computation SQL-expressible for the oracle (``kmeans_sql``
+    unrolls the same iterations as chained CTEs; its CROSS JOIN +
+    QUALIFY argmin is arbitrary-k already).
+
+    Returns ``df`` + ``cluster`` (bigint: the winning seed's id) +
+    ``dist2`` (bigint, exact squared distance to that centroid).
+    """
+    if assign_mode not in ("auto", "literal", "broadcast", "blas"):
+        raise ValueError(f"assign_mode={assign_mode!r}")
+    literal = (
+        assign_mode == "literal"
+        or (assign_mode == "auto" and k <= LITERAL_ASSIGN_MAX_K)
+    )
 
     if literal:
-        best = assign(cents)
-        return df.withColumn("cluster", best["c"]).withColumn(
-            "dist2", best["d"]
-        )
-    final = assign_broadcast(df, cents)
-    return final.select(
-        *df.columns,
-        F.col("__best")["c"].alias("cluster"),
-        F.col("__best")["d"].alias("dist2"),
+        return _kmeans_literal(df, id_col, vec_col, k, iters)
+
+    assign_fn = (
+        assign_centroids_bcast
+        if assign_mode == "broadcast"
+        else lambda b, i, c: assign_centroids_blas(b, i, c, parts=parts)
     )
+    base = df.select(id_col, _qlist(F.col(vec_col)).alias("__qv"))
+    cdf = seed_centroid_table(df, id_col, vec_col, k).persist()
+    for _ in range(iters):
+        assigned = assign_fn(base, id_col, cdf)
+        new = quantized_centroids(
+            assigned.select("cluster", "__qv"),
+            "__qv",
+            "cluster",
+            pre_quantized=True,
+        )
+        cdf = (
+            cdf.join(new, cdf["__cl"] == new["cluster"], "left")
+            .select(
+                cdf["__cl"],
+                F.coalesce(new["__centroid"], cdf["__cent"]).alias(
+                    "__cent"
+                ),
+            )
+            .persist()
+        )
+    final = assign_fn(base, id_col, cdf).select(id_col, "cluster", "dist2")
+    return df.join(final, id_col)
 
 
 def kmeans_sql(
@@ -466,8 +635,11 @@ def kmeans_sql(
     dist = qdist2_int_sql(f"e.{vec_col}", "c.centroid")
     k_bound = f"({k_sql})" if k_sql is not None else str(k)
     ctes = [
+        # cluster label = the seed row's id (the Spark side holds
+        # centroids as a table and never ranks — a dense 0..k-1 label
+        # would need a global window or a driver collect)
         f"""cents_0 AS (
-            SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS c,
+            SELECT cast({id_col} AS bigint) AS c,
                    {q.format(v=vec_col)} AS centroid
             FROM {from_table}
             QUALIFY row_number() OVER (ORDER BY {id_col}) <= {k_bound}
@@ -594,25 +766,28 @@ def assign_ivf(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    cents: dict[int, list[int]],
+    cents: DataFrame,
     planes: int = LSH_PLANES,
 ) -> DataFrame:
     """Assign each vector to its nearest same-bucket centroid
     (broadcast join on the bucket id — candidates ≈ k/2^planes per
     row instead of k), exact-global fallback for empty buckets.
 
+    ``cents`` is a centroid TABLE ``(__cl bigint, __cent
+    array<bigint>)`` (``seed_centroid_table`` or a Lloyd output) —
+    it flows into the broadcast exchange as a DataFrame, so no O(k)
+    state ever materializes on the Python driver; its LSH bucket is
+    computed in-plan with the shared ``sign_bucket_q``.
+
     Returns (id_col, cluster, dist2, via_bucket): ``via_bucket`` is
     false for fallback rows. Deterministic end-to-end — bucket ids,
     distances, and tie-breaks are all exact integer arithmetic shared
     with the SQL twin (``assign_ivf_sql``)."""
-    spark = df.sparkSession
     cdf = F.broadcast(
-        spark.createDataFrame(
-            [
-                (int(c), [int(v) for v in vec], bucket_of_qvec(vec, planes))
-                for c, vec in sorted(cents.items())
-            ],
-            schema="__cl int, __cent array<bigint>, __cb int",
+        cents.select(
+            F.col("__cl"),
+            F.col("__cent"),
+            sign_bucket_q(F.col("__cent"), planes).alias("__cb"),
         )
     )
     e = df.select(
@@ -673,7 +848,7 @@ def assign_ivf_sql(
     dist = qdist2_int_sql(f"e.{vec_col}", "c.centroid")
     return f"""
     WITH cents AS MATERIALIZED (
-        SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS c,
+        SELECT cast({id_col} AS bigint) AS c,
                {q} AS centroid
         FROM {from_table}
         QUALIFY row_number() OVER (ORDER BY {id_col}) <= ({k_bound})

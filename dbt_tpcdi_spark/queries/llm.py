@@ -435,12 +435,7 @@ def kmeans_assign_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic end-to-end — bucket ids, integer distances, and
     tie-breaks shared bit-for-bit with the SQL twin."""
     e = _spread(load_table(spark, sf_dir, "embeddings"))
-    seed = (
-        e.orderBy("vec_id").limit(_KMEANS_K)
-        .select(F.transform("embedding", S._q).alias("__c"))
-        .collect()
-    )
-    cents = {i: list(r["__c"]) for i, r in enumerate(seed)}
+    cents = S.seed_centroid_table(e, "vec_id", "embedding", _KMEANS_K)
     return S.assign_ivf(e, "vec_id", "embedding", cents)
 
 
@@ -2521,12 +2516,7 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     claiming equivalence."""
     e = _spread(load_table(spark, sf_dir, "embeddings"))
     k = -(-e.count() // _SEMDEDUP_WIDTH)
-    seed = (
-        e.orderBy("vec_id").limit(k)
-        .select(F.transform("embedding", S._q).alias("__c"))
-        .collect()
-    )
-    cents = {i: list(r["__c"]) for i, r in enumerate(seed)}
+    cents = S.seed_centroid_table(e, "vec_id", "embedding", k)
     assigned = S.assign_ivf(e, "vec_id", "embedding", cents)
     km = (
         assigned.join(e.select("vec_id", "embedding"), "vec_id")

@@ -128,19 +128,60 @@ def test_kmeans_literal_assignment_is_joinless(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_kmeans_broadcast_assignment_scales_in_k(spark):
-    # scale-in-k path (registered kmeans_clusters, k=64): the only
-    # join is the k-row broadcast fan-out (BroadcastNestedLoopJoin
-    # over a metadata-sized LocalRelation — NOT a CartesianProduct),
-    # collapsed by a partial-aggregating min(struct) before the one
-    # row-per-input exchange; no sort anywhere
+def test_kmeans_blas_assignment_plan(spark):
+    # registered kmeans_clusters (k=64) runs the cogrouped Arrow
+    # assignment (vectorized argmin — the n·k·dim hot loop); the
+    # centroid table reaches every bucket via a range crossJoin of
+    # metadata rows (planned as a broadcast fan-out), never a
+    # CartesianProduct over data
     plan = _plan(spark, "kmeans_clusters")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmeans_broadcast_assignment_scales_in_k(spark):
+    # the pure-JVM fallback path: k-row broadcast fan-out
+    # (BroadcastNestedLoopJoin over the centroid table — NOT a
+    # CartesianProduct), collapsed by a partial-aggregating
+    # min(struct) before the one row-per-input exchange
+    from dbt_tpcdi_spark.operators import similarity as S
+    from dbt_tpcdi_spark.sources.parquet import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    out = S.kmeans_quantized(
+        e, "vec_id", "embedding", k=64, iters=1, assign_mode="broadcast"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
-    # min(struct) is sort-based, but the PARTIAL aggregate before the
-    # exchange is what bounds the shuffle to one row per input row
     assert "partial_min(struct(d," in plan, plan
+
+
+def test_centroid_lifecycle_no_driver_collect():
+    # the k-scale contract: at SemDedup's k = n/width any O(k) driver
+    # materialization is corpus-linear, so the table-lifecycle path —
+    # seeding, both scale assignment modes, IVF assignment, the Lloyd
+    # loop, and the registered kmeans/semdedup queries — must never
+    # .collect() (the one remaining collect lives in the literal-mode
+    # helper, gated to k ≤ LITERAL_ASSIGN_MAX_K)
+    import inspect
+
+    from dbt_tpcdi_spark.operators import similarity as S
+    from dbt_tpcdi_spark.queries import llm
+
+    for fn in (
+        S.seed_centroid_table,
+        S.assign_centroids_bcast,
+        S.assign_centroids_blas,
+        S.assign_ivf,
+        S.quantized_centroids,
+        S.kmeans_quantized,
+    ):
+        assert ".collect(" not in inspect.getsource(fn), fn.__name__
+    for qname in ("kmeans_clusters", "kmeans_assign_ivf", "semdedup",
+                  "semdedup_ivf"):
+        src = inspect.getsource(all_queries()[qname].build)
+        assert ".collect(" not in src, qname
 
 
 def test_dedup_clusters_no_cartesian_no_global_sort(spark):

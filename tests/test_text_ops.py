@@ -297,15 +297,16 @@ def test_assign_ivf_properties(spark):
     from tests.conftest import SF_SMOKE
 
     e = load_table(spark, SF_SMOKE, "embeddings")
-    seed = (
-        e.orderBy("vec_id").limit(16)
-        .select(F.transform("embedding", S._q).alias("c")).collect()
-    )
-    cents = {i: list(r["c"]) for i, r in enumerate(seed)}
-    ivf = S.assign_ivf(e, "vec_id", "embedding", cents)
+    cents_tbl = S.seed_centroid_table(e, "vec_id", "embedding", 16)
+    ivf = S.assign_ivf(e, "vec_id", "embedding", cents_tbl)
     rows = ivf.collect()
     assert len(rows) == e.count()
     assert len({r["vec_id"] for r in rows}) == len(rows)
+    # collect in the TEST only (the operator path never does): the
+    # driver-side bucket twin must agree with the in-plan buckets
+    cents = {
+        int(r["__cl"]): list(r["__cent"]) for r in cents_tbl.collect()
+    }
     cbucket = {c: S.bucket_of_qvec(v) for c, v in cents.items()}
     vbucket = {
         r["vec_id"]: r["b"]
