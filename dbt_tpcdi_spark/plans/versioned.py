@@ -12,11 +12,13 @@ link/rename — which includes HDFS and posix-mode object stores):
 
 - A table is a directory: immutable data snapshots ``data-<v>-<uuid>/``
   plus a ``_log/`` of JSON entries, one per version.
-- **The atomic commit point is a hard link** of a staged JSON into
-  ``_log/<version>.json``. ``link(2)`` fails with EEXIST if the
-  version was taken — optimistic concurrency: the loser re-stages
-  against the next version number and retries. Data files are written
-  BEFORE the log entry, so a half-written snapshot is simply never
+- **The atomic commit point is a pluggable create-if-absent**
+  (``CommitProtocol``) publishing a staged JSON as
+  ``_log/<version>.json``: ``link(2)``-EEXIST on POSIX/HDFS,
+  no-replace rename on HDFS/ABFS/GCS, conditional PUT on S3 — losing
+  the race means the version was taken, and optimistic concurrency
+  re-stages against the next number. Data files are written BEFORE
+  the log entry, so a half-written snapshot is simply never
   referenced (crash garbage, reclaimed by ``vacuum``).
 - **Readers resolve a version once** (at ``read()``/``as_of()``) and
   only ever touch that snapshot's immutable directory — writers never
@@ -37,6 +39,8 @@ listing plus one small JSON.
 
 from __future__ import annotations
 
+import ctypes
+import errno
 import json
 import os
 import time
@@ -52,6 +56,102 @@ class CommitConflict(RuntimeError):
     max retries)."""
 
 
+# ---------------------------------------------------------------------------
+# the commit protocol seam: everything transactional in this layer
+# reduces to ONE primitive — atomically make the entry file exist with
+# its full content IFF no entry of that name exists yet. Different
+# storage systems provide it under different names:
+#
+#   - POSIX / HDFS-on-local:  link(2) (EEXIST loses)   → HardLinkCommit
+#   - HDFS / ABFS / GCS (hierarchical-namespace buckets): rename that
+#     fails when the destination exists                → RenameNoReplaceCommit
+#   - S3 (since 2024) / GCS objects: conditional PUT (If-None-Match:*)
+#     — content and name appear atomically together; a CommitProtocol
+#     impl for a real object store wraps that call directly.
+#
+# Object stores have no hard links, so the hard-link impl alone made
+# the whole warehouse (time travel, CDF, partitioned MERGE, the
+# incremental dedup index) single-machine-filesystem-only; the seam
+# plus the rename impl removes that coupling. Reference context: the
+# reference repo gets this property from Snowflake's metadata service
+# (dbt_project.yml dynamic-table materializations).
+
+
+class CommitProtocol:
+    """Atomic create-if-absent of a commit-log entry."""
+
+    name = "abstract"
+
+    def publish(self, staged: str, final: str) -> bool:
+        """Make ``final`` exist with ``staged``'s full content iff no
+        ``final`` exists; True on success, False when the version was
+        already taken. MAY consume ``staged`` on success (rename
+        semantics) — callers must treat the staged file as disposable
+        either way. Content must appear atomically with the name: a
+        concurrent reader must never observe a torn entry."""
+        raise NotImplementedError
+
+
+class HardLinkCommit(CommitProtocol):
+    """link(2) as CAS: atomic, content-complete (the staged file is
+    fully written and closed first), EEXIST loses the race."""
+
+    name = "hardlink"
+
+    def publish(self, staged: str, final: str) -> bool:
+        try:
+            os.link(staged, final)
+            return True
+        except FileExistsError:
+            return False
+
+
+class RenameNoReplaceCommit(CommitProtocol):
+    """renameat2(..., RENAME_NOREPLACE) as CAS — the no-hard-link
+    commit point (HDFS/ABFS `rename` with fail-on-exists; the closest
+    POSIX analog of an object store's conditional create). Atomic and
+    content-complete like link(2); consumes the staged file on
+    success. Plain os.rename would silently REPLACE an existing
+    destination — that is last-writer-wins, not CAS — hence the
+    explicit no-replace flag via libc."""
+
+    name = "rename"
+    _RENAME_NOREPLACE = 1
+    _AT_FDCWD = -100
+
+    def __init__(self) -> None:
+        self._libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        if not hasattr(self._libc, "renameat2"):  # pragma: no cover
+            raise OSError("libc lacks renameat2; use HardLinkCommit")
+
+    def publish(self, staged: str, final: str) -> bool:
+        r = self._libc.renameat2(
+            self._AT_FDCWD,
+            staged.encode(),
+            self._AT_FDCWD,
+            final.encode(),
+            self._RENAME_NOREPLACE,
+        )
+        if r == 0:
+            return True
+        err = ctypes.get_errno()
+        if err == errno.EEXIST:
+            return False
+        raise OSError(err, os.strerror(err))  # pragma: no cover
+
+
+def default_protocol() -> CommitProtocol:
+    """Resolve the process-default protocol: the
+    ``SPARK_TPCDI_COMMIT_PROTOCOL`` env var (``hardlink`` | ``rename``)
+    or hard-link."""
+    choice = os.environ.get("SPARK_TPCDI_COMMIT_PROTOCOL", "hardlink")
+    if choice == "rename":
+        return RenameNoReplaceCommit()
+    if choice == "hardlink":
+        return HardLinkCommit()
+    raise ValueError(f"unknown commit protocol {choice!r}")
+
+
 def is_versioned(root: str) -> bool:
     """True if ``root`` carries a commit log (cheap existence check —
     used by CLI/refresh routing so read-only operations never touch a
@@ -60,13 +160,19 @@ def is_versioned(root: str) -> bool:
 
 
 class VersionedTable:
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        protocol: CommitProtocol | None = None,
+    ) -> None:
         # deliberately no mkdir: constructing a handle must not mutate
         # the path (a read-only `history` on a plain parquet dir would
         # otherwise plant a `_log/` and misroute every later reader);
         # the log directory is created at first commit
         self.spark = spark
         self.root = root
+        self.protocol = protocol or default_protocol()
 
     # -- log ---------------------------------------------------------------
 
@@ -152,6 +258,10 @@ class VersionedTable:
                         f"commit was derived from v{expected_latest} — rebase"
                     )
                 version = 0 if latest is None else latest + 1
+                # staged content is fully written, flushed, and synced
+                # BEFORE publish — the protocol contract's "content
+                # appears atomically with the name" needs a complete
+                # staged file (rename/link carry content with them)
                 with open(staged, "w") as f:
                     json.dump(
                         {
@@ -163,13 +273,15 @@ class VersionedTable:
                         },
                         f,
                     )
-                try:
-                    # the commit point: link(2) is atomic and EEXISTs if
-                    # a concurrent writer claimed this version
-                    os.link(staged, self._entry_path(version))
+                    f.flush()
+                    os.fsync(f.fileno())
+                # the commit point: one protocol-provided atomic
+                # create-if-absent (hard link, no-replace rename, or an
+                # object store's conditional PUT); False = a concurrent
+                # writer claimed this version — re-stage for the next
+                if self.protocol.publish(staged, self._entry_path(version)):
                     return version
-                except FileExistsError:
-                    continue
+                continue
             raise CommitConflict(
                 f"{self.root}: lost {max_retries} commit races"
             )

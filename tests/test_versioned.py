@@ -11,7 +11,19 @@ import pytest
 from pyspark.sql import functions as F
 
 from dbt_tpcdi_spark.plans.runner import Runner
+from dbt_tpcdi_spark.plans import versioned as V
 from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+
+@pytest.fixture(params=["hardlink", "rename"], autouse=True)
+def commit_protocol(request, monkeypatch):
+    """Run the ENTIRE race/crash matrix under both commit protocols:
+    the hard-link CAS (POSIX/HDFS) and the no-replace rename CAS (the
+    no-hard-link shape object stores / ABFS provide). Every
+    VersionedTable in this module resolves its protocol through
+    default_protocol(), which reads this env var."""
+    monkeypatch.setenv("SPARK_TPCDI_COMMIT_PROTOCOL", request.param)
+    return request.param
 
 
 def _df(spark, *vals):
