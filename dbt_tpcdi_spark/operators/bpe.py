@@ -255,6 +255,210 @@ def bpe_train_batched(
     return learned, w
 
 
+def pair_counts(w: DataFrame) -> DataFrame:
+    """(pair, c): symbol-pair counts over the (word, wc, sp) table —
+    explode + one map-side-combined sum."""
+    return (
+        w.select("wc", F.explode(ngram_list(F.col("sp"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("c"))
+    )
+
+
+def select_safe(
+    ranked: list[str], trigrams: set[str], cap: int | None = None
+) -> list[str]:
+    """Trigram-aware greedy batch selection (shared bit-for-bit with
+    the SQL twin): walk the ranked window top-down, select a pair iff
+    no ALREADY-SELECTED pair can change its count when applied first.
+    Pair (x,y) is unsafe against selected (a,b) → m=ab iff:
+
+    - x == m or y == m — the merge's output symbol is one of (x,y)'s
+      operands, so (x,y) gains occurrences the stale count missed;
+    - y == a and trigram "x a b" occurs — the merge consumes the ``a``
+      of some ``x a`` adjacency, so the count drops;
+    - x == b and trigram "a b y" occurs — symmetric.
+
+    This is strictly finer than unit-disjointness: sharing a letter is
+    harmless unless the corpus actually realizes the overlap as a
+    trigram — which is what lets realistic batches reach tens of
+    merges per round instead of single digits. Selected merges can
+    never chain within a round (the x==m/y==m rule), so applying them
+    as one nested left-to-right replace is order-consistent with the
+    counts used to pick them."""
+    sel: list[str] = []
+    for pair in ranked:
+        x, y = pair.split(" ")
+        ok = True
+        for q in sel:
+            a, b = q.split(" ")
+            m = a + b
+            if (
+                x == m
+                or y == m
+                or (y == a and f"{x} {a} {b}" in trigrams)
+                or (x == b and f"{a} {b} {y}" in trigrams)
+            ):
+                ok = False
+                break
+        if ok:
+            sel.append(pair)
+            if cap is not None and len(sel) >= cap:
+                break
+    return sel
+
+
+def bpe_train_incremental(
+    df: DataFrame, text_col: str, rounds: int = 4, window: int = 32
+) -> tuple[list[tuple[str, int]], DataFrame, int]:
+    """Batched BPE with INCREMENTAL pair-count maintenance and the
+    trigram-aware safe batch: the production-vocabulary path.
+
+    Two changes over ``bpe_train_batched``:
+
+    - **Delta recount**: the (pair, c) table is maintained across
+      rounds instead of re-aggregated — after applying a round's
+      merges, only words whose spaced form changed (their padded sp
+      contains some selected pattern; merges cannot chain or create
+      patterns within a round — ``select_safe``) contribute a delta
+      (their old pairs negated + new pairs), folded into the standing
+      counts and floored at >0. Per-round recount cost is
+      O(changed words), not O(vocabulary).
+    - **Trigram-safe selection** admits every top-``window`` pair
+      whose count provably cannot be perturbed by a higher-ranked
+      selected merge (see ``select_safe``) — tens of merges per
+      round on natural text, vs single digits under plain
+      unit-disjointness.
+
+    ONE driver round-trip per round: the top-``window`` candidates
+    and the safety-relevant distinct trigrams (those whose leading or
+    trailing bigram is a candidate — exactly the set ``select_safe``
+    can query) collect together as a single tagged union. 64 merges
+    need ~3-4 round-trips instead of 64; a 32k vocabulary becomes
+    hundreds of rounds, not 32k sequential jobs.
+
+    Returns (merge table in learned order, final (word, wc, sp)
+    DataFrame, rounds actually used)."""
+    w = word_counts(df, text_col).withColumn(
+        "sp", char_spaced(F.col("word"))
+    )
+    w, w_ids = _checkpoint_replacing(w, set())
+    pc, pc_ids = _checkpoint_replacing(pair_counts(w), set())
+    learned: list[tuple[str, int]] = []
+    used = 0
+    for _ in range(rounds):
+        cand = pc.orderBy(F.col("c").desc(), F.col("pair").asc()).limit(
+            window
+        )
+        tg3 = w.select(
+            F.explode(ngram_list(F.col("sp"), 3)).alias("tg")
+        ).distinct()
+        parts = F.split(F.col("tg"), " ")
+        tgb = tg3.select(
+            "tg",
+            F.concat_ws(
+                " ", F.element_at(parts, 1), F.element_at(parts, 2)
+            ).alias("b12"),
+            F.concat_ws(
+                " ", F.element_at(parts, 2), F.element_at(parts, 3)
+            ).alias("b23"),
+        )
+        candp = cand.select("pair")
+        rel = (
+            tgb.join(
+                F.broadcast(candp),
+                tgb["b23"] == candp["pair"],
+                "left_semi",
+            )
+            .unionByName(
+                tgb.join(
+                    F.broadcast(candp),
+                    tgb["b12"] == candp["pair"],
+                    "left_semi",
+                )
+            )
+            .select("tg")
+            .distinct()
+        )
+        rows = (
+            cand.select(
+                F.lit("p").alias("t"), F.col("pair").alias("v"), "c"
+            )
+            .unionByName(
+                rel.select(
+                    F.lit("t").alias("t"),
+                    F.col("tg").alias("v"),
+                    F.lit(0).cast("long").alias("c"),
+                )
+            )
+            .collect()  # the round's ONE driver round-trip
+        )
+        by_pair = {r["v"]: int(r["c"]) for r in rows if r["t"] == "p"}
+        trigrams = {r["v"] for r in rows if r["t"] == "t"}
+        ranked = sorted(by_pair, key=lambda p: (-by_pair[p], p))
+        selected = select_safe(ranked, trigrams)
+        if not selected:
+            break
+        used += 1
+        learned.extend((p, by_pair[p]) for p in selected)
+
+        padded = F.concat(F.lit(" "), F.col("sp"), F.lit(" "))
+        cond = None
+        merged = padded
+        for pair in selected:
+            x, y = pair.split(" ")
+            pat = f" {x}{SEP}{y} "
+            hit = padded.contains(F.lit(pat))
+            cond = hit if cond is None else (cond | hit)
+            merged = F.replace(
+                merged, F.lit(pat), F.lit(f" {x}{y} ")
+            )
+        changed_old = w.filter(cond)
+        changed_new = changed_old.withColumn("sp", F.trim(merged))
+        delta = (
+            changed_old.select(
+                F.explode(ngram_list(F.col("sp"), 2)).alias("pair"),
+                (-F.col("wc")).alias("c"),
+            )
+            .unionByName(
+                changed_new.select(
+                    F.explode(ngram_list(F.col("sp"), 2)).alias("pair"),
+                    F.col("wc").alias("c"),
+                )
+            )
+        )
+        pc_next = (
+            pc.unionByName(delta)
+            .groupBy("pair")
+            .agg(F.sum("c").alias("c"))
+            .filter(F.col("c") > 0)
+        )
+        # order matters: pc's checkpoint materializes the delta FROM
+        # the old w snapshot, so it must run before w's checkpoint
+        # releases those blocks
+        pc, pc_ids = _checkpoint_replacing(pc_next, pc_ids)
+        w_next = w.withColumn(
+            "sp", F.when(cond, F.trim(merged)).otherwise(F.col("sp"))
+        )
+        w, w_ids = _checkpoint_replacing(w_next, w_ids)
+    return learned, w, used
+
+
+def bpe_vocab_incremental(
+    df: DataFrame, text_col: str, rounds: int = 4, window: int = 32
+) -> DataFrame:
+    """Final symbol vocabulary after incremental batched training:
+    (symbol, n_occurrences) weighted by word frequency."""
+    _, w, _ = bpe_train_incremental(df, text_col, rounds, window)
+    return (
+        w.select(
+            "wc", F.explode(F.split(F.col("sp"), " +")).alias("symbol")
+        )
+        .groupBy("symbol")
+        .agg(F.sum("wc").cast("bigint").alias("n_occurrences"))
+    )
+
+
 def bpe_vocab(df: DataFrame, text_col: str, merges: int = 4) -> DataFrame:
     """Final symbol vocabulary after ``merges`` merges: (symbol,
     n_occurrences) with occurrences weighted by word frequency."""
@@ -366,6 +570,96 @@ def bpe_vocab_batched_sql(
         + f""" SELECT symbol, cast(sum(wc) AS bigint) AS n_occurrences
         FROM (SELECT wc, unnest(regexp_split_to_array(sp, ' +')) AS symbol
               FROM __bw{rounds})
+        GROUP BY 1"""
+    )
+
+
+def bpe_vocab_incremental_sql(
+    from_table: str, text_col: str, rounds: int = 4, window: int = 32
+) -> str:
+    """DuckDB twin of the incremental batched training. The delta
+    maintenance is an equivalence-preserving optimization (the
+    maintained (pair, c) table equals a full recount by construction),
+    so the twin recounts per round; what it must replicate exactly is
+    the TRIGRAM-SAFE greedy selection — one ≤1-row CTE per rank, where
+    rank j survives iff no selected higher rank (a,b)→m collides
+    (x=m / y=m) or realizes an overlap trigram ("x a b" with y=a,
+    "a b y" with x=b) in that round's corpus — and the rank-ordered
+    nested-replace application."""
+    x, y = "split_part({p}, ' ', 1)", "split_part({p}, ' ', 2)"
+    ctes = [
+        f"""__iwc AS MATERIALIZED (
+            SELECT word, cast(count(*) AS bigint) AS wc FROM (
+                SELECT unnest({tokens_sql(text_col)}) AS word
+                FROM {from_table}
+            ) GROUP BY 1
+        )""",
+        f"""__iw0 AS MATERIALIZED (
+            SELECT word, wc, {char_spaced_sql('word')} AS sp FROM __iwc
+        )""",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""__ip{r} AS MATERIALIZED (
+            SELECT pair, sum(wc) AS c FROM (
+                SELECT wc, unnest({ngram_list_sql('sp', 2)}) AS pair
+                FROM __iw{r}
+            ) GROUP BY 1
+        )""")
+        ctes.append(f"""__irk{r} AS MATERIALIZED (
+            SELECT pair, c,
+                   row_number() OVER (ORDER BY c DESC, pair ASC) AS rnk
+            FROM __ip{r}
+            QUALIFY rnk <= {window}
+        )""")
+        ctes.append(f"""__itg{r} AS MATERIALIZED (
+            SELECT DISTINCT tg FROM (
+                SELECT unnest({ngram_list_sql('sp', 3)}) AS tg
+                FROM __iw{r}
+            )
+        )""")
+        for j in range(1, window + 1):
+            if j == 1:
+                ctes.append(f"""__ig{r}_1 AS MATERIALIZED (
+                    SELECT pair, rnk FROM __irk{r} WHERE rnk = 1
+                )""")
+                continue
+            prev = " UNION ALL ".join(
+                f"SELECT pair FROM __ig{r}_{i}" for i in range(1, j)
+            )
+            px, py = x.format(p="p.pair"), y.format(p="p.pair")
+            qa, qb = x.format(p="q.pair"), y.format(p="q.pair")
+            qm = "replace(q.pair, ' ', '')"
+            ctes.append(f"""__ig{r}_{j} AS MATERIALIZED (
+                SELECT p.pair, p.rnk FROM __irk{r} p
+                WHERE p.rnk = {j} AND NOT EXISTS (
+                    SELECT 1 FROM ({prev}) q
+                    WHERE {px} = {qm} OR {py} = {qm}
+                       OR ({py} = {qa} AND ({px} || ' ' || q.pair)
+                           IN (SELECT tg FROM __itg{r}))
+                       OR ({px} = {qb} AND (q.pair || ' ' || {py})
+                           IN (SELECT tg FROM __itg{r}))
+                )
+            )""")
+        sel_union = " UNION ALL ".join(
+            f"SELECT pair, rnk FROM __ig{r}_{j}"
+            for j in range(1, window + 1)
+        )
+        ctes.append(f"__isel{r} AS MATERIALIZED ({sel_union})")
+        sp = "' ' || sp || ' '"
+        for j in range(1, window + 1):
+            sel = f"(SELECT pair FROM __isel{r} WHERE rnk = {j})"
+            pat = (f"' ' || replace(coalesce({sel}, {_NOMATCH}), "
+                   f"' ', '{SEP}') || ' '")
+            rep = f"' ' || replace(coalesce({sel}, ''), ' ', '') || ' '"
+            sp = f"replace({sp}, {pat}, {rep})"
+        ctes.append(f"""__iw{r + 1} AS MATERIALIZED (
+            SELECT word, wc, trim({sp}) AS sp FROM __iw{r}
+        )""")
+    return (
+        "WITH " + ", ".join(ctes)
+        + f""" SELECT symbol, cast(sum(wc) AS bigint) AS n_occurrences
+        FROM (SELECT wc, unnest(regexp_split_to_array(sp, ' +')) AS symbol
+              FROM __iw{rounds})
         GROUP BY 1"""
     )
 
