@@ -160,6 +160,36 @@ def main() -> None:
                 "CartesianProduct" not in plan)
             plan_checks[f"x10_{name}_final_plan"] = "isFinalPlan=true" in plan
 
+        # -- hot-bucket LSH capping probe (boilerplate-heavy corpus) -----
+        # every doc gets a shared nav/footer tail, so band buckets
+        # collapse: the uncapped band join is Σ bucket² (measured — the
+        # blow-up), the capped join is ≤ #buckets·C(cap,2) (bounded
+        # whatever the skew)
+        from dbt_tpcdi_spark.queries.llm import _LSH_BOILER
+
+        bdoc = (
+            spark.read.parquet(os.path.join(x10_dir, "documents.parquet"))
+            .select("doc_id", F.concat(
+                F.col("text"), F.lit(" " + _LSH_BOILER)).alias("text"))
+        )
+        bsigs = D.with_minhash_signature(bdoc, "text").persist()
+        bsigs.count()
+        t0 = time.perf_counter()
+        n_unc = D.lsh_candidate_pairs(
+            bsigs, "doc_id", distinct=False).count()
+        probes["lshcap_x10:uncapped"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        capped = D.lsh_candidate_pairs_capped(
+            bsigs, "doc_id", cap=8, distinct=False)
+        n_cap = capped.count()
+        probes["lshcap_x10:capped"] = round(time.perf_counter() - t0, 3)
+        cplan = capped._jdf.queryExecution().executedPlan().toString()
+        plan_checks["lshcap_candidates_bounded"] = n_cap * 1000 < n_unc
+        plan_checks["lshcap_no_cartesian"] = "CartesianProduct" not in cplan
+        prep["lshcap_x10_candidates"] = {
+            "uncapped": n_unc, "capped": n_cap}
+        bsigs.unpersist()
+
         # -- zipfian hot-key skew probes ---------------------------------
         # the driver testdata is uniform, so the skew machinery is
         # proven correct but never proven NECESSARY; these probes run a

@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbt_tpcdi_spark.functions.scalar import round4, round4_sql
@@ -141,7 +141,28 @@ def lsh_candidate_pairs(
     partitions the match space), but the signature projection is
     computed twice (left/right) instead of 2×LSH_BANDS times, and one
     shuffle replaces LSH_BANDS."""
-    buckets = sigs.select(
+    buckets = bucket_members(sigs, id_col)
+    left, right = buckets.alias("l"), buckets.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.h") == F.col("r.h"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    )
+    return pairs.distinct() if distinct else pairs
+
+
+#: 5 md5 hex chars = 20-bit numeric prefix for the hot-bucket prefilter
+_LSH_CAP_SALT = "lshcap|"
+
+
+def bucket_members(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, h): each signature exploded to its LSH_BANDS band
+    hashes — the shared front half of capped and uncapped candidate
+    generation."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -153,14 +174,84 @@ def lsh_candidate_pairs(
             ])
         ).alias("__bh"),
     ).select(id_col, "__bh.band", "__bh.h")
-    left, right = buckets.alias("l"), buckets.alias("r")
+
+
+def capped_bucket_members(
+    sigs: DataFrame,
+    id_col: str,
+    cap: int = 8,
+    margin: int = 4,
+) -> DataFrame:
+    """Hot-bucket capping for LSH dedup: per (band, hash) bucket keep
+    at most ``cap`` members — deterministic md5-order truncation — so
+    a boilerplate-heavy corpus (shared nav/footer shingles collapse
+    thousands of docs into one bucket) can never turn the band join
+    quadratic: bucket work is bounded by cap² whatever the skew.
+
+    Two passes, same shape as the per-source cap
+    (queries/llm.source_cap_sample_twopass): pass 1 counts bucket
+    sizes (map-side combined); pass 2 prefilters members whose 20-bit
+    md5 prefix falls under ``margin·cap/sz`` of the hash space
+    (~margin·cap expected survivors per bucket, ALL members kept when
+    sz ≤ margin·cap), then ranks the survivors with a BOUNDED
+    partitioned window ordered by (full md5 hex, id) — md5 is
+    fixed-length lowercase hex, so string order equals numeric-prefix
+    order and the prefilter is prefix-closed: the survivors' top-cap
+    is the bucket's true top-cap whenever ≥ cap members survive
+    (expected margin·cap; the tail where fewer survive is the same
+    accepted bound as the source cap's).
+
+    Returns kept members ``(id, band, h, sz)`` — ``sz`` the ORIGINAL
+    bucket size, so callers can report overflow (sz − kept) honestly.
+    """
+    b = bucket_members(sigs, id_col)
+    sz = b.groupBy("band", "h").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    hstr = F.md5(
+        F.concat(F.lit(_LSH_CAP_SALT), F.col(id_col).cast("string"))
+    )
+    v = F.conv(F.substring(hstr, 1, 5), 16, 10).cast("long")
+    pref = (
+        b.join(sz, ["band", "h"])
+        .withColumn("__hs", hstr)
+        .filter(
+            (v * F.col("sz"))
+            < F.lit(margin * cap).cast("long") * F.lit(1 << 20)
+        )
+    )
+    w = Window.partitionBy("band", "h").orderBy("__hs", id_col)
+    return (
+        pref.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .select(id_col, "band", "h", "sz")
+    )
+
+
+def lsh_candidate_pairs_capped(
+    sigs: DataFrame,
+    id_col: str,
+    cap: int = 8,
+    margin: int = 4,
+    distinct: bool = True,
+) -> DataFrame:
+    """``lsh_candidate_pairs`` with hot-bucket capping: the band
+    self-join runs on the capped member set, so candidates are
+    ≤ #buckets · C(cap,2) instead of Σ bucket²/2 — the bound that
+    keeps boilerplate-heavy corpora linear. The LSH trade gets a
+    second axis: capped buckets can miss near-dup pairs whose members
+    were truncated (deterministically), on top of banding's usual
+    misses."""
+    kept = capped_bucket_members(sigs, id_col, cap, margin)
+    left, right = kept.alias("l"), kept.alias("r")
     pairs = left.join(
         right,
         (F.col("l.band") == F.col("r.band"))
         & (F.col("l.h") == F.col("r.h"))
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
     ).select(
-        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
     )
     return pairs.distinct() if distinct else pairs
 

@@ -210,6 +210,97 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# boilerplate tail appended to every document for the hot-bucket
+# probe: shared shingles dominate the minhash minima, so band buckets
+# collapse — the distribution shape that makes uncapped LSH quadratic
+_LSH_BOILER = (
+    "nav home about contact privacy terms sitemap login search "
+    "copyright acme corp all rights reserved"
+)
+_LSH_CAP = 8
+
+
+def _lsh_capped_oracle() -> str:
+    cap, salt = _LSH_CAP, D._LSH_CAP_SALT
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {D.band_hash_sql('mh', b)} AS h "
+        "FROM s"
+        for b in range(D.LSH_BANDS)
+    )
+    return f"""
+    WITH c AS MATERIALIZED (
+        SELECT doc_id, text || ' {_LSH_BOILER}' AS btext FROM documents
+    ),
+    s AS MATERIALIZED (
+        SELECT doc_id, {', '.join(D.minhash_signature_sql('btext'))}
+        FROM c
+    ),
+    b AS MATERIALIZED ({bands}),
+    sz AS (
+        SELECT band, h, cast(count(*) AS bigint) AS sz
+        FROM b GROUP BY 1, 2
+    ),
+    kept AS (
+        SELECT band, h FROM (
+            SELECT band, h,
+                   row_number() OVER (
+                       PARTITION BY band, h
+                       ORDER BY md5('{salt}' || cast(doc_id AS varchar)),
+                                doc_id) AS rn
+            FROM b
+        ) WHERE rn <= {cap}
+    ),
+    kc AS (
+        SELECT band, h, cast(count(*) AS bigint) AS k
+        FROM kept GROUP BY 1, 2
+    )
+    SELECT z.band,
+           cast(count(*) AS bigint) AS n_buckets,
+           cast(sum(CASE WHEN z.sz > {cap} THEN 1 ELSE 0 END) AS bigint)
+               AS n_hot_buckets,
+           cast(sum(z.sz - k.k) AS bigint) AS n_dropped,
+           cast(sum(k.k * (k.k - 1) // 2) AS bigint) AS n_pairs
+    FROM sz z JOIN kc k USING (band, h)
+    GROUP BY 1
+    """
+
+
+@query(
+    "minhash_lsh_capped",
+    oracle=_lsh_capped_oracle(),
+    tags=["llm-dedup-minhash", "A1", "W3"],
+)
+def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-capped LSH on a boilerplate-heavy corpus: every doc
+    gets a shared nav/footer tail, so band buckets collapse (the skew
+    that turns the uncapped band join quadratic — Σ bucket²), and the
+    per-bucket md5-order cap (operators/dedup.capped_bucket_members:
+    count → prefix-closed hash prefilter → bounded partitioned rank)
+    bounds candidate work at #buckets·C(cap,2). Output: per-band
+    bucket census — total buckets, buckets over the cap, members
+    dropped (the honest overflow accounting), and capped candidate
+    pair count (Σ C(kept,2): within a band each doc is in exactly one
+    bucket, so bucket pair combinatorics equal the join's output)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + _LSH_BOILER)).alias("text"),
+    )
+    sigs = D.with_minhash_signature(_spread(d), "text")
+    kept = D.capped_bucket_members(sigs, "doc_id", cap=_LSH_CAP)
+    kc = kept.groupBy("band", "h").agg(
+        F.count("*").cast("long").alias("k"),
+        F.max("sz").alias("__sz"),
+    )
+    return kc.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum((F.col("__sz") > _LSH_CAP).cast("long"))
+        .cast("long")
+        .alias("n_hot_buckets"),
+        F.sum(F.col("__sz") - F.col("k")).cast("long").alias("n_dropped"),
+        F.sum(F.expr("k * (k - 1) div 2")).cast("long").alias("n_pairs"),
+    )
+
+
 @query(
     "tf_df_stats",
     oracle=f"""

@@ -322,3 +322,37 @@ def test_wav_parser_walks_unknown_chunks():
         raise AssertionError("parser accepted garbage")
     except ValueError:
         pass
+
+
+def test_lsh_hot_bucket_cap_bounds_and_determinism(spark):
+    from dbt_tpcdi_spark.operators import dedup as D
+
+    # 60 docs sharing one boilerplate text -> every band collapses to
+    # one hot bucket; 3 singleton-ish outliers stay below the cap
+    rows = [(i, "the quick brown fox shared nav footer text") for i in range(60)]
+    rows += [(100, "alpha beta gamma"), (101, "delta epsilon zeta"),
+             (102, "eta theta iota")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = D.with_minhash_signature(d, "text")
+    kept = D.capped_bucket_members(sigs, "doc_id", cap=8).collect()
+    per_bucket: dict = {}
+    for r in kept:
+        per_bucket.setdefault((r["band"], r["h"]), []).append(r)
+    for (band, h), members in per_bucket.items():
+        assert len(members) <= 8, (band, h, len(members))
+        # sz carries the ORIGINAL size so overflow is reportable
+        if members[0]["sz"] > 8:
+            assert len(members) == 8
+    # the hot bucket really was capped in every band
+    hot = [m for m in per_bucket.values() if m[0]["sz"] >= 60]
+    assert len(hot) == D.LSH_BANDS
+    # pairs bounded: hot corpus yields <= buckets * C(8,2) per band
+    pairs = D.lsh_candidate_pairs_capped(sigs, "doc_id", cap=8,
+                                         distinct=False)
+    assert pairs.count() <= len(per_bucket) * 28
+    # deterministic under repartitioning
+    sigs7 = D.with_minhash_signature(d.repartition(7), "text")
+    kept7 = {(r["doc_id"], r["band"], r["h"])
+             for r in D.capped_bucket_members(sigs7, "doc_id", cap=8)
+             .collect()}
+    assert kept7 == {(r["doc_id"], r["band"], r["h"]) for r in kept}
