@@ -3,12 +3,15 @@
 
 Surrogate keys replicate dbt_utils.generate_surrogate_key exactly
 (functions/keys.py). Temporal joins are J6; ``fact_market_history``
-keeps the reference's row-multiplying LEFT JOIN to the quarterly work
-model (it selects no columns from it, but the multiplicity is
-observable behavior).
+drops the reference's row-multiplying LEFT JOIN to the quarterly work
+model by default and reproduces it under ``SPARK_TPCDI_PARITY=strict``
+(it selects no columns from it, but the multiplicity is observable
+behavior — each mode carries its own oracle).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -377,18 +380,32 @@ def wrk_company_financials(ref, src) -> DataFrame:
        deps=("daily_market", "dim_security", "wrk_company_financials"))
 def fact_market_history(ref, src) -> DataFrame:
     """gold/fact_market_history.sql — temporal security join where a
-    DATE meets TIMESTAMP bounds (hazard 6: date coerces to midnight),
-    plus the row-multiplying LEFT JOIN USING(sk_company_id)."""
+    DATE meets TIMESTAMP bounds (hazard 6: date coerces to midnight).
+
+    Two plans, switched by ``SPARK_TPCDI_PARITY`` (same selector as
+    ``daily_market``):
+
+    - default (**corrected**): no quarterly join. The reference's
+      ``LEFT JOIN USING (sk_company_id)`` to the quarterly work model
+      (reference models/gold/fact_market_history.sql:19-20) selects NO
+      columns from it, so its only observable effect is multiplying
+      each market-history row by the company's quarter count — a fact
+      table inflated ~5× for nothing. One row per (security, date).
+    - ``strict``: the reference's row-multiplying LEFT JOIN, byte-
+      faithful multiplicity included (its own oracle twin:
+      ``tpcdi/oracle.FACT_MARKET_HISTORY_STRICT_SQL``)."""
     dmh = ref("daily_market")
     s = ref("dim_security")
-    f = ref("wrk_company_financials").select("sk_company_id")
     j = dmh.join(
         s,
         (s["symbol"] == dmh["dm_s_symb"])
         & dmh["dm_date"]
         .cast("timestamp")
         .between(s["effective_timestamp"], s["end_timestamp"]),
-    ).join(f, "sk_company_id", "left")
+    )
+    if os.environ.get("SPARK_TPCDI_PARITY", "") == "strict":
+        f = ref("wrk_company_financials").select("sk_company_id")
+        j = j.join(f, "sk_company_id", "left")
     return j.select(
         s["sk_security_id"],
         F.col("sk_company_id"),

@@ -450,8 +450,6 @@ ORACLE_MODELS: dict[str, str] = {
         FROM daily_market dmh
         JOIN dim_security s ON s.symbol = dmh.dm_s_symb
             AND dmh.dm_date BETWEEN s.effective_timestamp AND s.end_timestamp
-        LEFT JOIN (SELECT sk_company_id FROM wrk_company_financials) f
-            USING (sk_company_id)
     """,
     "fact_watches": """
         SELECT c.sk_customer_id, s.sk_security_id,
@@ -500,4 +498,26 @@ DAILY_MARKET_STRICT_SQL = """
     QUALIFY row_number() OVER (
         PARTITION BY dm_s_symb, dm_date
         ORDER BY fifty_two_week_low_date, fifty_two_week_high_date) = 1
+"""
+
+#: strict-parity twin of fact_market_history: the reference's
+#: row-multiplying LEFT JOIN to the quarterly work model (reference
+#: models/gold/fact_market_history.sql:19-20 — selects no quarterly
+#: columns, multiplies each row by the company's quarter count),
+#: paired with the Spark model under SPARK_TPCDI_PARITY=strict. The
+#: main DAG oracle pins the corrected default (no fan-out).
+FACT_MARKET_HISTORY_STRICT_SQL = """
+    SELECT s.sk_security_id, s.sk_company_id, dm_date AS sk_date_id,
+           (s.dividend / dmh.dm_close) / 100 AS "yield",
+           fifty_two_week_high,
+           fifty_two_week_high_date AS sk_fifty_two_week_high_date,
+           fifty_two_week_low,
+           fifty_two_week_low_date AS sk_fifty_two_week_low_date,
+           dm_close AS closeprice, dm_high AS dayhigh, dm_low AS daylow,
+           dm_vol AS volume
+    FROM daily_market dmh
+    JOIN dim_security s ON s.symbol = dmh.dm_s_symb
+        AND dmh.dm_date BETWEEN s.effective_timestamp AND s.end_timestamp
+    LEFT JOIN (SELECT sk_company_id FROM wrk_company_financials) f
+        USING (sk_company_id)
 """

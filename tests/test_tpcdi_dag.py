@@ -126,3 +126,40 @@ def test_daily_market_strict_parity(spark, dag_env, monkeypatch):
     keys = ["dm_s_symb", "dm_date", "fifty_two_week_low",
             "fifty_two_week_high"]
     assert fast_df.select(keys).exceptAll(strict_df.select(keys)).isEmpty()
+
+
+def test_fact_market_history_strict_parity(spark, dag_env, monkeypatch):
+    """SPARK_TPCDI_PARITY=strict restores the reference's
+    row-multiplying LEFT JOIN to the quarterly work model; it must
+    match its own DuckDB twin (the main DAG oracle pins the corrected
+    no-fan-out default). The two modes carry the same DISTINCT rows —
+    the join only multiplies."""
+    from dbt_tpcdi_spark.tpcdi.oracle import FACT_MARKET_HISTORY_STRICT_SQL
+    from tests.conftest import assert_matches_oracle
+
+    warehouse, con = dag_env
+    refs = {
+        n: spark.read.parquet(str(warehouse / n))
+        for n in ("daily_market", "dim_security", "wrk_company_financials")
+    }
+    monkeypatch.setenv("SPARK_TPCDI_PARITY", "strict")
+    strict_df = all_models()["fact_market_history"].build(
+        lambda n: refs[n], None
+    )
+    con.execute(
+        "CREATE OR REPLACE VIEW fmh_strict AS "
+        + FACT_MARKET_HISTORY_STRICT_SQL
+    )
+    assert_matches_oracle(
+        strict_df, con, "SELECT * FROM fmh_strict", "fmh_strict"
+    )
+    # the corrected default: identical row SET, no multiplication —
+    # and genuinely smaller where a company has quarterly rows
+    monkeypatch.delenv("SPARK_TPCDI_PARITY")
+    fast_df = all_models()["fact_market_history"].build(
+        lambda n: refs[n], None
+    )
+    assert fast_df.exceptAll(strict_df).isEmpty()
+    assert strict_df.select(fast_df.columns).distinct().count() \
+        == fast_df.distinct().count()
+    assert strict_df.count() > fast_df.count()
