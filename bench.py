@@ -305,42 +305,75 @@ def main() -> None:
         _timed(probes, "skew:sessionize_chunked_zipf", zs2)
         zipf.unpersist()
 
-    # -- full-DAG build at ×10 fixture scale (key-shifted replicas) -----
+    # -- full-DAG builds at ×10 and ×100 fixture scale ------------------
+    # ×10 keeps the round-over-round series comparable; ×100 is the
+    # scale point where per-model walls are whole seconds and the
+    # wave-scheduler/AQE behavior is measurable against the
+    # reference's SF=10 run (BASELINE.md: 70.51 s, 20 threads)
     dag_x10 = None
+    dag_x100 = None
     if os.environ.get("SPARK_GRAFT_BENCH_DAG", "1") != "0":
         import shutil
 
+        from dbt_tpcdi_spark.plans.registry import all_models
         from dbt_tpcdi_spark.plans.runner import Runner
         from dbt_tpcdi_spark.plans.sources import load_dag_sources
         from dbt_tpcdi_spark.tpcdi.replicate import replicate_raw
 
-        dag_dir = "/tmp/spark_graft_bench/dagx10"
-        raw = replicate_raw(dag_dir, copies=10)
-        model_times: dict[str, float] = {}
+        def _dag_build(copies: int, slow_plan_checks: bool = False) -> dict:
+            dag_dir = f"/tmp/spark_graft_bench/dagx{copies}"
+            raw = replicate_raw(dag_dir, copies=copies)
+            model_times: dict[str, float] = {}
 
-        class _TimedRunner(Runner):
-            def _materialize(self, name, df):
-                m0 = time.perf_counter()
-                out = super()._materialize(name, df)
-                model_times[name] = round(time.perf_counter() - m0, 3)
-                return out
+            class _TimedRunner(Runner):
+                def _materialize(self, name, df):
+                    m0 = time.perf_counter()
+                    out = super()._materialize(name, df)
+                    model_times[name] = round(time.perf_counter() - m0, 3)
+                    return out
 
-        wh = os.path.join(dag_dir, "wh")
-        shutil.rmtree(wh, ignore_errors=True)
-        t0 = time.perf_counter()
-        dag_sources = load_dag_sources(spark, str(raw))
-        _TimedRunner(spark, dag_sources, warehouse_dir=wh).run(
-            parallelism=8
-        )
-        total_wall = round(time.perf_counter() - t0, 3)
-        probes["dag_build_x10"] = total_wall
-        dag_x10 = {
-            "total_wall": total_wall,
-            "parallelism": 8,
-            "models": dict(
-                sorted(model_times.items(), key=lambda kv: -kv[1])
-            ),
-        }
+            wh = os.path.join(dag_dir, "wh")
+            shutil.rmtree(wh, ignore_errors=True)
+            t0 = time.perf_counter()
+            dag_sources = load_dag_sources(spark, str(raw))
+            _TimedRunner(spark, dag_sources, warehouse_dir=wh).run(
+                parallelism=8
+            )
+            total_wall = round(time.perf_counter() - t0, 3)
+            out = {
+                "total_wall": total_wall,
+                "parallelism": 8,
+                "models": dict(
+                    sorted(model_times.items(), key=lambda kv: -kv[1])
+                ),
+            }
+            if slow_plan_checks:
+                # plan audit of the three slowest models at this scale:
+                # rebuild each against the materialized warehouse and
+                # pin no-cartesian + AQE-finalized
+                models = all_models()
+                slowest = sorted(
+                    model_times, key=lambda n: -model_times[n]
+                )[:3]
+                for name in slowest:
+                    df = models[name].build(
+                        lambda n: spark.read.parquet(
+                            os.path.join(wh, n)
+                        ),
+                        dag_sources.__getitem__,
+                    )
+                    df.write.mode("overwrite").format("noop").save()
+                    plan = (df._jdf.queryExecution().executedPlan()
+                            .toString())
+                    plan_checks[
+                        f"dagx{copies}_{name}_no_cartesian"
+                    ] = "CartesianProduct" not in plan
+            return out
+
+        dag_x10 = _dag_build(10)
+        probes["dag_build_x10"] = dag_x10["total_wall"]
+        dag_x100 = _dag_build(100, slow_plan_checks=True)
+        probes["dag_build_x100"] = dag_x100["total_wall"]
 
     total = round(sum(times.values()), 3)
     payload = json.dumps(
@@ -354,6 +387,7 @@ def main() -> None:
             "prep": prep,
             "plan_checks": plan_checks,
             "dag_build_x10": dag_x10,
+            "dag_build_x100": dag_x100,
             "eager_build": {**EAGER_BUILD, **x10_builds},
         }
     )
