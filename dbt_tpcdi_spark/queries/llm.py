@@ -496,12 +496,14 @@ _KMEANS_K = 64
 )
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding column (3 fixed
-    iterations, k=64): broadcast-DataFrame centroid assignment — a
-    k-row broadcast join + min(struct(dist2, cluster)) hash aggregate,
-    so the plan is O(1) in k (no literal unrolling; the literal path
-    caps at single-digit k) — exact integer distances, deterministic
-    tie-breaks. The oracle unrolls the identical iterations as chained
-    CTEs; its CROSS JOIN + QUALIFY argmin is arbitrary-k already."""
+    iterations, k=64) with the centroid TABLE lifecycle: seeds resolve
+    executor-side (labeled by seed id — no rank, no collect), each
+    round's assignment is the cogrouped Arrow exact-argmin
+    (assign_centroids_blas — vectorized n·k·dim, bit-exact), the
+    update is one (cluster, dim) shuffle writing back to the table.
+    Zero O(k) driver materialization anywhere (source-asserted). The
+    oracle unrolls the identical iterations as chained CTEs; its
+    CROSS JOIN + QUALIFY argmin is arbitrary-k already."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.kmeans_quantized(
         e, "vec_id", "embedding", k=_KMEANS_K, iters=3
@@ -1402,9 +1404,11 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     id *within its cluster*. k is DERIVED from the corpus — k =
     ⌈n / _SEMDEDUP_WIDTH⌉ (one metadata-sized count) — so the
     within-cluster pair space stays O(n·width/2), linear in n, exactly
-    the paper's k-grows-with-corpus prescription; assignment runs the
-    broadcast-join path (plan O(1) in k). Composes two already-gated
-    operators (deterministic quantized k-means + integer cosine)."""
+    the paper's k-grows-with-corpus prescription; k-means runs the
+    centroid-TABLE lifecycle (cogrouped Arrow exact argmin, zero O(k)
+    driver state — k grows with the corpus here, so that matters).
+    Composes two already-gated operators (deterministic quantized
+    k-means + integer cosine)."""
     e = _spread(load_table(spark, sf_dir, "embeddings"))
     k = -(-e.count() // _SEMDEDUP_WIDTH)
     km = S.kmeans_quantized(e, "vec_id", "embedding", k=k, iters=3).select(
