@@ -581,6 +581,25 @@ def kmeans_quantized(
     if literal:
         return _kmeans_literal(df, id_col, vec_col, k, iters)
 
+    base, cdf, assign_fn = _kmeans_table(
+        df, id_col, vec_col, k, iters, assign_mode, parts
+    )
+    final = assign_fn(base, id_col, cdf).select(id_col, "cluster", "dist2")
+    return df.join(final, id_col)
+
+
+def _kmeans_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    assign_mode: str = "blas",
+    parts: int | None = None,
+):
+    """The shared Lloyd loop over the centroid TABLE: returns
+    (quantized base, final centroid table, assign_fn). Nothing here
+    ever collects."""
     assign_fn = (
         assign_centroids_bcast
         if assign_mode == "broadcast"
@@ -606,8 +625,28 @@ def kmeans_quantized(
             )
             .persist()
         )
-    final = assign_fn(base, id_col, cdf).select(id_col, "cluster", "dist2")
-    return df.join(final, id_col)
+    return base, cdf, assign_fn
+
+
+def kmeans_centroid_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 3,
+    assign_mode: str = "blas",
+    parts: int | None = None,
+) -> DataFrame:
+    """The trained centroid TABLE itself — ``(__cl bigint, __cent
+    array<bigint>)`` after ``iters`` Lloyd rounds; what a codebook
+    consumer (PQ, IVF index build) needs instead of per-point
+    assignments. Same lifecycle as ``kmeans_quantized``: zero driver
+    materialization (``kmeans_sql(..., final='cents')`` is the SQL
+    twin)."""
+    _, cdf, _ = _kmeans_table(
+        df, id_col, vec_col, k, iters, assign_mode, parts
+    )
+    return cdf
 
 
 def kmeans_sql(
@@ -618,6 +657,7 @@ def kmeans_sql(
     k: int = 4,
     iters: int = 3,
     k_sql: str | None = None,
+    final: str = "assign",
 ) -> str:
     """DuckDB twin: the same fixed Lloyd iterations unrolled as chained
     CTEs (init → [assign → update → carry-forward] × iters → final
@@ -627,7 +667,11 @@ def kmeans_sql(
     subquery) replaces the literal ``k`` in the seed bound — only the
     seed depends on k, the unrolled assign/update CTEs are
     arbitrary-k — so the oracle tracks a Spark side that derives k
-    from the data (SemDedup's k = ⌈n / cluster_width⌉)."""
+    from the data (SemDedup's k = ⌈n / cluster_width⌉).
+
+    ``final="assign"`` yields per-point (id, cluster, dist2);
+    ``final="cents"`` yields the trained centroid table (c, centroid)
+    — the twin of ``kmeans_centroid_table``."""
     q = (
         f"list_transform(range(1, {dim} + 1), i -> "
         f"cast(round(cast({{v}}[i] AS double) * {QUANT}) AS bigint))"
@@ -668,6 +712,11 @@ def kmeans_sql(
             SELECT o.c, coalesce(u.centroid, o.centroid) AS centroid
             FROM cents_{i} o LEFT JOIN upd_{i} u USING (c)
         )""")
+    if final == "cents":
+        return f"""
+        WITH {', '.join(ctes)}
+        SELECT c, centroid FROM cents_{iters}
+        """
     return f"""
         WITH {', '.join(ctes)}
         SELECT e.{id_col}, c.c AS cluster, {dist} AS dist2
@@ -878,4 +927,190 @@ def assign_ivf_sql(
             PARTITION BY e.{id_col} ORDER BY {dist}, c.c) = 1
     )
     SELECT * FROM best UNION ALL SELECT * FROM fallback
+    """
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jégou, Douze, Schmid 2011, "Product
+# quantization for nearest neighbor search"): split each vector into
+# `blocks` subvectors, train a per-block codebook by k-means, store
+# each vector as `blocks` small codes (64 dims × float → 8 bytes of
+# codes: the compression that makes billion-vector ANN serveable), and
+# answer queries by asymmetric distance (ADC): one (block, code) →
+# distance lookup table per query, then a per-vector sum of lookups —
+# no full-vector math ever touches the corpus at query time.
+
+
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    blocks: int = 8,
+    codes: int = 16,
+    iters: int = 1,
+    assign_mode: str = "broadcast",
+    parts: int | None = None,
+) -> DataFrame:
+    """Per-block PQ codebooks: ``(block int, __cl bigint, __cent
+    array<bigint>)`` — one ``kmeans_centroid_table`` per block over
+    that block's subvector slice. The loop is O(blocks) driver-side
+    orchestration only (bounded by the layout, never the corpus);
+    each block's training is the table-lifecycle k-means — zero O(k)
+    driver state. SQL twin: ``pq_adc_topk_sql``'s per-block
+    ``kmeans_sql(..., final='cents')`` chains."""
+    sub = dim // blocks
+    if sub * blocks != dim:
+        raise ValueError(f"dim {dim} not divisible by blocks {blocks}")
+    out = None
+    for b in range(blocks):
+        sv = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), b * sub + 1, sub).alias("__sv"),
+        )
+        cb = kmeans_centroid_table(
+            sv, id_col, "__sv", k=codes, iters=iters,
+            assign_mode=assign_mode, parts=parts,
+        ).select(F.lit(b).cast("int").alias("block"), "__cl", "__cent")
+        out = cb if out is None else out.unionByName(cb)
+    return out
+
+
+def _subvector_structs(vec_col: str, dim: int, blocks: int):
+    sub = dim // blocks
+    return F.array(*[
+        F.struct(
+            F.lit(b).cast("int").alias("block"),
+            _qlist(F.slice(F.col(vec_col), b * sub + 1, sub)).alias(
+                "__qsv"
+            ),
+        )
+        for b in range(blocks)
+    ])
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: DataFrame,
+    dim: int,
+    blocks: int = 8,
+) -> DataFrame:
+    """(id, block, code, dist2): each subvector's nearest codebook
+    entry — explode to (id, block, quantized subvector), broadcast the
+    codebook table (blocks·codes metadata rows), argmin via the same
+    min(struct(dist, label)) the flat k-means uses. Shuffle carries
+    one row per (vector, block); no driver state."""
+    sv = df.select(
+        F.col(id_col),
+        F.explode(_subvector_structs(vec_col, dim, blocks)).alias("__s"),
+    ).select(id_col, "__s.block", "__s.__qsv")
+    d = qdist2_q(F.col("__qsv"), F.col("__cent"))
+    return (
+        sv.join(F.broadcast(codebooks), "block")
+        .groupBy(id_col, "block")
+        .agg(
+            F.min(
+                F.struct(d.alias("d"), F.col("__cl").alias("c"))
+            ).alias("__best")
+        )
+        .select(
+            id_col,
+            "block",
+            F.col("__best")["c"].alias("code"),
+            F.col("__best")["d"].alias("dist2"),
+        )
+    )
+
+
+def pq_query_subvectors(
+    query_df: DataFrame, vec_col: str, dim: int, blocks: int = 8
+) -> DataFrame:
+    """(block, __qsv): the query vector's quantized subvector per
+    block — a 1×blocks metadata table feeding the ADC lookup join (the
+    query row flows as a DataFrame; never collected)."""
+    return query_df.select(
+        F.explode(_subvector_structs(vec_col, dim, blocks)).alias("__s")
+    ).select("__s.block", "__s.__qsv")
+
+
+def pq_adc_topk_sql(
+    from_table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    blocks: int = 8,
+    codes: int = 16,
+    iters: int = 1,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of the full PQ pipeline: per-block codebook
+    training (nested ``kmeans_sql(..., final='cents')`` chains over
+    the subvector slices), per-(vector, block) encode via the same
+    (dist, code) argmin, the query's (block, code) → distance table,
+    and the ADC top-k with (adc asc, id asc) tie-break."""
+    sub = dim // blocks
+    ctes = []
+    for b in range(blocks):
+        lo, hi = b * sub + 1, (b + 1) * sub
+        ctes.append(
+            f"""__pqs{b} AS MATERIALIZED (
+                SELECT {id_col}, {vec_col}[{lo}:{hi}] AS sv
+                FROM {from_table}
+            )"""
+        )
+        km = kmeans_sql(
+            f"__pqs{b}", id_col, "sv", dim=sub, k=codes, iters=iters,
+            final="cents",
+        )
+        ctes.append(
+            f"""__pqcb{b} AS MATERIALIZED (
+                SELECT {b} AS block, c, centroid FROM ({km})
+            )"""
+        )
+    cb_union = " UNION ALL ".join(
+        f"SELECT * FROM __pqcb{b}" for b in range(blocks)
+    )
+    ctes.append(f"__pqcb AS MATERIALIZED ({cb_union})")
+    sv_union = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS block, "
+        f"{vec_col}[{b * sub + 1}:{(b + 1) * sub}] AS sv "
+        f"FROM {from_table}"
+        for b in range(blocks)
+    )
+    ctes.append(f"__pqsv AS MATERIALIZED ({sv_union})")
+    dist = qdist2_int_sql("e.sv", "c.centroid")
+    ctes.append(
+        f"""__pqcode AS MATERIALIZED (
+            SELECT e.{id_col}, e.block, c.c AS code
+            FROM __pqsv e JOIN __pqcb c USING (block)
+            QUALIFY row_number() OVER (
+                PARTITION BY e.{id_col}, e.block
+                ORDER BY {dist}, c.c) = 1
+        )"""
+    )
+    q_union = " UNION ALL ".join(
+        f"SELECT {b} AS block, "
+        f"{vec_col}[{b * sub + 1}:{(b + 1) * sub}] AS sv "
+        f"FROM (SELECT {vec_col} FROM {from_table} "
+        f"ORDER BY {id_col} LIMIT 1)"
+        for b in range(blocks)
+    )
+    ctes.append(f"__pqq AS MATERIALIZED ({q_union})")
+    qdist = qdist2_int_sql("q.sv", "c.centroid")
+    ctes.append(
+        f"""__pqd AS MATERIALIZED (
+            SELECT c.block, c.c AS code, {qdist} AS d
+            FROM __pqcb c JOIN __pqq q USING (block)
+        )"""
+    )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT e.{id_col}, cast(sum(d.d) AS bigint) AS adc_dist2
+    FROM __pqcode e
+    JOIN __pqd d ON e.block = d.block AND e.code = d.code
+    GROUP BY 1
+    ORDER BY adc_dist2 ASC, {id_col} ASC
+    LIMIT {k}
     """

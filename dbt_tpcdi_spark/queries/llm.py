@@ -532,6 +532,50 @@ def kmeans_assign_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.assign_ivf(e, "vec_id", "embedding", cents)
 
 
+@query(
+    "pq_ann_topk",
+    oracle=S.pq_adc_topk_sql("embeddings", "vec_id", "embedding", dim=64,
+                             blocks=8, codes=16, iters=1, k=10),
+    tags=["llm-ann-pq", "llm-kmeans", "iterative"],
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): per-block
+    codebooks trained by the table-lifecycle k-means over subvector
+    slices (8 blocks × 16 codes × 1 Lloyd round — the loop is
+    O(blocks) orchestration, zero O(k) driver state), vectors encoded
+    to 8 small codes via a broadcast-codebook argmin, and the query
+    answered by asymmetric distance: a (block, code) → distance
+    lookup table built against the query's subvectors (the query row
+    flows as a 1-row DataFrame — never collected), joined to the code
+    table and summed per vector. At serving scale this is the
+    compression rung (64 floats → 8 codes) that makes billion-vector
+    ANN storable; the corpus scan at query time touches codes only.
+    Top-10 by (adc_dist2 asc, vec_id asc); query = the smallest-id
+    embedding. Deterministic end-to-end — training, encode, and ADC
+    all exact integer arithmetic shared with the SQL twin."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    cb = S.pq_codebooks(
+        e, "vec_id", "embedding", 64, blocks=8, codes=16, iters=1,
+        assign_mode="broadcast",
+    ).persist()
+    codes = S.pq_encode(e, "vec_id", "embedding", cb, 64, blocks=8)
+    qsub = S.pq_query_subvectors(
+        e.orderBy("vec_id").limit(1), "embedding", 64, blocks=8
+    )
+    d = S.qdist2_q(F.col("__qsv"), F.col("__cent"))
+    dtab = cb.join(F.broadcast(qsub), "block").select(
+        "block", F.col("__cl").alias("code"), d.alias("d")
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["block", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist2"))
+    )
+    return adc.orderBy(
+        F.col("adc_dist2").asc(), F.col("vec_id").asc()
+    ).limit(10)
+
+
 _CLUSTER_PAIRS_SQL = D.jaccard_pairs_sql(
     "doc_id", "text", "documents", block_col="lang", threshold=0.8
 )

@@ -328,3 +328,34 @@ def test_assign_ivf_properties(spark):
         assert r["dist2"] >= fd
         if cbucket[fc] == vbucket[r["vec_id"]]:
             assert (r["cluster"], r["dist2"]) == (fc, fd)
+
+
+def test_pq_codebooks_encode_properties(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators import similarity as S
+    from dbt_tpcdi_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    n = e.count()
+    cb = S.pq_codebooks(e, "vec_id", "embedding", 64, blocks=8,
+                        codes=16, iters=1, assign_mode="broadcast")
+    rows = cb.collect()
+    assert len(rows) == 8 * 16  # one codebook entry per (block, code)
+    assert all(len(r["__cent"]) == 8 for r in rows)  # subdim = 64/8
+    codes = S.pq_encode(e, "vec_id", "embedding", cb, 64, blocks=8)
+    got = codes.collect()
+    assert len(got) == n * 8  # every vector encodes every block
+    # each (vector, block) picks a code that exists in that block's book
+    valid = {(r["block"], r["__cl"]) for r in rows}
+    assert all((r["block"], r["code"]) in valid for r in got)
+    # deterministic under repartitioning
+    e7 = e.repartition(7)
+    cb7 = S.pq_codebooks(e7, "vec_id", "embedding", 64, blocks=8,
+                         codes=16, iters=1, assign_mode="broadcast")
+    got7 = {(r["vec_id"], r["block"]): (r["code"], r["dist2"])
+            for r in S.pq_encode(e7, "vec_id", "embedding", cb7, 64,
+                                 blocks=8).collect()}
+    assert got7 == {(r["vec_id"], r["block"]): (r["code"], r["dist2"])
+                    for r in got}
