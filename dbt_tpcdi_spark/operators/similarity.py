@@ -1114,3 +1114,15 @@ def pq_adc_topk_sql(
     ORDER BY adc_dist2 ASC, {id_col} ASC
     LIMIT {k}
     """
+
+
+def qdist2_raw_sql(a: str, b: str) -> str:
+    """Exact integer squared distance between two RAW float vectors
+    (both sides quantized in-expression) — DuckDB twin of
+    ``qdist2_q(_qlist(a), _qlist(b))``."""
+    qa = f"cast(round(cast({a}[i] AS double) * {QUANT}) AS bigint)"
+    qb = f"cast(round(cast({b}[i] AS double) * {QUANT}) AS bigint)"
+    return (
+        f"cast(list_sum(list_transform(range(1, len({a}) + 1), i -> "
+        f"({qa} - {qb}) * ({qa} - {qb}))) AS bigint)"
+    )

@@ -927,6 +927,125 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+_ANN_RECALL_ORACLE = f"""
+    WITH q AS (
+        SELECT embedding AS qv, {S.sign_bucket_sql('embedding')} AS qb
+        FROM embeddings WHERE vec_id = 0
+    ),
+    brute AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, {S.qdot_sql('e.embedding', 'q.qv')} AS qdot
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+        ) QUALIFY row_number() OVER (ORDER BY qdot DESC, vec_id) <= 10
+    ),
+    lsh AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, {S.qdot_sql('e.embedding', 'q.qv')} AS qdot
+            FROM embeddings e
+            JOIN q ON {S.sign_bucket_sql('e.embedding')} = q.qb
+            WHERE e.vec_id <> 0
+        ) QUALIFY row_number() OVER (ORDER BY qdot DESC, vec_id) <= 10
+    ),
+    cents AS (
+        {S.quantized_centroids_sql('embeddings', 'embedding', 'label', 64)}
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding, c.label AS cl,
+               {S.qdist2_int_sql('e.embedding', 'c.__centroid')} AS d2
+        FROM embeddings e CROSS JOIN cents c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY d2, c.label) = 1
+    ),
+    qa AS (SELECT embedding AS qv, cl AS qcl FROM assigned
+           WHERE vec_id = 0),
+    ivf AS (
+        SELECT vec_id FROM (
+            SELECT a.vec_id, {S.qdot_sql('a.embedding', 'qa.qv')} AS qdot
+            FROM assigned a JOIN qa ON a.cl = qa.qcl
+            WHERE a.vec_id <> 0
+        ) QUALIFY row_number() OVER (ORDER BY qdot DESC, vec_id) <= 10
+    ),
+    brute_l2 AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id,
+                   {S.qdist2_raw_sql('e.embedding', 'q.qv')} AS d2
+            FROM embeddings e CROSS JOIN q
+        ) QUALIFY row_number() OVER (ORDER BY d2 ASC, vec_id ASC) <= 10
+    ),
+    pq AS (
+        SELECT vec_id FROM ({S.pq_adc_topk_sql(
+            'embeddings', 'vec_id', 'embedding', dim=64,
+            blocks=8, codes=16, iters=1, k=10)})
+    )
+    SELECT method, cast(n_hits AS bigint) AS n_hits,
+           cast(n_hits AS double) / cast(10.0 AS double) AS recall
+    FROM (
+        SELECT 'lsh' AS method,
+               (SELECT count(*) FROM lsh JOIN brute USING (vec_id))
+                   AS n_hits
+        UNION ALL
+        SELECT 'ivf',
+               (SELECT count(*) FROM ivf JOIN brute USING (vec_id))
+        UNION ALL
+        SELECT 'pq',
+               (SELECT count(*) FROM pq JOIN brute_l2 USING (vec_id))
+    )
+    """
+
+
+@query(
+    "ann_recall",
+    oracle=_ANN_RECALL_ORACLE,
+    tags=["llm-ann-eval", "llm-ann-pq", "A1"],
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 evaluation of every approximate ANN rung against its
+    exact ground truth — the retrieval-QA measurement a pipeline runs
+    before trusting an index: sign-LSH and IVF against the brute-force
+    dot-product top-10 (their metric), PQ/ADC against the exact
+    quantized-L2 top-10 (its metric — ADC approximates distance, not
+    similarity, so grading it against the dot ground truth would
+    conflate metric with approximation error). Composes the four
+    already-gated ANN queries; 10-row set intersections are
+    metadata-sized joins. Output: (method, n_hits, recall)."""
+    brute = ann_topk(spark, sf_dir).select("vec_id")
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    d2 = S.qdist2_q(
+        F.transform(F.col("embedding"), S._q),
+        F.transform(F.col("qv"), S._q),
+    )
+    brute_l2 = (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", d2.alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    pairs = [
+        ("lsh", ann_lsh_topk(spark, sf_dir).select("vec_id"), brute),
+        ("ivf", ann_ivf_topk(spark, sf_dir).select("vec_id"), brute),
+        ("pq", pq_ann_topk(spark, sf_dir).select("vec_id"), brute_l2),
+    ]
+    out = None
+    for method, approx, exact in pairs:
+        row = (
+            approx.join(exact, "vec_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+            .select(
+                F.lit(method).alias("method"),
+                "n_hits",
+                (F.col("n_hits").cast("double") / F.lit(10.0)).alias(
+                    "recall"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 @query(
     "deterministic_sample",
     oracle=(
