@@ -574,10 +574,12 @@ def bpe_vocab_batched_sql(
     )
 
 
-def bpe_vocab_incremental_sql(
-    from_table: str, text_col: str, rounds: int = 4, window: int = 32
-) -> str:
-    """DuckDB twin of the incremental batched training. The delta
+def _incremental_ctes(
+    from_table: str, text_col: str, rounds: int, window: int
+) -> list[str]:
+    """The unrolled incremental-training CTE chain shared by
+    ``bpe_vocab_incremental_sql`` and ``bpe_encode_incremental_sql``;
+    the final CTE ``__iw{rounds}`` holds (word, wc, sp). The delta
     maintenance is an equivalence-preserving optimization (the
     maintained (pair, c) table equals a full recount by construction),
     so the twin recounts per round; what it must replicate exactly is
@@ -655,12 +657,98 @@ def bpe_vocab_incremental_sql(
         ctes.append(f"""__iw{r + 1} AS MATERIALIZED (
             SELECT word, wc, trim({sp}) AS sp FROM __iw{r}
         )""")
+    return ctes
+
+
+def bpe_vocab_incremental_sql(
+    from_table: str, text_col: str, rounds: int = 4, window: int = 32
+) -> str:
+    """DuckDB twin of the incremental batched training — see
+    ``_incremental_ctes`` for the selection-rule unrolling."""
+    ctes = _incremental_ctes(from_table, text_col, rounds, window)
     return (
         "WITH " + ", ".join(ctes)
         + f""" SELECT symbol, cast(sum(wc) AS bigint) AS n_occurrences
         FROM (SELECT wc, unnest(regexp_split_to_array(sp, ' +')) AS symbol
               FROM __iw{rounds})
         GROUP BY 1"""
+    )
+
+
+def bpe_encode_counts_incremental(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rounds: int = 4,
+    window: int = 32,
+) -> DataFrame:
+    """Tokenize every document with the INCREMENTALLY-trained BPE
+    vocabulary (the realistic merge-table path — ~20 merges per
+    driver round-trip): (id, n_words, n_bpe_tokens). Same
+    distinct-word-join shape as ``bpe_encode_counts`` — the merge
+    chain runs on the vocabulary table only, documents equi-join
+    their exploded words — so encoding cost is |vocab|·rounds + one
+    corpus join, never |corpus|·merges."""
+    _, w, _ = bpe_train_incremental(df, text_col, rounds, window)
+    vocab = w.select(
+        "word",
+        F.size(F.split(F.col("sp"), " +")).cast("bigint").alias("__n_sub"),
+    )
+    words = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    per_doc = (
+        words.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("__n_sub").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_encode_incremental_sql(
+    from_table: str,
+    id_col: str,
+    text_col: str,
+    rounds: int = 4,
+    window: int = 32,
+) -> str:
+    """DuckDB twin of ``bpe_encode_counts_incremental``: re-derives
+    the trigram-safe merge chain, then the same distinct-word join."""
+    ctes = _incremental_ctes(from_table, text_col, rounds, window)
+    return (
+        "WITH " + ", ".join(ctes)
+        + f""",
+    __ienc AS (
+        SELECT word,
+               cast(len(regexp_split_to_array(sp, ' +')) AS bigint)
+                   AS n_sub
+        FROM __iw{rounds}
+    ),
+    __idw AS (
+        SELECT {id_col}, unnest({tokens_sql(text_col)}) AS word
+        FROM {from_table}
+    ),
+    __iper_doc AS (
+        SELECT d.{id_col}, count(*) AS n_words, sum(e.n_sub) AS n_bpe_tokens
+        FROM __idw d JOIN __ienc e USING (word)
+        GROUP BY 1
+    )
+    SELECT t.{id_col},
+           cast(coalesce(p.n_words, 0) AS bigint) AS n_words,
+           cast(coalesce(p.n_bpe_tokens, 0) AS bigint) AS n_bpe_tokens
+    FROM {from_table} t LEFT JOIN __iper_doc p USING ({id_col})"""
     )
 
 

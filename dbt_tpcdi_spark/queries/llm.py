@@ -1884,6 +1884,26 @@ def bpe_vocab_batched_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_encode_incremental",
+    oracle=B.bpe_encode_incremental_sql("documents", "doc_id", "text",
+                                        rounds=4, window=32),
+    tags=["llm-bpe", "iterative", "J1", "A1"],
+)
+def bpe_encode_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION with the realistic merge table: per-doc
+    encoded token counts using the ~78 merges the incremental
+    trigram-safe trainer learns in 4 driver round-trips (vs 4 merges
+    in `bpe_encode`). Same vocabulary-join shape — the merge chain
+    runs on the distinct-word table only; documents equi-join their
+    exploded words — so encoding cost is |vocab|·rounds + one corpus
+    join. The oracle re-derives the identical merge chain with the
+    unrolled trigram-safe twin."""
+    d = load_table(spark, sf_dir, "documents")
+    return B.bpe_encode_counts_incremental(d, "doc_id", "text",
+                                           rounds=4, window=32)
+
+
+@query(
     "lm_fluency",
     oracle=X.lm_fluency_sql("documents", "doc_id"),
     tags=["llm-lm-filter", "A1", "J1"],
