@@ -176,10 +176,15 @@ def test_centroid_lifecycle_no_driver_collect():
         S.assign_ivf,
         S.quantized_centroids,
         S.kmeans_quantized,
+        S._kmeans_table,
+        S.kmeans_centroid_table,
+        S.pq_codebooks,
+        S.pq_encode,
+        S.pq_query_subvectors,
     ):
         assert ".collect(" not in inspect.getsource(fn), fn.__name__
     for qname in ("kmeans_clusters", "kmeans_assign_ivf", "semdedup",
-                  "semdedup_ivf"):
+                  "semdedup_ivf", "pq_ann_topk"):
         src = inspect.getsource(all_queries()[qname].build)
         assert ".collect(" not in src, qname
 
@@ -333,3 +338,17 @@ def test_source_cap_twopass_equals_exact_and_prunes(spark):
     # and still enough headroom for the exact cap everywhere
     per_src = survivors.groupBy("source").count()
     assert per_src.agg(F.min("count")).first()[0] >= _CAP_PER_SOURCE
+
+
+def test_pq_ann_plan_no_cartesian(spark):
+    # PQ pipeline: 8 codebook trainings + encode + ADC — every join is
+    # a broadcast fan-out or equi-join; nothing degenerates to a
+    # CartesianProduct over data
+    plan = _plan(spark, "pq_ann_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ann_recall_plan_no_cartesian(spark):
+    plan = _plan(spark, "ann_recall")
+    assert "CartesianProduct" not in plan, plan
