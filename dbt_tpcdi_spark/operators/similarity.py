@@ -882,26 +882,35 @@ def assign_ivf_sql(
     id_col: str,
     vec_col: str,
     dim: int,
-    k_bound: str,
+    k_bound: str | None = None,
     planes: int = LSH_PLANES,
+    cents_sql: str | None = None,
 ) -> str:
-    """DuckDB twin: seed centroids (k smallest ids, same as
-    ``kmeans_sql``), bucket both sides with the shared sign formula,
+    """DuckDB twin: centroids from either the raw seeds (k smallest
+    ids, same as ``kmeans_sql`` — pass ``k_bound``, a SQL scalar
+    expression) or ANY (c, centroid) query passed as ``cents_sql``
+    (e.g. ``kmeans_sql(..., final='cents')`` for Lloyd-trained
+    centroids); bucket both sides with the shared sign formula,
     nearest-in-bucket via QUALIFY, NOT-EXISTS fallback to the global
-    argmin. ``k_bound`` is a SQL scalar expression (literal or
-    subquery)."""
+    argmin."""
+    if (k_bound is None) == (cents_sql is None):
+        raise ValueError("pass exactly one of k_bound / cents_sql")
     q = (
         f"list_transform(range(1, {dim} + 1), i -> "
         f"cast(round(cast({vec_col}[i] AS double) * {QUANT}) AS bigint))"
     )
-    dist = qdist2_int_sql(f"e.{vec_col}", "c.centroid")
-    return f"""
-    WITH cents AS MATERIALIZED (
+    if cents_sql is not None:
+        cents_cte = f"cents AS MATERIALIZED ({cents_sql})"
+    else:
+        cents_cte = f"""cents AS MATERIALIZED (
         SELECT cast({id_col} AS bigint) AS c,
                {q} AS centroid
         FROM {from_table}
         QUALIFY row_number() OVER (ORDER BY {id_col}) <= ({k_bound})
-    ),
+    )"""
+    dist = qdist2_int_sql(f"e.{vec_col}", "c.centroid")
+    return f"""
+    WITH {cents_cte},
     cb AS MATERIALIZED (
         SELECT c, centroid, {sign_bucket_q_sql('centroid', planes)} AS b
         FROM cents

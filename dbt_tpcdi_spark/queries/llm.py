@@ -576,6 +576,31 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+@query(
+    "kmeans_assign_ivf_trained",
+    oracle=S.assign_ivf_sql(
+        "embeddings", "vec_id", "embedding", dim=64,
+        cents_sql=S.kmeans_sql("embeddings", "vec_id", "embedding",
+                               dim=64, k=_KMEANS_K, iters=1,
+                               final="cents"),
+    ),
+    tags=["llm-kmeans", "llm-ann-ivf", "iterative"],
+)
+def kmeans_assign_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment against TRAINED centroids: one Lloyd round
+    refines the raw seeds (the production IVF shape — FAISS trains its
+    coarse quantizer before bucketing; raw-seed IVF is the
+    `kmeans_assign_ivf` baseline), then the same sign-LSH
+    nearest-in-bucket assignment with exact-global fallback. The
+    centroid table flows from `kmeans_centroid_table` straight into
+    `assign_ivf` — trained or not, centroids never touch the driver."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    cents = S.kmeans_centroid_table(
+        e, "vec_id", "embedding", k=_KMEANS_K, iters=1
+    )
+    return S.assign_ivf(e, "vec_id", "embedding", cents)
+
+
 _CLUSTER_PAIRS_SQL = D.jaccard_pairs_sql(
     "doc_id", "text", "documents", block_col="lang", threshold=0.8
 )
