@@ -2861,6 +2861,87 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_IVF_TRAINED_CENTS = S.kmeans_sql(
+    "embeddings", "vec_id", "embedding", dim=64, iters=1,
+    k_sql=(f"SELECT (count(*) + {_SEMDEDUP_WIDTH} - 1) "
+           f"// {_SEMDEDUP_WIDTH} FROM embeddings"),
+    final="cents",
+)
+
+
+@query(
+    "semdedup_ivf_trained",
+    oracle=f"""
+    WITH km AS (
+        {S.assign_ivf_sql("embeddings", "vec_id", "embedding", dim=64,
+                          cents_sql=_SEMDEDUP_IVF_TRAINED_CENTS)}
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM km a JOIN km b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {S.qcosine_sql('ea.embedding', 'eb.embedding')}
+              >= {_SEMDEDUP_THRESHOLD}
+    ),
+    dropped AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT km.vec_id, km.cluster, km.via_bucket,
+           d.id_b IS NULL AS is_kept
+    FROM km LEFT JOIN dropped d ON km.vec_id = d.id_b
+    """,
+    tags=["llm-semdedup", "llm-ann-ivf", "iterative", "J8"],
+)
+def semdedup_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup on the TRAINED coarse quantizer: one Lloyd round
+    refines the ⌈n/width⌉ seed centroids before the IVF
+    nearest-in-bucket assignment (the FAISS shape — `semdedup_ivf`
+    keeps the raw-seed baseline), then the identical within-cluster
+    cosine pair scan and smaller-id drop rule. The centroid table
+    flows training → bucketing → assignment without ever touching the
+    driver; cluster labels are the winning seed's id in both
+    variants, so downstream consumers are interchangeable."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    k = -(-e.count() // _SEMDEDUP_WIDTH)
+    cents = S.kmeans_centroid_table(
+        e, "vec_id", "embedding", k=k, iters=1
+    )
+    assigned = S.assign_ivf(e, "vec_id", "embedding", cents)
+    km = (
+        assigned.join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id", "cluster", "via_bucket", "embedding",
+            S.qnorm2(F.col("embedding")).alias("__n2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = km.alias("a"), km.alias("b")
+    qcos = round4(
+        S.qdot(F.col("a.embedding"), F.col("b.embedding"))
+        / (
+            F.sqrt(F.col("a.__n2").cast("double"))
+            * F.sqrt(F.col("b.__n2").cast("double"))
+        )
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("id_b"), qcos.alias("qcos"))
+        .filter(F.col("qcos") >= _SEMDEDUP_THRESHOLD)
+    )
+    dropped = pairs.select("id_b").distinct().withColumn("__d", F.lit(1))
+    return (
+        km.join(dropped, km["vec_id"] == dropped["id_b"], "left")
+        .select(
+            "vec_id", "cluster", "via_bucket",
+            F.col("__d").isNull().alias("is_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # vocabulary coverage (OOV rate): the tokenizer-planning metric — for
 # a candidate top-N word vocabulary, what fraction of each document's
