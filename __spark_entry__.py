@@ -30,27 +30,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _rotation_order(names: list[str]) -> list[str]:
     """Round-keyed ordering so the driver's rotating sample eventually
-    covers every query: names never seen in a committed
-    CORRECTNESS_r*.json come FIRST (within each group, a deterministic
-    md5 order keyed by the round number so successive rounds rotate
-    rather than re-sampling the same prefix)."""
-    import glob
+    covers every query: names not yet recorded in the COMMITTED
+    rotation state come FIRST (within each group, a deterministic md5
+    order keyed by the round number so successive rounds rotate rather
+    than re-sampling the same prefix).
+
+    State lives in the committed ``ROTATION_STATE.json``
+    (``{"round": N, "seen": [...]}``, regenerated per round by
+    ``scripts/update_rotation_state.py``) so a fresh clone, a CI
+    checkout, and this working dir all produce the SAME order —
+    entry-point behavior is a function of repository contents alone.
+    ``SPARK_GRAFT_ROUND`` overrides the round key explicitly."""
     import hashlib
     import json
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
     seen: set[str] = set()
-    arts = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
-    for path in arts:
-        try:
-            with open(path) as f:
-                doc = json.load(f)
-            if isinstance(doc, dict):
-                seen.update(doc.keys())
-        except (OSError, json.JSONDecodeError):
-            continue
-    round_key = len(arts) + 1
+    round_key = 1
+    try:
+        with open(os.path.join(here, "ROTATION_STATE.json")) as f:
+            state = json.load(f)
+        seen = set(state.get("seen", []))
+        round_key = int(state.get("round", 1))
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        pass
+    env_round = os.environ.get("SPARK_GRAFT_ROUND")
+    if env_round and env_round.isdigit():
+        round_key = int(env_round)
 
     def h(name: str) -> str:
         return hashlib.md5(f"{round_key}:{name}".encode()).hexdigest()

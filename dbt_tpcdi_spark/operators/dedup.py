@@ -197,9 +197,17 @@ def capped_bucket_members(
     partitioned window ordered by (full md5 hex, id) — md5 is
     fixed-length lowercase hex, so string order equals numeric-prefix
     order and the prefilter is prefix-closed: the survivors' top-cap
-    is the bucket's true top-cap whenever ≥ cap members survive
-    (expected margin·cap; the tail where fewer survive is the same
-    accepted bound as the source cap's).
+    is the bucket's true top-cap whenever ≥ min(sz, cap) members
+    survive.
+
+    The tail where FEWER than min(sz, cap) members survive (expected
+    survivors = margin·cap, so a vanishing but nonzero event) is not
+    left to chance: those deficient buckets are detected from the
+    pass-2 survivor counts and re-ranked over their FULL membership,
+    so the kept set equals the exact per-bucket rank-based top-cap
+    structurally — bucket for bucket — not just with high
+    probability. The re-rank window's input is the deficient buckets'
+    members only: O(margin·cap) expected work, never the corpus.
 
     Returns kept members ``(id, band, h, sz)`` — ``sz`` the ORIGINAL
     bucket size, so callers can report overflow (sz − kept) honestly.
@@ -212,17 +220,33 @@ def capped_bucket_members(
         F.concat(F.lit(_LSH_CAP_SALT), F.col(id_col).cast("string"))
     )
     v = F.conv(F.substring(hstr, 1, 5), 16, 10).cast("long")
-    pref = (
-        b.join(sz, ["band", "h"])
-        .withColumn("__hs", hstr)
-        .filter(
-            (v * F.col("sz"))
-            < F.lit(margin * cap).cast("long") * F.lit(1 << 20)
-        )
+    m = b.join(sz, ["band", "h"]).withColumn("__hs", hstr)
+    pref = m.filter(
+        (v * F.col("sz"))
+        < F.lit(margin * cap).cast("long") * F.lit(1 << 20)
     )
+    # exactness guard: buckets whose survivor count fell under
+    # min(sz, cap) get their full membership back for the rank.
+    # Small buckets (sz ≤ margin·cap) always fully survive — the
+    # filter threshold exceeds the 20-bit hash range — so deficient
+    # buckets are necessarily hot ones, and there are expected ~0.
+    ns = pref.groupBy("band", "h").agg(
+        F.count("*").cast("long").alias("__ns")
+    )
+    deficient = (
+        sz.join(ns, ["band", "h"], "left")
+        .filter(
+            F.coalesce(F.col("__ns"), F.lit(0))
+            < F.least(F.col("sz"), F.lit(cap).cast("long"))
+        )
+        .select("band", "h")
+    )
+    ranked_in = pref.join(
+        deficient, ["band", "h"], "left_anti"
+    ).unionByName(m.join(deficient, ["band", "h"], "left_semi"))
     w = Window.partitionBy("band", "h").orderBy("__hs", id_col)
     return (
-        pref.withColumn("__rn", F.row_number().over(w))
+        ranked_in.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
         .select(id_col, "band", "h", "sz")
     )

@@ -430,7 +430,13 @@ def assign_centroids_blas(
         labels = cents["__cl"].to_numpy().astype(np.int64)
         X = np.stack(left["__qv"].to_numpy()).astype(np.int64)
         hi = max(int(np.abs(X).max(initial=0)), int(np.abs(C).max(initial=0)))
-        if hi * hi * X.shape[1] < (1 << 52):
+        # float64 path only when the final subtraction's exact result
+        # d = ||x-c||^2 <= 4*hi^2*dim stays < 2^53 (every intermediate
+        # and the result exactly representable); hi^2*dim < 2^51
+        # guarantees it. The boundary region [2^51, 2^52) — where an
+        # odd d >= 2^53 would round and could flip the argmin — takes
+        # the exact int64 path instead.
+        if hi * hi * X.shape[1] < (1 << 51):
             Xf, Cf = X.astype(np.float64), C.astype(np.float64)
             d = (
                 (Xf * Xf).sum(axis=1)[:, None]
@@ -561,9 +567,12 @@ def kmeans_quantized(
       clusters keep their previous centroid (left-join +
       coalesce on the centroid TABLE — k-row metadata joins).
 
-    Each round's centroid table is persist()ed (lazy): the final
-    action computes every round once, and nothing round-trips through
-    the driver. Fixed ``iters`` (no convergence test) keeps the
+    Each round's centroid table is persist()ed and the superseded
+    round's blocks are released as soon as the next round
+    materializes (one k-row count per round — bounded metadata, never
+    the corpus), so the block cache holds exactly one live centroid
+    table however many rounds run. Fixed ``iters`` (no convergence
+    test) keeps the
     computation SQL-expressible for the oracle (``kmeans_sql``
     unrolls the same iterations as chained CTEs; its CROSS JOIN +
     QUALIFY argmin is arbitrary-k already).
@@ -615,7 +624,7 @@ def _kmeans_table(
             "cluster",
             pre_quantized=True,
         )
-        cdf = (
+        nxt = (
             cdf.join(new, cdf["__cl"] == new["cluster"], "left")
             .select(
                 cdf["__cl"],
@@ -625,6 +634,14 @@ def _kmeans_table(
             )
             .persist()
         )
+        # replace-then-release (same ordering bpe._checkpoint_replacing
+        # uses): materialize the new round's k-row table, THEN drop the
+        # superseded round's blocks — otherwise iters copies of the
+        # centroid table accumulate in the block cache (k = n/width at
+        # SemDedup scale makes that linear in the corpus).
+        nxt.count()
+        cdf.unpersist()
+        cdf = nxt
     return base, cdf, assign_fn
 
 
@@ -967,21 +984,35 @@ def pq_codebooks(
     orchestration only (bounded by the layout, never the corpus);
     each block's training is the table-lifecycle k-means — zero O(k)
     driver state. SQL twin: ``pq_adc_topk_sql``'s per-block
-    ``kmeans_sql(..., final='cents')`` chains."""
+    ``kmeans_sql(..., final='cents')`` chains.
+
+    Returned codebook is persist()ed (it is consumed at least twice:
+    encode + ADC distance table) and each block's training-final
+    centroid table is released once the union materializes, so exactly
+    one blocks·codes-row table stays cached per trained codebook."""
     sub = dim // blocks
     if sub * blocks != dim:
         raise ValueError(f"dim {dim} not divisible by blocks {blocks}")
     out = None
+    finals = []
     for b in range(blocks):
         sv = df.select(
             F.col(id_col),
             F.slice(F.col(vec_col), b * sub + 1, sub).alias("__sv"),
         )
-        cb = kmeans_centroid_table(
+        fin = kmeans_centroid_table(
             sv, id_col, "__sv", k=codes, iters=iters,
             assign_mode=assign_mode, parts=parts,
-        ).select(F.lit(b).cast("int").alias("block"), "__cl", "__cent")
+        )
+        finals.append(fin)
+        cb = fin.select(
+            F.lit(b).cast("int").alias("block"), "__cl", "__cent"
+        )
         out = cb if out is None else out.unionByName(cb)
+    out = out.persist()
+    out.count()  # replace-then-release: union live before blocks drop
+    for fin in finals:
+        fin.unpersist()
     return out
 
 

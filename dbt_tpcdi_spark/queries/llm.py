@@ -557,7 +557,8 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = S.pq_codebooks(
         e, "vec_id", "embedding", 64, blocks=8, codes=16, iters=1,
         assign_mode="broadcast",
-    ).persist()
+    )  # pq_codebooks persists the codebook itself (and releases the
+    # per-block training tables) — no second persist here
     codes = S.pq_encode(e, "vec_id", "embedding", cb, 64, blocks=8)
     qsub = S.pq_query_subvectors(
         e.orderBy("vec_id").limit(1), "embedding", 64, blocks=8

@@ -25,6 +25,7 @@ module docstrings of ``sources/finwire.py``, ``sources/xml.py``,
 from __future__ import annotations
 
 import datetime as dt
+import os
 import tempfile
 from pathlib import Path
 
@@ -44,7 +45,10 @@ from dbt_tpcdi_spark.tpcdi.fixtures import (
     generate,
     logical_tables,
 )
-from dbt_tpcdi_spark.tpcdi.oracle import ORACLE_MODELS
+from dbt_tpcdi_spark.tpcdi.oracle import (
+    FACT_MARKET_HISTORY_STRICT_SQL,
+    ORACLE_MODELS,
+)
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss.SSS"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%g"
@@ -158,6 +162,14 @@ NORM_SPECS: dict[str, tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]] 
         ("sk_create_date", "sk_close_date"), ()),
     "dag_watches": (("placed_timestamp", "removed_timestamp"), (), ()),
     "dag_incremental_equivalence": ((), (), ()),
+    "dag_fact_market_history": (
+        (),
+        ("sk_date_id", "sk_fifty_two_week_high_date",
+         "sk_fifty_two_week_low_date"), ()),
+    "dag_fact_market_history_strict": (
+        (),
+        ("sk_date_id", "sk_fifty_two_week_high_date",
+         "sk_fifty_two_week_low_date"), ()),
 }
 
 
@@ -165,19 +177,26 @@ NORM_SPECS: dict[str, tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]] 
 # oracle assembly
 
 
-def _dag_oracle(target: str) -> str:
+def _dag_oracle(
+    target: str, final_sql: str | None = None, gate: str | None = None
+) -> str:
     """Self-contained DuckDB twin of DAG model ``target``: fixture
     sources as typed VALUES CTEs, every ancestor model's oracle SQL
     inlined as a chained CTE (ORACLE_MODELS dict order is topological),
-    then the shared normalization select."""
+    then the shared normalization select. ``final_sql`` swaps the
+    target's own CTE body (strict-parity twins); ``gate`` overrides
+    the NORM_SPECS key."""
     models = all_models()
     closure = ancestors(models, [target])
     order = [n for n in ORACLE_MODELS if n in closure]
     srcs = sorted({s for n in order for s in models[n].sources})
     tabs = logical_tables()
     ctes = [f'"src_{s}" AS ({_values_sql(*tabs[s])})' for s in srcs]
-    ctes += [f'"{n}" AS ({ORACLE_MODELS[n]})' for n in order]
-    gate = f"dag_{target}"
+    ctes += [
+        f'"{n}" AS ({final_sql if (n == target and final_sql) else ORACLE_MODELS[n]})'
+        for n in order
+    ]
+    gate = gate or f"dag_{target}"
     return ("WITH " + ",\n".join(ctes) + "\n"
             + _normalize_sql(target, *NORM_SPECS[gate]))
 
@@ -228,7 +247,7 @@ def _xml_oracle() -> str:
 #: covered by the full-DAG pytest oracle).
 GATE_DAG_TARGETS = (
     "dim_customer", "dim_account", "fact_holdings", "fact_trade", "watches",
-    "dim_trade",
+    "dim_trade", "fact_market_history",
 )
 
 _CACHE: dict = {}
@@ -362,6 +381,57 @@ def dag_watches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 (min/max collapse of placed/removed events,
     silver/watches.sql:22-34)."""
     return _dag_model(spark, "watches")
+
+
+@query("dag_fact_market_history",
+       oracle=_dag_oracle("fact_market_history"),
+       tags=["J6", "S9", "S11"])
+def dag_fact_market_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORRECTED default fact_market_history (no quarterly
+    fan-out): temporal security join where a DATE meets TIMESTAMP
+    bounds (gold/fact_market_history.sql minus the row-multiplying
+    LEFT JOIN — SCALE.md §2), through the DAG runner. Paired with
+    ``dag_fact_market_history_strict`` so BOTH truths sit in the
+    driver gate, not just pytest."""
+    return _dag_model(spark, "fact_market_history")
+
+
+@query("dag_fact_market_history_strict",
+       oracle=_dag_oracle(
+           "fact_market_history",
+           final_sql=FACT_MARKET_HISTORY_STRICT_SQL,
+           gate="dag_fact_market_history_strict"),
+       tags=["J6", "S9", "S11"])
+def dag_fact_market_history_strict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-faithful reference parity for fact_market_history: the
+    row-multiplying ``LEFT JOIN USING (sk_company_id)`` to the
+    quarterly work model (reference models/gold/fact_market_history
+    .sql:19-20) — built under ``SPARK_TPCDI_PARITY=strict`` against
+    the SAME default-mode ancestors the corrected query reads, paired
+    with ``tpcdi/oracle.FACT_MARKET_HISTORY_STRICT_SQL``. With both
+    queries in the gate, the corrected/strict divergence is a measured
+    choice every round rather than a documented one."""
+    wh = _warehouse(spark)
+    refs = {
+        n: spark.read.parquet(str(wh / n))
+        for n in ("daily_market", "dim_security", "wrk_company_financials")
+    }
+    prev = os.environ.get("SPARK_TPCDI_PARITY")
+    os.environ["SPARK_TPCDI_PARITY"] = "strict"
+    try:
+        df = all_models()["fact_market_history"].build(
+            lambda n: refs[n], None
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_TPCDI_PARITY", None)
+        else:
+            os.environ["SPARK_TPCDI_PARITY"] = prev
+    return _normalize_spark(
+        df, NORM_SPECS["dag_fact_market_history_strict"][2]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -30,3 +30,35 @@ def test_vanilla_session_driver_subset():
     tail = (proc.stdout or "")[-2000:] + (proc.stderr or "")[-1000:]
     assert proc.returncode == 0, tail
     assert "0 failures" in proc.stdout, tail
+
+
+def test_rotation_order_is_function_of_committed_state(monkeypatch):
+    """Entry-point query ordering must be reproducible from repository
+    contents alone: derived from the committed ROTATION_STATE.json
+    (never from whatever CORRECTNESS artifacts happen to sit in the
+    working dir), never-seen names first, SPARK_GRAFT_ROUND as the
+    explicit override."""
+    import json
+
+    sys.path.insert(0, REPO)
+    try:
+        from __spark_entry__ import _rotation_order
+    finally:
+        sys.path.remove(REPO)
+
+    with open(os.path.join(REPO, "ROTATION_STATE.json")) as f:
+        state = json.load(f)
+    seen = set(state["seen"])
+    assert seen and isinstance(state["round"], int)
+
+    names = sorted(seen)[:5] + ["__never_a", "__never_b"]
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    order = _rotation_order(names)
+    # same inputs -> same order, and unseen names lead
+    assert order == _rotation_order(list(reversed(names)))
+    assert set(order[:2]) == {"__never_a", "__never_b"}
+    # the round key rotates the within-group order deterministically
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", str(state["round"] + 1))
+    order2 = _rotation_order(names)
+    assert set(order2[:2]) == {"__never_a", "__never_b"}
+    assert sorted(order2) == sorted(order)

@@ -356,3 +356,49 @@ def test_lsh_hot_bucket_cap_bounds_and_determinism(spark):
              for r in D.capped_bucket_members(sigs7, "doc_id", cap=8)
              .collect()}
     assert kept7 == {(r["doc_id"], r["band"], r["h"]) for r in kept}
+
+
+def test_lsh_cap_equals_exact_rank_topcap_even_when_prefilter_starves(spark):
+    """The 20-bit md5 prefilter is only probabilistically sufficient;
+    the deficient-bucket re-rank must make the kept set EQUAL the
+    exact per-bucket (md5, id) rank top-cap structurally. cap=3,
+    margin=1 over a 687-doc single-bucket corpus starves the
+    prefilter (2 survivors < cap), so this test exercises the re-rank
+    path — asserted below so a salt change can't silently turn it
+    into a no-op."""
+    import hashlib
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators import dedup as D
+
+    n, cap, margin = 687, 3, 1
+    rows = [(i, "the quick brown fox shared nav footer text")
+            for i in range(n)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = D.with_minhash_signature(d, "text")
+
+    # the starvation event really fires for this (salt, corpus): some
+    # bucket has < cap members under the 20-bit threshold
+    def v20(i: int) -> int:
+        h = hashlib.md5(f"{D._LSH_CAP_SALT}{i}".encode()).hexdigest()
+        return int(h[:5], 16)
+
+    survivors = sum(v20(i) * n < margin * cap * (1 << 20)
+                    for i in range(n))  # n: every doc shares the bucket
+    assert survivors < cap, "corpus no longer starves the prefilter"
+
+    got = {(r["doc_id"], r["band"], r["h"])
+           for r in D.capped_bucket_members(
+               sigs, "doc_id", cap=cap, margin=margin).collect()}
+
+    # exact oracle: full-rank top-cap, no prefilter
+    b = D.bucket_members(sigs, "doc_id")
+    hs = F.md5(F.concat(F.lit(D._LSH_CAP_SALT),
+                        F.col("doc_id").cast("string")))
+    w = Window.partitionBy("band", "h").orderBy(hs.asc(), F.col("doc_id"))
+    exact = {(r["doc_id"], r["band"], r["h"])
+             for r in b.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= cap).collect()}
+    assert got == exact
