@@ -27,6 +27,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 import tempfile
+import threading
 from pathlib import Path
 
 import pyarrow as pa
@@ -252,6 +253,18 @@ GATE_DAG_TARGETS = (
 
 _CACHE: dict = {}
 
+#: Serializes every model build this module triggers against the
+#: ``SPARK_TPCDI_PARITY`` env mutation in
+#: ``dag_fact_market_history_strict``: the parity selector is read at
+#: plan-construction time (plans/models/{silver,gold}.py), so a
+#: concurrent DAG build (e.g. another gate query populating
+#: ``_warehouse`` with parallelism=8) observing strict mode would
+#: silently build strict-mode ancestors. Builders launched from a
+#: single lock-held thread may still fan out internally — Runner's
+#: thread pool is fine because the env var is stable for the whole
+#: guarded region.
+_PARITY_LOCK = threading.RLock()
+
 
 def _fixture_root() -> Path:
     if "root" not in _CACHE:
@@ -265,15 +278,16 @@ def _warehouse(spark: SparkSession) -> Path:
     """Materialize the gate targets' DAG cone to parquet once per
     SparkSession (S9 sink + S11 DAG build exercised in-driver)."""
     key = ("warehouse", spark.sparkContext.applicationId)
-    if key not in _CACHE:
-        root = _fixture_root()
-        wh = root / f"warehouse_{spark.sparkContext.applicationId}"
-        sources = load_dag_sources(spark, str(root / "raw"))
-        Runner(spark, sources, warehouse_dir=str(wh)).run(
-            targets=list(GATE_DAG_TARGETS), parallelism=8
-        )
-        _CACHE[key] = wh
-    return _CACHE[key]
+    with _PARITY_LOCK:
+        if key not in _CACHE:
+            root = _fixture_root()
+            wh = root / f"warehouse_{spark.sparkContext.applicationId}"
+            sources = load_dag_sources(spark, str(root / "raw"))
+            Runner(spark, sources, warehouse_dir=str(wh)).run(
+                targets=list(GATE_DAG_TARGETS), parallelism=8
+            )
+            _CACHE[key] = wh
+        return _CACHE[key]
 
 
 def _dag_model(spark: SparkSession, target: str) -> DataFrame:
@@ -418,17 +432,22 @@ def dag_fact_market_history_strict(
         n: spark.read.parquet(str(wh / n))
         for n in ("daily_market", "dim_security", "wrk_company_financials")
     }
-    prev = os.environ.get("SPARK_TPCDI_PARITY")
-    os.environ["SPARK_TPCDI_PARITY"] = "strict"
-    try:
-        df = all_models()["fact_market_history"].build(
-            lambda n: refs[n], None
-        )
-    finally:
-        if prev is None:
-            os.environ.pop("SPARK_TPCDI_PARITY", None)
-        else:
-            os.environ["SPARK_TPCDI_PARITY"] = prev
+    # _PARITY_LOCK: no other in-module DAG build may construct plans
+    # while the process-global parity selector is flipped (see the
+    # lock's docstring); plan construction is eager, so the env var is
+    # only needed for the build() call itself
+    with _PARITY_LOCK:
+        prev = os.environ.get("SPARK_TPCDI_PARITY")
+        os.environ["SPARK_TPCDI_PARITY"] = "strict"
+        try:
+            df = all_models()["fact_market_history"].build(
+                lambda n: refs[n], None
+            )
+        finally:
+            if prev is None:
+                os.environ.pop("SPARK_TPCDI_PARITY", None)
+            else:
+                os.environ["SPARK_TPCDI_PARITY"] = prev
     return _normalize_spark(
         df, NORM_SPECS["dag_fact_market_history_strict"][2]
     )
@@ -498,6 +517,15 @@ def _incremental_vs_rebuild(spark: SparkSession) -> list[tuple[str, bool]]:
     SparkSession."""
     key = ("incremental", spark.sparkContext.applicationId)
     if key in _CACHE:
+        return _CACHE[key]
+    with _PARITY_LOCK:
+        return _incremental_vs_rebuild_locked(spark, key)
+
+
+def _incremental_vs_rebuild_locked(
+    spark: SparkSession, key: tuple
+) -> list[tuple[str, bool]]:
+    if key in _CACHE:  # raced another thread to the lock
         return _CACHE[key]
     root = _fixture_root()
     b1 = load_dag_sources(spark, str(root / "raw"))

@@ -57,8 +57,29 @@ def test_rotation_order_is_function_of_committed_state(monkeypatch):
     # same inputs -> same order, and unseen names lead
     assert order == _rotation_order(list(reversed(names)))
     assert set(order[:2]) == {"__never_a", "__never_b"}
-    # the round key rotates the within-group order deterministically
-    monkeypatch.setenv("SPARK_GRAFT_ROUND", str(state["round"] + 1))
-    order2 = _rotation_order(names)
-    assert set(order2[:2]) == {"__never_a", "__never_b"}
-    assert sorted(order2) == sorted(order)
+
+    # SPARK_GRAFT_ROUND must actually re-key the within-group order:
+    # pin the exact contract (group by seen-ness, md5("{round}:{name}")
+    # within each group) rather than just set equality, and require
+    # that at least one nearby round realizes a DIFFERENT permutation
+    # (md5 collisions making ten consecutive rounds identical on 7
+    # names would be astronomically unlikely — a constant-order bug is
+    # what this catches).
+    import hashlib
+
+    def expected(round_key: int) -> list[str]:
+        def h(n: str) -> str:
+            return hashlib.md5(f"{round_key}:{n}".encode()).hexdigest()
+
+        unseen = sorted((n for n in names if n not in seen), key=h)
+        in_seen = sorted((n for n in names if n in seen), key=h)
+        return unseen + in_seen
+
+    orders = set()
+    for r in range(state["round"] + 1, state["round"] + 11):
+        monkeypatch.setenv("SPARK_GRAFT_ROUND", str(r))
+        order_r = _rotation_order(names)
+        assert order_r == expected(r)
+        assert set(order_r[:2]) == {"__never_a", "__never_b"}
+        orders.add(tuple(order_r))
+    assert len(orders) > 1, "round key never changed the ordering"
