@@ -99,6 +99,100 @@ def test_uncommitted_garbage_invisible_and_vacuumed(spark, tmp_path):
     assert _vals(vt.read()) == [1]
 
 
+class _Killed(RuntimeError):
+    """Stand-in for the writer process dying at an injected point."""
+
+
+class _DiesBeforePublish(V.CommitProtocol):
+    """Writer killed BETWEEN the data-dir parquet write (and the
+    staged, fsynced log json) and the atomic publish: the commit point
+    was never reached, so nothing may become visible."""
+
+    name = "dies-before-publish"
+
+    def publish(self, staged: str, final: str) -> bool:
+        raise _Killed()
+
+
+class _DiesAfterPublish(V.CommitProtocol):
+    """Writer killed AFTER the atomic publish succeeded but before
+    commit() returned: the commit point was crossed, so the version
+    must be durable despite the writer never learning it."""
+
+    name = "dies-after-publish"
+
+    def __init__(self) -> None:
+        self._inner = V.default_protocol()
+
+    def publish(self, staged: str, final: str) -> bool:
+        assert self._inner.publish(staged, final)
+        raise _Killed()
+
+
+def test_writer_killed_between_data_write_and_commit(spark, tmp_path):
+    """VERDICT r7 item 6: failure injection at the real commit path's
+    pre-publish crash point (runs under BOTH protocols via the module
+    fixture). The torn commit must be invisible to readers, a retried
+    writer must converge, and the orphan snapshot must be vacuumable
+    crash garbage."""
+    root = tmp_path / "t"
+    vt = VersionedTable(spark, str(root))
+    vt.commit(_df(spark, 1))
+    live_reader = vt.read()  # resolved at v0 before the crash
+
+    dying = VersionedTable(spark, str(root), protocol=_DiesBeforePublish())
+    with pytest.raises(_Killed):
+        dying.commit(_df(spark, 2))
+
+    # the half-written snapshot exists on disk but is never referenced:
+    # readers (pre-resolved AND fresh) still see v0 only
+    data_dirs = [n for n in os.listdir(root) if n.startswith("data-")]
+    assert len(data_dirs) == 2  # v0's + the orphan
+    assert vt.latest_version() == 0
+    assert _vals(vt.read()) == [1]
+    assert _vals(live_reader) == [1]
+
+    # a restarted writer converges: same commit lands as v1
+    assert vt.commit(_df(spark, 2)) == 1
+    assert _vals(vt.read()) == [2]
+
+    # the orphan is crash garbage — reclaimed past retention, and the
+    # converged table is untouched
+    removed = vt.vacuum(keep_last=2, retention_seconds=0)
+    orphan = set(data_dirs) - {vt.versions()[0]["data"]}
+    assert set(removed) == orphan
+    assert _vals(vt.read()) == [2]
+    assert _vals(vt.read(version=0)) == [1]
+
+
+def test_writer_killed_after_publish_commit_is_durable(spark, tmp_path):
+    """The dual crash point: once the protocol's atomic create-if-
+    absent succeeded, the commit IS the table's next version even
+    though the writer died before returning — and the restarted
+    writer's re-run appends (overwrite semantics) instead of
+    corrupting."""
+    root = tmp_path / "t"
+    vt = VersionedTable(spark, str(root))
+    vt.commit(_df(spark, 1))
+
+    dying = VersionedTable(spark, str(root), protocol=_DiesAfterPublish())
+    with pytest.raises(_Killed):
+        dying.commit(_df(spark, 2))
+
+    # durable: the crash happened after the commit point
+    assert vt.latest_version() == 1
+    assert _vals(vt.read()) == [2]
+    # no staged tmp residue: the writer's cleanup ran in-process here;
+    # the SIGKILL-shaped residue (staged json left behind) is covered
+    # by test_uncommitted_garbage_invisible_and_vacuumed
+    assert not [
+        n for n in os.listdir(root / "_log") if n.startswith("_tmp")
+    ]
+    # restarted writer re-runs the same commit: appends v2, converges
+    assert vt.commit(_df(spark, 2)) == 2
+    assert _vals(vt.read()) == [2]
+
+
 def test_vacuum_rejects_keep_last_zero(spark, tmp_path):
     vt = VersionedTable(spark, str(tmp_path / "t"))
     vt.commit(_df(spark, 1))
