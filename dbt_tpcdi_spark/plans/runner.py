@@ -149,6 +149,7 @@ class Runner:
     def merge_refresh(
         self, name: str, delta_refs: dict[str, DataFrame],
         replace: bool = False,
+        delete_keys: DataFrame | None = None,
     ) -> DataFrame:
         """Row-level incremental refresh of an SCD2 model (the Batch2/3
         path the reference defers, README.md:53-55; SURVEY §7.4).
@@ -163,6 +164,19 @@ class Runner:
         delta must yield the COMPLETE version history of each touched
         key, and existing versions of those keys are discarded (TPC-DI
         Batch2 Trade.txt updates — see ``merge_scd2``).
+
+        ``delete_keys`` is the batch's CDC DELETE feed (TPC-DI Batch2+
+        rows flagged CDC_FLAG='D'): a DataFrame carrying the model's
+        ``scd2_key`` column; the ENTIRE version history of those keys
+        is purged, applied AFTER the upsert merge (a key both updated
+        and deleted in one batch ends deleted), as one anti-join —
+        O(batch) shuffle, and in versioned mode the purge lands in the
+        same atomic commit as the merge, so the change feed
+        (``VersionedTable.changes``) shows the purged rows as
+        ``_change_type='delete'`` tombstones of that single version
+        step. A later batch re-inserting the key simply starts a fresh
+        history (the delete is not remembered). Pass an empty
+        ``delta_refs`` for a delete-only refresh.
 
         Valid when the builder is row-local over the delta upstream
         (code-table joins are fine; models that temporal-join another
@@ -195,9 +209,21 @@ class Runner:
                 return delta_refs[n]
             return self.sources[n]
 
-        delta_built = m.build(ref, src).drop("end_timestamp", "is_current")
-        merged = merge_scd2(existing, delta_built, key=m.scd2_key,
-                            replace=replace)
+        if delta_refs:
+            delta_built = m.build(ref, src).drop(
+                "end_timestamp", "is_current")
+            merged = merge_scd2(existing, delta_built, key=m.scd2_key,
+                                replace=replace)
+        else:
+            if delete_keys is None:
+                raise ValueError(
+                    "merge_refresh needs delta_refs, delete_keys, or both")
+            merged = existing
+        if delete_keys is not None:
+            merged = merged.join(
+                delete_keys.select(m.scd2_key).distinct(),
+                m.scd2_key, "left_anti",
+            )
 
         if versioned:
             # a commit IS the safe publish: the snapshot being read
@@ -205,7 +231,9 @@ class Runner:
             # no swap dance, and the pre-merge version remains
             # readable/restorable
             vt = self.table(name)
-            vt.commit(merged, op="merge_refresh")
+            op = ("merge_refresh+delete" if delete_keys is not None
+                  else "merge_refresh")
+            vt.commit(merged, op=op)
             return vt.read()
 
         # stage-and-swap: can't overwrite the parquet dir being read.

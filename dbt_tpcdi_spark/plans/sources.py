@@ -29,6 +29,8 @@ DELIMITED_FILES = {
     "trade_type": "TradeType.txt",
     "holding_history": "HoldingHistory.txt",
     "cash_transaction": "CashTransaction.txt",
+    # incremental batches only (CDC DELETE feed; absent in Batch1)
+    "trade_deletes": "TradeDeletes.txt",
 }
 
 

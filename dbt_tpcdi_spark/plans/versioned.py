@@ -387,6 +387,41 @@ class VersionedTable:
                 continue
         raise CommitConflict(f"{self.root}: upsert lost {max_retries} races")
 
+    def delete(
+        self,
+        keys: DataFrame,
+        key: str | list[str],
+        max_retries: int = 10,
+    ) -> int:
+        """DELETE-shaped commit (Delta ``DELETE WHERE key IN ...`` /
+        the CDC_FLAG='D' half of MERGE): rows whose key matches are
+        dropped, everything else carries over, published as a single
+        atomic commit with ``op='delete'`` in the log entry. The
+        removed rows surface in ``changes()`` as
+        ``_change_type='delete'`` tombstone rows of this version step.
+        CAS on the base version like ``upsert``: losing a race rebases
+        on the winner's data and re-derives the anti-join."""
+        key_cols = [key] if isinstance(key, str) else list(key)
+        for _ in range(max_retries):
+            base_version = self.latest_version()
+            if base_version is None:
+                raise ValueError(f"{self.root}: no commits yet")
+            remaining = self.read(base_version).join(
+                keys.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            data_dir = f"data-{uuid.uuid4().hex[:12]}"
+            remaining.write.mode("overwrite").parquet(
+                os.path.join(self.root, data_dir)
+            )
+            try:
+                return self._commit_entry(
+                    data_dir, "delete", max_retries=1,
+                    expected_latest=base_version,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"{self.root}: delete lost {max_retries} races")
+
     def partitioned_upsert(
         self,
         updates: DataFrame,

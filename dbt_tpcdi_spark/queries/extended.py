@@ -1157,21 +1157,29 @@ _CDF_CACHE: dict = {}
            cast(round(cast(o_totalprice AS {MONEY}), 2) AS double) AS price,
            'delete' AS _change_type
     FROM orders WHERE o_orderkey % 7 = 3
+    UNION ALL
+    SELECT o_orderkey,
+           cast(round(cast(o_totalprice AS {MONEY}), 2) AS double) AS price,
+           'delete' AS _change_type
+    FROM orders WHERE o_orderkey % 7 = 5
     """,
     tags=["S11", "A2", "J1"],
 )
 def versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change data feed between two versions of a versioned table:
-    v0 snapshots all orders, v1 upserts a deterministic slice with
-    doubled prices, and ``changes(0, 1)`` must emit exactly one
-    insert (new price) + one delete (old price) per touched key —
-    unchanged rows cancel in the multiset diff. The oracle derives
-    the same feed from the base table alone, so a diff that leaks
-    untouched rows or drops a change hash-mismatches.
+    """Change data feed across an upsert AND a CDC delete: v0
+    snapshots all orders, v1 upserts a deterministic slice with
+    doubled prices, v2 deletes a disjoint slice
+    (``VersionedTable.delete`` — the CDC_FLAG='D' commit), and
+    ``changes(0, 2)`` must emit one insert (new price) + one delete
+    (old price) per updated key plus a delete-only tombstone row per
+    purged key — unchanged rows cancel in the multiset diff. The
+    oracle derives the same feed from the base table alone, so a diff
+    that leaks untouched rows, drops a change, or loses a tombstone
+    hash-mismatches.
 
     Scale: the CDF is two exceptAll anti-diffs — O(both snapshots)
     without per-commit row lineage, the documented floor; the upsert
-    itself is the storage layer's CAS-committed MERGE."""
+    and delete are each one CAS-committed anti-join + union."""
     # applicationId is unique per SparkContext launch; id(spark)
     # can alias a new session after the old one is collected
     cache_key = (sf_dir, spark.sparkContext.applicationId)
@@ -1194,5 +1202,9 @@ def versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (money(F.col("price")) * 2).cast("double"),
         )
         vt.upsert(updates, key="o_orderkey")
+        vt.delete(
+            o.filter(F.col("o_orderkey") % 7 == 5).select("o_orderkey"),
+            key="o_orderkey",
+        )
         _CDF_CACHE[cache_key] = vt
-    return _CDF_CACHE[cache_key].changes(0, 1)
+    return _CDF_CACHE[cache_key].changes(0, 2)

@@ -513,8 +513,10 @@ def _incremental_vs_rebuild(spark: SparkSession) -> list[tuple[str, bool]]:
     """Build the SCD2 cone twice — full rebuild over Batch1+2+3 vs
     Batch1 build + TWO successive per-model merge_refresh rounds
     (Batch2 then Batch3, proving merges compose on an already-merged
-    warehouse) — and EXCEPT-ALL compare each model. Memoized per
-    SparkSession."""
+    warehouse) — and EXCEPT-ALL compare each model. The batches' CDC
+    DELETE feed is deliberately NOT applied on either side here (pure
+    upsert-merge equivalence); ``_incremental_deletes`` covers the
+    delete-aware replay. Memoized per SparkSession."""
     key = ("incremental", spark.sparkContext.applicationId)
     if key in _CACHE:
         return _CACHE[key]
@@ -585,6 +587,98 @@ def warehouse_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "check_name string, violations int"
     ).withColumn("violations", F.col("violations").cast("int"))
+
+
+def _incremental_deletes(spark: SparkSession) -> list[tuple[str, bool]]:
+    """Delete-aware Batch2/3 replay: Batch1 build + two merge_refresh
+    rounds where each batch's CDC DELETE feed (TradeDeletes.txt,
+    fixtures.TRADE_DELETES2/3) purges trades alongside the upsert
+    merge. Ground truth replays the FULL history: a from-scratch
+    rebuild over Batch1+2+3 with the purged keys' rows removed from
+    the rebuilt table. Also asserts the purge was non-vacuous (the
+    keys existed in the rebuild and are gone after). Memoized per
+    SparkSession."""
+    key = ("incremental_deletes", spark.sparkContext.applicationId)
+    if key in _CACHE:
+        return _CACHE[key]
+    with _PARITY_LOCK:
+        if key in _CACHE:  # raced another thread to the lock
+            return _CACHE[key]
+        # reuse the memoized full Batch1+2+3 rebuild warehouse
+        _incremental_vs_rebuild(spark)
+        root = _fixture_root()
+        b1 = load_dag_sources(spark, str(root / "raw"))
+        b2 = load_dag_sources(spark, str(root / "raw_batch2"))
+        b3 = load_dag_sources(spark, str(root / "raw_batch3"))
+        cum2 = _combine_batch(b1, b2)
+        cum3 = _combine_batch(cum2, b3)
+        wh_full = root / f"wh_full_{spark.sparkContext.applicationId}"
+        wh_del = root / f"wh_del_{spark.sparkContext.applicationId}"
+
+        targets = list(SCD2_MERGE_ORDER)
+        inc = Runner(spark, b1, warehouse_dir=str(wh_del))
+        inc.run(targets, parallelism=8)
+        for batch, cumulative in ((b2, cum2), (b3, cum3)):
+            deltas = _batch_deltas(batch, cumulative)
+            for name in SCD2_MERGE_ORDER:
+                delta_refs, replace = deltas[name]
+                dk = None
+                if name == "trades_history":
+                    dk = batch["trade_deletes"].select(
+                        F.col("td_t_id").alias("trade_id")
+                    )
+                inc.merge_refresh(name, delta_refs, replace=replace,
+                                  delete_keys=dk)
+
+        del_ids = (
+            b2["trade_deletes"].unionByName(b3["trade_deletes"])
+            .select(F.col("td_t_id").alias("trade_id"))
+        )
+        checks: list[tuple[str, bool]] = []
+        for name in SCD2_MERGE_ORDER:
+            merged = spark.read.parquet(str(wh_del / name))
+            expected = spark.read.parquet(str(wh_full / name))
+            if name == "trades_history":
+                expected = expected.join(del_ids, "trade_id", "left_anti")
+            equal = (merged.exceptAll(expected).isEmpty()
+                     and expected.exceptAll(merged).isEmpty())
+            checks.append((name, equal))
+        full_th = spark.read.parquet(str(wh_full / "trades_history"))
+        n_deletes = del_ids.count()
+        checks.append((
+            "trade_deletes_present_in_rebuild",
+            full_th.join(del_ids, "trade_id", "left_semi")
+            .select("trade_id").distinct().count() == n_deletes
+            and n_deletes > 0,
+        ))
+        checks.append((
+            "trade_deletes_absent_after",
+            spark.read.parquet(str(wh_del / "trades_history"))
+            .join(del_ids, "trade_id", "left_semi").isEmpty(),
+        ))
+        _CACHE[key] = checks
+        return checks
+
+
+@query(
+    "dag_incremental_deletes",
+    oracle="SELECT * FROM (VALUES " + ", ".join(
+        f"('{n}', true)" for n in sorted(
+            (*SCD2_MERGE_ORDER, "trade_deletes_present_in_rebuild",
+             "trade_deletes_absent_after"))
+    ) + ") t(check_name, ok)",
+    tags=["S9", "S11", "W1", "W2"],
+)
+def dag_incremental_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC DELETE semantics for the Batch2/3 incremental path (TPC-DI
+    cancellation rows, which the reference defers with the rest of
+    Batch2/3 — reference README.md:53-55): merge_refresh with each
+    batch's delete feed must equal the full-history rebuild minus the
+    purged keys, composed across two rounds (Batch2 purges trade 9003,
+    Batch3 purges 9001), and the purges must be provably non-vacuous.
+    One boolean row per check; the oracle pins them all true."""
+    rows = _incremental_deletes(spark)
+    return spark.createDataFrame(rows, "check_name string, ok boolean")
 
 
 @query(

@@ -147,6 +147,13 @@ SCHEMAS: dict[str, T.StructType] = {
     "cash_transaction": T.StructType([
         _f("ct_ca_id", _L), _f("ct_dts", _TS), _f("ct_amt", _D), _f("ct_name", _S),
     ]),
+    # Batch2/3 CDC delete drop (TPC-DI incremental batches carry
+    # CDC_FLAG='D' rows; the reference defers Batch2/3 entirely,
+    # README.md:53-55 — this engine models the delete feed as its own
+    # key file, consumed by Runner.merge_refresh(delete_keys=...))
+    "trade_deletes": T.StructType([
+        _f("td_t_id", _L),
+    ]),
 }
 
 

@@ -441,6 +441,14 @@ TRADE_HISTORY3 = [
     (9008, TS(2019, 8, 1, 14, 0, 0), "CMPT"),
 ]
 
+#: CDC DELETE feeds (TPC-DI Batch2+ rows flagged CDC_FLAG='D'): the
+#: named trades' ENTIRE version history is purged from the warehouse.
+#: Batch2 purges 9003 (a canceled Batch1 trade), Batch3 purges 9001 —
+#: deletes must compose across merge rounds and survive later merges
+#: that do not touch the purged keys.
+TRADE_DELETES2 = [(9003,)]
+TRADE_DELETES3 = [(9001,)]
+
 # ---------------------------------------------------------------------------
 # generated series
 
@@ -768,6 +776,7 @@ def generate(target: str | Path) -> Path:
     raw2.mkdir(parents=True, exist_ok=True)
     write_delimited(raw2 / "Trade.txt", TRADE2, "|")
     write_delimited(raw2 / "TradeHistory.txt", TRADE_HISTORY2, "|")
+    write_delimited(raw2 / "TradeDeletes.txt", TRADE_DELETES2, "|")
     (raw2 / "FINWIRE2019Q1").write_text("\n".join(finwire_raw_lines((
         ("CMP", CMP_LAYOUT, CMP_RECORDS2),
         ("SEC", SEC_LAYOUT, SEC_RECORDS2),
@@ -780,6 +789,7 @@ def generate(target: str | Path) -> Path:
     raw3.mkdir(parents=True, exist_ok=True)
     write_delimited(raw3 / "Trade.txt", TRADE3, "|")
     write_delimited(raw3 / "TradeHistory.txt", TRADE_HISTORY3, "|")
+    write_delimited(raw3 / "TradeDeletes.txt", TRADE_DELETES3, "|")
     (raw3 / "FINWIRE2019Q2").write_text("\n".join(finwire_raw_lines((
         ("CMP", CMP_LAYOUT, CMP_RECORDS3),
         ("SEC", SEC_LAYOUT, SEC_RECORDS3),

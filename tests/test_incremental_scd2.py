@@ -125,3 +125,85 @@ def test_merge_refresh_rejects_non_scd2(spark, tmp_path):
     runner.run(["employees"])
     with pytest.raises(ValueError, match="not an SCD2 model"):
         runner.merge_refresh("employees", {})
+
+
+def test_merge_refresh_delete_keys_purges_history(spark, tmp_path):
+    """CDC DELETE feed: merge + delete in one refresh equals a full
+    rebuild with the purged key's rows removed; a delete-only refresh
+    (no delta) works; neither is a ValueError."""
+    import pytest
+
+    root = generate(tmp_path / "del")
+    sources = load_dag_sources(spark, str(root / "raw"))
+
+    full_wh = str(root / "wh_full")
+    Runner(spark, sources, warehouse_dir=full_wh).run(["trades_history"])
+    expected = spark.read.parquet(f"{full_wh}/trades_history")
+
+    th_full = sources["trade_history"]
+    batch1 = th_full.filter(F.col("th_st_id") != "CMPT")
+    batch2 = th_full.filter(F.col("th_st_id") == "CMPT")
+    inc_wh = str(root / "wh_inc")
+    b1_sources = dict(sources)
+    b1_sources["trade_history"] = batch1
+    runner = Runner(spark, b1_sources, warehouse_dir=inc_wh)
+    runner.run(["trades_history"])
+
+    dk = spark.createDataFrame([(9003,)], "trade_id bigint")
+    touched_ids = sorted(
+        r.th_t_id for r in batch2.select("th_t_id").distinct().collect()
+    )
+    runner.merge_refresh(
+        "trades_history",
+        {
+            "brokerage_trade_history": th_full.filter(
+                F.col("th_t_id").isin(touched_ids)),
+            "brokerage_trade": sources["trade"].filter(
+                F.col("t_id").isin(touched_ids)),
+        },
+        replace=True,
+        delete_keys=dk,
+    )
+    merged = spark.read.parquet(f"{inc_wh}/trades_history")
+    want = expected.filter(F.col("trade_id") != 9003)
+    assert _rows(merged) == _rows(want)
+    assert expected.filter(F.col("trade_id") == 9003).count() > 0
+
+    # delete-only refresh: no delta_refs at all
+    dk2 = spark.createDataFrame([(9001,)], "trade_id bigint")
+    runner.merge_refresh("trades_history", {}, delete_keys=dk2)
+    merged2 = spark.read.parquet(f"{inc_wh}/trades_history")
+    assert _rows(merged2) == _rows(
+        expected.filter(~F.col("trade_id").isin(9001, 9003)))
+
+    with pytest.raises(ValueError):
+        runner.merge_refresh("trades_history", {})
+
+
+def test_versioned_merge_refresh_delete_emits_cdf_tombstones(spark, tmp_path):
+    """In versioned mode the purge lands in the same atomic commit as
+    the merge, and changes() shows the purged rows as delete
+    tombstones of that one version step."""
+    root = generate(tmp_path / "vdel")
+    sources = load_dag_sources(spark, str(root / "raw"))
+    wh = str(root / "wh_v")
+    runner = Runner(spark, sources, warehouse_dir=wh,
+                    materialize="versioned")
+    runner.run(["trades_history"])
+    vt = runner.table("trades_history")
+    v0 = vt.latest_version()
+    before = vt.read()
+    purged = before.filter(F.col("trade_id") == 9003)
+    n_purged = purged.count()
+    assert n_purged > 0
+
+    dk = spark.createDataFrame([(9003,)], "trade_id bigint")
+    runner.merge_refresh("trades_history", {}, delete_keys=dk)
+    v1 = vt.latest_version()
+    assert v1 == v0 + 1
+    assert vt.versions()[-1]["op"] == "merge_refresh+delete"
+    feed = vt.changes(v0, v1)
+    assert feed.filter(F.col("_change_type") == "insert").isEmpty()
+    dels = feed.filter(F.col("_change_type") == "delete")
+    assert dels.count() == n_purged
+    assert _rows(dels.drop("_change_type")) == _rows(purged)
