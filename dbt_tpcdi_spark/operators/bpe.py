@@ -30,7 +30,7 @@ Fixed ``merges`` keeps it SQL-unrollable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbt_tpcdi_spark.operators.text import (
@@ -308,8 +308,19 @@ def select_safe(
     return sel
 
 
+#: default per-candidate bound on collected realized trigrams (see
+#: ``bpe_train_incremental``): the round's driver round-trip is then
+#: ≤ window·(trigram_cap + 2) rows whatever the corpus.
+TRIGRAM_CAP = 256
+
+
 def bpe_train_incremental(
-    df: DataFrame, text_col: str, rounds: int = 4, window: int = 32
+    df: DataFrame,
+    text_col: str,
+    rounds: int = 4,
+    window: int = 32,
+    trigram_cap: int = TRIGRAM_CAP,
+    collect_sizes: list[int] | None = None,
 ) -> tuple[list[tuple[str, int]], DataFrame, int]:
     """Batched BPE with INCREMENTAL pair-count maintenance and the
     trigram-aware safe batch: the production-vocabulary path.
@@ -336,6 +347,20 @@ def bpe_train_incremental(
     can query) collect together as a single tagged union. 64 merges
     need ~3-4 round-trips instead of 64; a 32k vocabulary becomes
     hundreds of rounds, not 32k sequential jobs.
+
+    **The collect is BOUNDED** (r7 advice: corpus-dependent in the
+    adversarial case): relevant trigrams are ranked per candidate and
+    only the first ``trigram_cap + 1`` collect, so the round-trip is
+    ≤ ``window·(trigram_cap + 2)`` rows whatever the corpus. A rank
+    of ``trigram_cap + 1`` arriving proves some candidate's trigram
+    list was TRUNCATED — the collected set can no longer prove
+    absence, so the round falls back to the singleton merge (rank-1
+    pair only, which is unconditionally safe — ``select_safe`` admits
+    rank 1 regardless of trigrams). The DuckDB twin
+    (``_incremental_ctes``) replicates the same cap-and-fallback rule
+    bit-for-bit, so truncation never diverges the learned table.
+    ``collect_sizes``, when given a list, receives each round's
+    collected row count (test/ops introspection).
 
     Returns (merge table in learned order, final (word, wc, sp)
     DataFrame, rounds actually used)."""
@@ -366,39 +391,45 @@ def bpe_train_incremental(
         candp = cand.select("pair")
         rel = (
             tgb.join(
-                F.broadcast(candp),
-                tgb["b23"] == candp["pair"],
-                "left_semi",
-            )
+                F.broadcast(candp), tgb["b23"] == candp["pair"]
+            ).select("pair", "tg")
             .unionByName(
                 tgb.join(
-                    F.broadcast(candp),
-                    tgb["b12"] == candp["pair"],
-                    "left_semi",
-                )
+                    F.broadcast(candp), tgb["b12"] == candp["pair"]
+                ).select("pair", "tg")
             )
-            .select("tg")
             .distinct()
         )
+        wcap = Window.partitionBy("pair").orderBy("tg")
+        capped = rel.withColumn(
+            "__rn", F.row_number().over(wcap)
+        ).filter(F.col("__rn") <= trigram_cap + 1)
         rows = (
             cand.select(
                 F.lit("p").alias("t"), F.col("pair").alias("v"), "c"
             )
             .unionByName(
-                rel.select(
+                capped.select(
                     F.lit("t").alias("t"),
                     F.col("tg").alias("v"),
-                    F.lit(0).cast("long").alias("c"),
+                    F.col("__rn").cast("long").alias("c"),
                 )
             )
-            .collect()  # the round's ONE driver round-trip
+            .collect()  # the round's ONE driver round-trip, bounded
         )
+        if collect_sizes is not None:
+            collect_sizes.append(len(rows))
         by_pair = {r["v"]: int(r["c"]) for r in rows if r["t"] == "p"}
         trigrams = {r["v"] for r in rows if r["t"] == "t"}
+        truncated = any(
+            r["t"] == "t" and int(r["c"]) == trigram_cap + 1 for r in rows
+        )
         ranked = sorted(by_pair, key=lambda p: (-by_pair[p], p))
-        selected = select_safe(ranked, trigrams)
-        if not selected:
+        if not ranked:
             break
+        selected = (
+            [ranked[0]] if truncated else select_safe(ranked, trigrams)
+        )
         used += 1
         learned.extend((p, by_pair[p]) for p in selected)
 
@@ -445,11 +476,13 @@ def bpe_train_incremental(
 
 
 def bpe_vocab_incremental(
-    df: DataFrame, text_col: str, rounds: int = 4, window: int = 32
+    df: DataFrame, text_col: str, rounds: int = 4, window: int = 32,
+    trigram_cap: int = TRIGRAM_CAP,
 ) -> DataFrame:
     """Final symbol vocabulary after incremental batched training:
     (symbol, n_occurrences) weighted by word frequency."""
-    _, w, _ = bpe_train_incremental(df, text_col, rounds, window)
+    _, w, _ = bpe_train_incremental(df, text_col, rounds, window,
+                                    trigram_cap)
     return (
         w.select(
             "wc", F.explode(F.split(F.col("sp"), " +")).alias("symbol")
@@ -575,7 +608,8 @@ def bpe_vocab_batched_sql(
 
 
 def _incremental_ctes(
-    from_table: str, text_col: str, rounds: int, window: int
+    from_table: str, text_col: str, rounds: int, window: int,
+    trigram_cap: int = TRIGRAM_CAP,
 ) -> list[str]:
     """The unrolled incremental-training CTE chain shared by
     ``bpe_vocab_incremental_sql`` and ``bpe_encode_incremental_sql``;
@@ -587,7 +621,11 @@ def _incremental_ctes(
     rank j survives iff no selected higher rank (a,b)→m collides
     (x=m / y=m) or realizes an overlap trigram ("x a b" with y=a,
     "a b y" with x=b) in that round's corpus — and the rank-ordered
-    nested-replace application."""
+    nested-replace application, INCLUDING the truncation fallback:
+    when any candidate's distinct relevant-trigram count exceeds
+    ``trigram_cap`` (``__itc{r}``), the round selects rank 1 only —
+    the same rule the Spark trainer applies when its bounded collect
+    detects truncation."""
     x, y = "split_part({p}, ' ', 1)", "split_part({p}, ' ', 2)"
     ctes = [
         f"""__iwc AS MATERIALIZED (
@@ -619,6 +657,22 @@ def _incremental_ctes(
                 FROM __iw{r}
             )
         )""")
+        # truncation flag: TRUE iff any candidate pair is the leading
+        # or trailing bigram of more than trigram_cap distinct
+        # realized trigrams — the Spark trainer's bounded collect then
+        # cannot prove trigram absence and falls back to rank 1 only
+        tg12 = ("(split_part(t.tg, ' ', 1) || ' ' || "
+                "split_part(t.tg, ' ', 2))")
+        tg23 = ("(split_part(t.tg, ' ', 2) || ' ' || "
+                "split_part(t.tg, ' ', 3))")
+        ctes.append(f"""__itc{r} AS MATERIALIZED (
+            SELECT coalesce(max(cnt), 0) > {trigram_cap} AS trunc FROM (
+                SELECT p.pair, count(DISTINCT t.tg) AS cnt
+                FROM __irk{r} p JOIN __itg{r} t
+                  ON {tg12} = p.pair OR {tg23} = p.pair
+                GROUP BY 1
+            )
+        )""")
         for j in range(1, window + 1):
             if j == 1:
                 ctes.append(f"""__ig{r}_1 AS MATERIALIZED (
@@ -633,7 +687,9 @@ def _incremental_ctes(
             qm = "replace(q.pair, ' ', '')"
             ctes.append(f"""__ig{r}_{j} AS MATERIALIZED (
                 SELECT p.pair, p.rnk FROM __irk{r} p
-                WHERE p.rnk = {j} AND NOT EXISTS (
+                WHERE p.rnk = {j}
+                  AND NOT (SELECT trunc FROM __itc{r})
+                  AND NOT EXISTS (
                     SELECT 1 FROM ({prev}) q
                     WHERE {px} = {qm} OR {py} = {qm}
                        OR ({py} = {qa} AND ({px} || ' ' || q.pair)
@@ -661,11 +717,13 @@ def _incremental_ctes(
 
 
 def bpe_vocab_incremental_sql(
-    from_table: str, text_col: str, rounds: int = 4, window: int = 32
+    from_table: str, text_col: str, rounds: int = 4, window: int = 32,
+    trigram_cap: int = TRIGRAM_CAP,
 ) -> str:
     """DuckDB twin of the incremental batched training — see
     ``_incremental_ctes`` for the selection-rule unrolling."""
-    ctes = _incremental_ctes(from_table, text_col, rounds, window)
+    ctes = _incremental_ctes(from_table, text_col, rounds, window,
+                             trigram_cap)
     return (
         "WITH " + ", ".join(ctes)
         + f""" SELECT symbol, cast(sum(wc) AS bigint) AS n_occurrences
@@ -681,6 +739,7 @@ def bpe_encode_counts_incremental(
     text_col: str,
     rounds: int = 4,
     window: int = 32,
+    trigram_cap: int = TRIGRAM_CAP,
 ) -> DataFrame:
     """Tokenize every document with the INCREMENTALLY-trained BPE
     vocabulary (the realistic merge-table path — ~20 merges per
@@ -689,7 +748,8 @@ def bpe_encode_counts_incremental(
     chain runs on the vocabulary table only, documents equi-join
     their exploded words — so encoding cost is |vocab|·rounds + one
     corpus join, never |corpus|·merges."""
-    _, w, _ = bpe_train_incremental(df, text_col, rounds, window)
+    _, w, _ = bpe_train_incremental(df, text_col, rounds, window,
+                                    trigram_cap)
     vocab = w.select(
         "word",
         F.size(F.split(F.col("sp"), " +")).cast("bigint").alias("__n_sub"),
@@ -723,10 +783,12 @@ def bpe_encode_incremental_sql(
     text_col: str,
     rounds: int = 4,
     window: int = 32,
+    trigram_cap: int = TRIGRAM_CAP,
 ) -> str:
     """DuckDB twin of ``bpe_encode_counts_incremental``: re-derives
     the trigram-safe merge chain, then the same distinct-word join."""
-    ctes = _incremental_ctes(from_table, text_col, rounds, window)
+    ctes = _incremental_ctes(from_table, text_col, rounds, window,
+                             trigram_cap)
     return (
         "WITH " + ", ".join(ctes)
         + f""",

@@ -291,3 +291,61 @@ def test_max_multiplicity_fold(spark):
         r["m"] for r in df.select(_max_multiplicity(F.col("arr")).alias("m")).collect()
     ]
     assert got == [1, 3, 3, 0]
+
+
+def test_bpe_incremental_trigram_collect_bounded_with_fallback(spark):
+    """r7 advice hardening: the per-round collect is bounded by
+    window*(trigram_cap+2) even on an adversarial corpus (one symbol
+    shared by every top pair realizing many trigrams), truncation
+    falls back to the singleton merge, and the DuckDB twin replicates
+    the cap-and-fallback rule bit-for-bit."""
+    import duckdb
+
+    from dbt_tpcdi_spark.operators.bpe import (
+        bpe_train_incremental,
+        bpe_vocab_incremental,
+        bpe_vocab_incremental_sql,
+    )
+
+    # pair 'a b' tops (count 9) and is the trailing bigram of 3
+    # distinct realized trigrams (c/d/e + 'a b'); 'x y' is a safe
+    # second candidate an untruncated round would also select
+    texts = ["ab ab ab ab ab ab", "cab dab eab", "xy xy xy xy"]
+    d = _docs(spark, texts)
+
+    # cap=2 < 3 relevant trigrams -> truncated -> singleton round
+    sizes: list[int] = []
+    learned, _, used = bpe_train_incremental(
+        d, "text", rounds=1, window=8, trigram_cap=2,
+        collect_sizes=sizes,
+    )
+    assert [p for p, _ in learned] == ["a b"]
+    assert used == 1
+    assert len(sizes) == 1 and sizes[0] <= 8 * (2 + 2)
+
+    # default-sized cap: nothing truncates, the same round admits both
+    sizes2: list[int] = []
+    learned2, _, _ = bpe_train_incremental(
+        d, "text", rounds=1, window=8, trigram_cap=64,
+        collect_sizes=sizes2,
+    )
+    assert [p for p, _ in learned2] == ["a b", "x y"]
+    assert sizes2[0] <= 8 * (64 + 2)
+
+    # the DuckDB twin applies the identical rule at BOTH caps: the
+    # final vocabulary (hence the whole merge chain) matches exactly
+    pdf = d.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    for cap, rounds in ((2, 2), (64, 2)):
+        spark_vocab = sorted(
+            map(tuple, bpe_vocab_incremental(
+                d, "text", rounds=rounds, window=8, trigram_cap=cap
+            ).collect())
+        )
+        duck_vocab = sorted(
+            map(tuple, con.execute(bpe_vocab_incremental_sql(
+                "docs", "text", rounds=rounds, window=8, trigram_cap=cap
+            )).fetchall())
+        )
+        assert spark_vocab == duck_vocab, cap
