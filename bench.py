@@ -21,6 +21,17 @@ SPARK_GRAFT_BENCH_SCALE=0):
   AQE switch-point regressions. ``plan_checks`` records that the small
   dimension joins still broadcast there and nothing degenerated to a
   cartesian product.
+- ``x100:*`` / ``lshcap_x100:*``: the dedup/ANN surface at a 100×
+  replica (500k docs / 200k vectors) with subquadratic-growth checks
+  (wall(x100) ≤ 20×wall(x10)) — the decade that separates bounded
+  candidate generation from Σ bucket².
+- ``ann_recall_planted`` + ``ann_recall_floor_*`` plan checks:
+  recall floors on a clustered corpus where a correct quantizer
+  recovers the true neighbors (the driver's random embeddings can't
+  grade recall).
+- ``bpe_incremental_1k_*``: ≥1k BPE merges through the incremental
+  trainer with the round-trip budget (rounds ≤ merges/15) and the
+  bounded per-round collect asserted.
 
 ``value`` stays the sum of the HEADLINE queries only, so rounds remain
 comparable on the same key; the probes report their own timings under
@@ -135,6 +146,7 @@ def main() -> None:
                        "temporal_join_agg", "sessionize", "ann_topk",
                        "contamination_check", "mixture_sample",
                        "pagerank_parts", "semdedup", "semdedup_ivf",
+                       "pq_ann_topk", "kmeans_assign_ivf",
                        "curation_pipeline_full")
         for name in x10_queries:
             t0 = time.perf_counter()
@@ -142,7 +154,19 @@ def main() -> None:
             bw = time.perf_counter() - t0
             if bw >= 0.5:
                 x10_builds[f"x10:{name}"] = round(bw, 3)
-            _timed(probes, f"x10:{name}", df)
+            if name == "revenue_by_nation":
+                # r7 showed a 1.71x probe regression here that headline
+                # numbers contradicted; ≥3 trials separate plan change
+                # from harness variance (VERDICT r7 item 4)
+                trials = {}
+                for t in range(3):
+                    _timed(trials, f"t{t}", df)
+                vals = sorted(trials.values())
+                prep["x10_revenue_by_nation_trials"] = list(
+                    trials.values())
+                probes[f"x10:{name}"] = vals[len(vals) // 2]
+            else:
+                _timed(probes, f"x10:{name}", df)
             # AQE only finalizes a DataFrame's OWN QueryExecution when
             # that execution runs an action — the noop write above runs
             # a separate one, so force df's plan to final with a
@@ -189,6 +213,170 @@ def main() -> None:
         prep["lshcap_x10_candidates"] = {
             "uncapped": n_unc, "capped": n_cap}
         bsigs.unpersist()
+
+        # -- x100 rung for the dedup/ANN surface -------------------------
+        # the brief's scale story is 100x, not 10x (VERDICT r7 item 1):
+        # replicate ONLY the tables these probes read (500k docs / 200k
+        # vectors), time the same pipelines, and pin subquadratic
+        # growth — wall(x100) within ~2x of linear over wall(x10) —
+        # plus the structural no-cartesian checks. The uncapped LSH
+        # join is deliberately NOT run at x100 (its candidate count is
+        # the quadratic blow-up the cap exists to prevent; x10 already
+        # measures it at 1.9 B candidates). The SemDedup variants are
+        # likewise not probed at x100: with the SemDedup-specified
+        # k = ⌈n/width⌉, centroid assignment is Θ(n·k) = Θ(n²/width)
+        # IN ANY ENGINE — measured 3+ min (BLAS) to tens of minutes
+        # (expression IVF) at 200k vectors — so the decade is carried
+        # by the rungs whose work is linear BY DESIGN:
+        # kmeans_assign_ivf (fixed-k coarse quantizer, the cell
+        # structure a 100-TB SemDedup shards within) and pq_ann_topk
+        # (fixed codebooks). SCALE.md §3 spells out the argument.
+        t0 = time.perf_counter()
+        x100_dir = benchdata.replicate_sf(
+            spark, sf_dir,
+            os.path.join("/tmp", "spark_graft_bench",
+                         os.path.basename(sf_dir.rstrip("/")) + "_x100ann"),
+            copies=100,
+            tables=("documents", "embeddings"),
+        )
+        prep["x100_replicate"] = round(time.perf_counter() - t0, 3)
+
+        def _subq(name: str) -> None:
+            t10 = probes.get(f"x10:{name}")
+            t100 = probes.get(f"x100:{name}")
+            if t10 is not None and t100 is not None:
+                plan_checks[f"x100_{name}_subquadratic"] = (
+                    t100 <= 20.0 * max(t10, 0.5)
+                )
+
+        for name in ("kmeans_assign_ivf", "pq_ann_topk"):
+            t0 = time.perf_counter()
+            df = all_queries()[name].build(spark, x100_dir)
+            bw = time.perf_counter() - t0
+            if bw >= 0.5:
+                x10_builds[f"x100:{name}"] = round(bw, 3)
+            _timed(probes, f"x100:{name}", df)
+            df.collect()  # finalize AQE before reading the plan
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            plan_checks[f"x100_{name}_no_cartesian"] = (
+                "CartesianProduct" not in plan)
+            _subq(name)
+
+        b100 = (
+            spark.read.parquet(os.path.join(x100_dir, "documents.parquet"))
+            .select("doc_id", F.concat(
+                F.col("text"), F.lit(" " + _LSH_BOILER)).alias("text"))
+        )
+        bsigs100 = D.with_minhash_signature(b100, "text").persist()
+        bsigs100.count()
+        t0 = time.perf_counter()
+        capped100 = D.lsh_candidate_pairs_capped(
+            bsigs100, "doc_id", cap=8, distinct=False)
+        n_cap100 = capped100.count()
+        probes["lshcap_x100:capped"] = round(time.perf_counter() - t0, 3)
+        c100plan = (capped100._jdf.queryExecution().executedPlan()
+                    .toString())
+        plan_checks["lshcap_x100_no_cartesian"] = (
+            "CartesianProduct" not in c100plan)
+        # hot buckets stay capped at any scale, so candidates grow
+        # ~linearly with the singleton-bucket count — never bucket²
+        plan_checks["lshcap_x100_candidates_linear"] = (
+            n_cap100 <= 15 * max(n_cap, 1))
+        prep["lshcap_x100_candidates"] = {"capped": n_cap100}
+        t10 = probes.get("lshcap_x10:capped")
+        if t10 is not None:
+            plan_checks["x100_minhash_lsh_capped_subquadratic"] = (
+                probes["lshcap_x100:capped"] <= 20.0 * max(t10, 0.5)
+            )
+        bsigs100.unpersist()
+
+        # -- ANN recall floors on a planted-structure corpus -------------
+        # the driver's uniform-random embeddings give every ANN method
+        # ~1/k recall by construction (label carries no metric signal),
+        # so floors there would be noise; clustered_embeddings plants
+        # real neighbor structure, where a correct quantizer recovers
+        # the true top-10 and a regressed one fails loudly (VERDICT r7
+        # item 8). PQ's ADC is graded at CELL level (fraction of its
+        # top-10 in the query's cluster): within-cluster fine ranking
+        # among 2k near-identical vectors is beyond 8x16 code
+        # resolution by design, not by defect.
+        ann_dir = os.path.join("/tmp", "spark_graft_bench", "ann_corpus")
+        benchdata.clustered_embeddings(spark).write.mode(
+            "overwrite").parquet(os.path.join(ann_dir, "embeddings.parquet"))
+        t0 = time.perf_counter()
+        rec = {
+            r["method"]: float(r["recall"])
+            for r in all_queries()["ann_recall"]
+            .build(spark, ann_dir).collect()
+        }
+        probes["ann_recall_planted"] = round(time.perf_counter() - t0, 3)
+        pq_ids = (
+            all_queries()["pq_ann_topk"].build(spark, ann_dir)
+            .select("vec_id")
+        )
+        emb = spark.read.parquet(os.path.join(ann_dir, "embeddings.parquet"))
+        qlbl = emb.filter(F.col("vec_id") == 0).select(
+            F.col("label").alias("__ql"))
+        pq_cell = (
+            pq_ids.join(emb, "vec_id").crossJoin(F.broadcast(qlbl))
+            .agg(F.avg((F.col("label") == F.col("__ql")).cast("double")))
+            .collect()[0][0]
+        )
+        prep["ann_recall_values"] = {**rec, "pq_cell": round(pq_cell, 3)}
+        plan_checks["ann_recall_floor_ivf"] = rec.get("ivf", 0.0) >= 0.8
+        plan_checks["ann_recall_floor_lsh"] = rec.get("lsh", 0.0) >= 0.6
+        plan_checks["ann_recall_floor_pq_cell"] = pq_cell >= 0.8
+
+        # -- realistic-vocabulary incremental BPE (VERDICT r7 item 3) ----
+        # ≥1k merges through the production path: ~54 merges per driver
+        # round-trip on the open-vocabulary corpus, round-trips bounded
+        # by merges/15, per-round collect bounded by the trigram cap.
+        from dbt_tpcdi_spark.operators.bpe import (
+            TRIGRAM_CAP,
+            bpe_train_incremental,
+        )
+        from dbt_tpcdi_spark.operators.text import tokens
+
+        bpe_corpus = benchdata.realistic_corpus(spark).persist()
+        bpe_corpus.count()
+        t0 = time.perf_counter()
+        csizes: list[int] = []
+        learned, wseg, used = bpe_train_incremental(
+            bpe_corpus, "text", rounds=24, window=256,
+            collect_sizes=csizes,
+        )
+        probes["bpe_incremental_1k_train"] = round(
+            time.perf_counter() - t0, 3)
+        # encode the corpus with the trained segmentation (the
+        # bpe_encode_incremental join shape, without re-training)
+        vocab = wseg.select(
+            "word",
+            F.size(F.split(F.col("sp"), " +")).cast("bigint")
+            .alias("__n_sub"),
+        )
+        enc = (
+            bpe_corpus.select(
+                "doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+            .join(vocab, "word")
+            .groupBy("doc_id")
+            .agg(F.sum("__n_sub").alias("n_bpe_tokens"))
+        )
+        _timed(probes, "bpe_incremental_1k_encode", enc)
+        n_merges, n_rounds = len(learned), used
+        prep["bpe_incremental_1k"] = {
+            "merges": n_merges,
+            "round_trips": n_rounds,
+            "merges_per_round": round(n_merges / max(n_rounds, 1), 1),
+            "max_collect_rows": max(csizes) if csizes else 0,
+            "collect_bound_rows": 256 * (TRIGRAM_CAP + 2),
+        }
+        plan_checks["bpe_1k_roundtrip_budget"] = (
+            n_merges >= 1000 and n_rounds <= n_merges / 15
+        )
+        plan_checks["bpe_1k_collect_bounded"] = (
+            bool(csizes) and max(csizes) <= 256 * (TRIGRAM_CAP + 2)
+        )
+        bpe_corpus.unpersist()
 
         # -- zipfian hot-key skew probes ---------------------------------
         # the driver testdata is uniform, so the skew machinery is

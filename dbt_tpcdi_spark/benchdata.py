@@ -78,6 +78,50 @@ def realistic_corpus(
     return docs.select("doc_id", F.array_join(words, " ").alias("text"))
 
 
+def clustered_embeddings(
+    spark: SparkSession,
+    n: int = 20_000,
+    dim: int = 64,
+    k: int = 10,
+    noise_milli: int = 60,
+) -> DataFrame:
+    """(vec_id, embedding array<float>, label int): ``k`` well-
+    separated hash-derived cluster centers with ±``noise_milli``/1000
+    per-component noise — the PLANTED neighbor structure the driver's
+    uniform-random embeddings lack (there, label carries no metric
+    signal and any ANN method's recall is ~1/k by construction).
+    Deterministic pure projection: centers from xxhash64(label, i),
+    noise from xxhash64(vec_id, i). On this corpus a correct
+    quantizer recovers the true neighbors, so recall floors become
+    meaningful regression tripwires (VERDICT r7 item 8)."""
+    rows = spark.range(n).select(F.col("id").alias("vec_id"))
+    lbl = F.pmod(
+        F.xxhash64(F.col("vec_id"), F.lit("emb-cl")), F.lit(k)
+    ).cast("int")
+
+    def component(i):
+        center = (
+            F.pmod(
+                F.xxhash64(F.col("label") * dim + i, F.lit("emb-ctr")),
+                F.lit(2001),
+            )
+            - 1000
+        ) / 1000.0
+        noise = (
+            F.pmod(
+                F.xxhash64(F.col("vec_id") * dim + i, F.lit("emb-nz")),
+                F.lit(2 * noise_milli + 1),
+            )
+            - noise_milli
+        ) / 1000.0
+        return (center + noise).cast("float")
+
+    return rows.withColumn("label", lbl).withColumn(
+        "embedding",
+        F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), component),
+    ).select("vec_id", "embedding", "label")
+
+
 #: per-table bigint columns shifted by ``replica * KEY_SHIFT``;
 #: tables absent here are copied once (dimensions)
 REPLICATE_SHIFTS: dict[str, list[str]] = {
@@ -105,18 +149,27 @@ def _source_fingerprint(sf_dir: str) -> str:
 
 
 def replicate_sf(
-    spark: SparkSession, sf_dir: str, out_dir: str, copies: int
+    spark: SparkSession, sf_dir: str, out_dir: str, copies: int,
+    tables: tuple[str, ...] | None = None,
 ) -> str:
     """Write a ``copies``× key-shifted testdata tree; returns out_dir.
     Idempotent via a marker keyed by the SOURCE fingerprint (bench
-    reruns reuse the replica; regenerated testdata rebuilds it)."""
+    reruns reuse the replica; regenerated testdata rebuilds it).
+    ``tables`` restricts the replica to a subset (e.g. only
+    documents+embeddings for the x100 ANN rung — replicating 60 M
+    lineitem rows nobody reads would dominate the prep wall); use a
+    DISTINCT out_dir per subset, the marker tags the subset."""
+    tag = "all" if tables is None else "-".join(sorted(tables))
     marker = os.path.join(
-        out_dir, f"_COMPLETE_x{copies}_{_source_fingerprint(sf_dir)}"
+        out_dir,
+        f"_COMPLETE_x{copies}_{tag}_{_source_fingerprint(sf_dir)}",
     )
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     for name, shift_cols in REPLICATE_SHIFTS.items():
+        if tables is not None and name not in tables:
+            continue
         base = load_table(spark, sf_dir, name)
         parts = []
         for rep in range(copies):
@@ -129,6 +182,8 @@ def replicate_sf(
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(table_path(out_dir, name))
     for name in REPLICATE_COPY:
+        if tables is not None and name not in tables:
+            continue
         load_table(spark, sf_dir, name).write.mode("overwrite").parquet(
             table_path(out_dir, name)
         )

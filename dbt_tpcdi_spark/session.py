@@ -47,7 +47,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode driver == the only executor: on the 128 GiB bench
+        # host an 8g heap OOMs the x100 ANN probes (shuffle buffers +
+        # accumulated localCheckpoint blocks across a long bench run);
+        # 32g is still a cap, not a reservation
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # testdata events.parquet stores TIMESTAMP(NANOS), which Spark
