@@ -222,15 +222,16 @@ def main() -> None:
         # plus the structural no-cartesian checks. The uncapped LSH
         # join is deliberately NOT run at x100 (its candidate count is
         # the quadratic blow-up the cap exists to prevent; x10 already
-        # measures it at 1.9 B candidates). The SemDedup variants are
-        # likewise not probed at x100: with the SemDedup-specified
-        # k = ⌈n/width⌉, centroid assignment is Θ(n·k) = Θ(n²/width)
-        # IN ANY ENGINE — measured 3+ min (BLAS) to tens of minutes
-        # (expression IVF) at 200k vectors — so the decade is carried
-        # by the rungs whose work is linear BY DESIGN:
-        # kmeans_assign_ivf (fixed-k coarse quantizer, the cell
-        # structure a 100-TB SemDedup shards within) and pq_ann_topk
-        # (fixed codebooks). SCALE.md §3 spells out the argument.
+        # measures it at 1.9 B candidates). The FLAT/corpus-k SemDedup
+        # variants are likewise not probed at x100: with the
+        # SemDedup-specified k = ⌈n/width⌉, centroid assignment is
+        # Θ(n·k) = Θ(n²/width) IN ANY ENGINE — measured 3+ min (BLAS)
+        # to tens of minutes (expression IVF) at 200k vectors — so
+        # the decade is carried by the rungs whose work is linear BY
+        # DESIGN: kmeans_assign_ivf (fixed-k coarse quantizer),
+        # pq_ann_topk (fixed codebooks), and semdedup_sharded (the
+        # two-level hierarchy that IS SemDedup's 100-TB shape, probed
+        # below). SCALE.md §3 spells out the argument.
         t0 = time.perf_counter()
         x100_dir = benchdata.replicate_sf(
             spark, sf_dir,
@@ -261,6 +262,27 @@ def main() -> None:
             plan_checks[f"x100_{name}_no_cartesian"] = (
                 "CartesianProduct" not in plan)
             _subq(name)
+
+        # sharded SemDedup at x100 with the PRODUCTION configuration
+        # (fixed k_coarse=100): linear coarse pass + per-cell BLAS
+        # assignment + grouped-Gram pair scan — the hierarchy that
+        # replaces flat SemDedup's Θ(n²/width) assignment (measured
+        # 180 s at this scale) with seconds
+        from dbt_tpcdi_spark.queries.llm import semdedup_sharded_frame
+        from dbt_tpcdi_spark.sources.parquet import load_table, spread
+
+        for tag, d in (("x10", x10_dir), ("x100", x100_dir)):
+            e_sh = spread(load_table(spark, d, "embeddings"))
+            t0 = time.perf_counter()
+            df = semdedup_sharded_frame(e_sh, 100)
+            bw = time.perf_counter() - t0
+            if bw >= 0.5:
+                x10_builds[f"{tag}:semdedup_sharded"] = round(bw, 3)
+            _timed(probes, f"{tag}:semdedup_sharded", df)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            plan_checks[f"{tag}_semdedup_sharded_no_cartesian"] = (
+                "CartesianProduct" not in plan)
+        _subq("semdedup_sharded")
 
         b100 = (
             spark.read.parquet(os.path.join(x100_dir, "documents.parquet"))

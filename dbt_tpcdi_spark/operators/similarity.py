@@ -475,6 +475,151 @@ def assign_centroids_blas(
     )
 
 
+def assign_centroids_blas_grouped(
+    base: DataFrame, id_col: str, cdf: DataFrame, group_col: str
+) -> DataFrame:
+    """Per-GROUP exact BLAS argmin: each group's rows meet ONLY its
+    own group's centroids — the inner loop of two-level (sharded)
+    clustering, where a fixed-k coarse quantizer has already cut the
+    corpus into cells and each cell clusters independently.
+
+    ``base`` = (group_col, id_col, __qv); ``cdf`` = (group_col, __cl,
+    __cent). Cogroup keys on the group column directly (no hash-pid
+    replication — a group's centroid set is exactly the cogroup
+    partner), so the distance work is Σ_g n_g·k_g·dim instead of
+    n·k·dim, and a skewed cell bounds only its own task. Same
+    bit-exact float64/int64 guard and (dist, label) first-occurrence
+    tie-break as ``assign_centroids_blas``. Output: (group_col,
+    id_col, __qv, cluster, dist2)."""
+    id_field = base.schema[id_col]
+    grp_field = base.schema[group_col]
+
+    def fn(left, right):  # pandas cogroup: one group's rows × its cents
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series(dtype="int64"),
+                    id_col: pd.Series(dtype=left[id_col].dtype),
+                    "__qv": pd.Series(dtype=object),
+                    "cluster": pd.Series(dtype="int64"),
+                    "dist2": pd.Series(dtype="int64"),
+                }
+            )
+        cents = right.sort_values("__cl")
+        C = np.stack(cents["__cent"].to_numpy()).astype(np.int64)
+        labels = cents["__cl"].to_numpy().astype(np.int64)
+        X = np.stack(left["__qv"].to_numpy()).astype(np.int64)
+        hi = max(int(np.abs(X).max(initial=0)), int(np.abs(C).max(initial=0)))
+        # same exactness envelope as assign_centroids_blas: float64
+        # BLAS only while hi²·dim < 2^51 (result < 2^53 exact), else
+        # the exact int64 path
+        if hi * hi * X.shape[1] < (1 << 51):
+            Xf, Cf = X.astype(np.float64), C.astype(np.float64)
+            d = (
+                (Xf * Xf).sum(axis=1)[:, None]
+                + (Cf * Cf).sum(axis=1)[None, :]
+                - 2.0 * (Xf @ Cf.T)
+            )
+            d = d.astype(np.int64)
+        else:
+            d = (
+                (X * X).sum(axis=1)[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2 * (X @ C.T)
+            )
+        j = d.argmin(axis=1)  # first min -> smallest label (sorted cols)
+        return pd.DataFrame(
+            {
+                group_col: left[group_col].to_numpy(),
+                id_col: left[id_col].to_numpy(),
+                "__qv": left["__qv"].to_numpy(),
+                "cluster": labels[j],
+                "dist2": d[np.arange(len(X)), j],
+            }
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, grp_field.dataType),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("__qv", T.ArrayType(T.LongType())),
+            T.StructField("cluster", T.LongType()),
+            T.StructField("dist2", T.LongType()),
+        ]
+    )
+    return (
+        base.groupby(group_col)
+        .cogroup(cdf.groupby(group_col))
+        .applyInPandas(fn, schema=out_schema)
+    )
+
+
+def semdedup_dropped_blas(
+    km: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Within-cluster SemDedup drop rule as ONE grouped Arrow matmul:
+    ``km`` = (cluster_col, id_col, __qv quantized vector) →
+    (id_col, is_kept), where a row is dropped iff some SMALLER-id row
+    of its cluster has cosine ≥ ``threshold`` with it.
+
+    This replaces the cluster-equality self-join whose per-pair
+    ``zip_with`` dot product runs INTERPRETED (no codegen for
+    higher-order functions — measured ~40-70 µs per 64-dim pair) with
+    one shuffle on the cluster key and an exact numpy Gram matrix per
+    cluster (~ns per pair). Work and memory are O(g²) per cluster —
+    bounded by construction in every caller (width-scaled k in flat
+    SemDedup, cell size in the sharded variant).
+
+    Bit-identical to the expression path: the integer Gram matrix is
+    exact (float64 only while hi²·dim < 2^51, the shared guard, else
+    int64), norms are exact integer, and the cosine + round4 chain
+    (``qdot/(sqrt(n2a)·sqrt(n2b))``, ``floor(x·10⁴+0.5)/10⁴``) is
+    replicated as the same IEEE-754 double primitives numpy applies
+    elementwise — so the same DuckDB oracles cover both plans."""
+    id_field = km.schema[id_col]
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        X = np.stack(pdf["__qv"].to_numpy()).astype(np.int64)
+        hi = int(np.abs(X).max(initial=0))
+        if hi * hi * X.shape[1] < (1 << 51):
+            Xf = X.astype(np.float64)
+            D = Xf @ Xf.T
+        else:
+            D = (X @ X.T).astype(np.float64)
+        n2 = np.einsum("ij,ij->i", X, X).astype(np.float64)
+        denom = np.sqrt(n2)[:, None] * np.sqrt(n2)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            qcos = np.floor((D / denom) * 10000.0 + 0.5) / 10000.0
+        hit = qcos >= threshold
+        # rows sorted by id: dropped_j = any hit from a smaller-id row
+        dropped = np.triu(hit, k=1).any(axis=0)
+        return pd.DataFrame(
+            {id_col: pdf[id_col].to_numpy(), "is_kept": ~dropped}
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("is_kept", T.BooleanType()),
+        ]
+    )
+    return (
+        km.select(cluster_col, id_col, "__qv")
+        .groupby(cluster_col)
+        .applyInPandas(fn, schema=out_schema)
+    )
+
+
 def _literal_centroid_state(
     df: DataFrame, id_col: str, vec_col: str, k: int
 ) -> dict[int, list[int]]:

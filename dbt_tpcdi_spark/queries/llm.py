@@ -1601,40 +1601,22 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(load_table(spark, sf_dir, "embeddings"))
     k = -(-e.count() // _SEMDEDUP_WIDTH)
     km = S.kmeans_quantized(e, "vec_id", "embedding", k=k, iters=3).select(
-        "vec_id", "cluster", "embedding",
-        # per-vector norm ONCE: qcosine recomputes both norms per pair,
-        # which is 2/3 of the pairwise work — hoisting them out of the
-        # join leaves only the dot product per pair
-        S.qnorm2(F.col("embedding")).alias("__n2"),
+        "vec_id", "cluster", S._qlist(F.col("embedding")).alias("__qv")
     )
-    # materialize the assignment once (tiny: one row per vector) so the
-    # self-join reads it twice instead of compiling + computing the
-    # literal-centroid argmin twice; checkpoint() on a real cluster
+    # materialize the assignment once (tiny: one row per vector) so
+    # both the pair scan and the output join read it without re-running
+    # the Lloyd chain; checkpoint() on a real cluster
     km = km.localCheckpoint(eager=True)
-    a, b = km.alias("a"), km.alias("b")
-    qcos = round4(
-        S.qdot(F.col("a.embedding"), F.col("b.embedding"))
-        / (
-            F.sqrt(F.col("a.__n2").cast("double"))
-            * F.sqrt(F.col("b.__n2").cast("double"))
-        )
+    # within-cluster pair scan as one grouped Arrow Gram matrix —
+    # bit-identical to the cluster-equality self-join + zip_with dot
+    # (A/B-verified at sf0.1 and x10), but the interpreted per-pair
+    # lambda becomes vectorized numpy (r8: 9.8 s → 1.3 s on the x10
+    # scan); clusters are width-scaled (k = ⌈n/width⌉), and a skewed
+    # cluster bounds only its own group's Gram matrix
+    kept = S.semdedup_dropped_blas(
+        km, "vec_id", "cluster", _SEMDEDUP_THRESHOLD
     )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("b.vec_id").alias("id_b"), qcos.alias("qcos"))
-        .filter(F.col("qcos") >= _SEMDEDUP_THRESHOLD)
-    )
-    dropped = pairs.select("id_b").distinct().withColumn("__d", F.lit(1))
-    return (
-        km.join(dropped, km["vec_id"] == dropped["id_b"], "left")
-        .select(
-            "vec_id", "cluster", F.col("__d").isNull().alias("is_kept")
-        )
-    )
+    return km.select("vec_id", "cluster").join(kept, "vec_id")
 
 
 _SPLIT_SALT = "split|"
@@ -2828,37 +2810,22 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.seed_centroid_table(e, "vec_id", "embedding", k)
     assigned = S.assign_ivf(e, "vec_id", "embedding", cents)
     km = (
-        assigned.join(e.select("vec_id", "embedding"), "vec_id")
-        .select(
-            "vec_id", "cluster", "via_bucket", "embedding",
-            S.qnorm2(F.col("embedding")).alias("__n2"),
+        assigned.select("vec_id", "cluster", "via_bucket")
+        .join(
+            e.select(
+                "vec_id", S._qlist(F.col("embedding")).alias("__qv")
+            ),
+            "vec_id",
         )
         .localCheckpoint(eager=True)
     )
-    a, b = km.alias("a"), km.alias("b")
-    qcos = round4(
-        S.qdot(F.col("a.embedding"), F.col("b.embedding"))
-        / (
-            F.sqrt(F.col("a.__n2").cast("double"))
-            * F.sqrt(F.col("b.__n2").cast("double"))
-        )
+    # grouped-Gram pair scan — same rewrite as flat semdedup (see
+    # there); bit-identical to the former self-join + zip_with plan
+    kept = S.semdedup_dropped_blas(
+        km, "vec_id", "cluster", _SEMDEDUP_THRESHOLD
     )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("b.vec_id").alias("id_b"), qcos.alias("qcos"))
-        .filter(F.col("qcos") >= _SEMDEDUP_THRESHOLD)
-    )
-    dropped = pairs.select("id_b").distinct().withColumn("__d", F.lit(1))
-    return (
-        km.join(dropped, km["vec_id"] == dropped["id_b"], "left")
-        .select(
-            "vec_id", "cluster", "via_bucket",
-            F.col("__d").isNull().alias("is_kept"),
-        )
+    return km.select("vec_id", "cluster", "via_bucket").join(
+        kept, "vec_id"
     )
 
 
@@ -2909,38 +2876,169 @@ def semdedup_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = S.assign_ivf(e, "vec_id", "embedding", cents)
     km = (
-        assigned.join(e.select("vec_id", "embedding"), "vec_id")
-        .select(
-            "vec_id", "cluster", "via_bucket", "embedding",
-            S.qnorm2(F.col("embedding")).alias("__n2"),
+        assigned.select("vec_id", "cluster", "via_bucket")
+        .join(
+            e.select(
+                "vec_id", S._qlist(F.col("embedding")).alias("__qv")
+            ),
+            "vec_id",
         )
         .localCheckpoint(eager=True)
     )
-    a, b = km.alias("a"), km.alias("b")
-    qcos = round4(
-        S.qdot(F.col("a.embedding"), F.col("b.embedding"))
-        / (
-            F.sqrt(F.col("a.__n2").cast("double"))
-            * F.sqrt(F.col("b.__n2").cast("double"))
-        )
+    # grouped-Gram pair scan — same rewrite as flat semdedup
+    kept = S.semdedup_dropped_blas(
+        km, "vec_id", "cluster", _SEMDEDUP_THRESHOLD
     )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("b.vec_id").alias("id_b"), qcos.alias("qcos"))
-        .filter(F.col("qcos") >= _SEMDEDUP_THRESHOLD)
+    return km.select("vec_id", "cluster", "via_bucket").join(
+        kept, "vec_id"
     )
-    dropped = pairs.select("id_b").distinct().withColumn("__d", F.lit(1))
-    return (
-        km.join(dropped, km["vec_id"] == dropped["id_b"], "left")
-        .select(
-            "vec_id", "cluster", "via_bucket",
-            F.col("__d").isNull().alias("is_kept"),
-        )
+
+
+#: members per coarse cell for the gated two-level query (small so
+#: sf0.01 exercises several cells; the bench x100 probe passes a
+#: FIXED k_coarse instead — the production shape)
+_SEMDEDUP_CELL = 50
+
+_SHARDED_QV = (
+    "list_transform(range(1, 65), i -> "
+    "cast(round(cast(embedding[i] AS double) * 10000) AS bigint))"
+)
+_SHARDED_D2 = (
+    "cast(list_sum(list_transform(range(1, 65), i -> "
+    "({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS bigint)"
+)
+
+
+def semdedup_sharded_frame(
+    e: DataFrame, k_coarse: int, width: int = _SEMDEDUP_WIDTH
+) -> DataFrame:
+    """Two-level (sharded) SemDedup — the hierarchy SCALE.md §3
+    argues is the 100-TB shape, as code:
+
+    1. A FIXED-``k_coarse`` coarse quantizer (seed centroid table +
+       exact BLAS argmin) cuts the corpus into cells — Θ(n·k_coarse)
+       with k_coarse constant, i.e. linear in n.
+    2. SemDedup runs WITHIN each cell: per-cell k = ⌈n_cell/width⌉
+       seed centroids (bounded partitioned window — no global rank),
+       per-cell exact BLAS assignment
+       (``assign_centroids_blas_grouped`` — distance work is
+       Σ n_cell·k_cell·dim, and one cell's skew bounds only its own
+       task), then the width-capped within-cluster cosine pair scan
+       and smaller-id drop rule shared with flat ``semdedup``.
+
+    Flat SemDedup's corpus-scaled k = ⌈n/width⌉ makes assignment
+    Θ(n²/width) in any engine; sharding replaces that with
+    linear coarse assignment + per-cell work that recursing on cell
+    size bounds. Cluster labels are seed row ids (globally unique
+    vec_ids), so downstream consumers read them exactly like the flat
+    variant's. Deterministic end-to-end — both levels share the
+    bit-exact integer-argmin guard and (dist, label) tie-break.
+    """
+    coarse = S.seed_centroid_table(e, "vec_id", "embedding", k_coarse)
+    base = e.select(
+        "vec_id", S._qlist(F.col("embedding")).alias("__qv")
     )
+    cells = S.assign_centroids_blas(base, "vec_id", coarse).select(
+        "vec_id", "__qv", F.col("cluster").alias("cell")
+    )
+    wrank = Window.partitionBy("cell").orderBy("vec_id")
+    wall = Window.partitionBy("cell")
+    counted = cells.withColumn(
+        "__rn", F.row_number().over(wrank)
+    ).withColumn("__cnt", F.count("*").over(wall))
+    # materialize the coarse assignment once: both the seed selection
+    # and the per-cell assignment consume it (also severs the shared
+    # lineage the analyzer would flag as an ambiguous self-reference
+    # in the cogroup); checkpoint() on a real cluster
+    counted = counted.localCheckpoint(eager=True)
+    k_cell = F.expr(f"(__cnt + {width - 1}) div {width}")
+    seeds = counted.filter(F.col("__rn") <= k_cell).select(
+        "cell",
+        F.col("vec_id").cast("long").alias("__cl"),
+        F.col("__qv").alias("__cent"),
+    )
+    assigned = S.assign_centroids_blas_grouped(
+        counted.select("cell", "vec_id", "__qv"), "vec_id", seeds, "cell"
+    ).localCheckpoint(eager=True)
+    # within-cluster pair scan as ONE grouped Arrow Gram matrix
+    # (semdedup_dropped_blas) — the interpreted per-pair zip_with dot
+    # is the scan's bottleneck at scale (no codegen for higher-order
+    # functions), and cluster sizes here are bounded by the cell size
+    kept = S.semdedup_dropped_blas(
+        assigned.select("cluster", "vec_id", "__qv"),
+        "vec_id", "cluster", _SEMDEDUP_THRESHOLD,
+    )
+    return assigned.select("vec_id", "cell", "cluster").join(
+        kept, "vec_id"
+    )
+
+
+@query(
+    "semdedup_sharded",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id, {_SHARDED_QV} AS qv FROM embeddings
+    ),
+    coarse AS MATERIALIZED (
+        SELECT vec_id AS cl, qv AS cent FROM q
+        ORDER BY vec_id
+        LIMIT (SELECT (count(*) + {_SEMDEDUP_CELL - 1})
+                      // {_SEMDEDUP_CELL} FROM embeddings)
+    ),
+    cells AS MATERIALIZED (
+        SELECT vec_id, qv, cell FROM (
+            SELECT q.vec_id, q.qv, c.cl AS cell,
+                   {_SHARDED_D2.format(a='q.qv', b='c.cent')} AS d
+            FROM q CROSS JOIN coarse c
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY d, c.cl) = 1
+        )
+    ),
+    counted AS MATERIALIZED (
+        SELECT vec_id, qv, cell,
+               count(*) OVER (PARTITION BY cell) AS cnt,
+               row_number() OVER (PARTITION BY cell
+                                  ORDER BY vec_id) AS rn
+        FROM cells
+    ),
+    seeds AS MATERIALIZED (
+        SELECT cell, vec_id AS cl, qv AS cent FROM counted
+        WHERE rn <= (cnt + {_SEMDEDUP_WIDTH - 1}) // {_SEMDEDUP_WIDTH}
+    ),
+    km AS MATERIALIZED (
+        SELECT vec_id, cell, cluster FROM (
+            SELECT m.vec_id, m.cell, s.cl AS cluster,
+                   {_SHARDED_D2.format(a='m.qv', b='s.cent')} AS d
+            FROM counted m JOIN seeds s USING (cell)
+            QUALIFY row_number() OVER (PARTITION BY m.vec_id
+                                       ORDER BY d, s.cl) = 1
+        )
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM km a JOIN km b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {S.qcosine_sql('ea.embedding', 'eb.embedding')}
+              >= {_SEMDEDUP_THRESHOLD}
+    ),
+    dropped AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT km.vec_id, km.cell, km.cluster, d.id_b IS NULL AS is_kept
+    FROM km LEFT JOIN dropped d ON km.vec_id = d.id_b
+    """,
+    tags=["llm-semdedup", "llm-ann-ivf", "J8"],
+)
+def semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level SemDedup (fixed-k coarse cells → per-cell SemDedup)
+    — see ``semdedup_sharded_frame``. The gated variant derives the
+    cell count from the corpus (⌈n/{cell}⌉ with cell=50) so sf0.01
+    already exercises several cells; the bench x100 probe passes a
+    FIXED k_coarse=100, the production configuration whose coarse
+    pass is linear in n."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    k_coarse = -(-e.count() // _SEMDEDUP_CELL)
+    return semdedup_sharded_frame(e, k_coarse)
 
 
 # ---------------------------------------------------------------------------
