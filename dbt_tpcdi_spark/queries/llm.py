@@ -2311,6 +2311,142 @@ def passage_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact-substring spans: the UNALIGNED counterpart of passage_dedup.
+# Chunk-level dedup only sees duplicates that start on a 16-token
+# boundary; the ExactSubstr shape (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" — suffix-array dedup) detects a
+# duplicated run at ANY offset. The suffix array itself doesn't
+# distribute, but its OUTPUT semantic — maximal cross-document
+# duplicated token runs of length ≥ K — decomposes into relational
+# pieces: a rolling K-gram hash at EVERY token offset (explode: n-K+1
+# rows per doc, linear), a shared-gram aggregate (count distinct docs
+# per hash), and an interval-union merge of the surviving start
+# positions (gaps-and-islands window per doc: starts ≤ K apart have
+# touching/overlapping K-token windows, so merged spans are exact
+# interval unions — dup_tokens never double-counts).
+
+_SPAN_K = 8  # gram width = minimum duplicated-run length detected
+
+
+@query(
+    "exact_substring_spans",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, {X.tokens_sql('text')} AS tk FROM documents
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(
+                   list_slice(tk, i, i + {_SPAN_K} - 1), ' ')) AS gh
+        FROM t, range(1, {_PASSAGE_MAX_CHUNKS}) r(i)
+        WHERE i + {_SPAN_K} - 1 <= len(tk)
+    ),
+    shared AS (SELECT gh FROM grams GROUP BY gh
+               HAVING count(DISTINCT doc_id) > 1),
+    dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN shared USING (gh)),
+    flag AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) <= {_SPAN_K}
+                    THEN 0 ELSE 1 END AS brk
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM flag
+    ),
+    spans AS (
+        SELECT doc_id, grp, min(pos) AS s, max(pos) + {_SPAN_K} AS e
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT s.doc_id,
+           cast(count(*) AS bigint) AS n_spans,
+           cast(sum(e - s.s) AS bigint) AS dup_tokens,
+           cast(max(e - s.s) AS bigint) AS max_span_len,
+           cast(floor(sum(e - s.s) * 10000 / any_value(len(t.tk)))
+                AS bigint) AS dup_frac_q
+    FROM spans s JOIN t USING (doc_id)
+    GROUP BY 1
+    """,
+    tags=["llm-dedup-substring", "W7", "A3"],
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated token runs (length ≥ K=8) at
+    ANY offset — the suffix-array ExactSubstr semantic as relational
+    ops. Output per affected doc: span count, exact duplicated-token
+    union, longest span, duplicated fraction (integer ‱).
+
+    Plan shape at 100 TB: the gram explode is a projection (n−K+1 rows
+    per doc — linear in corpus tokens, each row a 16-byte hash + two
+    ids, NOT the K tokens); shared-gram detection is one map-side-
+    combined aggregate on the hash; the only other shuffle is the hash
+    equi-join back, and the island merge is a per-doc window whose
+    partition is one document's duplicated starts. A suffix array
+    would need a global sort of every suffix; this decomposition
+    trades the < K-token tail (runs shorter than K are invisible, as
+    in any K-bounded detector) for shuffle-local linear work."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__tk", X.tokens(F.col("text"))
+    )
+    toks = F.col("__tk")
+    # gram at every start offset: md5 of the K-token window. The
+    # tokenize lives in its own materialized column — inside the
+    # per-offset lambda it would re-split per element (quadratic per
+    # doc, the chunking-lambda pitfall _owned_chunks documents).
+    gram = lambda i: F.md5(  # noqa: E731
+        F.array_join(F.slice(toks, i + 1, _SPAN_K), " ")
+    )
+    grams = (
+        d.filter(F.size(toks) >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tok"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - _SPAN_K), gram
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    shared = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") > 1)
+        .select("gh")
+    )
+    dup = grams.join(shared, "gh").select("doc_id", "n_tok", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = (
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= _SPAN_K, F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("brk")
+    )
+    isl = dup.withColumn("brk", brk).withColumn(
+        "grp",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.first("n_tok").alias("n_tok"),
+        F.min("pos").alias("s"),
+        (F.max("pos") + _SPAN_K).alias("e"),
+    )
+    ln = F.col("e") - F.col("s")
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(ln).cast("long").alias("dup_tokens"),
+        F.max(ln).cast("long").alias("max_span_len"),
+        F.floor(
+            F.sum(ln) * 10000 / F.first("n_tok")
+        ).cast("long").alias("dup_frac_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-source budget capping (the UniMax mixture shape, public
 # literature: cap each source's contribution at a budget; selection
 # within a source is uniform-without-replacement via deterministic
