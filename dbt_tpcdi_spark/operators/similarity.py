@@ -1301,6 +1301,151 @@ def pq_adc_topk_sql(
     """
 
 
+def ivfpq_adc_topk_sql(
+    from_table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    cells: int = 16,
+    blocks: int = 8,
+    codes: int = 16,
+    iters: int = 1,
+    refine: int = 50,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of the full IVFADC pipeline (Jégou et al. 2011,
+    the IVF+residual-PQ composition): coarse seed cells + exact
+    argmin assignment, RESIDUAL vectors ``(q(v) − cell_centroid) /
+    QUANT`` (integers over QUANT — the float round-trips exactly
+    through the shared quantizer, so the plain PQ CTE chains train on
+    residuals unchanged), per-block residual codebooks, per-(vector,
+    block) encode, the query's per-CELL residual (block, code) →
+    distance table, ADC top-``refine``, and an exact quantized-L2
+    re-rank to the final top-``k``."""
+    sub = dim // blocks
+    if sub * blocks != dim:
+        raise ValueError(f"dim {dim} not divisible by blocks {blocks}")
+    qv = (
+        f"list_transform(range(1, {dim} + 1), i -> "
+        f"cast(round(cast({{v}}[i] AS double) * {QUANT}) AS bigint))"
+    )
+    cdist = qdist2_int_sql(f"e.{vec_col}", "c.ccent")
+    ctes = [
+        f"""__cc AS MATERIALIZED (
+            SELECT cast({id_col} AS bigint) AS cell,
+                   {qv.format(v=vec_col)} AS ccent
+            FROM {from_table}
+            QUALIFY row_number() OVER (ORDER BY {id_col}) <= {cells}
+        )""",
+        f"""__casg AS MATERIALIZED (
+            SELECT e.{id_col}, c.cell, c.ccent, e.{vec_col}
+            FROM {from_table} e CROSS JOIN __cc c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.{id_col} ORDER BY {cdist}, c.cell) = 1
+        )""",
+        # residual as float: exact — both terms are integers over
+        # QUANT, so /QUANT then the shared round(×QUANT) round-trips
+        f"""__res AS MATERIALIZED (
+            SELECT {id_col}, cell,
+                   list_transform(range(1, {dim} + 1), i ->
+                       (cast(round(cast({vec_col}[i] AS double)
+                            * {QUANT}) AS bigint) - ccent[i])
+                       / cast({QUANT} AS double)) AS rv
+            FROM __casg
+        )""",
+    ]
+    for b in range(blocks):
+        lo, hi = b * sub + 1, (b + 1) * sub
+        ctes.append(
+            f"""__pqs{b} AS MATERIALIZED (
+                SELECT {id_col}, rv[{lo}:{hi}] AS sv FROM __res
+            )"""
+        )
+        km = kmeans_sql(
+            f"__pqs{b}", id_col, "sv", dim=sub, k=codes, iters=iters,
+            final="cents",
+        )
+        ctes.append(
+            f"""__pqcb{b} AS MATERIALIZED (
+                SELECT {b} AS block, c, centroid FROM ({km})
+            )"""
+        )
+    cb_union = " UNION ALL ".join(
+        f"SELECT * FROM __pqcb{b}" for b in range(blocks)
+    )
+    ctes.append(f"__pqcb AS MATERIALIZED ({cb_union})")
+    sv_union = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS block, "
+        f"rv[{b * sub + 1}:{(b + 1) * sub}] AS sv FROM __res"
+        for b in range(blocks)
+    )
+    ctes.append(f"__pqsv AS MATERIALIZED ({sv_union})")
+    dist = qdist2_int_sql("e.sv", "c.centroid")
+    ctes.append(
+        f"""__pqcode AS MATERIALIZED (
+            SELECT e.{id_col}, e.block, c.c AS code
+            FROM __pqsv e JOIN __pqcb c USING (block)
+            QUALIFY row_number() OVER (
+                PARTITION BY e.{id_col}, e.block
+                ORDER BY {dist}, c.c) = 1
+        )"""
+    )
+    # the query's residual w.r.t. EVERY cell (cells rows), sliced to
+    # per-block subvectors → the (cell, block, code) → d lookup table
+    ctes.append(
+        f"""__qrow AS MATERIALIZED (
+            SELECT {qv.format(v=vec_col)} AS qq
+            FROM {from_table} ORDER BY {id_col} LIMIT 1
+        )""",
+    )
+    ctes.append(
+        f"""__qres AS MATERIALIZED (
+            SELECT c.cell,
+                   list_transform(range(1, {dim} + 1), i ->
+                       (q.qq[i] - c.ccent[i])
+                       / cast({QUANT} AS double)) AS rv
+            FROM __cc c CROSS JOIN __qrow q
+        )""",
+    )
+    qsv_union = " UNION ALL ".join(
+        f"SELECT cell, {b} AS block, "
+        f"rv[{b * sub + 1}:{(b + 1) * sub}] AS sv FROM __qres"
+        for b in range(blocks)
+    )
+    ctes.append(f"__qsv AS MATERIALIZED ({qsv_union})")
+    qdist = qdist2_int_sql("q.sv", "c.centroid")
+    ctes.append(
+        f"""__pqd AS MATERIALIZED (
+            SELECT q.cell, c.block, c.c AS code, {qdist} AS d
+            FROM __pqcb c JOIN __qsv q USING (block)
+        )"""
+    )
+    ctes.append(
+        f"""__adc AS MATERIALIZED (
+            SELECT e.{id_col}, a.cell,
+                   cast(sum(d.d) AS bigint) AS adc_dist2
+            FROM __pqcode e
+            JOIN __casg a USING ({id_col})
+            JOIN __pqd d ON a.cell = d.cell AND e.block = d.block
+                         AND e.code = d.code
+            GROUP BY 1, 2
+            ORDER BY adc_dist2 ASC, {id_col} ASC
+            LIMIT {refine}
+        )"""
+    )
+    rr = qdist2_raw_sql(f"e.{vec_col}", "q.qv2")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT a.{id_col}, {rr} AS dist2
+    FROM __adc a
+    JOIN {from_table} e USING ({id_col})
+    CROSS JOIN (SELECT {vec_col} AS qv2 FROM {from_table}
+                ORDER BY {id_col} LIMIT 1) q
+    ORDER BY dist2 ASC, a.{id_col} ASC
+    LIMIT {k}
+    """
+
+
 def qdist2_raw_sql(a: str, b: str) -> str:
     """Exact integer squared distance between two RAW float vectors
     (both sides quantized in-expression) — DuckDB twin of

@@ -577,6 +577,138 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+_IVFPQ_CELLS = 16
+#: 6 bits/block × 8 blocks = 48-bit codes + a 200-candidate exact
+#: refine: the measured floor on the planted bench corpus (2k
+#: near-identical vectors per cluster) is recall@10 = 0.8 at
+#: (64, 200); 32-bit codes with refine 50 rank ~randomly within a
+#: cluster (ADC error ≫ neighbor gaps) and recall collapses to 1/k
+_IVFPQ_CODES = 64
+_IVFPQ_REFINE = 200
+
+
+@query(
+    "ivfpq_ann_topk",
+    oracle=S.ivfpq_adc_topk_sql(
+        "embeddings", "vec_id", "embedding", dim=64,
+        cells=_IVFPQ_CELLS, blocks=8, codes=_IVFPQ_CODES, iters=1,
+        refine=_IVFPQ_REFINE, k=10,
+    ),
+    tags=["llm-ann-pq", "llm-ann-ivf", "llm-kmeans", "iterative"],
+)
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFADC (Jégou et al. 2011 — the production IVF+PQ
+    composition): coarse cells + exact broadcast-argmin assignment,
+    per-block codebooks trained on RESIDUALS (vector − cell
+    centroid), and asymmetric distance computed against the query's
+    per-CELL residual — then an exact quantized-L2 re-rank of the ADC
+    top-{refine}. Residual encoding is what gives PQ within-cell
+    resolution: flat PQ's codes saturate at cluster granularity
+    (``pq_ann_topk``'s documented fine-recall ceiling), while the
+    residual codebooks spend all {codes}^{blocks} code combinations
+    on WITHIN-cell variation.
+
+    Exactness: residuals are integers over QUANT rendered as floats
+    (``(q(v) − cent)/QUANT``), which round-trip bit-exactly through
+    the shared quantizer — so codebook training, encode, and ADC run
+    the UNCHANGED integer-exact PQ machinery and the DuckDB twin
+    follows every step. Scale shape: the coarse pass is Θ(n·cells);
+    the ADC lookup table is cells·blocks·codes broadcast rows; the
+    re-rank touches {refine} rows. No cartesian anywhere (the two
+    crossJoins are broadcasts of ≤cells-row metadata)."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    return ivfpq_ann_topk_frame(
+        e, cells=_IVFPQ_CELLS, blocks=8, codes=_IVFPQ_CODES,
+        refine=_IVFPQ_REFINE, k=10,
+    )
+
+
+def ivfpq_ann_topk_frame(
+    e: DataFrame,
+    cells: int,
+    blocks: int,
+    codes: int,
+    refine: int,
+    k: int,
+    dim: int = 64,
+) -> DataFrame:
+    """Parameterized IVFADC body — see ``ivfpq_ann_topk``. ``blocks``
+    × ``codes`` sets the fine resolution (bits per vector =
+    blocks·log2(codes)); ``refine`` bounds the exact re-rank."""
+    cents = S.seed_centroid_table(e, "vec_id", "embedding", cells)
+    base = e.select(
+        "vec_id", S._qlist(F.col("embedding")).alias("__qv")
+    )
+    asg = S.assign_centroids_bcast(base, "vec_id", cents)
+    resid = (
+        asg.join(
+            F.broadcast(cents), asg["cluster"] == cents["__cl"]
+        )
+        .select(
+            "vec_id",
+            F.col("cluster").alias("cell"),
+            F.zip_with(
+                F.col("__qv"),
+                F.col("__cent"),
+                lambda a, b: (a - b) / F.lit(10000.0),
+            ).alias("__rv"),
+        )
+        # consumed by per-block codebook trainings + encode + the
+        # cell join; checkpoint() on a real cluster
+        .localCheckpoint(eager=True)
+    )
+    cb = S.pq_codebooks(
+        resid, "vec_id", "__rv", dim, blocks=blocks, codes=codes,
+        iters=1, assign_mode="broadcast",
+    )
+    pq_codes = S.pq_encode(
+        resid, "vec_id", "__rv", cb, dim, blocks=blocks
+    ).join(resid.select("vec_id", "cell"), "vec_id")
+    # the query's residual w.r.t. EVERY cell → (cell, block, code) → d
+    qrow = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(S._qlist(F.col("embedding")).alias("__qq"))
+    )
+    qres = (
+        F.broadcast(cents)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            F.col("__cl").alias("cell"),
+            F.zip_with(
+                F.col("__qq"),
+                F.col("__cent"),
+                lambda a, b: (a - b) / F.lit(10000.0),
+            ).alias("__rv"),
+        )
+    )
+    qsv = qres.select(
+        "cell",
+        F.explode(
+            S._subvector_structs("__rv", dim, blocks)
+        ).alias("__s"),
+    ).select("cell", "__s.block", "__s.__qsv")
+    d = S.qdist2_q(F.col("__qsv"), F.col("__cent"))
+    dtab = cb.join(qsv, "block").select(
+        "cell", "block", F.col("__cl").alias("code"), d.alias("d")
+    )
+    adc = (
+        pq_codes.join(F.broadcast(dtab), ["cell", "block", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist2"))
+        .orderBy(F.col("adc_dist2").asc(), F.col("vec_id").asc())
+        .limit(refine)
+    )
+    rr = S.qdist2_q(F.col("__qv"), F.col("__qq"))
+    return (
+        adc.join(base, "vec_id")
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", rr.alias("dist2"))
+        .orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 @query(
     "kmeans_assign_ivf_trained",
     oracle=S.assign_ivf_sql(
@@ -1002,6 +1134,11 @@ _ANN_RECALL_ORACLE = f"""
         SELECT vec_id FROM ({S.pq_adc_topk_sql(
             'embeddings', 'vec_id', 'embedding', dim=64,
             blocks=8, codes=16, iters=1, k=10)})
+    ),
+    ivfpq AS (
+        SELECT vec_id FROM ({S.ivfpq_adc_topk_sql(
+            'embeddings', 'vec_id', 'embedding', dim=64,
+            cells=16, blocks=8, codes=64, iters=1, refine=200, k=10)})
     )
     SELECT method, cast(n_hits AS bigint) AS n_hits,
            cast(n_hits AS double) / cast(10.0 AS double) AS recall
@@ -1015,6 +1152,9 @@ _ANN_RECALL_ORACLE = f"""
         UNION ALL
         SELECT 'pq',
                (SELECT count(*) FROM pq JOIN brute_l2 USING (vec_id))
+        UNION ALL
+        SELECT 'ivfpq',
+               (SELECT count(*) FROM ivfpq JOIN brute_l2 USING (vec_id))
     )
     """
 
@@ -1031,9 +1171,12 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot-product top-10 (their metric), PQ/ADC against the exact
     quantized-L2 top-10 (its metric — ADC approximates distance, not
     similarity, so grading it against the dot ground truth would
-    conflate metric with approximation error). Composes the four
-    already-gated ANN queries; 10-row set intersections are
-    metadata-sized joins. Output: (method, n_hits, recall)."""
+    conflate metric with approximation error), and residual IVFADC
+    (``ivfpq_ann_topk``) against the same exact-L2 truth — the rung
+    whose refine step should close the fine-recall gap flat PQ is
+    resolution-bound on. Composes the already-gated ANN queries;
+    10-row set intersections are metadata-sized joins. Output:
+    (method, n_hits, recall)."""
     brute = ann_topk(spark, sf_dir).select("vec_id")
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(
@@ -1054,6 +1197,8 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh", ann_lsh_topk(spark, sf_dir).select("vec_id"), brute),
         ("ivf", ann_ivf_topk(spark, sf_dir).select("vec_id"), brute),
         ("pq", pq_ann_topk(spark, sf_dir).select("vec_id"), brute_l2),
+        ("ivfpq", ivfpq_ann_topk(spark, sf_dir).select("vec_id"),
+         brute_l2),
     ]
     out = None
     for method, approx, exact in pairs:
@@ -2443,6 +2588,140 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             F.sum(ln) * 10000 / F.first("n_tok")
         ).cast("long").alias("dup_frac_q"),
+    )
+
+
+@query(
+    "exact_substring_excise",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, {X.tokens_sql('text')} AS tk FROM documents
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(
+                   list_slice(tk, i, i + {_SPAN_K} - 1), ' ')) AS gh
+        FROM t, range(1, {_PASSAGE_MAX_CHUNKS}) r(i)
+        WHERE i + {_SPAN_K} - 1 <= len(tk)
+    ),
+    owner AS (SELECT gh, min(doc_id) AS keep_doc FROM grams GROUP BY 1),
+    flagged AS (
+        SELECT g.doc_id, g.pos FROM grams g JOIN owner o USING (gh)
+        WHERE o.keep_doc < g.doc_id
+    ),
+    flag AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) <= {_SPAN_K}
+                    THEN 0 ELSE 1 END AS brk
+        FROM flagged
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM flag
+    ),
+    spans AS MATERIALIZED (
+        SELECT doc_id, grp, min(pos) AS s, max(pos) + {_SPAN_K} AS e
+        FROM isl GROUP BY 1, 2
+    ),
+    toks AS (
+        SELECT t.doc_id, r.i - 1 AS idx, t.tk[r.i] AS tok
+        FROM t, range(1, {_PASSAGE_MAX_CHUNKS}) r(i)
+        WHERE r.i <= len(t.tk)
+    ),
+    kept AS (
+        SELECT x.doc_id, x.idx, x.tok
+        FROM toks x
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = x.doc_id AND x.idx >= s.s AND x.idx < s.e)
+    )
+    SELECT t.doc_id,
+           cast(len(t.tk) AS bigint) AS n_tok,
+           cast(len(t.tk) - coalesce(kc.n_kept, 0) AS bigint)
+               AS n_excised,
+           md5(coalesce(kc.kept_text, '')) AS new_text_md5
+    FROM t LEFT JOIN (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY idx) AS kept_text
+        FROM kept GROUP BY 1
+    ) kc USING (doc_id)
+    """,
+    tags=["llm-dedup-substring", "J4", "A2"],
+)
+def exact_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side ExactSubstr: REMOVE every duplicated run whose
+    first occurrence (min doc_id over the gram's occurrences) lives in
+    another document, and reassemble the surviving text — the corpus
+    you train on. Within-doc repeats a doc itself owns survive (same
+    convention as ``passage_excise``). Output per doc (ALL docs):
+    token count, excised-token count, md5 of the reassembled text.
+
+    Plan shape at 100 TB: grams/owner/flagged are the linear explode +
+    map-side-combined min + equi-join of ``exact_substring_spans``;
+    span merge is the same per-doc islands window; excision itself is
+    a PROJECTION — the doc's merged foreign spans come back as one
+    collected array (bounded by the doc's own span count) and an
+    index-aware ``filter`` drops covered tokens in place, so no
+    per-token shuffle ever happens."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__tk", X.tokens(F.col("text"))
+    )
+    toks = F.col("__tk")
+    gram = lambda i: F.md5(  # noqa: E731
+        F.array_join(F.slice(toks, i + 1, _SPAN_K), " ")
+    )
+    grams = (
+        d.filter(F.size(toks) >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - _SPAN_K), gram
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    owner = grams.groupBy("gh").agg(F.min("doc_id").alias("keep_doc"))
+    flagged = (
+        grams.join(owner, "gh")
+        .filter(F.col("keep_doc") < F.col("doc_id"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.withColumn(
+        "brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= _SPAN_K, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = (
+        isl.groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + _SPAN_K).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
+    )
+    base = d.select("doc_id", "__tk").join(spans, "doc_id", "left")
+    sp = F.coalesce(
+        F.col("__spans"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            sp, lambda r: (i >= r["s"]) & (i < r["e"])
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_excised"),
+        F.md5(F.array_join(kept, " ")).alias("new_text_md5"),
     )
 
 

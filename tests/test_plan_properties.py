@@ -352,3 +352,28 @@ def test_pq_ann_plan_no_cartesian(spark):
 def test_ann_recall_plan_no_cartesian(spark):
     plan = _plan(spark, "ann_recall")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_ann_plan_no_cartesian_no_collect(spark):
+    # residual IVFADC: coarse assign + 8 residual codebook trainings +
+    # encode + per-cell ADC + exact refine — the crossJoins are
+    # ≤cells-row metadata broadcasts, never a data cartesian
+    plan = _plan(spark, "ivfpq_ann_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    import inspect
+
+    from dbt_tpcdi_spark.queries import llm
+
+    assert ".collect(" not in inspect.getsource(llm.ivfpq_ann_topk_frame)
+
+
+def test_exact_substring_excise_plan_linear(spark):
+    import re
+
+    # gram explode → owner agg → equi-join → per-doc window → filter
+    # projection: no cartesian, no global sort (per-doc windows only)
+    plan = _plan(spark, "exact_substring_excise")
+    assert "CartesianProduct" not in plan, plan
+    assert not re.search(r"Sort \[[^\]]*\], true", plan), plan

@@ -359,3 +359,32 @@ def test_pq_codebooks_encode_properties(spark):
                                  blocks=8).collect()}
     assert got7 == {(r["vec_id"], r["block"]): (r["code"], r["dist2"])
                     for r in got}
+
+
+def test_exact_substring_excise_invariants(spark):
+    """Cross-query semantics: excision removes foreign-owned runs
+    (owner = min doc_id per gram), spans flags ALL shared-gram runs —
+    so excised docs ⊆ spans docs, per-doc excised ≤ shared union, and
+    the globally smallest doc in spans owns everything it shares."""
+    from dbt_tpcdi_spark.queries import all_queries
+    from tests.conftest import SF_SMOKE
+
+    qs = all_queries()
+    exc = {
+        r["doc_id"]: (r["n_tok"], r["n_excised"])
+        for r in qs["exact_substring_excise"].build(spark, SF_SMOKE).collect()
+    }
+    spans = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in qs["exact_substring_spans"].build(spark, SF_SMOKE).collect()
+    }
+    assert spans, "smoke corpus has no shared runs — test is vacuous"
+    excised = {d for d, (_, n) in exc.items() if n > 0}
+    assert excised, "smoke corpus excises nothing — test is vacuous"
+    assert excised <= set(spans)
+    for d in excised:
+        n_tok, n_exc = exc[d]
+        assert 0 < n_exc <= n_tok
+        assert n_exc <= spans[d]  # foreign-owned ⊆ shared
+    # every gram the minimal spans-doc shares has owner == itself
+    assert exc[min(spans)][1] == 0
