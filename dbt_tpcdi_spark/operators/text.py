@@ -1037,6 +1037,23 @@ def _dsir_bucket_sql(s: str) -> str:
     )
 
 
+def md5_60bit(s: Column) -> Column:
+    """60-bit uniform integer from the md5 prefix (15 hex chars) —
+    the KMV sketch's hash domain. Fits signed int64 with headroom for
+    the ``2^60 div v`` estimator arithmetic; cross-engine identical
+    (same md5-prefix idiom as ``_dsir_bucket``)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def md5_60bit_sql(s: str) -> str:
+    powers = [16 ** (15 - i) for i in range(1, 16)]
+    return (
+        "list_sum(list_transform(range(1, 16), i -> "
+        f"cast(strpos('0123456789abcdef', substr(md5({s}), i, 1)) - 1 "
+        f"AS bigint) * cast({powers}[i] AS bigint)))::bigint"
+    )
+
+
 def dsir_scores(
     df: DataFrame,
     id_col: str,

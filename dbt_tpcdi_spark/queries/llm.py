@@ -353,6 +353,307 @@ def tf_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 64
+_KMV_BUCKETS = 16
+_KMV_SALT = "kmv-v1|"
+_KMV_H60 = X.md5_60bit_sql(f"'{_KMV_SALT}' || tok")
+
+
+@query(
+    "kmv_distinct",
+    oracle=f"""
+    WITH tk AS (
+        SELECT source, {X.tokens_sql('text')} AS tk FROM documents
+    ),
+    toks AS (
+        SELECT source, unnest(list_transform(range(1, len(tk)),
+                              i -> tk[i] || ' ' || tk[i + 1])) AS tok
+        FROM tk WHERE len(tk) >= 2
+    ),
+    th AS MATERIALIZED (
+        SELECT DISTINCT source, {_KMV_H60} AS h FROM toks
+    ),
+    cand AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (
+                       PARTITION BY source, h % {_KMV_BUCKETS}
+                       ORDER BY h) AS rn
+            FROM th
+        ) WHERE rn <= {_KMV_K}
+    ),
+    rk AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM cand
+    ),
+    sk AS (
+        SELECT source,
+               max(CASE WHEN rn = {_KMV_K} THEN h END) AS vk,
+               count(*) AS ncand
+        FROM rk GROUP BY 1
+    ),
+    ex AS (SELECT source, cast(count(*) AS bigint) AS exact_distinct
+           FROM th GROUP BY 1),
+    nd AS (SELECT source, cast(count(*) AS bigint) AS n_docs
+           FROM documents GROUP BY 1)
+    SELECT s.source, nd.n_docs, ex.exact_distinct,
+           CASE WHEN s.vk IS NULL THEN cast(s.ncand AS bigint)
+                ELSE cast(({1 << 60} // s.vk) * {_KMV_K - 1} AS bigint)
+           END AS kmv_est,
+           abs(CASE WHEN s.vk IS NULL THEN cast(s.ncand AS bigint)
+                    ELSE cast(({1 << 60} // s.vk) * {_KMV_K - 1}
+                              AS bigint)
+               END - ex.exact_distinct) * 8 <= 3 * ex.exact_distinct
+               AS within_3sigma
+    FROM sk s JOIN ex USING (source) JOIN nd USING (source)
+    """,
+    tags=["llm-sketch", "A1", "W3"],
+)
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-cardinality sketch per source —
+    bigram-shingle vocabulary size without a global distinct
+    (Bar-Yossef et al. 2002, the bottom-k estimator): keep the k
+    smallest distinct 60-bit shingle hashes; estimate = (k−1)/r_k
+    where r_k is the kth value as a fraction of the hash space.
+    Shingles (not unigrams) so the estimator branch is actually
+    exercised at every test SF — the bench corpus's unigram vocab is
+    ~31 per source, under k. UNLIKE ``approx_distinct`` (HLL, whose
+    sketch bytes can't cross engines) every step here is deterministic
+    integer math, so the DuckDB twin reproduces the sketch bit for bit
+    — and the estimator floor-divides hash-space first
+    (``(2^60 div v_k)·(k−1)``) so neither engine overflows int64.
+
+    Scale shape (the reason KMV, not count_distinct, at 100 TB): the
+    per-(source, hash) dedup is one map-side-combined aggregate; the
+    bottom-k then runs TWO-LEVEL — a per-(source, h mod B) bucket
+    window keeps ≤ k rows each, so the final per-source window sorts
+    ≤ B·k candidate rows no matter the corpus size. Bucket top-k is
+    prefix-closed under the global order, so the union provably
+    contains the global bottom-k (each global bottom-k element is in
+    its own bucket's bottom-k) — structurally exact, never sampled.
+    Sketches are mergeable (bottom-k of unions = bottom-k of
+    concatenated sketches), which is what makes the estimator
+    incremental across corpus shards. ``exact_distinct`` +
+    ``within_3sigma`` (3σ = 3/√k, integer ‰ math) ride along as the
+    audit columns; a production run at 100 TB would drop them."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__tk", X.tokens(F.col("text"))
+    )
+    toks = d.filter(F.size("__tk") >= 2).select(
+        "source",
+        F.explode(X._ngrams_linear(F.col("__tk"), 2)).alias("tok"),
+    )
+    th = toks.select(
+        "source",
+        X.md5_60bit(F.concat(F.lit(_KMV_SALT), F.col("tok"))).alias("h"),
+    ).distinct()
+    wb = Window.partitionBy(
+        "source", F.pmod(F.col("h"), F.lit(_KMV_BUCKETS))
+    ).orderBy("h")
+    cand = (
+        th.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    ws = Window.partitionBy("source").orderBy("h")
+    rk = cand.withColumn("__rn", F.row_number().over(ws))
+    sk = rk.groupBy("source").agg(
+        F.max(F.when(F.col("__rn") == _KMV_K, F.col("h"))).alias("vk"),
+        F.count("*").alias("__ncand"),
+    )
+    ex = th.groupBy("source").agg(
+        F.count("*").cast("long").alias("exact_distinct")
+    )
+    nd = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    est = F.when(
+        F.col("vk").isNull(), F.col("__ncand").cast("long")
+    ).otherwise(
+        F.expr(f"({1 << 60} div vk) * {_KMV_K - 1}").cast("long")
+    )
+    return (
+        sk.join(ex, "source")
+        .join(nd, "source")
+        .select(
+            "source",
+            "n_docs",
+            "exact_distinct",
+            est.alias("kmv_est"),
+            (
+                F.abs(est - F.col("exact_distinct")) * 8
+                <= 3 * F.col("exact_distinct")
+            ).alias("within_3sigma"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed linear-model fitting as aggregation: a quality-regression
+# fit is ONE Gram-matrix pass (sufficient statistics), the solve is an
+# O(d^3) driver step on a d*(d+1)/2-entry table — the classic
+# scale-out shape for linear models (features here are integer-exact
+# text statistics, so the sufficient statistics hash-match cross-engine)
+
+_RIDGE_D = 5  # [intercept, n_chars, n_punct, n_digit, target=n_tokens]
+_RIDGE_PAIRS = [
+    (i, j) for i in range(_RIDGE_D) for j in range(i, _RIDGE_D)
+]
+#: DuckDB expressions for the feature vector, index-aligned with
+#: _ridge_features; the regexp_replace 'g' flag mirrors Spark's
+#: replace-all default (quality_features_sql idiom)
+_RIDGE_FEATS_SQL = [
+    "cast(1 AS bigint)",
+    "cast(length(text) AS bigint)",
+    "cast(length(text) - length(regexp_replace(text, "
+    "'[^a-zA-Z0-9\\s]', '', 'g')) AS bigint)",
+    "cast(length(text) - length(regexp_replace(text, "
+    "'[0-9]', '', 'g')) AS bigint)",
+    f"cast({X.token_count_sql('text')} AS bigint)",
+]
+_RIDGE_GRAM_ORACLE = f"""
+    WITH f AS (
+        SELECT {', '.join(f'{e} AS z{i}'
+                          for i, e in enumerate(_RIDGE_FEATS_SQL))}
+        FROM documents
+    ),
+    agg AS (
+        SELECT {', '.join(f'cast(sum(z{i} * z{j}) AS bigint) AS s{i}{j}'
+                          for i, j in _RIDGE_PAIRS)}
+        FROM f
+    )
+    {' UNION ALL '.join(
+        f'SELECT {i} AS i, {j} AS j, s{i}{j} AS s FROM agg'
+        for i, j in _RIDGE_PAIRS)}
+"""
+
+
+def _ridge_features(d: DataFrame) -> list:
+    """Integer-exact per-document feature columns, index-aligned with
+    _RIDGE_FEATS_SQL: [1, chars, punct chars, digit chars, tokens]."""
+    c = F.col("text")
+    return [
+        F.lit(1).cast("long"),
+        F.length(c).cast("long"),
+        (
+            F.length(c)
+            - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+        ).cast("long"),
+        (
+            F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+        ).cast("long"),
+        X.token_count(c).cast("long"),
+    ]
+
+
+def _ridge_gram(d: DataFrame) -> DataFrame:
+    """One-row Gram aggregate s{i}{j} = Σ_docs z_i·z_j over the
+    (d+1)-vector [features…, target] — a SINGLE map-side-combined
+    aggregation pass (no explode: 15 sums ride one partial-agg), the
+    whole distributed cost of fitting a linear model."""
+    z = _ridge_features(d)
+    return d.agg(
+        *(
+            F.sum(z[i] * z[j]).cast("long").alias(f"s{i}{j}")
+            for i, j in _RIDGE_PAIRS
+        )
+    )
+
+
+@query(
+    "ridge_normal_equations",
+    oracle=_RIDGE_GRAM_ORACLE,
+    tags=["llm-model-fit", "A1"],
+)
+def ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sufficient statistics for a ridge quality-regression (predict
+    token count from char/punct/digit counts) as ONE distributed
+    aggregation: the upper triangle of the Gram matrix Σ z zᵀ over
+    [1, n_chars, n_punct, n_digit, n_tokens]. Features are integer
+    (regex char-class counts, whitespace token count), so every sum is
+    exact and the twin hash-matches bit for bit.
+
+    This is the 100-TB shape for linear-model training: the corpus is
+    touched ONCE by a map-side-combined aggregate producing
+    d·(d+1)/2 + d + 1 numbers; everything after (the solve) is O(d³)
+    on metadata. Overflow headroom: |z| ≤ ~10⁴ per doc ⇒ products
+    ≤ 10⁸, int64 holds corpus sums to ~10¹⁰ docs; beyond that, shard
+    the aggregate and merge (Gram sums are associative). Output:
+    (i, j, s) rows, i ≤ j."""
+    d = load_table(spark, sf_dir, "documents")
+    stack = ", ".join(f"{i}, {j}, s{i}{j}" for i, j in _RIDGE_PAIRS)
+    return _ridge_gram(d).select(
+        F.expr(
+            f"stack({len(_RIDGE_PAIRS)}, {stack}) AS (i, j, s)"
+        )
+    )
+
+
+@query(
+    "ridge_fit",
+    oracle=f"""
+    WITH g AS ({_RIDGE_GRAM_ORACLE})
+    SELECT i AS coef_idx, s AS xty,
+           true AS solve_ok, true AS fit_improves
+    FROM g WHERE j = {_RIDGE_D - 1} AND i < {_RIDGE_D - 1}
+    """,
+    tags=["llm-model-fit", "A1", "iterative"],
+)
+def ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ridge fit on the ``ridge_normal_equations``
+    sufficient statistics: collect the Gram upper triangle (ONE row of
+    15 int64s — metadata-sized by construction, the documented-collect
+    pattern), solve (XᵀX + λI)β = Xᵀy with numpy on the driver, and
+    verify the fit DISTRIBUTED: β broadcast back as literals into one
+    aggregate computing SSR and SST.
+
+    Float seams are graded the ``approx_distinct`` way — the checked
+    columns are the exact integer Xᵀy plus wide-margin booleans
+    (``solve_ok``: normal-equation relative residual < 1e-6;
+    ``fit_improves``: R² ≥ 0.5, i.e. the regression beats the
+    intercept-only model) that numeric noise cannot flip; the DuckDB
+    twin recomputes the exact integers and literal ``true``. β itself
+    is floats and intentionally not in the checked output."""
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents")
+    row = _ridge_gram(d).collect()[0]  # 15 int64s: metadata-sized
+    dd = _RIDGE_D - 1  # predictor count (incl. intercept)
+    A = np.zeros((dd, dd))
+    b = np.zeros(dd)
+    for i, j in _RIDGE_PAIRS:
+        s = float(row[f"s{i}{j}"])
+        if j < dd:
+            A[i, j] = A[j, i] = s
+        elif i < dd:
+            b[i] = s
+    n = float(row["s00"])
+    sum_y, sum_yy = float(row[f"s0{dd}"]), float(row[f"s{dd}{dd}"])
+    lam = 1e-3 * max(np.trace(A) / dd, 1.0)
+    beta = np.linalg.solve(A + lam * np.eye(dd), b)
+    resid = A @ beta - b
+    solve_ok = bool(
+        np.linalg.norm(resid) <= 1e-6 * max(np.linalg.norm(b), 1.0)
+        + lam * np.linalg.norm(beta)
+    )
+    # distributed verification: SSR via one aggregate with β literal
+    z = _ridge_features(d)
+    pred = sum(F.lit(float(beta[i])) * z[i] for i in range(dd))
+    ssr = d.agg(
+        F.sum(F.pow(z[dd] - pred, F.lit(2.0))).alias("ssr")
+    ).collect()[0]["ssr"]
+    sst = sum_yy - sum_y * sum_y / max(n, 1.0)
+    fit_improves = bool(ssr <= 0.5 * sst)
+    return spark.createDataFrame(
+        [
+            (i, int(row[f"s{i}{dd}"]), solve_ok, fit_improves)
+            for i in range(dd)
+        ],
+        "coef_idx int, xty bigint, solve_ok boolean, fit_improves boolean",
+    )
+
+
 _PACK_BUDGET = 2048
 
 
@@ -1685,6 +1986,92 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rw = Window.partitionBy("source").orderBy(
         F.md5(F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(rw).alias("samp_rank")
+    )
+    return ranked.join(F.broadcast(ks), "source").filter(
+        F.col("samp_rank") <= F.col("k")
+    ).select("doc_id", "source", "samp_rank")
+
+
+_TEMP_SALT = "temp-mix-v1|"
+
+
+@query(
+    "temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT source, n,
+               cast(floor(sqrt(cast(n AS double)) * 1000000.0)
+                    AS bigint) AS u
+        FROM counts
+    ),
+    tot AS (SELECT cast(sum(u) AS bigint) AS wsum FROM w),
+    caps AS (
+        SELECT source, n, u, (n * wsum) // u AS cap FROM w, tot
+    ),
+    feasible AS (SELECT min(cap) AS t FROM caps),
+    ks AS (
+        SELECT source, cast((t * u) // wsum AS bigint) AS k
+        FROM caps, feasible, tot
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{_TEMP_SALT}' || cast(doc_id AS varchar)),
+                            doc_id) AS samp_rank
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.samp_rank
+    FROM ranked r JOIN ks USING (source)
+    WHERE r.samp_rank <= ks.k
+    """,
+    tags=["llm-mixture-sampling", "A1", "W3"],
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced domain mixture (the mT5/multilingual
+    p_i ∝ n_i^α scheme at α = 1/2): each source's sampling weight is
+    √(its size), flattening the natural distribution so head sources
+    stop dominating while tail sources still scale with their data.
+    Same feasibility/sizing skeleton as ``mixture_sample`` (largest
+    total keeping exact proportions, floor division throughout) — the
+    operator that changes is the WEIGHT: n^α instead of a configured
+    table.
+
+    Exactness at α = 1/2 without a float seam: IEEE 754 requires
+    sqrt to be correctly rounded (unlike pow/exp/log, which is why
+    general α isn't hash-matchable cross-engine), and
+    ``floor(1e6·sqrt(n))`` quantizes the weight to an integer on the
+    binary double directly (floor, not round — round() disagrees
+    between engines on rep-boundary ties). All downstream sizing is
+    the bit-identical integer math of ``mixture_sample``; selection is
+    the salted-md5 per-source rank, reproducible on any cluster
+    layout. Scale: sizing aggregates are one row per source; the only
+    data-scale work is the per-source rank window."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    w = counts.withColumn(
+        "u",
+        F.floor(
+            F.sqrt(F.col("n").cast("double")) * F.lit(1000000.0)
+        ).cast("bigint"),
+    )
+    tot = w.agg(F.sum("u").cast("bigint").alias("wsum"))
+    caps = w.crossJoin(F.broadcast(tot)).withColumn(
+        "cap", F.expr("(n * wsum) div u")
+    )
+    feasible = caps.agg(F.min("cap").alias("t"))
+    ks = caps.crossJoin(F.broadcast(feasible)).select(
+        "source", F.expr("cast((t * u) div wsum AS bigint)").alias("k")
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit(_TEMP_SALT), F.col("doc_id").cast("string"))),
         "doc_id",
     )
     ranked = d.select(

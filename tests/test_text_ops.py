@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dbt_tpcdi_spark.operators.dedup import jaccard_pairs_bitset, \
@@ -388,3 +389,68 @@ def test_exact_substring_excise_invariants(spark):
         assert n_exc <= spans[d]  # foreign-owned ⊆ shared
     # every gram the minimal spans-doc shares has owner == itself
     assert exc[min(spans)][1] == 0
+
+
+def test_kmv_bucket_union_contains_global_bottom_k(spark):
+    """Structural exactness of the two-level bottom-k: the union of
+    per-bucket bottom-k provably contains the global bottom-k, so the
+    sketch's kth value equals the true kth smallest distinct hash."""
+    import random
+
+    rng = random.Random(7)
+    vals = list({rng.randrange(1 << 60) for _ in range(5000)})
+    df = spark.createDataFrame([(v,) for v in vals], "h long")
+    k, B = 64, 16
+    wb = Window.partitionBy(F.pmod(F.col("h"), F.lit(B))).orderBy("h")
+    cand = [
+        r.h
+        for r in df.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= k)
+        .collect()
+    ]
+    assert sorted(cand)[:k] == sorted(vals)[:k]
+    # mergeability: bottom-k of two shard sketches == bottom-k of union
+    half = len(vals) // 2
+    s1 = sorted(vals[:half])[:k]
+    s2 = sorted(vals[half:])[:k]
+    assert sorted(s1 + s2)[:k] == sorted(vals)[:k]
+
+
+def test_ridge_gram_is_single_aggregation_pass(spark):
+    from dbt_tpcdi_spark.queries import all_queries
+    from tests.conftest import SF_SMOKE
+
+    df = all_queries()["ridge_normal_equations"].build(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one partial + one final HashAggregate, no join, no window: the
+    # whole corpus cost of fitting the model is a single agg pass
+    assert plan.count("HashAggregate") == 2, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_ridge_fit_solves_planted_linear_relation(spark):
+    """On a corpus where tokens = exact linear function of the other
+    features, the fit must verify (solve_ok) and explain the variance
+    (fit_improves)."""
+    import os
+    import tempfile
+
+    from dbt_tpcdi_spark.queries import all_queries
+
+    rows = []
+    for i in range(200):
+        toks = ["w%d" % (j % 7) for j in range(3 + i % 40)]
+        text = " ".join(toks) + ("." * (i % 5)) + ("7" * (i % 3))
+        rows.append((i, text, "en", "src%d" % (i % 4), len(text)))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r.coef_idx: r
+            for r in all_queries()["ridge_fit"].build(spark, tmp).collect()
+        }
+    assert set(out) == {0, 1, 2, 3}
+    assert all(r.solve_ok for r in out.values())
+    assert all(r.fit_improves for r in out.values())
