@@ -102,6 +102,90 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.simhash(d, ["doc_id"], "text")
 
 
+_SIMHAM_D = 3  # max Hamming distance
+_SIMHAM_BLOCKS = _SIMHAM_D + 1  # pigeonhole: agree on >=1 of d+1 blocks
+_SIMHAM_BW = X.SIMHASH_BITS // _SIMHAM_BLOCKS  # 8-bit blocks
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH sh AS MATERIALIZED ({X.simhash_sql(['doc_id'], 'text',
+                                            'documents')}),
+    blk AS (
+        {' UNION ALL '.join(
+            f"SELECT doc_id, simhash, {b} AS b, "
+            f"cast((simhash // {1 << (_SIMHAM_BW * b)}) "
+            f"% {1 << _SIMHAM_BW} AS bigint) AS bv FROM sh"
+            for b in range(_SIMHAM_BLOCKS))}
+    )
+    SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+           cast(bit_count(xor(l.simhash, r.simhash)) AS int) AS hamming
+    FROM blk l JOIN blk r
+      ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= {_SIMHAM_D}
+    """,
+    tags=["llm-simhash", "llm-dedup-lsh", "J2", "A4"],
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ {d} via the
+    Manku–Jain–Das Sarma multi-index (WWW'07, the production simhash
+    dedup shape): split the {bits}-bit fingerprint into {d}+1 blocks —
+    any pair within distance {d} agrees EXACTLY on at least one block
+    (pigeonhole), so candidates come from {d}+1 block-value equi-joins
+    instead of an all-pairs scan, and the exact ``bit_count(xor)``
+    check runs only on candidates. Output: (a_id, b_id, hamming).
+
+    Scale: candidate volume is Σ_blocks Σ_buckets C(bucket, 2) — the
+    banded-LSH bound, linear for dispersed fingerprints; a
+    boilerplate-skewed corpus composes with the same hot-bucket cap as
+    ``minhash_lsh_capped`` (the bucket key here is (block, value)).
+    The pair dedup is one DISTINCT on (a, b) — pairs found by k blocks
+    collapse — and the Hamming filter is a projection, so the only
+    shuffles are the block join and the distinct."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = X.simhash(d, ["doc_id"], "text")
+    blocks = None
+    for b in range(_SIMHAM_BLOCKS):
+        part = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("b"),
+            (
+                F.shiftright(F.col("simhash"), _SIMHAM_BW * b)
+                % (1 << _SIMHAM_BW)
+            ).cast("long").alias("bv"),
+        )
+        blocks = part if blocks is None else blocks.unionAll(part)
+    left = blocks.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("simhash").alias("__sa"),
+        "b",
+        "bv",
+    )
+    right = blocks.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("simhash").alias("__sb"),
+        "b",
+        "bv",
+    )
+    ham = F.bit_count(
+        F.col("__sa").bitwiseXOR(F.col("__sb"))
+    ).cast("int")
+    return (
+        left.join(right, ["b", "bv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(ham <= _SIMHAM_D)
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .distinct()
+    )
+
+
+simhash_hamming_pairs.__doc__ = simhash_hamming_pairs.__doc__.replace(
+    "{d}", str(_SIMHAM_D)
+).replace("{bits}", str(X.SIMHASH_BITS))
+
+
 @query(
     "winnow_fingerprints",
     oracle=X.winnow_fingerprints_sql("documents", "doc_id"),

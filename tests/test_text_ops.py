@@ -454,3 +454,48 @@ def test_ridge_fit_solves_planted_linear_relation(spark):
     assert set(out) == {0, 1, 2, 3}
     assert all(r.solve_ok for r in out.values())
     assert all(r.fit_improves for r in out.values())
+
+
+def test_simhash_hamming_pigeonhole_is_complete(spark):
+    """The multi-index candidate set must find EVERY pair within
+    Hamming distance d (pigeonhole over d+1 blocks) — verified against
+    the brute-force all-pairs scan on the smoke corpus."""
+    from dbt_tpcdi_spark.operators.text import simhash
+    from dbt_tpcdi_spark.queries import all_queries
+    from dbt_tpcdi_spark.queries.llm import _SIMHAM_D
+    from dbt_tpcdi_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in all_queries()["simhash_hamming_pairs"]
+        .build(spark, SF_SMOKE).collect()
+    }
+    sh = simhash(
+        load_table(spark, SF_SMOKE, "documents"), ["doc_id"], "text"
+    )
+    l = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    r = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    brute = {
+        (x.a, x.b, x.hd)
+        for x in l.crossJoin(r)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "hd",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int"),
+        )
+        .filter(F.col("hd") <= _SIMHAM_D)
+        .collect()
+    }
+    assert brute, "smoke corpus has no near-dup fingerprints — vacuous"
+    assert got == brute
+
+
+def test_simhash_hamming_plan_no_cartesian(spark):
+    from dbt_tpcdi_spark.queries import all_queries
+    from tests.conftest import SF_SMOKE
+
+    df = all_queries()["simhash_hamming_pairs"].build(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
