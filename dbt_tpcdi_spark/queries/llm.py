@@ -738,6 +738,139 @@ def ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCA_DIM = 64
+_PCA_TOPK = 8
+_PCA_QV = (
+    f"list_transform(range(1, {_PCA_DIM} + 1), i -> "
+    f"cast(round(cast(embedding[i] AS double) * {S.QUANT}) AS bigint))"
+)
+_PCA_SUMS_ORACLE = f"""
+    WITH q AS MATERIALIZED (
+        SELECT {_PCA_QV} AS qv FROM embeddings
+    ),
+    pairs AS (
+        SELECT cast(r1.i AS int) AS i, cast(r2.i AS int) AS j,
+               cast(sum(qv[r1.i + 1] * qv[r2.i + 1]) AS bigint) AS s
+        FROM q, range(0, {_PCA_DIM}) r1(i), range(0, {_PCA_DIM}) r2(i)
+        WHERE r2.i >= r1.i
+        GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT cast(r.i AS int) AS i, cast(-1 AS int) AS j,
+               cast(sum(qv[r.i + 1]) AS bigint) AS s
+        FROM q, range(0, {_PCA_DIM}) r(i)
+        GROUP BY 1, 2
+    ),
+    nrow AS (
+        SELECT cast(-1 AS int) AS i, cast(-1 AS int) AS j,
+               cast(count(*) AS bigint) AS s
+        FROM q
+    )
+    SELECT * FROM pairs UNION ALL SELECT * FROM means
+    UNION ALL SELECT * FROM nrow
+"""
+
+
+@query(
+    "pca_covariance",
+    oracle=_PCA_SUMS_ORACLE,
+    tags=["llm-model-fit", "llm-ann-pq", "A1"],
+)
+def pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sufficient statistics for embedding PCA in ONE corpus pass: the
+    upper triangle of Σ q qᵀ over quantized-integer vectors, the
+    per-dimension sums (j = −1 rows), and n (the (−1, −1) row) — from
+    which covariance = S/n − μμᵀ is pure driver arithmetic. All sums
+    are exact int64 (|q| ≤ ~2·10⁴ ⇒ products ≤ 4·10⁸; headroom to
+    ~10¹⁰ vectors, then shard-and-merge — Gram sums are associative).
+
+    This is the 100-TB dimensionality-reduction shape (the PCA step a
+    pipeline runs before IVF/PQ indexing): the corpus is touched once
+    by a double posexplode (d(d+1)/2 rows per vector) feeding a
+    map-side-combined aggregate — the shuffle carries 2 145 rows
+    TOTAL, not per-vector, and no driver state scales with n."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(S._qlist(F.col("embedding")).alias("__qv"))
+    ex = q.select(
+        F.posexplode(F.col("__qv")).alias("i", "__qi"), "__qv"
+    ).select("i", "__qi", F.posexplode(F.col("__qv")).alias("j", "__qj"))
+    pairs = (
+        ex.filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("__qi") * F.col("__qj")).cast("long").alias("s"))
+    )
+    means = (
+        q.select(F.posexplode(F.col("__qv")).alias("i", "__qi"))
+        .groupBy("i")
+        .agg(F.sum("__qi").cast("long").alias("s"))
+        .select("i", F.lit(-1).alias("j"), "s")
+    )
+    nrow = q.agg(F.count("*").cast("long").alias("s")).select(
+        F.lit(-1).alias("i"), F.lit(-1).alias("j"), "s"
+    )
+    return pairs.unionAll(means).unionAll(nrow)
+
+
+@query(
+    "pca_fit",
+    oracle=f"""
+    WITH g AS ({_PCA_SUMS_ORACLE}),
+    n AS (SELECT s AS n FROM g WHERE i = -1 AND j = -1),
+    tr AS (
+        SELECT cast(sum(n.n * d.s - m.s * m.s) AS bigint) AS trace_num
+        FROM g d JOIN g m ON d.i = m.i AND m.j = -1 AND d.j = d.i
+             AND d.i >= 0, n
+    )
+    SELECT cast(r.i AS int) AS comp_idx, n.n AS n, tr.trace_num,
+           true AS psd_ok, true AS eigsum_ok, true AS topk_explains
+    FROM range(0, {_PCA_TOPK}) r(i), n, tr
+    """,
+    tags=["llm-model-fit", "llm-ann-pq", "iterative"],
+)
+def pca_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding PCA end-to-end on the ``pca_covariance`` sufficient
+    statistics: collect the 2 145 exact sums (metadata-sized by
+    construction — d(d+1)/2 + d + 1 rows for d = 64, independent of
+    corpus size), assemble the covariance, eigensolve with numpy on
+    the driver. The checked output follows the ``approx_distinct`` /
+    ``ridge_fit`` convention for float seams: exact integers
+    (n, trace numerator Σᵢ (n·Sᵢᵢ − mᵢ²) — int64, headroom to ~10⁸
+    vectors at QUANT=10⁴, then rescale) plus wide-margin booleans —
+    ``psd_ok`` (min eigenvalue ≥ −10⁻⁶·trace), ``eigsum_ok``
+    (Σ eigenvalues = trace to 10⁻⁶ relative, the eigensolve
+    consistency identity), ``topk_explains`` (top-{_PCA_TOPK} of
+    {_PCA_DIM} components carry ≥ 5 % of variance — ≈12.5 % even for
+    isotropic data, far more once structure exists)."""
+    import numpy as np
+
+    # d(d+1)/2 + d + 1 = 2145 rows: metadata-sized by construction
+    rows = pca_covariance(spark, sf_dir).collect()
+    S_ = np.zeros((_PCA_DIM, _PCA_DIM))
+    m = np.zeros(_PCA_DIM)
+    trace_num = 0
+    by = {(r["i"], r["j"]): int(r["s"]) for r in rows}
+    n = by[(-1, -1)]
+    for i in range(_PCA_DIM):
+        m[i] = by[(i, -1)]
+        for j in range(i, _PCA_DIM):
+            S_[i, j] = S_[j, i] = by[(i, j)]
+        trace_num += n * by[(i, i)] - by[(i, -1)] ** 2
+    cov = S_ / n - np.outer(m / n, m / n)
+    ev = np.linalg.eigvalsh(cov)[::-1]  # descending
+    tr = float(np.trace(cov))
+    psd_ok = bool(ev[-1] >= -1e-6 * max(tr, 1.0))
+    eigsum_ok = bool(abs(ev.sum() - tr) <= 1e-6 * max(tr, 1.0))
+    topk = bool(ev[:_PCA_TOPK].sum() >= 0.05 * max(tr, 1e-12))
+    return spark.createDataFrame(
+        [
+            (k, n, trace_num, psd_ok, eigsum_ok, topk)
+            for k in range(_PCA_TOPK)
+        ],
+        "comp_idx int, n bigint, trace_num bigint, psd_ok boolean, "
+        "eigsum_ok boolean, topk_explains boolean",
+    )
+
+
 _PACK_BUDGET = 2048
 
 

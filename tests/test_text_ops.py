@@ -499,3 +499,54 @@ def test_simhash_hamming_plan_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pca_covariance_matches_numpy(spark):
+    """The distributed sufficient statistics reassemble to exactly the
+    covariance numpy computes on the same quantized vectors."""
+    import numpy as np
+
+    from dbt_tpcdi_spark.queries import all_queries
+    from dbt_tpcdi_spark.queries.llm import _PCA_DIM
+    from dbt_tpcdi_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = all_queries()["pca_covariance"].build(spark, SF_SMOKE).collect()
+    by = {(r.i, r.j): r.s for r in rows}
+    n = by[(-1, -1)]
+    e = load_table(spark, SF_SMOKE, "embeddings").collect()
+    Q = np.array([
+        [round(float(x) * 10000) for x in r.embedding] for r in e
+    ], dtype=np.int64)
+    assert n == len(Q)
+    # exact integer sums
+    G = Q.T @ Q
+    s = Q.sum(axis=0)
+    for i in range(_PCA_DIM):
+        assert by[(i, -1)] == s[i]
+        for j in range(i, _PCA_DIM):
+            assert by[(i, j)] == G[i, j], (i, j)
+
+
+def test_pca_fit_planted_dominant_direction(spark):
+    """On a rank-1-dominated corpus the top components must carry the
+    variance (topk_explains) and the solve identities must hold."""
+    import os
+    import tempfile
+
+    from dbt_tpcdi_spark.queries import all_queries
+
+    rows = []
+    for i in range(300):
+        t = (i % 100) / 50.0 - 1.0
+        vec = [t * (1.0 if j < 4 else 0.0) + 0.001 * ((i * 31 + j) % 7)
+               for j in range(64)]
+        rows.append((i, [float(x) for x in vec], i % 3))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+        out = all_queries()["pca_fit"].build(spark, tmp).collect()
+    assert len(out) == 8
+    assert all(r.psd_ok and r.eigsum_ok and r.topk_explains for r in out)
+    assert out[0].n == 300 and out[0].trace_num > 0
