@@ -45,6 +45,19 @@ SHOWCASE = {
                              "window; no suffix sort, no pairwise work",
     "pq_ann_topk": "per-block codebook training + broadcast-codebook "
                    "encode + ADC lookup join; no CartesianProduct",
+    "ivfpq_ann_topk": "coarse assign + residual codebooks + per-cell "
+                      "ADC table + exact top-200 refine; crossJoins "
+                      "are ≤cells-row metadata broadcasts only",
+    "simhash_hamming_pairs": "d+1 pigeonhole block equi-joins + exact "
+                             "bit_count(xor) on candidates; no "
+                             "CartesianProduct",
+    "kmv_distinct": "two-level bottom-k: per-bucket window ≤k rows, "
+                    "final per-source sort ≤B·k rows; map-side "
+                    "combined distinct",
+    "ridge_normal_equations": "whole model fit = ONE partial+final "
+                              "HashAggregate pair; no join, no window",
+    "pca_covariance": "double posexplode → map-side-combined agg; "
+                      "shuffle carries 2145 rows total",
     "pii_redaction": "single codegen'd projection; zero Python, zero "
                      "shuffle",
     "salted_join_agg": "join key is (l_suppkey, __salt) — hot keys "
