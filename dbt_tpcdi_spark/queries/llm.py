@@ -1047,7 +1047,7 @@ def kmeans_assign_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks shared bit-for-bit with the SQL twin."""
     e = _spread(load_table(spark, sf_dir, "embeddings"))
     cents = S.seed_centroid_table(e, "vec_id", "embedding", _KMEANS_K)
-    return S.assign_ivf(e, "vec_id", "embedding", cents)
+    return S.assign_ivf_blas(e, "vec_id", "embedding", cents)
 
 
 @query(
@@ -1249,7 +1249,7 @@ def kmeans_assign_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.kmeans_centroid_table(
         e, "vec_id", "embedding", k=_KMEANS_K, iters=1
     )
-    return S.assign_ivf(e, "vec_id", "embedding", cents)
+    return S.assign_ivf_blas(e, "vec_id", "embedding", cents)
 
 
 _CLUSTER_PAIRS_SQL = D.jaccard_pairs_sql(
@@ -3827,7 +3827,7 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spread(load_table(spark, sf_dir, "embeddings"))
     k = -(-e.count() // _SEMDEDUP_WIDTH)
     cents = S.seed_centroid_table(e, "vec_id", "embedding", k)
-    assigned = S.assign_ivf(e, "vec_id", "embedding", cents)
+    assigned = S.assign_ivf_blas(e, "vec_id", "embedding", cents)
     km = (
         assigned.select("vec_id", "cluster", "via_bucket")
         .join(
@@ -3893,7 +3893,7 @@ def semdedup_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.kmeans_centroid_table(
         e, "vec_id", "embedding", k=k, iters=1
     )
-    assigned = S.assign_ivf(e, "vec_id", "embedding", cents)
+    assigned = S.assign_ivf_blas(e, "vec_id", "embedding", cents)
     km = (
         assigned.select("vec_id", "cluster", "via_bucket")
         .join(

@@ -550,3 +550,31 @@ def test_pca_fit_planted_dominant_direction(spark):
     assert len(out) == 8
     assert all(r.psd_ok and r.eigsum_ok and r.topk_explains for r in out)
     assert out[0].n == 300 and out[0].trace_num > 0
+
+
+def test_assign_ivf_blas_bit_identical_and_fallback(spark):
+    """The cogrouped-BLAS IVF assignment must equal the expression
+    path bit for bit — including the exact-global fallback rows for
+    buckets holding no centroid (forced here with k=3 over 16
+    buckets)."""
+    from dbt_tpcdi_spark.operators import similarity as S
+    from dbt_tpcdi_spark.sources.parquet import load_table, spread
+    from tests.conftest import SF_SMOKE
+
+    e = spread(load_table(spark, SF_SMOKE, "embeddings"))
+    for k in (3, 20):
+        cents = S.seed_centroid_table(e, "vec_id", "embedding", k)
+        a = {
+            r.vec_id: (r.cluster, r.dist2, r.via_bucket)
+            for r in S.assign_ivf(
+                e, "vec_id", "embedding", cents).collect()
+        }
+        b = {
+            r.vec_id: (r.cluster, r.dist2, r.via_bucket)
+            for r in S.assign_ivf_blas(
+                e, "vec_id", "embedding", cents).collect()
+        }
+        assert a == b, k
+        if k == 3:
+            assert any(not v[2] for v in a.values()), \
+                "k=3 produced no fallback rows — vacuous"
