@@ -99,8 +99,80 @@ def spread(df: DataFrame) -> DataFrame:
     a no-op, so production plans never pay a pointless full exchange
     of the widest column just to fix local scan parallelism.
     Downstream results are unaffected either way — every consumer
-    re-shuffles on its own keys."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    re-shuffles on its own keys.
+
+    The under-parallel check is driver-side metadata only: Spark's
+    split count is re-derived from the scan's file list + sizes and
+    ``maxPartitionBytes`` instead of ``df.rdd.getNumPartitions()``,
+    because the DataFrame→RDD conversion costs ~1 s of plan
+    translation per fresh lineage (measured on local[32]) — paid by
+    every query that loads a table — while ``inputFiles()`` is a
+    ~15 ms catalog lookup. Non-file plans (no scan in the lineage)
+    fall back to the RDD check."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = _bare_scan_files(df)
+    if files:
+        max_bytes = max(
+            1,
+            _size_conf(
+                spark, "spark.sql.files.maxPartitionBytes",
+                128 * 1024 * 1024,
+            ),
+        )
+        splits = 0
+        for uri in files:
+            local = uri.removeprefix("file://") if uri.startswith(
+                "file://") else None
+            if local is not None and os.path.exists(local):
+                splits += max(1, -(-os.path.getsize(local) // max_bytes))
+            else:
+                # remote FS — size unknown driver-side; count the file
+                # itself (at scale file COUNT alone crosses the gate)
+                splits += 1
+        if splits >= target:
+            return df
+        return df.repartition(target)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+# logical nodes under which the scan's file list still determines the
+# output partitioning — anything else (Repartition, Join, Aggregate,
+# Generate, …) changes partitioning downstream of the scan, so the
+# file estimate would lie about it
+_NARROW_NODES = frozenset({"Project", "Filter", "Relation",
+                           "SubqueryAlias", "View"})
+
+
+def _bare_scan_files(df: DataFrame) -> list[str]:
+    """The scan's file list IF this plan is a bare file scan under
+    only narrow per-row nodes; ``[]`` otherwise (caller falls back to
+    the RDD partition check). Both probes are driver-side metadata
+    (~ms), unlike ``df.rdd`` (~1 s of plan translation)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        for line in plan.splitlines():
+            node = line.lstrip(" :+-")
+            name = node.split(" ", 1)[0].split("[", 1)[0]
+            if name and name not in _NARROW_NODES:
+                return []
+        return df.inputFiles()
+    except Exception:
+        return []
+
+
+_SIZE_SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _size_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf ("134217728b", "128m", "1g")."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    raw = raw.removesuffix("b")
+    if raw and raw[-1] in _SIZE_SUFFIX:
+        return int(float(raw[:-1]) * _SIZE_SUFFIX[raw[-1]])
+    try:
+        return int(raw)
+    except ValueError:
+        return default

@@ -109,3 +109,36 @@ def test_documents_within_oracle_chunk_bound(spark):
         F.max(token_count(F.col("text")))
     ).first()[0]
     assert max_tokens * 10 < _PASSAGE_MAX_CHUNKS * _PASSAGE_CHUNK, max_tokens
+
+
+def test_spread_is_metadata_only_for_file_scans(spark):
+    """spread() must decide from file metadata (no DataFrame→RDD
+    conversion, which costs ~1 s/lineage) and still fix local scan
+    under-parallelism; non-file plans take the RDD fallback."""
+    from dbt_tpcdi_spark.sources.parquet import (
+        _size_conf,
+        load_table,
+        spread,
+    )
+    from tests.conftest import SF_SMOKE
+
+    target = spark.sparkContext.defaultParallelism
+    d = load_table(spark, SF_SMOKE, "documents")
+    s = spread(d)
+    assert s.rdd.getNumPartitions() >= min(target, 2)
+    assert s.count() == d.count()
+    # already-parallel input is a no-op (same object, no exchange)
+    wide = d.repartition(target)
+    assert spread(wide) is wide
+    # non-file plan falls back without raising
+    rng = spark.range(2)
+    assert spread(rng).rdd.getNumPartitions() >= min(target, 2)
+    # conf parsing covers Spark's byte-size spellings
+    spark.conf.set("spark.x.test.size", "128m")
+    assert _size_conf(spark, "spark.x.test.size", 0) == 128 * 1024**2
+    spark.conf.set("spark.x.test.size", "134217728b")
+    assert _size_conf(spark, "spark.x.test.size", 0) == 134217728
+    spark.conf.set("spark.x.test.size", "1g")
+    assert _size_conf(spark, "spark.x.test.size", 0) == 1024**3
+    assert _size_conf(spark, "spark.x.test.absent", 7) == 7
+    spark.conf.unset("spark.x.test.size")
