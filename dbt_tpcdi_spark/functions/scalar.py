@@ -45,6 +45,53 @@ def hash_sample_sql(col: str, fraction: float, salt: str = "") -> str:
     return f"{h} < {int(fraction * 10000)}"
 
 
+#: weighted-sample hash resolution: 6 md5 hex digits → [0, 2^24).
+#: Kept at 24 bits (not 32) so the integer predicate h·W < m·w·2^24
+#: stays inside int64 for corpus weights W up to ~2^39 ≈ 5·10^11 with
+#: m·w ≤ 2^?? headroom — at larger W, shard the sample by source and
+#: merge (inclusion tests are independent per row).
+WSAMPLE_BITS = 24
+
+
+def weighted_keep(key: Column, weight: Column, total: Column,
+                  target: int, salt: str = "") -> Column:
+    """Weighted Bernoulli sampling predicate: keep a row with
+    probability min(1, target·weight/total) — inclusion ∝ weight,
+    expected sample size ≤ target — decided by a deterministic,
+    partitioning-independent integer comparison::
+
+        h24(salt‖key) · total  <  target · weight · 2^24
+
+    All int64 arithmetic (no float probability), so the kept set is
+    identical in any engine and across reruns/cluster sizes — the
+    property df.sample() lacks and a reproducible training-data
+    pipeline needs. Pair with weighted_keep_sql."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1,
+                    WSAMPLE_BITS // 4),
+        16, 10,
+    ).cast("long")
+    return h * total.cast("long") < (
+        F.lit(target) * weight.cast("long") * F.lit(1 << WSAMPLE_BITS)
+    )
+
+
+def weighted_keep_sql(key: str, weight: str, total: str, target: int,
+                      salt: str = "") -> str:
+    nd = WSAMPLE_BITS // 4
+    powers = [16 ** (nd - i) for i in range(1, nd + 1)]
+    h = (
+        f"(list_sum(list_transform(range(1, {nd + 1}), i -> "
+        f"cast(strpos('0123456789abcdef', substr(md5('{salt}' || "
+        f"cast({key} AS varchar)), i, 1)) - 1 AS bigint) "
+        f"* cast(({powers})[i] AS bigint)))::bigint)"
+    )
+    return (
+        f"{h} * cast({total} AS bigint) < "
+        f"{target} * cast({weight} AS bigint) * {1 << WSAMPLE_BITS}"
+    )
+
+
 def round4(c: Column) -> Column:
     """Bit-deterministic 4-decimal rounding for doubles compared across
     engines: Spark's round() goes through BigDecimal's shortest-decimal

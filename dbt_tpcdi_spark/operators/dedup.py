@@ -22,7 +22,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbt_tpcdi_spark.functions.scalar import round4, round4_sql
-from dbt_tpcdi_spark.operators.text import tokens, tokens_sql
+from dbt_tpcdi_spark.operators.text import (
+    ngram_shingles,
+    ngram_shingles_sql,
+    tokens,
+    tokens_sql,
+)
 
 # ---------------------------------------------------------------------------
 # minhash constants (shared with the SQL twin — never change one side)
@@ -543,6 +548,93 @@ def blocked_levenshtein_pairs(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed near-duplicate CONTAINMENT pairs: (src, dst) where
+    ≥ ``threshold`` of src's distinct n-gram shingles also occur in
+    dst. Jaccard misses the subset case — a paragraph pasted into a
+    10× longer page scores J ≈ 0.1 but containment 1.0 — and corpus
+    cleaning wants exactly that asymmetric signal (drop src, keep the
+    superset dst; cf. Broder's containment coefficient, SEQUENCES
+    1997).
+
+    Plan shape is the postings join (work = Σ posting², bounded by
+    n-gram selectivity, never n²): one undirected common-gram count
+    per id<id pair, then BOTH directions emitted from the same counted
+    row — src is whichever side's shingle set is mostly covered. All
+    counts are integers; the ratio is one deterministic division."""
+    base = df.select(
+        F.col(id_col), ngram_shingles(F.col(text_col), n).alias("__sh")
+    ).withColumn("__n", F.size("__sh")).filter(F.col("__n") > 0)
+    posts = base.select(id_col, "__n", F.explode("__sh").alias("__g"))
+    a, b = posts.alias("ca"), posts.alias("cb")
+    common = (
+        a.join(
+            b,
+            (F.col("ca.__g") == F.col("cb.__g"))
+            & (F.col(f"ca.{id_col}") < F.col(f"cb.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"ca.{id_col}").alias("id_a"),
+            F.col(f"cb.{id_col}").alias("id_b"),
+            F.col("ca.__n").alias("__na"),
+            F.col("cb.__n").alias("__nb"),
+        )
+        .agg(F.count("*").alias("__c"))
+    )
+    fwd = common.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        round4(F.col("__c") / F.col("__na")).alias("containment"),
+    )
+    rev = common.select(
+        F.col("id_b").alias("src"),
+        F.col("id_a").alias("dst"),
+        round4(F.col("__c") / F.col("__nb")).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+
+
+def containment_pairs_sql(
+    id_col: str,
+    text_col: str,
+    from_table: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    return f"""
+        WITH base AS (
+            SELECT {id_col}, {ngram_shingles_sql(text_col, n)} AS __sh
+            FROM {from_table}
+        ),
+        posts AS (
+            SELECT {id_col}, len(__sh) AS __n, unnest(__sh) AS __g
+            FROM base WHERE len(__sh) > 0
+        ),
+        common AS (
+            SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+                   a.__n AS __na, b.__n AS __nb, count(*) AS __c
+            FROM posts a JOIN posts b
+              ON a.__g = b.__g AND a.{id_col} < b.{id_col}
+            GROUP BY 1, 2, 3, 4
+        ),
+        directed AS (
+            SELECT id_a AS src, id_b AS dst,
+                   {round4_sql('__c / __na')} AS containment FROM common
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst,
+                   {round4_sql('__c / __nb')} AS containment FROM common
+        )
+        SELECT src, dst, containment FROM directed
+        WHERE containment >= {threshold}
+    """
 
 
 def blocked_levenshtein_sql(

@@ -51,6 +51,7 @@ def query(name: str, oracle: str | None, tags: list[str], headline: bool = False
 def all_queries() -> dict[str, Query]:
     # import for side effects: each module registers its queries
     from dbt_tpcdi_spark.queries import (  # noqa: F401
+        corpus,
         extended,
         llm,
         relational,

@@ -1,0 +1,321 @@
+"""Corpus-statistics queries: bounded-memory heavy hitters, weighted
+reproducible sampling, asymmetric containment dedup, n-gram novelty,
+and distributed GLM (logistic) training.
+
+These extend the LLM-data-pipeline surface (queries/llm.py) with the
+operations a crawl-scale curation run needs next: "which tokens/
+hosts dominate the corpus" without a vocabulary-sized shuffle,
+"sample documents ∝ length, reproducibly", "which documents are
+CONTAINED in others" (jaccard's blind spot), "how much of each new
+document is novel n-grams", and "fit a quality classifier with
+nothing but aggregates". Every query follows the registry's
+cross-engine determinism rules (queries/__init__.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.functions.scalar import (
+    round4,
+    round4_sql,
+    weighted_keep,
+    weighted_keep_sql,
+)
+from dbt_tpcdi_spark.operators import dedup as D
+from dbt_tpcdi_spark.operators import frequent as FQ
+from dbt_tpcdi_spark.operators import text as X
+from dbt_tpcdi_spark.queries import query
+from dbt_tpcdi_spark.sources.parquet import load_table
+from dbt_tpcdi_spark.sources.parquet import spread as _spread
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters via a two-pass Misra–Gries summary
+
+_HH_S = 30  # report tokens with count > n/30; MG capacity k = s
+
+
+@query(
+    "heavy_hitters",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest({X.tokens_sql('text')}) AS token FROM documents
+    ),
+    n AS (SELECT count(*) AS c FROM t)
+    SELECT token, cast(count(*) AS bigint) AS n_occurrences,
+           {round4_sql('count(*) / n.c')} AS share
+    FROM t, n
+    GROUP BY token, n.c
+    HAVING count(*) * {_HH_S} > n.c
+    """,
+    tags=["llm-heavy-hitters", "A3"],
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All tokens with count > n/{s}, found WITHOUT shuffling the
+    vocabulary: pass 1 is a per-partition Misra–Gries summary (≤ {s}
+    counters per partition, a guaranteed superset of the answer —
+    operators/frequent.py), pass 2 recounts ONLY the tiny broadcast
+    candidate set exactly. The final filter makes the result
+    independent of summary internals, so a plain GROUP-BY oracle
+    verifies it.
+
+    At 100 TB this is the difference between shuffling a multi-billion
+    row host/n-gram vocabulary and shuffling ≤ k·partitions candidate
+    rows plus one scalar total."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+    total = toks.agg(F.count("*").cast("long").alias("__total"))
+    cand = FQ.mg_candidates(toks, "token", k=_HH_S).distinct()
+    exact = (
+        toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * _HH_S > F.col("__total"))
+        .select(
+            "token",
+            "n_occurrences",
+            round4(F.col("n_occurrences") / F.col("__total")).alias("share"),
+        )
+    )
+
+
+heavy_hitters.__doc__ = heavy_hitters.__doc__.replace("{s}", str(_HH_S))
+
+
+# ---------------------------------------------------------------------------
+# reproducible weighted sampling (inclusion probability ∝ token count)
+
+_WS_TARGET = 64
+_WS_SALT = "ws1"
+
+
+@query(
+    "weighted_sample",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               cast({X.token_count_sql('text')} AS bigint) AS w_tokens
+        FROM documents
+    ),
+    t AS (SELECT sum(w_tokens) AS W FROM d)
+    SELECT doc_id, w_tokens,
+           {round4_sql(f'least(1.0, {_WS_TARGET} * w_tokens / W)')}
+               AS inclusion_p
+    FROM d, t
+    WHERE {weighted_keep_sql('doc_id', 'w_tokens', 'W', _WS_TARGET,
+                             _WS_SALT)}
+    """,
+    tags=["llm-sampling"],
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted Bernoulli sample (expected size ≤ {m}): long
+    documents are proportionally more likely to be kept — the sampling
+    mode token-budget curation wants — via a deterministic integer
+    predicate (functions/scalar.weighted_keep), so the sample is
+    identical across engines, reruns, and cluster sizes. One scalar
+    total-weight aggregate broadcast into a filter; no sort, no
+    collect."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count(F.col("text")).cast("long").alias("w_tokens")
+    )
+    tot = d.agg(F.sum("w_tokens").cast("long").alias("__W"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .filter(
+            weighted_keep(
+                F.col("doc_id"), F.col("w_tokens"), F.col("__W"),
+                _WS_TARGET, _WS_SALT,
+            )
+        )
+        .select(
+            "doc_id",
+            "w_tokens",
+            round4(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(_WS_TARGET) * F.col("w_tokens") / F.col("__W"),
+                )
+            ).alias("inclusion_p"),
+        )
+    )
+
+
+weighted_sample.__doc__ = weighted_sample.__doc__.replace(
+    "{m}", str(_WS_TARGET)
+)
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (the subset-document case jaccard misses)
+
+
+@query(
+    "containment_pairs",
+    oracle=D.containment_pairs_sql("doc_id", "text", "documents",
+                                   n=3, threshold=0.8),
+    tags=["llm-dedup-containment"],
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed (src, dst) pairs where ≥ 0.8 of src's distinct 3-gram
+    shingles occur in dst — the excerpt/superset near-dup signal
+    (operators/dedup.containment_pairs). Postings-join shape: work is
+    Σ posting², never n²."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    return D.containment_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty: how much of each document is first-seen?
+
+
+@query(
+    "ngram_novelty",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {X.ngram_shingles_sql('text', 3)} AS __sh
+        FROM documents
+    ),
+    posts AS (
+        SELECT doc_id, unnest(__sh) AS __g
+        FROM base WHERE len(__sh) > 0
+    ),
+    first AS (
+        SELECT __g, min(doc_id) AS first_doc FROM posts GROUP BY 1
+    )
+    SELECT p.doc_id, cast(count(*) AS bigint) AS n_grams,
+           cast(count(*) FILTER (p.doc_id = f.first_doc) AS bigint)
+               AS n_novel,
+           {round4_sql('(count(*) FILTER (p.doc_id = f.first_doc))'
+                       ' / count(*)')} AS novelty
+    FROM posts p JOIN first f ON p.__g = f.__g
+    GROUP BY p.doc_id
+    """,
+    tags=["llm-novelty", "A1"],
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct 3-gram
+    shingles whose FIRST appearance (minimum doc_id — ingestion order)
+    is this document. The streaming-corpus health metric: novelty
+    collapsing toward 0 means the crawl is re-reading itself. Two
+    map-side-combined shuffles (min per gram, then counts per doc) —
+    linear in postings, no pair join at all."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    posts = (
+        d.select(
+            "doc_id",
+            F.explode(X.ngram_shingles(F.col("text"), 3)).alias("__g"),
+        )
+    )
+    first = posts.groupBy("__g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        posts.join(first, "__g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            round4(F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed logistic regression (Newton/IRLS, one aggregate per step)
+
+_LOGIT_Y_MIN_TOKENS = 50  # label: doc has ≥ 50 whitespace tokens
+_LOGIT_ITERS = 10
+#: per-row L2 strength: λ = 0.01·n. Proportional-to-n shrinkage keeps
+#: the optimum β moderate on (near-)separable data, where a weak
+#: absolute penalty lets β inflate and Newton crawl through sigmoid
+#: saturation — measured: converges in 6 steps at every test SF with
+#: training accuracy ≈ 0.96 (floor margin 0.93 even at 2× shrinkage)
+_LOGIT_L2_PER_ROW = 0.01
+
+
+@query(
+    "logistic_fit",
+    oracle=f"""
+    SELECT cast(count(*) AS bigint) AS n_docs,
+           cast(count(*) FILTER ({X.token_count_sql('text')}
+                                 >= {_LOGIT_Y_MIN_TOKENS}) AS bigint)
+               AS n_pos,
+           true AS converged, true AS acc_ge_090
+    FROM documents
+    """,
+    tags=["llm-model-fit", "A1", "iterative"],
+)
+def logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge-logistic classifier (predict "long document": token count
+    ≥ 50 from character count) trained by Newton/IRLS where EVERY
+    iteration is ONE map-side-combined aggregate: with β broadcast as
+    literals, each doc contributes x·(y−μ) and μ(1−μ)·x xᵀ, and the
+    driver solves a 2×2 system on the 5 returned floats. The 100-TB
+    GLM shape: iterations touch the corpus once each, driver state is
+    O(d²).
+
+    Float seams follow the ``ridge_fit`` grading pattern: checked
+    columns are exact integer class counts plus wide-margin booleans
+    (Newton converged; training accuracy ≥ 0.9 on a feature with
+    ~0.998 label correlation) that numeric noise cannot flip; β stays
+    out of the checked output."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.length("text").cast("double") / 100.0).alias("x1"),
+        (X.token_count(F.col("text")) >= _LOGIT_Y_MIN_TOKENS)
+        .cast("double").alias("y"),
+    )
+    d = d.persist()
+    try:
+        beta = [0.0, 0.0]
+        converged = False
+        for _ in range(_LOGIT_ITERS):
+            eta = F.lit(beta[0]) + F.lit(beta[1]) * F.col("x1")
+            mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            w = mu * (F.lit(1.0) - mu) + F.lit(1e-9)
+            r = d.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("y") - mu).alias("g0"),
+                F.sum((F.col("y") - mu) * F.col("x1")).alias("g1"),
+                F.sum(w).alias("h00"),
+                F.sum(w * F.col("x1")).alias("h01"),
+                F.sum(w * F.col("x1") * F.col("x1")).alias("h11"),
+            ).collect()[0]  # 6 numbers: metadata-sized by construction
+            lam = _LOGIT_L2_PER_ROW * r["n"]
+            g0 = r["g0"] - lam * beta[0]
+            g1 = r["g1"] - lam * beta[1]
+            h00, h01, h11 = (
+                r["h00"] + lam, r["h01"], r["h11"] + lam,
+            )
+            det = h00 * h11 - h01 * h01
+            d0 = (h11 * g0 - h01 * g1) / det
+            d1 = (h00 * g1 - h01 * g0) / det
+            beta = [beta[0] + d0, beta[1] + d1]
+            if abs(d0) + abs(d1) < 1e-6 * (1.0 + abs(beta[0]) + abs(beta[1])):
+                converged = True
+                break
+        eta = F.lit(beta[0]) + F.lit(beta[1]) * F.col("x1")
+        acc_row = d.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("y")).cast("long").alias("n_pos"),
+            F.sum(
+                F.when((eta > 0) == (F.col("y") > 0.5), 1).otherwise(0)
+            ).cast("long").alias("n_right"),
+        ).collect()[0]
+    finally:
+        d.unpersist()
+    acc_ok = acc_row["n_right"] >= 0.9 * acc_row["n_docs"]
+    return spark.createDataFrame(
+        [(acc_row["n_docs"], acc_row["n_pos"], bool(converged),
+          bool(acc_ok))],
+        "n_docs bigint, n_pos bigint, converged boolean, "
+        "acc_ge_090 boolean",
+    )
