@@ -230,6 +230,88 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# collocation detection (PMI-ranked adjacent bigrams)
+
+_COLL_MIN = 5  # ignore bigrams seen fewer than this many times
+_COLL_TOPK = 20
+
+
+@query(
+    "collocation_pmi",
+    oracle=f"""
+    WITH uni AS (
+        SELECT unnest({X.tokens_sql('text')}) AS w FROM documents
+    ),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+    n AS (SELECT count(*) AS total FROM uni),
+    bi AS (
+        SELECT unnest({X.ngram_list_sql('text', 2)}) AS bg FROM documents
+    ),
+    bcnt AS (
+        SELECT bg, count(*) AS c_ab FROM bi GROUP BY 1
+        HAVING count(*) >= {_COLL_MIN}
+    )
+    SELECT bg AS bigram, cast(b.c_ab AS bigint) AS n_pair,
+           {round4_sql('(b.c_ab * n.total) / (a1.c * a2.c)')} AS lift
+    FROM bcnt b
+    JOIN ucnt a1 ON a1.w = split_part(b.bg, ' ', 1)
+    JOIN ucnt a2 ON a2.w = split_part(b.bg, ' ', 2)
+    CROSS JOIN n
+    ORDER BY lift DESC, bigram ASC
+    LIMIT {_COLL_TOPK}
+    """,
+    tags=["llm-collocations", "A1", "O1"],
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} collocations: adjacent bigrams ranked by lift
+    n(ab)·N / (n(a)·n(b)) — PMI without the log (log is monotone, and
+    transcendentals don't hash across engines; the integer-product
+    ratio carries the identical ranking). The phrase-mining /
+    tokenizer-seeding primitive: two map-side-combined count shuffles
+    (unigrams, bigrams), two equi-joins against the (vocabulary-sized,
+    AQE-broadcastable) unigram counts, one top-k. Products stay in
+    int64: n(ab)·N ≤ corpus-tokens² needs sharding only past ~3·10⁹
+    tokens, at which point quantize N/gcd first."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    uni = d.select(F.explode(X.tokens(F.col("text"))).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    total = uni.agg(F.count("*").cast("long").alias("total"))
+    bcnt = (
+        d.select(F.explode(X.ngram_list(F.col("text"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= _COLL_MIN)
+    )
+    a1 = ucnt.select(F.col("w").alias("__w1"), F.col("c").alias("__c1"))
+    a2 = ucnt.select(F.col("w").alias("__w2"), F.col("c").alias("__c2"))
+    joined = (
+        bcnt.withColumn("__w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("__w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(a1, "__w1")
+        .join(a2, "__w2")
+        .crossJoin(F.broadcast(total))
+    )
+    lift = round4(
+        (F.col("c_ab") * F.col("total"))
+        / (F.col("__c1") * F.col("__c2"))
+    )
+    return (
+        joined.select(
+            F.col("bg").alias("bigram"),
+            F.col("c_ab").cast("long").alias("n_pair"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("bigram").asc())
+        .limit(_COLL_TOPK)
+    )
+
+
+collocation_pmi.__doc__ = collocation_pmi.__doc__.replace(
+    "{k}", str(_COLL_TOPK)
+)
+
+
+# ---------------------------------------------------------------------------
 # distributed logistic regression (Newton/IRLS, one aggregate per step)
 
 _LOGIT_Y_MIN_TOKENS = 50  # label: doc has ≥ 50 whitespace tokens

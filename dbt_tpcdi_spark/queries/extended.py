@@ -851,6 +851,77 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BJA_BUCKETS = 8
+
+
+@query(
+    "bucketed_join_agg",
+    oracle="""
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS n_items,
+           floor(sum(cast(floor((l_extendedprice * (1 - l_discount))
+                                * 10000 + 0.5) AS bigint)) / 100 + 0.5)
+               / 100 AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+    tags=["layout-bucketing", "J1", "A1"],
+)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed tables: orders and
+    lineitem are written ``bucketBy(8, o_orderkey).sortBy`` so the
+    subsequent join planizes as SortMergeJoin with NO exchange (and no
+    per-task sort) on either side — the 100-TB strategy for facts
+    joined repeatedly on the same key (SCALE.md §1): pay the shuffle
+    once at write time, amortize it over every downstream join. The
+    no-Exchange property itself is pinned by
+    tests/test_bucketed_tables.py; this query gates the bucketed
+    read/write round-trip end-to-end against the plain-join oracle.
+
+    Tables are EXTERNAL (explicit tempdir path) so the catalog write
+    lands outside the driver's cwd; names are salted by sf_dir so
+    concurrent scale factors never collide. The builder assumes the
+    driver runs queries sequentially (same as the DAG gates)."""
+    import hashlib
+    import tempfile
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = tempfile.mkdtemp(prefix=f"bja_{suffix}_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    tables = {f"bja_orders_{suffix}": o, f"bja_lineitem_{suffix}": li}
+    for name, df in tables.items():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{root}/{name}")
+            .bucketBy(_BJA_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(name)
+        )
+    ob = spark.table(f"bja_orders_{suffix}")
+    lb = spark.table(f"bja_lineitem_{suffix}")
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        lb.join(ob, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            (F.floor(F.sum(units) / 100 + F.lit(0.5)) / 100).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
 _PR_OFFSET = 1_000_000_000  # order-node ids, disjoint from part ids
 
 _PR_EDGES_SQL = f"""
