@@ -45,6 +45,30 @@ def hash_sample_sql(col: str, fraction: float, salt: str = "") -> str:
     return f"{h} < {int(fraction * 10000)}"
 
 
+def md5_mod(col: Column, m: int, salt: str = "") -> Column:
+    """Deterministic bucket in [0, m): first 8 md5 hex digits of
+    salt‖key, mod m — the routing primitive behind hash_sample,
+    sharding, and split assignment. Engine-portable (md5 + integer
+    mod only); pair with md5_mod_sql."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long")
+        % m
+    )
+
+
+def md5_mod_sql(col: str, m: int, salt: str = "") -> str:
+    powers = [16 ** (8 - i) for i in range(1, 9)]
+    return (
+        f"(list_sum(list_transform(range(1, 9), i -> "
+        f"cast(strpos('0123456789abcdef', substr(md5('{salt}' || "
+        f"cast({col} AS varchar)), i, 1)) - 1 AS bigint) "
+        f"* cast(({powers})[i] AS bigint)))::bigint % {m})"
+    )
+
+
 #: weighted-sample hash resolution: 6 md5 hex digits → [0, 2^24).
 #: Kept at 24 bits (not 32) so the integer predicate h·W < m·w·2^24
 #: stays inside int64 for corpus weights W up to ~2^39 ≈ 5·10^11 with

@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_tpcdi_spark.functions.scalar import (
+    hash_sample,
+    hash_sample_sql,
+    md5_mod,
+    md5_mod_sql,
     round4,
     round4_sql,
     weighted_keep,
@@ -227,6 +231,164 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.col("n_novel") / F.col("n_grams")).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe splitting: duplicates must not straddle train/test
+
+_LSS_SALT = "lss1"
+
+
+def _split_case_sql(key: str) -> str:
+    return (
+        f"CASE WHEN {hash_sample_sql(key, 0.90, salt=_LSS_SALT)} "
+        f"THEN 'train' "
+        f"WHEN {hash_sample_sql(key, 0.95, salt=_LSS_SALT)} "
+        f"THEN 'val' ELSE 'test' END"
+    )
+
+
+def _split_case(key):
+    return (
+        F.when(hash_sample(key, 0.90, salt=_LSS_SALT), "train")
+        .when(hash_sample(key, 0.95, salt=_LSS_SALT), "val")
+        .otherwise("test")
+    )
+
+
+def _leakage_oracle() -> str:
+    from dbt_tpcdi_spark.operators import graph as G
+    from dbt_tpcdi_spark.queries.llm import _CLUSTER_PAIRS_SQL
+
+    return f"""
+    WITH comp AS ({G.components_sql(_CLUSTER_PAIRS_SQL)}),
+    a AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    s AS (
+        SELECT doc_id, rep,
+               {_split_case_sql('rep')} AS split,
+               {_split_case_sql('doc_id')} AS doc_split
+        FROM a
+    )
+    SELECT split, cast(count(*) AS bigint) AS n_docs,
+           cast(count(DISTINCT rep) AS bigint) AS n_clusters,
+           cast(count(*) FILTER (doc_split <> split) AS bigint)
+               AS n_docs_rescued
+    FROM s GROUP BY 1
+    """
+
+
+@query(
+    "leakage_safe_split",
+    oracle=_leakage_oracle(),
+    tags=["llm-dataset-split", "graph-cc", "A1", "J1"],
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment keyed on the NEAR-DUP CLUSTER
+    representative (connected component of the ≥0.8-jaccard pair
+    graph, singleton docs represent themselves) instead of the
+    document id, so every near-copy of a document lands in the SAME
+    split — the eval-contamination mode a per-doc hash split
+    (``dataset_split``) cannot prevent. ``n_docs_rescued`` counts the
+    documents whose naive per-doc assignment would have differed,
+    i.e. exactly the leakage this query closes.
+
+    Plan: the same bounded pair scan + large-star/small-star
+    components as ``dedup_clusters``, one left join of labels back to
+    the corpus, then the split stays a pure projection — no new
+    shuffle class beyond the dedup pass a curation pipeline already
+    runs."""
+    from dbt_tpcdi_spark.operators import graph as G
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    pairs = D.jaccard_pairs_bitset(
+        d, "doc_id", "text", block_col="lang", threshold=0.8
+    )
+    comp = G.connected_components(pairs, src="id_a", dst="id_b")
+    a = (
+        d.select("doc_id")
+        .join(comp, d["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("rep"),
+        )
+    )
+    s = a.select(
+        "doc_id",
+        "rep",
+        _split_case(F.col("rep")).alias("split"),
+        _split_case(F.col("doc_id")).alias("doc_split"),
+    )
+    return s.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("rep").cast("long").alias("n_clusters"),
+        F.sum(
+            F.when(F.col("doc_split") != F.col("split"), 1).otherwise(0)
+        ).cast("long").alias("n_docs_rescued"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# output shard planning (write-side load balance)
+
+_SHARDS = 16
+_SHARD_SALT = "shard1"
+
+
+@query(
+    "shard_plan",
+    oracle=f"""
+    WITH d AS (
+        SELECT {md5_mod_sql('doc_id', _SHARDS, salt=_SHARD_SALT)}
+                   AS shard_id,
+               cast({X.token_count_sql('text')} AS bigint) AS tk
+        FROM documents
+    ),
+    t AS (SELECT sum(tk) AS total FROM d)
+    SELECT shard_id, cast(count(*) AS bigint) AS n_docs,
+           cast(sum(tk) AS bigint) AS n_tokens,
+           {round4_sql(f'sum(tk) * {_SHARDS} / t.total')} AS load_factor
+    FROM d, t
+    GROUP BY shard_id, t.total
+    """,
+    tags=["llm-shard-plan", "A1"],
+)
+def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard load report: documents routed to {s} shards by
+    md5(doc_id), with per-shard token mass and load factor (1.0 =
+    perfectly even). This is the write-planning step before a
+    ``repartition(shards, key)`` final write at 100 TB — hash routing
+    is partitioning-independent, and the report is ONE
+    map-side-combined aggregate + a scalar total, so checking balance
+    costs nothing compared to writing the data."""
+    d = load_table(spark, sf_dir, "documents").select(
+        md5_mod(F.col("doc_id"), _SHARDS, salt=_SHARD_SALT).alias(
+            "shard_id"
+        ),
+        X.token_count(F.col("text")).cast("long").alias("tk"),
+    )
+    tot = d.agg(F.sum("tk").cast("long").alias("__total"))
+    return (
+        d.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tk").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            round4(
+                F.col("n_tokens") * _SHARDS / F.col("__total")
+            ).alias("load_factor"),
+        )
+    )
+
+
+shard_plan.__doc__ = shard_plan.__doc__.replace("{s}", str(_SHARDS))
 
 
 # ---------------------------------------------------------------------------
