@@ -474,6 +474,129 @@ collocation_pmi.__doc__ = collocation_pmi.__doc__.replace(
 
 
 # ---------------------------------------------------------------------------
+# hard-negative mining for retrieval training
+
+_HN_QMOD = 50  # query set: doc_id hash-sampled at 1/50
+_HN_SALT = "hn1"
+_HN_K = 3
+_HN_NEARDUP = 0.8  # exclude candidates this jaccard-close (false negs)
+_HN_IDF_Q = 1_000_000  # integer idf weight: floor(Q / df)
+
+
+@query(
+    "hard_negatives",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {D.shingles_sql('text')} AS __sh FROM documents
+    ),
+    posts AS (
+        SELECT doc_id, len(__sh) AS __n, unnest(__sh) AS __w FROM base
+    ),
+    dfreq AS (
+        SELECT __w, count(*) AS df FROM posts GROUP BY 1
+    ),
+    qposts AS (
+        SELECT * FROM posts
+        WHERE {md5_mod_sql('doc_id', _HN_QMOD, salt=_HN_SALT)} = 0
+    ),
+    pairs AS (
+        SELECT q.doc_id AS q_id, d.doc_id AS neg_id,
+               q.__n AS qn, d.__n AS dn,
+               count(*) AS common,
+               sum({_HN_IDF_Q} // f.df) AS score
+        FROM qposts q
+        JOIN posts d ON q.__w = d.__w AND q.doc_id <> d.doc_id
+        JOIN dfreq f ON f.__w = q.__w
+        GROUP BY 1, 2, 3, 4
+    ),
+    eligible AS (
+        SELECT q_id, neg_id, cast(score AS bigint) AS score,
+               {round4_sql('common / (qn + dn - common)')} AS jaccard
+        FROM pairs
+        WHERE {round4_sql('common / (qn + dn - common)')} < {_HN_NEARDUP}
+    )
+    SELECT q_id, neg_id, score, jaccard FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY score DESC, neg_id
+        ) AS __rn
+        FROM eligible
+    ) WHERE __rn <= {_HN_K}
+    """,
+    tags=["llm-retrieval", "W3"],
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    query document (deterministic 1/{qmod} hash subset), the top-{k}
+    lexically-closest OTHER documents by integer idf-weighted token
+    overlap — EXCLUDING near-duplicates (jaccard ≥ {nd}), which would
+    be false negatives that poison contrastive training.
+
+    One postings join computes both the overlap score and the exact
+    jaccard from the same counted row (no second pair pass); work is
+    Σ posting · query-posting, bounded by the query subset size. The
+    per-query top-k is a keyed window, never a global sort."""
+    from pyspark.sql import Window
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id", D.shingles(F.col("text")).alias("__sh")
+    ).withColumn("__n", F.size("__sh"))
+    posts = base.select("doc_id", "__n", F.explode("__sh").alias("__w"))
+    dfreq = (
+        posts.groupBy("__w")
+        .agg(F.count("*").alias("df"))
+        .select(F.col("__w").alias("__dw"), "df")
+    )
+    qposts = posts.filter(
+        md5_mod(F.col("doc_id"), _HN_QMOD, salt=_HN_SALT) == 0
+    )
+    q, dd = qposts.alias("hq"), posts.alias("hd")
+    pairs = (
+        q.join(
+            dd,
+            (F.col("hq.__w") == F.col("hd.__w"))
+            & (F.col("hq.doc_id") != F.col("hd.doc_id")),
+        )
+        .join(dfreq, F.col("hq.__w") == F.col("__dw"))
+        .groupBy(
+            F.col("hq.doc_id").alias("q_id"),
+            F.col("hd.doc_id").alias("neg_id"),
+            F.col("hq.__n").alias("qn"),
+            F.col("hd.__n").alias("dn"),
+        )
+        .agg(
+            F.count("*").alias("common"),
+            F.sum(F.expr(f"{_HN_IDF_Q} div df")).cast("long").alias(
+                "score"
+            ),
+        )
+    )
+    jac = round4(
+        F.col("common") / (F.col("qn") + F.col("dn") - F.col("common"))
+    )
+    eligible = (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") < _HN_NEARDUP)
+        .select("q_id", "neg_id", "score", "jaccard")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("neg_id").asc()
+    )
+    return (
+        eligible.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _HN_K)
+        .drop("__rn")
+    )
+
+
+hard_negatives.__doc__ = (
+    hard_negatives.__doc__.replace("{qmod}", str(_HN_QMOD))
+    .replace("{k}", str(_HN_K))
+    .replace("{nd}", str(_HN_NEARDUP))
+)
+
+
+# ---------------------------------------------------------------------------
 # distributed logistic regression (Newton/IRLS, one aggregate per step)
 
 _LOGIT_Y_MIN_TOKENS = 50  # label: doc has ≥ 50 whitespace tokens
