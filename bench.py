@@ -292,6 +292,29 @@ def main() -> None:
                 "CartesianProduct" not in plan)
         _subq("semdedup_sharded")
 
+        # -- heavy-hitter MG rung: candidate volume flat at any scale ----
+        # the two-pass Misra-Gries plan's structural claim is that the
+        # only non-linear-safe intermediate (the candidate set) is
+        # bounded by k x partitions NO MATTER the corpus size; pin the
+        # bound at both decades plus wall-clock subquadratic growth
+        from dbt_tpcdi_spark.operators import frequent as FQ
+        from dbt_tpcdi_spark.operators import text as TX
+
+        for tag, dirn in (("x10", x10_dir), ("x100", x100_dir)):
+            toks = (
+                spark.read.parquet(
+                    os.path.join(dirn, "documents.parquet"))
+                .select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+            )
+            n_parts = toks.rdd.getNumPartitions()
+            n_cand = FQ.mg_candidates(toks, "token", 30).count()
+            prep[f"hh_{tag}_candidates"] = n_cand
+            plan_checks[f"hh_{tag}_candidates_bounded"] = (
+                n_cand <= 30 * n_parts)
+            df = all_queries()["heavy_hitters"].build(spark, dirn)
+            _timed(probes, f"{tag}:heavy_hitters", df)
+        _subq("heavy_hitters")
+
         b100 = (
             spark.read.parquet(os.path.join(x100_dir, "documents.parquet"))
             .select("doc_id", F.concat(
