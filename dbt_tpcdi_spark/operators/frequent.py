@@ -34,8 +34,10 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
-__all__ = ["mg_candidates", "mg_reduce"]
+__all__ = ["mg_candidates", "mg_reduce", "mg_summary"]
 
 
 def mg_reduce(counts: dict[str, int], k: int) -> dict[str, int]:
@@ -51,24 +53,46 @@ def mg_reduce(counts: dict[str, int], k: int) -> dict[str, int]:
     return {t: c - d for t, c in counts.items() if c > d}
 
 
-def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
-    """Per-partition Misra–Gries candidate tokens (≤ k rows out per
-    partition). Input: a DataFrame with a string column ``col`` (one
-    row per token OCCURRENCE). Output: distinct candidate values of
-    ``col``, a superset of every token whose partition count exceeds
-    n_p/(k+1).
+def mg_summary(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra–Gries summary in ONE pass over the token
+    stream: ≤ k candidate rows per partition PLUS one sentinel row
+    (``col`` NULL) carrying the partition's row count — so the caller
+    gets candidates AND the corpus total from a single corpus scan
+    instead of two (at 100 TB, one fewer full scan is the whole win).
+
+    Input: a DataFrame with a string column ``col`` (one row per token
+    OCCURRENCE). Candidates are a superset of every token whose
+    partition count exceeds n_p/(k+1).
 
     Arrow batches are pre-reduced with ``value_counts`` (vectorized)
     before touching the Python dict, so per-row Python cost is
     amortized over batch-level dedup."""
-    schema = df.select(col).schema
+    in_field = df.select(col).schema.fields[0]
+    schema = StructType(
+        [in_field, StructField("__part_n", LongType(), True)]
+    )
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict[str, int] = {}
+        n_p = 0
         for pdf in batches:
+            n_p += len(pdf)
             for tok, c in pdf[col].value_counts().items():
                 counts[tok] = counts.get(tok, 0) + int(c)
             counts = mg_reduce(counts, k)
-        yield pd.DataFrame({col: list(counts)})
+        yield pd.DataFrame(
+            {col: list(counts) + [None], "__part_n": [None] * len(counts) + [n_p]}
+        )
 
     return df.select(col).mapInPandas(summarize, schema)
+
+
+def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Candidate values only (see ``mg_summary``): ≤ k rows per
+    partition, a superset of every token with partition count >
+    n_p/(k+1)."""
+    return (
+        mg_summary(df, col, k)
+        .filter(F.col(col).isNotNull())
+        .select(col)
+    )

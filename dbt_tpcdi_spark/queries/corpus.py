@@ -66,11 +66,20 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is the difference between shuffling a multi-billion
     row host/n-gram vocabulary and shuffling ≤ k·partitions candidate
-    rows plus one scalar total."""
+    rows plus one scalar total.
+
+    Corpus scans: exactly TWO — ``mg_summary`` emits the candidates
+    AND per-partition row counts from one pass, localCheckpointed
+    (≤ (k+1)·partitions rows — metadata-sized) so its two consumers
+    (candidate broadcast, total) don't each replay the scan; the
+    recount is the second pass."""
     d = _spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
-    total = toks.agg(F.count("*").cast("long").alias("__total"))
-    cand = FQ.mg_candidates(toks, "token", k=_HH_S).distinct()
+    summ = FQ.mg_summary(toks, "token", k=_HH_S).localCheckpoint(
+        eager=True
+    )
+    total = summ.agg(F.sum("__part_n").cast("long").alias("__total"))
+    cand = summ.filter(F.col("token").isNotNull()).select("token").distinct()
     exact = (
         toks.join(F.broadcast(cand), "token", "left_semi")
         .groupBy("token")
@@ -437,7 +446,10 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(load_table(spark, sf_dir, "documents"))
     uni = d.select(F.explode(X.tokens(F.col("text"))).alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
-    total = uni.agg(F.count("*").cast("long").alias("total"))
+    # total from the count table, NOT a second corpus scan: the ucnt
+    # exchange subtree is shared, so Catalyst plans a ReusedExchange
+    # and the corpus is tokenized once for unigrams
+    total = ucnt.agg(F.sum("c").cast("long").alias("total"))
     bcnt = (
         d.select(F.explode(X.ngram_list(F.col("text"), 2)).alias("bg"))
         .groupBy("bg")
