@@ -27,6 +27,7 @@ from dbt_tpcdi_spark.functions.scalar import (
     weighted_keep,
     weighted_keep_sql,
 )
+from dbt_tpcdi_spark.operators import bpe as B
 from dbt_tpcdi_spark.operators import dedup as D
 from dbt_tpcdi_spark.operators import frequent as FQ
 from dbt_tpcdi_spark.operators import text as X
@@ -483,6 +484,60 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 collocation_pmi.__doc__ = collocation_pmi.__doc__.replace(
     "{k}", str(_COLL_TOPK)
 )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility (compression quality per language)
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=f"""
+    WITH enc AS (
+        {B.bpe_encode_incremental_sql('documents', 'doc_id', 'text',
+                                      rounds=4, window=32)}
+    )
+    SELECT d.lang, cast(count(*) AS bigint) AS n_docs,
+           cast(sum(length(d.text)) AS bigint) AS n_chars,
+           cast(sum(e.n_bpe_tokens) AS bigint) AS n_bpe_tokens,
+           {round4_sql('sum(length(d.text)) / sum(e.n_bpe_tokens)')}
+               AS chars_per_token,
+           {round4_sql('sum(e.n_bpe_tokens) / sum(e.n_words)')}
+               AS tokens_per_word
+    FROM enc e JOIN documents d ON d.doc_id = e.doc_id
+    GROUP BY 1
+    """,
+    tags=["llm-bpe", "A1", "J1"],
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: chars-per-BPE-token and
+    BPE-tokens-per-word under the incrementally-trained vocabulary —
+    THE acceptance metric for a tokenizer on a multilingual corpus
+    (a language with low chars/token pays more sequence length for
+    the same text). Composes the production encode path (vocabulary-
+    join shape, cost |vocab|·rounds + one corpus join) with a single
+    per-language aggregate; ratios are single divisions of exact
+    integer sums."""
+    d = load_table(spark, sf_dir, "documents")
+    enc = B.bpe_encode_counts_incremental(
+        d, "doc_id", "text", rounds=4, window=32
+    )
+    meta = d.select("doc_id", "lang", F.length("text").alias("__nc"))
+    return (
+        enc.join(meta, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__nc").cast("long").alias("n_chars"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            round4(
+                F.sum("__nc") / F.sum("n_bpe_tokens")
+            ).alias("chars_per_token"),
+            round4(
+                F.sum("n_bpe_tokens") / F.sum("n_words")
+            ).alias("tokens_per_word"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
