@@ -40,10 +40,10 @@ from dbt_tpcdi_spark.sources.parquet import spread as _spread
 
 _HH_S = 30  # report tokens with count > n/30; MG capacity k = s
 
-
-@query(
-    "heavy_hitters",
-    oracle=f"""
+#: shared by heavy_hitters and streaming_heavy_hitters — both
+#: two-pass plans produce the EXACT answer, independent of summary
+#: internals, so one plain GROUP-BY oracle verifies either
+HH_ORACLE = f"""
     WITH t AS (
         SELECT unnest({X.tokens_sql('text')}) AS token FROM documents
     ),
@@ -53,7 +53,35 @@ _HH_S = 30  # report tokens with count > n/30; MG capacity k = s
     FROM t, n
     GROUP BY token, n.c
     HAVING count(*) * {_HH_S} > n.c
-    """,
+    """
+
+
+def hh_exact_recount(spark: SparkSession, sf_dir: str, cand) -> DataFrame:
+    """Pass 2 of the two-pass heavy-hitter plan: exact recount of the
+    (tiny, broadcast) candidate set against the batch corpus, filtered
+    to count·s > n. Shared by the batch and streaming front halves."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+    total = toks.agg(F.count("*").cast("long").alias("__total"))
+    exact = (
+        toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * _HH_S > F.col("__total"))
+        .select(
+            "token",
+            "n_occurrences",
+            round4(F.col("n_occurrences") / F.col("__total")).alias("share"),
+        )
+    )
+
+
+@query(
+    "heavy_hitters",
+    oracle=HH_ORACLE,
     tags=["llm-heavy-hitters", "A3"],
 )
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

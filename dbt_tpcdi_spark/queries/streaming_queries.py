@@ -423,3 +423,60 @@ def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "q_streaming_curation")
     return spark.table("q_streaming_curation")
+
+
+@query(
+    "streaming_heavy_hitters",
+    oracle=None,  # replaced below: shared with the batch two-pass plan
+    tags=["§2.9-streaming", "§2.10-stateful", "llm-heavy-hitters"],
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with the SUMMARY PASS ON THE STREAM: document
+    tokens hash-route to 8 stateful Misra–Gries groups
+    (applyInPandasWithState, ≤ 30 counters + a processed-count each,
+    so state is 240 rows no matter how long the stream runs), then the
+    drained candidates + streamed total feed the SAME exact batch
+    recount as ``heavy_hitters`` — two-pass exactness survives the
+    move to streaming because pass 1 only needs to be a candidate
+    SUPERSET, which the per-bucket MG bound guarantees for any
+    micro-batch split. Update-mode emissions are deduped to each
+    bucket's final ``seq`` (a bucket re-emitted per micro-batch keeps
+    only its last candidate set)."""
+    from dbt_tpcdi_spark.queries.corpus import hh_exact_recount
+    from dbt_tpcdi_spark.streaming.ops import (
+        stream_documents,
+        streaming_mg_summary,
+    )
+
+    docs = stream_documents(spark, sf_dir)
+    toks = docs.select(
+        F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    out = streaming_mg_summary(toks)
+    run_to_memory(out, "q_streaming_hh", output_mode="update")
+    sink = spark.table("q_streaming_hh")
+    last = (
+        sink.groupBy("bucket")
+        .agg(F.max("seq").alias("__last"))
+        .select(F.col("bucket").alias("__b"), "__last")
+    )
+    final = sink.join(
+        last,
+        (F.col("bucket") == F.col("__b")) & (F.col("seq") == F.col("__last")),
+    )
+    cand = (
+        final.filter(F.col("token").isNotNull())
+        .select("token")
+        .distinct()
+    )
+    return hh_exact_recount(spark, sf_dir, cand)
+
+
+def _install_streaming_hh_oracle() -> None:
+    from dbt_tpcdi_spark.queries import REGISTRY
+    from dbt_tpcdi_spark.queries.corpus import HH_ORACLE
+
+    REGISTRY["streaming_heavy_hitters"].oracle = HH_ORACLE
+
+
+_install_streaming_hh_oracle()

@@ -267,6 +267,84 @@ def running_user_totals_q(events: DataFrame) -> DataFrame:
     )
 
 
+_MG_STATE_SCHEMA = "toks array<string>, cnts array<bigint>, seq bigint, bucket_n bigint"
+_MG_OUT_SCHEMA = (
+    "bucket int, seq bigint, token string, bucket_n bigint"
+)
+
+
+def _mg_update(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-bucket streaming Misra–Gries: merge the micro-batch's token
+    counts into ≤ k counters (same eviction as the batch operator —
+    operators/frequent.mg_reduce), so state per bucket is O(k) forever
+    no matter how many tokens stream through. Emits the CURRENT
+    candidate set plus a sentinel row carrying the bucket's processed
+    count; ``seq`` lets the reader keep only each bucket's final
+    emission."""
+    from dbt_tpcdi_spark.operators.frequent import mg_reduce
+
+    counts: dict[str, int] = {}
+    seq, n_b = 0, 0
+    if state.exists:
+        t, c, seq, n_b = state.get
+        counts = dict(zip(t, c))
+    for pdf in batches:
+        n_b += len(pdf)
+        for tok, c in pdf["token"].value_counts().items():
+            counts[tok] = counts.get(tok, 0) + int(c)
+        counts = mg_reduce(counts, MG_STREAM_K)
+    seq += 1
+    state.update(
+        (list(counts), [int(v) for v in counts.values()], seq, n_b)
+    )
+    toks = list(counts) + [None]
+    yield pd.DataFrame(
+        {
+            "bucket": [key[0]] * len(toks),
+            "seq": [seq] * len(toks),
+            "token": toks,
+            "bucket_n": [None] * (len(toks) - 1) + [n_b],
+        }
+    )
+
+
+MG_STREAM_K = 30  # counters per bucket (= the heavy-hitter s)
+MG_STREAM_BUCKETS = 8
+
+
+def streaming_mg_summary(toks: DataFrame) -> DataFrame:
+    """Streaming heavy-hitter summary: tokens hash-route to
+    ``MG_STREAM_BUCKETS`` stateful groups, each holding a ≤ k-counter
+    Misra–Gries state — total state is buckets·k rows regardless of
+    stream length. All occurrences of a token reach ONE bucket, so any
+    token with global count > n/s (k ≥ s) survives its bucket's
+    summary: n_bucket ≤ n ⇒ the n_bucket/(k+1) eviction bound is
+    never looser than the batch per-partition one.
+
+    Input: (token string). Output per micro-batch emission: the
+    bucket's current candidates + one sentinel row with its processed
+    count (token NULL)."""
+    from dbt_tpcdi_spark.functions.scalar import md5_mod
+
+    routed = toks.select(
+        "token",
+        md5_mod(F.col("token"), MG_STREAM_BUCKETS).cast("int").alias(
+            "bucket"
+        ),
+    )
+    return routed.groupBy("bucket").applyInPandasWithState(
+        _mg_update,
+        outputStructType=_MG_OUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents as a file stream (schema pinned — streaming sources
     never infer)."""
