@@ -90,6 +90,17 @@ SHOWCASE = {
                         "agg — no window",
     "curation_pipeline_full": "four composed stages, no cartesian, "
                               "no new shuffle class",
+    "heavy_hitters": "checkpointed MG summary (ONE corpus scan) → "
+                     "broadcast-candidate semi-join recount; no "
+                     "vocabulary-sized shuffle in the final plan",
+    "collocation_pmi": "unigram count exchange reused (AQE) for the "
+                       "scalar total; TakeOrderedAndProject top-k",
+    "hard_negatives": "postings equi-joins only; per-query keyed "
+                      "window top-k, no global sort",
+    "leakage_safe_split": "dedup pair scan + star-contraction labels "
+                          "+ ONE label join; split is a projection",
+    "bucketed_join_agg": "both scans 'Bucketed: true'; SortMergeJoin "
+                         "with no Exchange and no per-task Sort",
 }
 
 

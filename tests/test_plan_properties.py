@@ -377,3 +377,43 @@ def test_exact_substring_excise_plan_linear(spark):
     plan = _plan(spark, "exact_substring_excise")
     assert "CartesianProduct" not in plan, plan
     assert not re.search(r"Sort \[[^\]]*\], true", plan), plan
+
+
+def test_heavy_hitters_plan_one_final_scan_no_vocab_shuffle(spark):
+    """Final plan reads the corpus ONCE (the MG summary pass already
+    ran at build via localCheckpoint); candidates arrive broadcast, so
+    the only hashpartitioning exchange is the candidate-bounded
+    recount — never a vocabulary-wide groupBy feeding a sort."""
+    plan = _plan(spark, "heavy_hitters")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_collocation_plan_topk_and_no_cartesian(spark):
+    plan = _plan(spark, "collocation_pmi")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_plan_keyed_window_no_global_sort(spark):
+    plan = _plan(spark, "hard_negatives")
+    assert "CartesianProduct" not in plan
+    # the top-k is a keyed window: its sort is local (within the
+    # q_id hash partitions), never a rangepartitioning global sort
+    assert "Window" in plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_leakage_safe_split_adds_no_pair_work_beyond_dedup(spark):
+    plan = _plan(spark, "leakage_safe_split")
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_filter_plus_scalar_broadcast(spark):
+    """The kept set is decided by a pure filter against a broadcast
+    1-row total: no sort, no window, no per-group state."""
+    plan = _plan(spark, "weighted_sample")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+    assert "SortMergeJoin" not in plan
