@@ -264,7 +264,16 @@ def main() -> None:
             bw = time.perf_counter() - t0
             if bw >= 0.5:
                 x10_builds[f"x100:{name}"] = round(bw, 3)
-            _timed(probes, f"x100:{name}", df)
+            # median of 3: these 30+-stage plans pay up to ~7x in
+            # cold codegen/JIT + first-touch page cache at the x100
+            # point (measured 73s cold vs 4.5s warm for pq in r8),
+            # which otherwise swamps the subquadratic signal — same
+            # treatment as the lshcap and revenue_by_nation trials
+            trials = {}
+            for t in range(3):
+                _timed(trials, f"t{t}", df)
+            prep[f"x100_{name}_trials"] = list(trials.values())
+            probes[f"x100:{name}"] = sorted(trials.values())[1]
             df.collect()  # finalize AQE before reading the plan
             plan = df._jdf.queryExecution().executedPlan().toString()
             plan_checks[f"x100_{name}_no_cartesian"] = (
@@ -322,11 +331,18 @@ def main() -> None:
         )
         bsigs100 = D.with_minhash_signature(b100, "text").persist()
         bsigs100.count()
-        t0 = time.perf_counter()
         capped100 = D.lsh_candidate_pairs_capped(
             bsigs100, "doc_id", cap=8, distinct=False)
-        n_cap100 = capped100.count()
-        probes["lshcap_x100:capped"] = round(time.perf_counter() - t0, 3)
+        # median of 3 (same rationale as the x10 capped trials): this
+        # is the probe where a one-off multi-second machine stall
+        # would spuriously fail the subquadratic check
+        cap100_trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n_cap100 = capped100.count()
+            cap100_trials.append(round(time.perf_counter() - t0, 3))
+        prep["lshcap_x100_capped_trials"] = cap100_trials
+        probes["lshcap_x100:capped"] = sorted(cap100_trials)[1]
         c100plan = (capped100._jdf.queryExecution().executedPlan()
                     .toString())
         plan_checks["lshcap_x100_no_cartesian"] = (
