@@ -152,6 +152,67 @@ def default_protocol() -> CommitProtocol:
     raise ValueError(f"unknown commit protocol {choice!r}")
 
 
+def _json_stat(v):
+    """Footer stat → JSON-storable value preserving ORDER: ints/floats
+    pass through, everything orderable-but-not-JSON (dates, decimals)
+    becomes its ISO/str form — which sorts identically for the types we
+    accept. None for types whose str() does not order (unsupported)."""
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _file_stats(data_dir: str, cols: list[str]) -> dict:
+    """Per-file {col: [min, max, null_count]} from parquet FOOTERS —
+    driver-side metadata only (one footer read per file, no data scan).
+    A file whose footer lacks usable stats for a column maps that
+    column to None → ``read_where`` must conservatively keep it."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(data_dir, name)).metadata
+        idx = {md.schema.column(i).path: i
+               for i in range(md.num_columns)}
+        fstats: dict = {}
+        for col in cols:
+            if col not in idx:
+                fstats[col] = None
+                continue
+            lo = hi = None
+            nulls = 0
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _json_stat(st.min), _json_stat(st.max)
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+                nulls += st.null_count or 0
+            fstats[col] = [lo, hi, nulls] if ok else None
+        out[name] = fstats
+    return out
+
+
 def is_versioned(root: str) -> bool:
     """True if ``root`` carries a commit log (cheap existence check —
     used by CLI/refresh routing so read-only operations never touch a
@@ -221,15 +282,33 @@ class VersionedTable:
         op: str = "overwrite",
         partition_by: list[str] | None = None,
         max_retries: int = 10,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Write ``df`` as a new immutable snapshot and commit it as the
-        next version. Returns the committed version number."""
+        next version. Returns the committed version number.
+
+        ``stats_cols`` opts into DATA SKIPPING: per-file min/max/null
+        stats for those columns are read from the just-written parquet
+        footers (driver-side metadata, no second data pass) and stored
+        in the commit entry — ``read_where`` then prunes whole files by
+        range predicate, the Delta/Iceberg trick that turns a 100 TB
+        scan into reads of only the files whose stats ranges intersect.
+        Pair with a range/Z-order layout at write time
+        (``df.repartitionByRange(col)`` / ``layout.zorder_repartition``)
+        so per-file ranges are actually narrow."""
         data_dir = f"data-{uuid.uuid4().hex[:12]}"
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(os.path.join(self.root, data_dir))
-        return self._commit_entry(data_dir, op, max_retries)
+        extra = None
+        if stats_cols:
+            extra = {
+                "stats": _file_stats(
+                    os.path.join(self.root, data_dir), stats_cols
+                )
+            }
+        return self._commit_entry(data_dir, op, max_retries, extra=extra)
 
     def _commit_entry(
         self,
@@ -296,7 +375,7 @@ class VersionedTable:
         entry = self._entry(version)
         extra = {
             k: entry[k]
-            for k in ("parts", "part_col", "part_type")
+            for k in ("parts", "part_col", "part_type", "stats")
             if k in entry
         }
         return self._commit_entry(
@@ -332,6 +411,83 @@ class VersionedTable:
             ).withColumn(col, F.lit(val).cast(dtype))
             out = leaf if out is None else out.unionByName(leaf)
         return out
+
+    def read_where(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Stats-pruned range read: resolve the snapshot, keep only the
+        files whose footer [min, max] for ``col`` intersects [lo, hi]
+        (each bound optional), read just those, and re-apply the exact
+        predicate — so the result is IDENTICAL to a full scan + filter,
+        the skipping only removes provably-matchless files. Files
+        without usable stats are kept (conservative), as are all files
+        of versions committed without ``stats_cols`` — pruning is an
+        optimization, never a correctness dependency. NULLs never match
+        a range predicate, so all-null files (min/max None, nulls > 0
+        ... recorded as stats [None, None, n]) are skippable only when
+        stats exist; here they surface as no-stats and are kept.
+
+        Returns (DataFrame, report) where report =
+        {"files_total": N, "files_read": M} — the skipping evidence.
+
+        At 100 TB with a range/Z-ordered layout this is the difference
+        between scanning the table and scanning the handful of files
+        whose key range overlaps the query window."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise ValueError(f"{self.root}: no commits yet")
+        entry = self._entry(version)
+        if "parts" in entry:
+            raise ValueError(
+                "read_where supports plain snapshot commits "
+                "(partition-manifest versions already prune by "
+                "partition value)"
+            )
+
+        def pred(df: DataFrame) -> DataFrame:
+            c = F.col(col)
+            if lo is not None:
+                df = df.filter(c >= lo)
+            if hi is not None:
+                df = df.filter(c <= hi)
+            return df
+
+        data_dir = os.path.join(self.root, entry["data"])
+        stats = entry.get("stats")
+        if not stats:
+            df = self.spark.read.parquet(data_dir)
+            n = len([f for f in os.listdir(data_dir)
+                     if f.endswith(".parquet")])
+            return pred(df), {"files_total": n, "files_read": n}
+        qlo, qhi = _json_stat(lo), _json_stat(hi)
+        keep = []
+        for name, fstats in stats.items():
+            s = (fstats or {}).get(col)
+            if s is None:
+                keep.append(name)  # no usable stats: conservative
+                continue
+            fmin, fmax, _nulls = s
+            if qhi is not None and fmin is not None and fmin > qhi:
+                continue
+            if qlo is not None and fmax is not None and fmax < qlo:
+                continue
+            keep.append(name)
+        report = {"files_total": len(stats), "files_read": len(keep)}
+        if not keep:
+            # preserve schema with an empty read of the full snapshot
+            df = self.spark.read.parquet(data_dir).limit(0)
+            return pred(df), report
+        df = self.spark.read.parquet(
+            *[os.path.join(data_dir, name) for name in keep]
+        )
+        return pred(df), report
 
     def as_of(self, timestamp: float) -> DataFrame:
         """Time travel: the table as of a wall-clock instant (latest

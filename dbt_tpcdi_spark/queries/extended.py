@@ -1215,6 +1215,63 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDF_CACHE: dict = {}
 
 
+_SKIP_LO, _SKIP_HI = 1000, 2000
+
+
+@query(
+    "versioned_skipping",
+    oracle=f"""
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS n_orders,
+           min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+    FROM orders
+    WHERE o_orderkey BETWEEN {_SKIP_LO} AND {_SKIP_HI}
+    GROUP BY 1
+    """,
+    tags=["S11", "layout-stats-skipping", "A1"],
+)
+def versioned_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based data skipping end-to-end: orders committed to a
+    VersionedTable range-laid-out on o_orderkey with footer stats
+    (``stats_cols``), then a key-window read via ``read_where`` that
+    PRUNES non-overlapping files before Spark ever scans them — the
+    Delta/Iceberg data-skipping loop owned in ~80 lines. The builder
+    asserts real pruning happened (files_read < files_total — a stats
+    regression fails loudly, not silently slow), and the oracle pins
+    the pruned result equal to a plain full-scan filter.
+
+    At 100 TB: commit-time stats are one footer read per file
+    (metadata, no data pass), and the query's scan cost becomes
+    O(files overlapping the window) instead of O(table)."""
+    import tempfile
+
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+    cache_key = (sf_dir, spark.sparkContext.applicationId)
+    if cache_key not in _SKIP_CACHE:
+        root = tempfile.mkdtemp(prefix="skip_")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        vt = VersionedTable(spark, f"{root}/orders_v")
+        vt.commit(
+            o.repartitionByRange(16, "o_orderkey"),
+            stats_cols=["o_orderkey"],
+        )
+        _SKIP_CACHE[cache_key] = vt
+    pruned, report = _SKIP_CACHE[cache_key].read_where(
+        "o_orderkey", lo=_SKIP_LO, hi=_SKIP_HI
+    )
+    assert report["files_read"] < report["files_total"], report
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+    )
+
+
+_SKIP_CACHE: dict = {}
+
+
 @query(
     "versioned_cdf",
     oracle=f"""

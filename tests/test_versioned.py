@@ -489,3 +489,66 @@ def test_compact_folds_manifest_to_plain_snapshot(spark, tmp_path):
     entry = json.loads((root / "_log" / f"{v:010d}.json").read_text())
     assert "parts" not in entry
     assert _prows(vt.read()) == [(1, "a", 0), (2, "b", 1), (3, "c", 2)]
+
+
+def test_stats_skipping_prunes_files_and_matches_full_scan(spark, tmp_path):
+    """Data skipping: a range-laid-out commit with stats_cols lets
+    read_where read strictly fewer files than the snapshot holds, and
+    the pruned result is value-identical to full-scan + filter."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    t.commit(df.repartitionByRange(8, "k"), stats_cols=["k"])
+    pruned, report = t.read_where("k", lo=100, hi=400)
+    assert report["files_total"] >= 4
+    assert 0 < report["files_read"] < report["files_total"], report
+    expect = sorted(
+        r["k"] for r in t.read().filter(
+            (F.col("k") >= 100) & (F.col("k") <= 400)).collect()
+    )
+    assert sorted(r["k"] for r in pruned.collect()) == expect
+    # stats survive restore (entry carry, like partition manifests)
+    t.commit(df.limit(1))  # v1 without stats
+    v = t.restore(0)
+    pruned2, report2 = t.read_where("k", lo=100, hi=400, version=v)
+    assert report2 == report
+    assert pruned2.count() == len(expect)
+
+
+def test_stats_skipping_conservative_without_stats(spark, tmp_path):
+    """Versions committed without stats_cols read everything (pruning
+    is an optimization, never a correctness dependency); an empty
+    intersection still returns the right (empty) result with schema."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    t.commit(df.repartition(4))
+    got, report = t.read_where("k", lo=10, hi=20)
+    assert report["files_read"] == report["files_total"]
+    assert got.count() == 11
+    # stats present but window beyond every file range -> zero files
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.commit(df.repartitionByRange(4, "k"), stats_cols=["k"])
+    empty, rep = t2.read_where("k", lo=1000)
+    assert rep["files_read"] == 0
+    assert empty.count() == 0 and empty.columns == ["k"]
+
+
+def test_stats_skipping_on_string_and_date_columns(spark, tmp_path):
+    """ISO-string stat ordering matches the column ordering for dates
+    and plain strings, so pruning stays exact on non-numeric keys."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2020-01-01").cast("date"),
+                   (F.col("id") % 365).cast("int")).alias("d"),
+        F.format_string("s%04d", F.col("id")).alias("s"),
+    )
+    t.commit(df.repartitionByRange(8, "d"), stats_cols=["d", "s"])
+    import datetime
+    lo, hi = datetime.date(2020, 2, 1), datetime.date(2020, 2, 10)
+    pruned, report = t.read_where("d", lo=lo, hi=hi)
+    assert report["files_read"] < report["files_total"], report
+    expect = t.read().filter(
+        (F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi))).count()
+    assert pruned.count() == expect
