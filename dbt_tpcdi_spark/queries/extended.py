@@ -1215,6 +1215,62 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDF_CACHE: dict = {}
 
 
+@query(
+    "zorder_skipping",
+    oracle="""
+    WITH b AS (SELECT max(l_suppkey) AS m FROM lineitem)
+    SELECT cast(count(*) AS bigint) AS n_rows,
+           min(l_partkey) AS part_min, max(l_partkey) AS part_max,
+           cast(sum(l_suppkey) AS bigint) AS supp_sum
+    FROM lineitem, b
+    WHERE l_suppkey BETWEEN b.m // 10 AND b.m // 4
+    GROUP BY b.m
+    """,
+    tags=["layout-zorder", "layout-stats-skipping", "A1"],
+)
+def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why Z-order exists, end-to-end: lineitem committed in Z-order
+    over (l_partkey, l_suppkey) with footer stats on BOTH dims, then a
+    range read on the SECOND dimension alone — a plain l_partkey sort
+    would leave every file's l_suppkey range full-width (zero files
+    prunable); the bit-interleaved layout keeps both dims locally
+    narrow per file, so ``read_where('l_suppkey', …)`` skips files on
+    a column the data was never sorted by. The builder asserts real
+    pruning; the oracle pins the pruned aggregate equal to the
+    full-scan filter."""
+    import tempfile
+
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+    cache_key = (sf_dir, spark.sparkContext.applicationId)
+    if cache_key not in _ZS_CACHE:
+        root = tempfile.mkdtemp(prefix="zskip_")
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey"
+        )
+        vt = VersionedTable(spark, f"{root}/lineitem_z")
+        vt.commit(
+            L.zorder_repartition_normalized(
+                li, "l_partkey", "l_suppkey", num_files=16),
+            stats_cols=["l_partkey", "l_suppkey"],
+        )
+        _ZS_CACHE[cache_key] = vt
+    m = _ZS_CACHE[cache_key].read().agg(F.max("l_suppkey")).first()[0]
+    pruned, report = _ZS_CACHE[cache_key].read_where(
+        "l_suppkey", lo=m // 10, hi=m // 4
+    )
+    assert report["files_read"] < report["files_total"], report
+    return pruned.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("l_partkey").alias("part_min"),
+        F.max("l_partkey").alias("part_max"),
+        F.sum("l_suppkey").cast("long").alias("supp_sum"),
+    )
+
+
+_ZS_CACHE: dict = {}
+
+
 _SKIP_LO, _SKIP_HI = 1000, 2000
 
 

@@ -69,3 +69,31 @@ def test_zorder_value_int32_no_overflow(spark):
     zs = [r["z"] for r in rows]
     assert all(z >= 0 for z in zs), zs
     assert zs[0] < zs[1] < zs[2], zs
+
+
+def test_normalized_zorder_prunes_on_both_dims(spark, tmp_path):
+    """Mismatched domains (x 12-bit, y 6-bit): raw interleave makes
+    every high z-bit an x bit, so a range split never narrows y; the
+    normalized grid must yield files narrow in BOTH dims — pruning on
+    either column via footer stats."""
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators.layout import (
+        zorder_repartition_normalized,
+    )
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 4096).alias("x"), (F.col("id") % 61).alias("y")
+    )
+    t = VersionedTable(spark, str(tmp_path / "z"))
+    t.commit(
+        zorder_repartition_normalized(df, "x", "y", num_files=16),
+        stats_cols=["x", "y"],
+    )
+    for col, lo, hi in (("x", 100, 500), ("y", 5, 15)):
+        pruned, rep = t.read_where(col, lo=lo, hi=hi)
+        assert rep["files_read"] < rep["files_total"], (col, rep)
+        expect = t.read().filter(
+            (F.col(col) >= lo) & (F.col(col) <= hi)).count()
+        assert pruned.count() == expect
