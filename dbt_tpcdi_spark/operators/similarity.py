@@ -271,6 +271,32 @@ def band_sign_bucket(
     return band_sign_bucket_q(F.transform(a, _q), band, planes, dim)
 
 
+def band_sign_proj_q(
+    a: Column, band: int, j: int, dim: int = 64
+) -> Column:
+    """The signed projection behind bit ``j`` of ``band_sign_bucket_q``
+    (already-quantized input) — exposed for multi-probe LSH, where the
+    planes with the SMALLEST |projection| are the ones whose bucket
+    bit is least reliable and therefore worth flipping."""
+    rows = _band_signs(band, j + 1, dim)
+    signs = F.array(*[F.lit(s) for s in rows[j]])
+    return F.aggregate(
+        F.zip_with(a, signs, lambda x, s: x * s.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + p,
+    )
+
+
+def band_sign_proj_sql(a: str, band: int, j: int, dim: int = 64) -> str:
+    rows = _band_signs(band, j + 1, dim)
+    signs = "[" + ", ".join(str(s) for s in rows[j]) + "]"
+    return (
+        f"cast(list_sum(list_transform(range(1, {dim} + 1), i -> "
+        f"cast(round(cast({a}[i] AS double) * {QUANT}) AS bigint) "
+        f"* ({signs})[i])) AS bigint)"
+    )
+
+
 def quantize_vec(a: Column) -> Column:
     """float vector → quantized integer vector (materialize ONCE per
     row before any pair join: per-pair re-quantization doubles the

@@ -1542,6 +1542,112 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+_MP_PLANES, _MP_PROBES = 8, 4  # 256 buckets; probe base + 3 flips
+
+
+def _multiprobe_oracle() -> str:
+    bucket = S.band_sign_bucket_sql("q.embedding", 0, _MP_PLANES)
+    planes_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, "
+        f"abs({S.band_sign_proj_sql('q.embedding', 0, j)}) AS ap "
+        f"FROM q"
+        for j in range(_MP_PLANES)
+    )
+    return f"""
+    WITH q AS (
+        SELECT embedding FROM embeddings WHERE vec_id = 0
+    ),
+    qb AS (SELECT {bucket} AS base FROM q),
+    pl AS ({planes_rows}),
+    flips AS (SELECT j FROM pl ORDER BY ap, j LIMIT {_MP_PROBES - 1}),
+    probes AS (
+        SELECT base AS pb FROM qb
+        UNION ALL
+        SELECT xor(base, 1 << j) FROM qb, flips
+    ),
+    bucketed AS (
+        SELECT e.vec_id, e.embedding,
+               {S.band_sign_bucket_sql('e.embedding', 0, _MP_PLANES)} AS b
+        FROM embeddings e WHERE e.vec_id <> 0
+    ),
+    scored AS (
+        SELECT b.vec_id, {S.qdot_sql('b.embedding', 'q.qv')} AS qdot
+        FROM bucketed b JOIN probes p ON b.b = p.pb
+        CROSS JOIN (SELECT embedding AS qv FROM q) q
+    )
+    SELECT vec_id, qdot FROM (
+        SELECT *, row_number() OVER (ORDER BY qdot DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 10
+    """
+
+
+@query(
+    "ann_lsh_multiprobe",
+    oracle=_multiprobe_oracle(),
+    tags=["llm-ann-lsh"],
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN (Lv et al., VLDB 2007): probe the
+    query's bucket PLUS the buckets reached by flipping the bits whose
+    hyperplane projection is SMALLEST in magnitude — those are the
+    sides the query most nearly straddles, so each extra probe buys
+    the most recall per candidate. {p} planes → 2^{p} buckets; {t}
+    probes scan ~{t}/2^{p} of the corpus instead of forcing a
+    coarser (higher-recall, lower-selectivity) single-bucket table.
+    Flip selection is a deterministic (|proj|, j) sort on ONE query
+    row; probe buckets broadcast into the same equi-join + exact
+    integer rerank as ``ann_lsh_topk``."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qq = e.filter(F.col("vec_id") == 0).select(
+        S.quantize_vec(F.col("embedding")).alias("qv")
+    )
+    base = S.band_sign_bucket_q(F.col("qv"), 0, _MP_PLANES)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(
+                        S.band_sign_proj_q(F.col("qv"), 0, j)
+                    ).alias("ap"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(_MP_PLANES)
+            ]
+        )
+    )
+    flips = F.slice(ranked, 1, _MP_PROBES - 1)
+    qbase = qq.select("qv", base.alias("__base"), flips.alias("__f"))
+    probes = qbase.select("qv", F.col("__base").alias("pb")).unionByName(
+        qbase.select(
+            "qv", "__base", F.explode("__f").alias("__s")
+        ).select(
+            "qv",
+            F.expr(
+                "__base ^ shiftleft(1, cast(__s.j AS int))"
+            ).cast("int").alias("pb"),
+        )
+    )
+    bucketed = e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        S.quantize_vec(F.col("embedding")).alias("qe"),
+        S.band_sign_bucket(F.col("embedding"), 0, _MP_PLANES).alias("b"),
+    )
+    scored = bucketed.join(
+        F.broadcast(probes), F.col("b") == F.col("pb")
+    ).select(
+        "vec_id", S.rawdot(F.col("qe"), F.col("qv")).alias("qdot")
+    )
+    return scored.orderBy(
+        F.col("qdot").desc(), F.col("vec_id").asc()
+    ).limit(10)
+
+
+ann_lsh_multiprobe.__doc__ = ann_lsh_multiprobe.__doc__.replace(
+    "{p}", str(_MP_PLANES)
+).replace("{t}", str(_MP_PROBES))
+
+
 _IVF_DIM = 64
 
 
