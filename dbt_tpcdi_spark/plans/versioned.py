@@ -489,6 +489,70 @@ class VersionedTable:
         )
         return pred(df), report
 
+    def read_where_all(
+        self,
+        preds: dict,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Conjunctive pruning: ``preds`` maps column → (lo, hi)
+        (either bound may be None); a file is read only if EVERY
+        predicate's range intersects its stats — on a Z-ordered layout
+        the intersection prunes multiplicatively across dims. Same
+        exactness contract as ``read_where`` (which this generalizes:
+        one entry ≡ read_where)."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise ValueError(f"{self.root}: no commits yet")
+        entry = self._entry(version)
+        if "parts" in entry:
+            raise ValueError(
+                "read_where_all supports plain snapshot commits"
+            )
+
+        def pred(df: DataFrame) -> DataFrame:
+            for col, (lo, hi) in preds.items():
+                if lo is not None:
+                    df = df.filter(F.col(col) >= lo)
+                if hi is not None:
+                    df = df.filter(F.col(col) <= hi)
+            return df
+
+        data_dir = os.path.join(self.root, entry["data"])
+        stats = entry.get("stats")
+        if not stats:
+            df = self.spark.read.parquet(data_dir)
+            n = len([f for f in os.listdir(data_dir)
+                     if f.endswith(".parquet")])
+            return pred(df), {"files_total": n, "files_read": n}
+        keep = []
+        for name, fstats in stats.items():
+            ok = True
+            for col, (lo, hi) in preds.items():
+                s = (fstats or {}).get(col)
+                if s is None:
+                    continue  # no stats for this col: can't prune on it
+                fmin, fmax, _nulls = s
+                qlo, qhi = _json_stat(lo), _json_stat(hi)
+                if qhi is not None and fmin is not None and fmin > qhi:
+                    ok = False
+                    break
+                if qlo is not None and fmax is not None and fmax < qlo:
+                    ok = False
+                    break
+            if ok:
+                keep.append(name)
+        report = {"files_total": len(stats), "files_read": len(keep)}
+        if not keep:
+            df = self.spark.read.parquet(data_dir).limit(0)
+            return pred(df), report
+        df = self.spark.read.parquet(
+            *[os.path.join(data_dir, name) for name in keep]
+        )
+        return pred(df), report
+
     def as_of(self, timestamp: float) -> DataFrame:
         """Time travel: the table as of a wall-clock instant (latest
         version committed at or before it)."""

@@ -97,3 +97,33 @@ def test_normalized_zorder_prunes_on_both_dims(spark, tmp_path):
         expect = t.read().filter(
             (F.col(col) >= lo) & (F.col(col) <= hi)).count()
         assert pruned.count() == expect
+
+
+def test_conjunctive_pruning_multiplies_on_zorder(spark, tmp_path):
+    """read_where_all on a Z-ordered layout: the (x AND y) window
+    prunes at least as hard as either single-dim window, and the
+    result still equals full-scan + both filters."""
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators.layout import (
+        zorder_repartition_normalized,
+    )
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 4096).alias("x"), (F.col("id") % 61).alias("y")
+    )
+    t = VersionedTable(spark, str(tmp_path / "z"))
+    t.commit(
+        zorder_repartition_normalized(df, "x", "y", num_files=16),
+        stats_cols=["x", "y"],
+    )
+    both, rb = t.read_where_all({"x": (100, 500), "y": (5, 15)})
+    _, rx = t.read_where("x", lo=100, hi=500)
+    _, ry = t.read_where("y", lo=5, hi=15)
+    assert rb["files_read"] <= min(rx["files_read"], ry["files_read"])
+    assert rb["files_read"] < rb["files_total"]
+    expect = t.read().filter(
+        (F.col("x").between(100, 500)) & (F.col("y").between(5, 15))
+    ).count()
+    assert both.count() == expect
