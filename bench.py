@@ -324,6 +324,42 @@ def main() -> None:
             _timed(probes, f"{tag}:heavy_hitters", df)
         _subq("heavy_hitters")
 
+        # -- stats-skipping rung: footer-pruned reads at x10 -------------
+        # commit x10 lineitem Z-ordered (normalized grid) with footer
+        # stats, then a 15%-of-domain window on the SECOND dim must
+        # read at most half the files — quantifying the data-skipping
+        # claim versioned_skipping/zorder_skipping gate for exactness
+        import uuid as _uuid
+
+        from dbt_tpcdi_spark.operators.layout import (
+            zorder_repartition_normalized,
+        )
+        from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+        zdir = os.path.join("/tmp", "spark_graft_bench",
+                            f"zskip_{_uuid.uuid4().hex[:8]}")
+        li_z = spark.read.parquet(
+            os.path.join(x10_dir, "lineitem.parquet")
+        ).select("l_partkey", "l_suppkey")
+        vt_z = VersionedTable(spark, zdir)
+        t0 = time.perf_counter()
+        vt_z.commit(
+            zorder_repartition_normalized(
+                li_z, "l_partkey", "l_suppkey", num_files=64),
+            stats_cols=["l_partkey", "l_suppkey"],
+        )
+        prep["zskip_x10_commit"] = round(time.perf_counter() - t0, 3)
+        m_supp = li_z.agg(F.max("l_suppkey")).first()[0]
+        t0 = time.perf_counter()
+        zdf, zrep = vt_z.read_where(
+            "l_suppkey", lo=m_supp // 10, hi=m_supp // 4)
+        zdf.write.mode("overwrite").format("noop").save()
+        probes["zskip_x10:pruned_read"] = round(
+            time.perf_counter() - t0, 3)
+        prep["zskip_x10_files"] = zrep
+        plan_checks["zskip_x10_files_pruned"] = (
+            zrep["files_read"] * 2 <= zrep["files_total"])
+
         b100 = (
             spark.read.parquet(os.path.join(x100_dir, "documents.parquet"))
             .select("doc_id", F.concat(
