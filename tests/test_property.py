@@ -198,3 +198,38 @@ def test_versioned_upsert_last_writer_wins(spark, seed, tmp_path):
         state.update(ups)
     got = {r.k: r.v for r in vt.read().collect()}
     assert got == state
+
+
+def test_mg_reduce_invariants_hold_on_arbitrary_counters():
+    """Misra–Gries eviction invariants on arbitrary count multisets:
+    ≤ k survivors, every survivor undercounted by the SAME eviction
+    total d, and d·(k+1) never exceeds the weight actually removed —
+    the telescoping step behind the n/(k+1) error bound."""
+    from hypothesis import given, strategies as st
+
+    from dbt_tpcdi_spark.operators.frequent import mg_reduce
+
+    @given(
+        st.dictionaries(
+            st.text(min_size=1, max_size=4),
+            st.integers(min_value=1, max_value=10_000),
+            min_size=0,
+            max_size=40,
+        ),
+        st.integers(min_value=1, max_value=12),
+    )
+    def check(counts, k):
+        before = dict(counts)
+        out = mg_reduce(dict(counts), k)
+        assert len(out) <= k
+        if len(before) <= k:
+            assert out == before
+            return
+        vals = sorted(before.values(), reverse=True)
+        d = vals[k]
+        # survivors: exactly the counters above d, each reduced by d
+        assert out == {t: c - d for t, c in before.items() if c > d}
+        removed = sum(before.values()) - sum(out.values())
+        assert d * (k + 1) <= removed
+
+    check()
