@@ -515,6 +515,141 @@ collocation_pmi.__doc__ = collocation_pmi.__doc__.replace(
 
 
 # ---------------------------------------------------------------------------
+# dataset card: the per-source corpus documentation artifact
+
+
+def _dataset_card_oracle() -> str:
+    from dbt_tpcdi_spark.queries.llm import _CLUSTER_PAIRS_SQL
+
+    qf = X.quality_features_sql("text")
+    return f"""
+    WITH qf AS (
+        SELECT doc_id, source, lang,
+               cast({qf['n_tokens']} AS bigint) AS ntok,
+               cast(floor(({qf['quality_score']}) * 10000 + 0.5)
+                    AS bigint) AS q4
+        FROM documents
+    ),
+    pairs AS ({_CLUSTER_PAIRS_SQL}),
+    nd AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT id_a AS doc_id FROM pairs
+            UNION SELECT id_b FROM pairs
+        )
+    ),
+    base AS (
+        SELECT doc_id, source, {X.ngram_shingles_sql('text', 3)} AS sh
+        FROM documents
+    ),
+    posts AS (
+        SELECT doc_id, source, unnest(sh) AS g
+        FROM base WHERE len(sh) > 0
+    ),
+    first AS (SELECT g, min(doc_id) AS fd FROM posts GROUP BY 1),
+    nov AS (
+        SELECT p.source, count(*) AS n_grams,
+               count(*) FILTER (p.doc_id = f.fd) AS n_novel
+        FROM posts p JOIN first f ON p.g = f.g GROUP BY 1
+    )
+    SELECT q.source,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(q.ntok) AS bigint) AS n_tokens,
+           cast(count(DISTINCT q.lang) AS bigint) AS n_langs,
+           {round4_sql('sum(q.q4) / (10000.0 * count(*))')}
+               AS mean_quality,
+           cast(count(nd.doc_id) AS bigint) AS n_near_dup_docs,
+           {round4_sql('min(v.n_novel) / min(v.n_grams)')} AS novelty
+    FROM qf q
+    LEFT JOIN nd ON nd.doc_id = q.doc_id
+    JOIN nov v ON v.source = q.source
+    GROUP BY q.source
+    """
+
+
+@query(
+    "dataset_card",
+    oracle=_dataset_card_oracle(),
+    tags=["llm-dataset-card", "A1", "J1"],
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the summary a training-data release
+    ships with: document/token volume, language breadth, mean quality
+    (per-doc scores quantized to int ten-thousandths BEFORE summing so
+    the mean is order-independent), near-duplicate exposure (docs in
+    ≥1 jaccard-0.8 pair), and n-gram novelty. One composition of the
+    engine's existing count/postings/pair shapes — no new shuffle
+    class; the pair scan is the same bounded bitset join the dedup
+    queries run."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    qf = X.quality_features(
+        d.select("doc_id", "source", "lang", "text")
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("n_tokens").cast("long").alias("ntok"),
+        F.floor(F.col("quality_score") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("q4"),
+    )
+    pairs = D.jaccard_pairs_bitset(
+        d, "doc_id", "text", block_col="lang", threshold=0.8
+    )
+    nd = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__nd", F.lit(1))
+    )
+    posts = d.select(
+        "doc_id",
+        "source",
+        F.explode(X.ngram_shingles(F.col("text"), 3)).alias("__g"),
+    )
+    first = posts.groupBy("__g").agg(F.min("doc_id").alias("__fd"))
+    nov = (
+        posts.join(first, "__g")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("__n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("__fd"), 1).otherwise(0)
+            ).alias("__n_novel"),
+        )
+        .select(
+            F.col("source").alias("__nsrc"), "__n_grams", "__n_novel"
+        )
+    )
+    return (
+        qf.join(nd, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            round4(
+                F.sum("q4") / (F.lit(10000.0) * F.count("*"))
+            ).alias("mean_quality"),
+            F.sum(F.coalesce(F.col("__nd"), F.lit(0)))
+            .cast("long")
+            .alias("n_near_dup_docs"),
+        )
+        .join(nov, F.col("source") == F.col("__nsrc"))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "mean_quality",
+            "n_near_dup_docs",
+            round4(F.col("__n_novel") / F.col("__n_grams")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # tokenizer fertility (compression quality per language)
 
 
