@@ -436,6 +436,31 @@ def main() -> None:
         # spend the code space within cells)
         plan_checks["ann_recall_floor_ivfpq"] = (
             rec.get("ivfpq", 0.0) >= 0.8)
+        # flat PQ + exact re-rank: the shortlist must be sized to the
+        # quantizer's cell population (here ~2k/cluster) — refine=2500
+        # covers the query's cell, so the exact pass recovers the true
+        # top-10 in full. The ann_recall row grades the SAME rung at
+        # refine=100 (< cell size): ~0.0x by construction — together
+        # they pin WHY ivfpq keeps refine small (residual codebooks)
+        # while flat-PQ re-rank must widen with cell size.
+        from dbt_tpcdi_spark.operators import similarity as S
+        from dbt_tpcdi_spark.queries.llm import pq_ann_rerank_frame
+
+        rr_ids = pq_ann_rerank_frame(emb, refine=2500).select("vec_id")
+        qv = emb.filter(F.col("vec_id") == 0).select(
+            S._qlist(F.col("embedding")).alias("__qq"))
+        d2 = S.qdist2_q(S._qlist(F.col("embedding")), F.col("__qq"))
+        truth_l2 = (
+            emb.crossJoin(F.broadcast(qv))
+            .select("vec_id", d2.alias("d2"))
+            .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id")
+        )
+        rr_recall = rr_ids.join(truth_l2, "vec_id").count() / 10.0
+        prep["ann_recall_values"]["pq_rerank_cellsized"] = rr_recall
+        plan_checks["ann_recall_floor_pq_rerank_cellsized"] = (
+            rr_recall >= 0.9)
 
         # -- realistic-vocabulary incremental BPE (VERDICT r7 item 3) ----
         # ≥1k merges through the production path: ~54 merges per driver

@@ -375,9 +375,14 @@ def bpe_train_incremental(
         cand = pc.orderBy(F.col("c").desc(), F.col("pair").asc()).limit(
             window
         )
+        # candidate-filter BEFORE the distinct: the full-vocabulary
+        # trigram explode is map-side cheap, but shuffling EVERY
+        # distinct trigram each round is not — the broadcast-join on
+        # the ≤window candidate pairs runs in the scan stage, so the
+        # distinct only shuffles safety-relevant (pair, tg) rows
         tg3 = w.select(
             F.explode(ngram_list(F.col("sp"), 3)).alias("tg")
-        ).distinct()
+        )
         parts = F.split(F.col("tg"), " ")
         tgb = tg3.select(
             "tg",

@@ -1533,3 +1533,36 @@ def qdist2_raw_sql(a: str, b: str) -> str:
         f"cast(list_sum(list_transform(range(1, len({a}) + 1), i -> "
         f"({qa} - {qb}) * ({qa} - {qb}))) AS bigint)"
     )
+
+
+def pq_adc_rerank_topk_sql(
+    from_table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    blocks: int = 8,
+    codes: int = 16,
+    iters: int = 1,
+    refine: int = 100,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of flat-PQ ADC + exact re-rank (the FAISS
+    ``IndexPQ`` + ``IndexRefineFlat`` composition): the plain ADC
+    top-``refine`` shortlist (``pq_adc_topk_sql`` verbatim, as a
+    subquery), then an exact quantized-L2 re-rank of those ``refine``
+    rows against the raw query vector, final top-``k`` by
+    (dist2 asc, id asc)."""
+    inner = pq_adc_topk_sql(
+        from_table, id_col, vec_col, dim,
+        blocks=blocks, codes=codes, iters=iters, k=refine,
+    )
+    rr = qdist2_raw_sql(f"e.{vec_col}", "q.qv2")
+    return f"""
+    SELECT s.{id_col}, {rr} AS dist2
+    FROM ({inner}) s
+    JOIN {from_table} e USING ({id_col})
+    CROSS JOIN (SELECT {vec_col} AS qv2 FROM {from_table}
+                ORDER BY {id_col} LIMIT 1) q
+    ORDER BY dist2 ASC, s.{id_col} ASC
+    LIMIT {k}
+    """

@@ -85,6 +85,125 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# funnel / ordered-sequence detection (MATCH_RECOGNIZE-style): earliest
+# view -> click -> purchase per user, each step within a gap window of
+# the previous. The fold over per-user ordered history decomposes into
+# a cascade of K groupBy-min stages (one per funnel step) — every stage
+# is partial-aggregable map-side and shuffles only (user_id, ts) pairs,
+# so no per-user window ever serializes a hot user's full history into
+# one task (the trap a window-function funnel would hit at 100 TB).
+
+_FUNNEL_GAP_MS = 48 * 3_600_000  # each step within 48h of the previous
+
+_FUNNEL_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+    ),
+    s1 AS (
+        SELECT user_id, min(ts_ms) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts_ms) AS t2
+        FROM e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts_ms > s1.t1
+          AND e.ts_ms <= s1.t1 + {_FUNNEL_GAP_MS}
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts_ms) AS t3
+        FROM e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t2
+          AND e.ts_ms <= s2.t2 + {_FUNNEL_GAP_MS}
+        GROUP BY 1
+    )
+    SELECT 1 AS step, 'view' AS step_name,
+           count(*) AS n_users, cast(NULL AS bigint) AS mean_gap_ms
+    FROM s1
+    UNION ALL
+    SELECT 2, 'click', count(*),
+           CASE WHEN count(*) = 0 THEN NULL
+                ELSE sum(t2 - t1) // count(*) END
+    FROM s2 JOIN s1 USING (user_id)
+    UNION ALL
+    SELECT 3, 'purchase', count(*),
+           CASE WHEN count(*) = 0 THEN NULL
+                ELSE sum(t3 - t2) // count(*) END
+    FROM s3 JOIN s2 USING (user_id)
+    """
+
+
+@query(
+    "funnel_conversion",
+    oracle=_FUNNEL_ORACLE,
+    tags=["ext-funnel", "A3", "J6"],
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel detection (the MATCH_RECOGNIZE / funnel-analysis
+    shape): earliest 'view', then earliest 'click' AFTER it, then
+    earliest 'purchase' after THAT — each step within {gap}h of the
+    previous — reported as per-step user counts and the mean
+    step-to-step latency (integer ms, exact bigint division shared
+    with the twin). Each funnel step is one groupBy-min over the
+    events filtered by a join to the previous step's timestamps:
+    K steps = K shuffles keyed on user_id, all map-side combinable;
+    the per-user event history is never collected into a single
+    partition (contrast the naive per-user sort-window funnel, which
+    cannot be split when one user dominates — see
+    ``sessionize_chunked``'s discussion of the same trap)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long").alias(
+            "ts_ms"),
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts_ms").alias("t1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts_ms") > F.col("t1"))
+            & (F.col("ts_ms") <= F.col("t1") + F.lit(_FUNNEL_GAP_MS))
+        )
+        .groupBy("user_id").agg(F.min("ts_ms").alias("t2"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_ms") > F.col("t2"))
+            & (F.col("ts_ms") <= F.col("t2") + F.lit(_FUNNEL_GAP_MS))
+        )
+        .groupBy("user_id").agg(F.min("ts_ms").alias("t3"))
+    )
+
+    def _step(df: DataFrame, step: int, name: str, gap) -> DataFrame:
+        n = F.count("*").cast("bigint")
+        mean = (
+            F.when(n > 0, F.expr(f"sum({gap}) div count(*)"))
+            if gap else F.lit(None)
+        )
+        return df.agg(
+            n.alias("n_users"),
+            mean.cast("bigint").alias("mean_gap_ms"),
+        ).select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+            "mean_gap_ms",
+        )
+
+    return (
+        _step(s1, 1, "view", None)
+        .unionByName(_step(s2.join(s1, "user_id"), 2, "click", "t2 - t1"))
+        .unionByName(
+            _step(s3.join(s2, "user_id"), 3, "purchase", "t3 - t2"))
+    )
+
+
 _SESSION_CHUNK_MS = 3_600_000  # 1h time chunks for the two-phase path
 
 

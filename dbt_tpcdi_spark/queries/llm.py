@@ -1072,27 +1072,94 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding. Deterministic end-to-end — training, encode, and ADC
     all exact integer arithmetic shared with the SQL twin."""
     e = _spread(load_table(spark, sf_dir, "embeddings"))
+    return _pq_adc_frame(e, blocks=8, codes=16, limit=10)
+
+
+def _pq_adc_frame(
+    e: DataFrame, blocks: int, codes: int, limit: int, dim: int = 64
+) -> DataFrame:
+    """Flat-PQ ADC body shared by ``pq_ann_topk`` (limit=k) and
+    ``pq_ann_rerank`` (limit=refine): per-block codebooks, encode,
+    (block, code) → d lookup against the smallest-id query row, sum
+    per vector, top-``limit`` by (adc_dist2 asc, vec_id asc)."""
     cb = S.pq_codebooks(
-        e, "vec_id", "embedding", 64, blocks=8, codes=16, iters=1,
-        assign_mode="broadcast",
+        e, "vec_id", "embedding", dim, blocks=blocks, codes=codes,
+        iters=1, assign_mode="broadcast",
     )  # pq_codebooks persists the codebook itself (and releases the
     # per-block training tables) — no second persist here
-    codes = S.pq_encode(e, "vec_id", "embedding", cb, 64, blocks=8)
+    pq_codes = S.pq_encode(e, "vec_id", "embedding", cb, dim, blocks=blocks)
     qsub = S.pq_query_subvectors(
-        e.orderBy("vec_id").limit(1), "embedding", 64, blocks=8
+        e.orderBy("vec_id").limit(1), "embedding", dim, blocks=blocks
     )
     d = S.qdist2_q(F.col("__qsv"), F.col("__cent"))
     dtab = cb.join(F.broadcast(qsub), "block").select(
         "block", F.col("__cl").alias("code"), d.alias("d")
     )
     adc = (
-        codes.join(F.broadcast(dtab), ["block", "code"])
+        pq_codes.join(F.broadcast(dtab), ["block", "code"])
         .groupBy("vec_id")
         .agg(F.sum("d").cast("bigint").alias("adc_dist2"))
     )
     return adc.orderBy(
         F.col("adc_dist2").asc(), F.col("vec_id").asc()
-    ).limit(10)
+    ).limit(limit)
+
+
+_PQ_RERANK_REFINE = 100
+
+
+@query(
+    "pq_ann_rerank",
+    oracle=S.pq_adc_rerank_topk_sql(
+        "embeddings", "vec_id", "embedding", dim=64,
+        blocks=8, codes=16, iters=1, refine=_PQ_RERANK_REFINE, k=10,
+    ),
+    tags=["llm-ann-pq", "llm-kmeans", "iterative"],
+)
+def pq_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-PQ ADC shortlist + exact re-rank (the FAISS ``IndexPQ`` +
+    ``IndexRefineFlat`` composition — the cheapest recall repair for
+    compressed ANN): the ``pq_ann_topk`` ADC scan widened to
+    top-{refine}, then those {refine} candidates re-ranked by EXACT
+    quantized L2 against the raw query vector. The exact pass touches
+    only {refine} full vectors (a broadcast-sized re-read of the
+    corpus rows selected by the shortlist semi-join), so at serving
+    scale the corpus scan still reads 8 codes/vector — the re-rank
+    repairs the within-shortlist ordering that flat PQ's
+    cluster-granularity codes cannot resolve (``ivfpq_ann_topk``'s
+    residual codebooks repair the shortlist itself). Deterministic
+    end-to-end; the DuckDB twin embeds the plain ADC statement
+    verbatim and replays the same (dist2 asc, vec_id asc) re-rank."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    return pq_ann_rerank_frame(e, refine=_PQ_RERANK_REFINE, k=10)
+
+
+def pq_ann_rerank_frame(
+    e: DataFrame, refine: int, k: int = 10
+) -> DataFrame:
+    """Parameterized flat-PQ + exact-re-rank body — see
+    ``pq_ann_rerank``. ``refine`` must be sized to the quantizer's
+    resolution: flat 8×16 codes resolve to cluster granularity, so a
+    shortlist smaller than the query's cell population is id-ordered
+    within the cell and the re-rank can't recover what the shortlist
+    dropped (the bench grades refine ≥ cell size on the planted
+    corpus; ``ivfpq_ann_topk``'s residual codebooks are the fix that
+    keeps refine small)."""
+    short = _pq_adc_frame(e, blocks=8, codes=16, limit=refine)
+    base = e.select("vec_id", S._qlist(F.col("embedding")).alias("__qv"))
+    qrow = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(S._qlist(F.col("embedding")).alias("__qq"))
+    )
+    rr = S.qdist2_q(F.col("__qv"), F.col("__qq"))
+    return (
+        short.join(base, "vec_id")
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", rr.alias("dist2"))
+        .orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
 
 
 _IVFPQ_CELLS = 16
@@ -1763,6 +1830,11 @@ _ANN_RECALL_ORACLE = f"""
         SELECT vec_id FROM ({S.ivfpq_adc_topk_sql(
             'embeddings', 'vec_id', 'embedding', dim=64,
             cells=16, blocks=8, codes=64, iters=1, refine=200, k=10)})
+    ),
+    pq_rr AS (
+        SELECT vec_id FROM ({S.pq_adc_rerank_topk_sql(
+            'embeddings', 'vec_id', 'embedding', dim=64,
+            blocks=8, codes=16, iters=1, refine=100, k=10)})
     )
     SELECT method, cast(n_hits AS bigint) AS n_hits,
            cast(n_hits AS double) / cast(10.0 AS double) AS recall
@@ -1779,6 +1851,9 @@ _ANN_RECALL_ORACLE = f"""
         UNION ALL
         SELECT 'ivfpq',
                (SELECT count(*) FROM ivfpq JOIN brute_l2 USING (vec_id))
+        UNION ALL
+        SELECT 'pq_rerank',
+               (SELECT count(*) FROM pq_rr JOIN brute_l2 USING (vec_id))
     )
     """
 
@@ -1822,6 +1897,8 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", ann_ivf_topk(spark, sf_dir).select("vec_id"), brute),
         ("pq", pq_ann_topk(spark, sf_dir).select("vec_id"), brute_l2),
         ("ivfpq", ivfpq_ann_topk(spark, sf_dir).select("vec_id"),
+         brute_l2),
+        ("pq_rerank", pq_ann_rerank(spark, sf_dir).select("vec_id"),
          brute_l2),
     ]
     out = None

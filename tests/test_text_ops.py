@@ -362,6 +362,41 @@ def test_pq_codebooks_encode_properties(spark):
                     for r in got}
 
 
+def test_pq_rerank_full_refine_is_exact(spark):
+    """pq_ann_rerank_frame with refine >= n degrades to EXACT search:
+    the ADC shortlist covers the whole corpus, so the re-rank's output
+    must equal the brute-force quantized-L2 top-10 — the invariant
+    that makes 'size refine to the cell population' a recall
+    guarantee rather than a heuristic."""
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators import similarity as S
+    from dbt_tpcdi_spark.queries.llm import pq_ann_rerank_frame
+    from dbt_tpcdi_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    n = e.count()
+    got = pq_ann_rerank_frame(e, refine=n).collect()
+    qv = e.orderBy("vec_id").limit(1).select(
+        S._qlist(F.col("embedding")).alias("__qq"))
+    d2 = S.qdist2_q(S._qlist(F.col("embedding")), F.col("__qq"))
+    want = (
+        e.crossJoin(F.broadcast(qv))
+        .select("vec_id", d2.alias("dist2"))
+        .orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    )
+    assert [(r["vec_id"], r["dist2"]) for r in got] == [
+        (r["vec_id"], r["dist2"]) for r in want]
+    # and the shortlist rung is consistent: a narrower refine returns
+    # a subset of the corpus ranked by the same exact metric
+    nar = pq_ann_rerank_frame(e, refine=50).collect()
+    assert len(nar) == 10
+    assert all(r["dist2"] >= got[0]["dist2"] for r in nar)
+
+
 def test_exact_substring_excise_invariants(spark):
     """Cross-query semantics: excision removes foreign-owned runs
     (owner = min doc_id per gram), spans flags ALL shared-gram runs —
