@@ -147,7 +147,7 @@ def main() -> None:
                        "contamination_check", "mixture_sample",
                        "pagerank_parts", "semdedup", "semdedup_ivf",
                        "pq_ann_topk", "kmeans_assign_ivf",
-                       "curation_pipeline_full")
+                       "curation_pipeline_full", "funnel_conversion")
         for name in x10_queries:
             t0 = time.perf_counter()
             df = all_queries()[name].build(spark, x10_dir)
@@ -477,7 +477,7 @@ def main() -> None:
         t0 = time.perf_counter()
         csizes: list[int] = []
         learned, wseg, used = bpe_train_incremental(
-            bpe_corpus, "text", rounds=24, window=256,
+            bpe_corpus, "text", rounds=12, window=256,
             collect_sizes=csizes,
         )
         probes["bpe_incremental_1k_train"] = round(
@@ -503,13 +503,13 @@ def main() -> None:
             "round_trips": n_rounds,
             "merges_per_round": round(n_merges / max(n_rounds, 1), 1),
             "max_collect_rows": max(csizes) if csizes else 0,
-            "collect_bound_rows": 256 * (TRIGRAM_CAP + 2),
+            "collect_bound_rows": 256 * (TRIGRAM_CAP + 3),
         }
         plan_checks["bpe_1k_roundtrip_budget"] = (
             n_merges >= 1000 and n_rounds <= n_merges / 15
         )
         plan_checks["bpe_1k_collect_bounded"] = (
-            bool(csizes) and max(csizes) <= 256 * (TRIGRAM_CAP + 2)
+            bool(csizes) and max(csizes) <= 256 * (TRIGRAM_CAP + 3)
         )
         bpe_corpus.unpersist()
 

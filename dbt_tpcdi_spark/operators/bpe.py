@@ -310,7 +310,7 @@ def select_safe(
 
 #: default per-candidate bound on collected realized trigrams (see
 #: ``bpe_train_incremental``): the round's driver round-trip is then
-#: ≤ window·(trigram_cap + 2) rows whatever the corpus.
+#: ≤ window·(trigram_cap + 3) rows whatever the corpus.
 TRIGRAM_CAP = 256
 
 
@@ -351,13 +351,17 @@ def bpe_train_incremental(
     **The collect is BOUNDED** (r7 advice: corpus-dependent in the
     adversarial case): relevant trigrams are ranked per candidate and
     only the first ``trigram_cap + 1`` collect, so the round-trip is
-    ≤ ``window·(trigram_cap + 2)`` rows whatever the corpus. A rank
-    of ``trigram_cap + 1`` arriving proves some candidate's trigram
-    list was TRUNCATED — the collected set can no longer prove
-    absence, so the round falls back to the singleton merge (rank-1
-    pair only, which is unconditionally safe — ``select_safe`` admits
-    rank 1 regardless of trigrams). The DuckDB twin
-    (``_incremental_ctes``) replicates the same cap-and-fallback rule
+    ≤ ``window·(trigram_cap + 3)`` rows whatever the corpus (per
+    candidate: the 'p' row, ≤cap+1 trigram rows, ≤1 truncation
+    marker). A rank of ``trigram_cap + 1`` arriving proves THAT
+    candidate's trigram list was TRUNCATED — the collected set can no
+    longer prove absence *for that pair*, so that pair alone is
+    dropped from the batch (rank 1 excepted — unconditionally safe).
+    The fallback is per-candidate, not per-round: every conflict
+    trigram has both of its pairs as boundary bigrams, so conflicts
+    among the surviving complete-list candidates remain fully visible
+    and the rest of the batch proceeds. The DuckDB twin
+    (``_incremental_ctes``) replicates the same cap-and-drop rule
     bit-for-bit, so truncation never diverges the learned table.
     ``collect_sizes``, when given a list, receives each round's
     collected row count (test/ops introspection).
@@ -375,34 +379,40 @@ def bpe_train_incremental(
         cand = pc.orderBy(F.col("c").desc(), F.col("pair").asc()).limit(
             window
         )
-        # candidate-filter BEFORE the distinct: the full-vocabulary
-        # trigram explode is map-side cheap, but shuffling EVERY
-        # distinct trigram each round is not — the broadcast-join on
-        # the ≤window candidate pairs runs in the scan stage, so the
-        # distinct only shuffles safety-relevant (pair, tg) rows
-        tg3 = w.select(
-            F.explode(ngram_list(F.col("sp"), 3)).alias("tg")
-        )
+        # candidate-filter BEFORE the distinct, in ONE scan: the
+        # full-vocabulary trigram explode is map-side cheap, but
+        # shuffling EVERY distinct trigram each round is not — each
+        # trigram fans out to its two boundary bigrams (b12, b23) as
+        # join keys, one broadcast equi-join against the ≤window
+        # candidate pairs runs inside the scan stage, and the distinct
+        # then shuffles only safety-relevant (pair, tg) rows
         parts = F.split(F.col("tg"), " ")
-        tgb = tg3.select(
-            "tg",
-            F.concat_ws(
-                " ", F.element_at(parts, 1), F.element_at(parts, 2)
-            ).alias("b12"),
-            F.concat_ws(
-                " ", F.element_at(parts, 2), F.element_at(parts, 3)
-            ).alias("b23"),
+        tgk = (
+            w.select(
+                F.explode(ngram_list(F.col("sp"), 3)).alias("tg")
+            )
+            .select(
+                "tg",
+                F.explode(
+                    F.array(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(parts, 1),
+                            F.element_at(parts, 2),
+                        ),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(parts, 2),
+                            F.element_at(parts, 3),
+                        ),
+                    )
+                ).alias("__bk"),
+            )
         )
         candp = cand.select("pair")
         rel = (
-            tgb.join(
-                F.broadcast(candp), tgb["b23"] == candp["pair"]
-            ).select("pair", "tg")
-            .unionByName(
-                tgb.join(
-                    F.broadcast(candp), tgb["b12"] == candp["pair"]
-                ).select("pair", "tg")
-            )
+            tgk.join(F.broadcast(candp), tgk["__bk"] == candp["pair"])
+            .select("pair", "tg")
             .distinct()
         )
         wcap = Window.partitionBy("pair").orderBy("tg")
@@ -420,21 +430,38 @@ def bpe_train_incremental(
                     F.col("__rn").cast("long").alias("c"),
                 )
             )
+            .unionByName(
+                # per-pair truncation markers: rank cap+1 arriving
+                # proves THIS pair's relevant-trigram list is
+                # incomplete (≤1 marker row per candidate)
+                capped.filter(F.col("__rn") == trigram_cap + 1).select(
+                    F.lit("x").alias("t"),
+                    F.col("pair").alias("v"),
+                    F.col("__rn").cast("long").alias("c"),
+                )
+            )
             .collect()  # the round's ONE driver round-trip, bounded
         )
         if collect_sizes is not None:
             collect_sizes.append(len(rows))
         by_pair = {r["v"]: int(r["c"]) for r in rows if r["t"] == "p"}
         trigrams = {r["v"] for r in rows if r["t"] == "t"}
-        truncated = any(
-            r["t"] == "t" and int(r["c"]) == trigram_cap + 1 for r in rows
-        )
+        truncated_pairs = {r["v"] for r in rows if r["t"] == "x"}
         ranked = sorted(by_pair, key=lambda p: (-by_pair[p], p))
         if not ranked:
             break
-        selected = (
-            [ranked[0]] if truncated else select_safe(ranked, trigrams)
-        )
+        # PER-CANDIDATE fallback: a truncated pair can't prove its own
+        # safety, so drop IT from the batch — every conflict trigram
+        # carries both pairs as its boundary bigrams, so conflicts
+        # among the remaining (complete-list) candidates stay fully
+        # visible in the collected union. Rank 1 is unconditionally
+        # eligible (BPE's one-merge-at-a-time semantics needs no
+        # trigram evidence for the top pair).
+        eligible = [
+            p for p in ranked
+            if p == ranked[0] or p not in truncated_pairs
+        ]
+        selected = select_safe(eligible, trigrams)
         used += 1
         learned.extend((p, by_pair[p]) for p in selected)
 
@@ -627,10 +654,11 @@ def _incremental_ctes(
     (x=m / y=m) or realizes an overlap trigram ("x a b" with y=a,
     "a b y" with x=b) in that round's corpus — and the rank-ordered
     nested-replace application, INCLUDING the truncation fallback:
-    when any candidate's distinct relevant-trigram count exceeds
-    ``trigram_cap`` (``__itc{r}``), the round selects rank 1 only —
-    the same rule the Spark trainer applies when its bounded collect
-    detects truncation."""
+    a candidate whose distinct relevant-trigram count exceeds
+    ``trigram_cap`` (``__itc{r}`` — the per-pair truncated set) is
+    dropped from that round's batch (rank 1 excepted) — the same
+    per-candidate rule the Spark trainer applies when its bounded
+    collect sees a rank-``cap+1`` marker for that pair."""
     x, y = "split_part({p}, ' ', 1)", "split_part({p}, ' ', 2)"
     ctes = [
         f"""__iwc AS MATERIALIZED (
@@ -662,21 +690,22 @@ def _incremental_ctes(
                 FROM __iw{r}
             )
         )""")
-        # truncation flag: TRUE iff any candidate pair is the leading
-        # or trailing bigram of more than trigram_cap distinct
-        # realized trigrams — the Spark trainer's bounded collect then
-        # cannot prove trigram absence and falls back to rank 1 only
+        # per-pair truncated set: candidates that are the leading or
+        # trailing bigram of more than trigram_cap distinct realized
+        # trigrams — the Spark trainer's bounded collect cannot prove
+        # trigram absence for THESE pairs, so they drop from the
+        # batch (rank 1 excepted)
         tg12 = ("(split_part(t.tg, ' ', 1) || ' ' || "
                 "split_part(t.tg, ' ', 2))")
         tg23 = ("(split_part(t.tg, ' ', 2) || ' ' || "
                 "split_part(t.tg, ' ', 3))")
         ctes.append(f"""__itc{r} AS MATERIALIZED (
-            SELECT coalesce(max(cnt), 0) > {trigram_cap} AS trunc FROM (
+            SELECT pair FROM (
                 SELECT p.pair, count(DISTINCT t.tg) AS cnt
                 FROM __irk{r} p JOIN __itg{r} t
                   ON {tg12} = p.pair OR {tg23} = p.pair
                 GROUP BY 1
-            )
+            ) WHERE cnt > {trigram_cap}
         )""")
         for j in range(1, window + 1):
             if j == 1:
@@ -693,7 +722,7 @@ def _incremental_ctes(
             ctes.append(f"""__ig{r}_{j} AS MATERIALIZED (
                 SELECT p.pair, p.rnk FROM __irk{r} p
                 WHERE p.rnk = {j}
-                  AND NOT (SELECT trunc FROM __itc{r})
+                  AND p.pair NOT IN (SELECT pair FROM __itc{r})
                   AND NOT EXISTS (
                     SELECT 1 FROM ({prev}) q
                     WHERE {px} = {qm} OR {py} = {qm}

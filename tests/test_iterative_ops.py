@@ -295,10 +295,12 @@ def test_max_multiplicity_fold(spark):
 
 def test_bpe_incremental_trigram_collect_bounded_with_fallback(spark):
     """r7 advice hardening: the per-round collect is bounded by
-    window*(trigram_cap+2) even on an adversarial corpus (one symbol
+    window*(trigram_cap+3) even on an adversarial corpus (one symbol
     shared by every top pair realizing many trigrams), truncation
-    falls back to the singleton merge, and the DuckDB twin replicates
-    the cap-and-fallback rule bit-for-bit."""
+    drops ONLY the affected candidate (per-candidate fallback — the
+    rest of the batch proceeds because every conflict trigram carries
+    both pairs as boundary bigrams), and the DuckDB twin replicates
+    the cap-and-drop rule bit-for-bit."""
     import duckdb
 
     from dbt_tpcdi_spark.operators.bpe import (
@@ -307,30 +309,35 @@ def test_bpe_incremental_trigram_collect_bounded_with_fallback(spark):
         bpe_vocab_incremental_sql,
     )
 
-    # pair 'a b' tops (count 9) and is the trailing bigram of 3
-    # distinct realized trigrams (c/d/e + 'a b'); 'x y' is a safe
-    # second candidate an untruncated round would also select
-    texts = ["ab ab ab ab ab ab", "cab dab eab", "xy xy xy xy"]
+    # rank 1 = 'x y' (count 6, no trigrams); rank 2 = 'a b' (count 5)
+    # is the trailing bigram of 3 distinct realized trigrams
+    # (c/d/e + 'a b'); 'c a'/'d a'/'e a' (count 1 each) have one
+    # relevant trigram apiece
+    texts = ["xy xy xy xy xy xy", "ab ab", "cab dab eab"]
     d = _docs(spark, texts)
 
-    # cap=2 < 3 relevant trigrams -> truncated -> singleton round
+    # cap=2 < 3 relevant trigrams: 'a b' alone is dropped; rank-1
+    # 'x y' and the untruncated count-1 candidates all still merge
+    # (the old round-global fallback would have learned only 'x y')
     sizes: list[int] = []
     learned, _, used = bpe_train_incremental(
         d, "text", rounds=1, window=8, trigram_cap=2,
         collect_sizes=sizes,
     )
-    assert [p for p, _ in learned] == ["a b"]
+    assert [p for p, _ in learned] == ["x y", "c a", "d a", "e a"]
     assert used == 1
-    assert len(sizes) == 1 and sizes[0] <= 8 * (2 + 2)
+    assert len(sizes) == 1 and sizes[0] <= 8 * (2 + 3)
 
-    # default-sized cap: nothing truncates, the same round admits both
+    # default-sized cap: nothing truncates — 'a b' is admitted, and
+    # the trigram rule now vetoes 'c a'/'d a'/'e a' (merging 'a b'
+    # consumes the 'a' of their realized "? a b" trigrams)
     sizes2: list[int] = []
     learned2, _, _ = bpe_train_incremental(
         d, "text", rounds=1, window=8, trigram_cap=64,
         collect_sizes=sizes2,
     )
-    assert [p for p, _ in learned2] == ["a b", "x y"]
-    assert sizes2[0] <= 8 * (64 + 2)
+    assert [p for p, _ in learned2] == ["x y", "a b"]
+    assert sizes2[0] <= 8 * (64 + 3)
 
     # the DuckDB twin applies the identical rule at BOTH caps: the
     # final vocabulary (hence the whole merge chain) matches exactly
