@@ -280,6 +280,35 @@ def main() -> None:
                 "CartesianProduct" not in plan)
             _subq(name)
 
+        # sample-trained PQ at x100 (the pq_ann_sampled path with the
+        # fraction sized to the rung): codebooks fit on a 2.5%
+        # deterministic hash-sample (~5k of 200k vectors), full-corpus
+        # encode + ADC + exact re-rank. The eager build IS the
+        # training cost — this probe pins that sampling collapses it
+        # while the scan-side plan stays identical (no cartesian).
+        from dbt_tpcdi_spark.functions.scalar import hash_sample
+        from dbt_tpcdi_spark.queries.llm import pq_ann_rerank_frame
+
+        e100 = spark.read.parquet(
+            os.path.join(x100_dir, "embeddings.parquet"))
+        t0 = time.perf_counter()
+        df = pq_ann_rerank_frame(
+            e100, refine=100,
+            train_df=e100.filter(
+                hash_sample(F.col("vec_id"), 0.025, salt="pqtrain")),
+        )
+        x10_builds["x100:pq_ann_sampled"] = round(
+            time.perf_counter() - t0, 3)
+        trials = {}
+        for t in range(3):
+            _timed(trials, f"t{t}", df)
+        prep["x100_pq_ann_sampled_trials"] = list(trials.values())
+        probes["x100:pq_ann_sampled"] = sorted(trials.values())[1]
+        df.collect()
+        plan_checks["x100_pq_ann_sampled_no_cartesian"] = (
+            "CartesianProduct" not in df._jdf.queryExecution()
+            .executedPlan().toString())
+
         # sharded SemDedup at x100 with the PRODUCTION configuration
         # (fixed k_coarse=100): linear coarse pass + per-cell BLAS
         # assignment + grouped-Gram pair scan — the hierarchy that

@@ -21,7 +21,7 @@ Two paths:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1209,12 +1209,142 @@ def pq_codebooks(
     ``kmeans_sql(..., final='cents')`` chains.
 
     Returned codebook is persist()ed (it is consumed at least twice:
-    encode + ADC distance table) and each block's training-final
-    centroid table is released once the union materializes, so exactly
-    one blocks·codes-row table stays cached per trained codebook."""
+    encode + ADC distance table); superseded Lloyd-round tables are
+    released as each round materializes, so exactly one
+    blocks·codes-row table stays cached per trained codebook.
+
+    All ``blocks`` codebooks train in ONE GROUPED Lloyd loop over the
+    exploded (id, block, subvector) rows — per-block training is
+    independent (seeds = the k smallest ids within each block, i.e.
+    the same ids every block; assignment and the quantized-mean
+    update never cross blocks), so the grouped loop is bit-identical
+    to ``blocks`` separate ``kmeans_centroid_table`` runs and the SQL
+    twin's per-block ``kmeans_sql`` chains remain the oracle — but
+    the job count per iteration is 1 instead of ~4·blocks (at toy
+    scale the sequential per-block loop was pure scheduling overhead;
+    at cluster scale it was ``blocks`` separate corpus scans).
+
+    ``assign_mode``/``parts`` are kept for API compatibility; any
+    mode other than "broadcast" falls back to the per-block loop
+    (the grouped join IS broadcast assignment — the codebook is
+    blocks·codes metadata rows)."""
     sub = dim // blocks
     if sub * blocks != dim:
         raise ValueError(f"dim {dim} not divisible by blocks {blocks}")
+    if assign_mode != "broadcast":
+        return _pq_codebooks_blockwise(
+            df, id_col, vec_col, dim, blocks, codes, iters,
+            assign_mode, parts,
+        )
+    sv = df.select(
+        F.col(id_col),
+        F.explode(_subvector_structs(vec_col, dim, blocks)).alias("__s"),
+    ).select(id_col, "__s.block", F.col("__s.__qsv").alias("__qv"))
+    wseed = Window.partitionBy("block").orderBy(id_col)
+    cdf = (
+        sv.withColumn("__rn", F.row_number().over(wseed))
+        .filter(F.col("__rn") <= codes)
+        .select(
+            "block",
+            F.col(id_col).cast("long").alias("__cl"),
+            F.col("__qv").alias("__cent"),
+        )
+        .persist()
+    )
+    for _ in range(iters):
+        d = qdist2_q(F.col("__qv"), F.col("__cent"))
+        # argmin per (vector, block): (d, __cl) is unique per code so
+        # the struct-min tie-break matches assign_centroids_bcast;
+        # the subvector rides along (never compared — (d, c) decides)
+        assigned = (
+            sv.join(F.broadcast(cdf), "block")
+            .groupBy(id_col, "block")
+            .agg(
+                F.min(
+                    F.struct(
+                        d.alias("d"),
+                        F.col("__cl").alias("c"),
+                        F.col("__qv").alias("v"),
+                    )
+                ).alias("__b")
+            )
+            .select(
+                "block",
+                F.col("__b")["c"].alias("__c2"),
+                F.col("__b")["v"].alias("__v"),
+            )
+        )
+        # quantized_centroids' exact integer mean, grouped by
+        # (block, cluster): floor((2s + c) / 2c) == round(s/c)
+        q = F.posexplode(F.col("__v"))
+        per_dim = (
+            assigned.select("block", "__c2", q.alias("__pos", "__x"))
+            .groupBy("block", "__c2", "__pos")
+            .agg(F.sum("__x").alias("__s"), F.count("*").alias("__c"))
+            .withColumn(
+                "__cq",
+                F.floor(
+                    (F.lit(2) * F.col("__s") + F.col("__c"))
+                    / (F.lit(2) * F.col("__c"))
+                ).cast("long"),
+            )
+        )
+        # new derives from cdf's lineage (sv ⋈ cdf) — rename its join
+        # keys so the carry-forward join can't resolve both sides to
+        # the same attribute (labels repeat across blocks: seeds are
+        # the same smallest ids in every block, so a lineage-ambiguous
+        # block equality would silently fan out 1 → blocks rows)
+        new = (
+            per_dim.groupBy("block", "__c2")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("__pos", "__cq"))
+                    ),
+                    lambda s: s["__cq"],
+                ).alias("__centroid")
+            )
+            .withColumnRenamed("block", "__b2")
+        )
+        nxt = (
+            cdf.join(
+                new,
+                (cdf["block"] == new["__b2"])
+                & (cdf["__cl"] == new["__c2"]),
+                "left",
+            )
+            .select(
+                cdf["block"],
+                cdf["__cl"],
+                F.coalesce(new["__centroid"], cdf["__cent"]).alias(
+                    "__cent"
+                ),
+            )
+            .persist()
+        )
+        nxt.count()  # replace-then-release (see _kmeans_table)
+        cdf.unpersist()
+        cdf = nxt
+    if iters == 0:
+        cdf.count()
+    return cdf
+
+
+def _pq_codebooks_blockwise(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    blocks: int,
+    codes: int,
+    iters: int,
+    assign_mode: str,
+    parts: int | None,
+) -> DataFrame:
+    """Per-block sequential training (the pre-grouped shape) — kept
+    for non-broadcast assign modes; result-identical to the grouped
+    loop."""
+    sub = dim // blocks
     out = None
     finals = []
     for b in range(blocks):
@@ -1306,20 +1436,26 @@ def pq_adc_topk_sql(
     codes: int = 16,
     iters: int = 1,
     k: int = 10,
+    train_where: str | None = None,
 ) -> str:
     """DuckDB twin of the full PQ pipeline: per-block codebook
     training (nested ``kmeans_sql(..., final='cents')`` chains over
     the subvector slices), per-(vector, block) encode via the same
     (dist, code) argmin, the query's (block, code) → distance table,
-    and the ADC top-k with (adc asc, id asc) tie-break."""
+    and the ADC top-k with (adc asc, id asc) tie-break.
+
+    ``train_where`` restricts CODEBOOK TRAINING to a predicate (the
+    deterministic-hash-sample scale path — encode and ADC always run
+    over the full corpus)."""
     sub = dim // blocks
+    tw = f"WHERE {train_where}" if train_where else ""
     ctes = []
     for b in range(blocks):
         lo, hi = b * sub + 1, (b + 1) * sub
         ctes.append(
             f"""__pqs{b} AS MATERIALIZED (
                 SELECT {id_col}, {vec_col}[{lo}:{hi}] AS sv
-                FROM {from_table}
+                FROM {from_table} {tw}
             )"""
         )
         km = kmeans_sql(
@@ -1545,16 +1681,18 @@ def pq_adc_rerank_topk_sql(
     iters: int = 1,
     refine: int = 100,
     k: int = 10,
+    train_where: str | None = None,
 ) -> str:
     """DuckDB twin of flat-PQ ADC + exact re-rank (the FAISS
     ``IndexPQ`` + ``IndexRefineFlat`` composition): the plain ADC
     top-``refine`` shortlist (``pq_adc_topk_sql`` verbatim, as a
     subquery), then an exact quantized-L2 re-rank of those ``refine``
     rows against the raw query vector, final top-``k`` by
-    (dist2 asc, id asc)."""
+    (dist2 asc, id asc). ``train_where`` as in ``pq_adc_topk_sql``."""
     inner = pq_adc_topk_sql(
         from_table, id_col, vec_col, dim,
         blocks=blocks, codes=codes, iters=iters, k=refine,
+        train_where=train_where,
     )
     rr = qdist2_raw_sql(f"e.{vec_col}", "q.qv2")
     return f"""

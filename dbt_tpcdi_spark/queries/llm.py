@@ -1076,14 +1076,28 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_adc_frame(
-    e: DataFrame, blocks: int, codes: int, limit: int, dim: int = 64
+    e: DataFrame,
+    blocks: int,
+    codes: int,
+    limit: int,
+    dim: int = 64,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Flat-PQ ADC body shared by ``pq_ann_topk`` (limit=k) and
     ``pq_ann_rerank`` (limit=refine): per-block codebooks, encode,
     (block, code) → d lookup against the smallest-id query row, sum
-    per vector, top-``limit`` by (adc_dist2 asc, vec_id asc)."""
+    per vector, top-``limit`` by (adc_dist2 asc, vec_id asc).
+    ``train_df`` (default: the corpus itself) restricts codebook
+    TRAINING only — encode and ADC always cover the full corpus."""
+    if train_df is not None:
+        # the sample is consumed ≥2× per block (seeds + Lloyd);
+        # flatten it once so training never rescans the full corpus
+        # to re-filter (bounded sample rows; checkpoint() on a real
+        # cluster — same lifecycle note as ivfpq's residual table)
+        train_df = train_df.localCheckpoint(eager=True)
     cb = S.pq_codebooks(
-        e, "vec_id", "embedding", dim, blocks=blocks, codes=codes,
+        e if train_df is None else train_df,
+        "vec_id", "embedding", dim, blocks=blocks, codes=codes,
         iters=1, assign_mode="broadcast",
     )  # pq_codebooks persists the codebook itself (and releases the
     # per-block training tables) — no second persist here
@@ -1135,7 +1149,10 @@ def pq_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_ann_rerank_frame(
-    e: DataFrame, refine: int, k: int = 10
+    e: DataFrame,
+    refine: int,
+    k: int = 10,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Parameterized flat-PQ + exact-re-rank body — see
     ``pq_ann_rerank``. ``refine`` must be sized to the quantizer's
@@ -1144,8 +1161,10 @@ def pq_ann_rerank_frame(
     within the cell and the re-rank can't recover what the shortlist
     dropped (the bench grades refine ≥ cell size on the planted
     corpus; ``ivfpq_ann_topk``'s residual codebooks are the fix that
-    keeps refine small)."""
-    short = _pq_adc_frame(e, blocks=8, codes=16, limit=refine)
+    keeps refine small). ``train_df`` as in ``_pq_adc_frame``."""
+    short = _pq_adc_frame(
+        e, blocks=8, codes=16, limit=refine, train_df=train_df
+    )
     base = e.select("vec_id", S._qlist(F.col("embedding")).alias("__qv"))
     qrow = (
         e.orderBy("vec_id")
@@ -1159,6 +1178,41 @@ def pq_ann_rerank_frame(
         .select("vec_id", rr.alias("dist2"))
         .orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
         .limit(k)
+    )
+
+
+_PQ_TRAIN_FRAC = 0.25
+_PQ_TRAIN_SALT = "pqtrain"
+
+
+@query(
+    "pq_ann_sampled",
+    oracle=S.pq_adc_rerank_topk_sql(
+        "embeddings", "vec_id", "embedding", dim=64,
+        blocks=8, codes=16, iters=1, refine=_PQ_RERANK_REFINE, k=10,
+        train_where=hash_sample_sql(
+            "vec_id", _PQ_TRAIN_FRAC, salt=_PQ_TRAIN_SALT),
+    ),
+    tags=["llm-ann-pq", "llm-kmeans", "llm-sampling", "iterative"],
+)
+def pq_ann_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-PQ with SAMPLE-TRAINED codebooks + exact re-rank — the
+    production training economics (FAISS trains its quantizers on a
+    bounded sample, never the full corpus): codebooks fit on the
+    deterministic {frac} hash-sample (``hash_sample`` — partitioning-
+    independent, so the learned codebooks are reproducible on any
+    cluster size), then the FULL corpus is encoded and ADC-scanned
+    exactly as in ``pq_ann_rerank``. At 100 TB this turns quantizer
+    training from O(n·codes·iters) into O(sample) while the per-vector
+    encode/scan stays the same single corpus pass; training-set choice
+    shifts WHICH codebooks are learned, and the shared predicate keeps
+    the DuckDB twin on the identical sample bit-for-bit."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    train = e.filter(
+        hash_sample(F.col("vec_id"), _PQ_TRAIN_FRAC, salt=_PQ_TRAIN_SALT)
+    )
+    return pq_ann_rerank_frame(
+        e, refine=_PQ_RERANK_REFINE, k=10, train_df=train
     )
 
 
