@@ -362,6 +362,79 @@ def test_pq_codebooks_encode_properties(spark):
                     for r in got}
 
 
+def test_pq_codebooks_grouped_equals_blockwise(spark):
+    """The grouped one-pass Lloyd loop must be BIT-IDENTICAL to the
+    sequential per-block k-means it replaced — that equivalence is
+    what lets the per-block SQL twins stay the oracle after the
+    training path changed."""
+    from dbt_tpcdi_spark.operators import similarity as S
+    from dbt_tpcdi_spark.operators.similarity import (
+        _pq_codebooks_blockwise,
+    )
+    from dbt_tpcdi_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    for iters in (0, 1, 2):
+        grouped = sorted(
+            (r["block"], r["__cl"], tuple(r["__cent"]))
+            for r in S.pq_codebooks(
+                e, "vec_id", "embedding", 64, blocks=4, codes=8,
+                iters=iters, assign_mode="broadcast",
+            ).collect()
+        )
+        blockwise = sorted(
+            (r["block"], r["__cl"], tuple(r["__cent"]))
+            for r in _pq_codebooks_blockwise(
+                e, "vec_id", "embedding", 64, blocks=4, codes=8,
+                iters=iters, assign_mode="broadcast", parts=None,
+            ).collect()
+        )
+        assert grouped == blockwise, iters
+
+
+def test_funnel_conversion_invariants(spark):
+    """Funnel-shape invariants at sf0.001: step user-sets are nested
+    (n_users non-increasing down the funnel), mean gaps respect the
+    48h window, and a user whose only clicks precede every view never
+    reaches step 2 (ordering, not co-occurrence)."""
+    from pyspark.sql import Row
+
+    from dbt_tpcdi_spark.queries import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["step"]: r for r in all_queries()["funnel_conversion"]
+            .build(spark, SF_SMOKE).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
+    assert rows[1]["mean_gap_ms"] is None
+    for s in (2, 3):
+        if rows[s]["n_users"] > 0:
+            assert 0 < rows[s]["mean_gap_ms"] <= 48 * 3_600_000
+    # ordering matters: click-before-view must not convert
+    import dbt_tpcdi_spark.queries.extended as X
+
+    base = [
+        Row(event_id=1, ts=1_000, user_id=1, event_type="click"),
+        Row(event_id=2, ts=2_000, user_id=1, event_type="view"),
+        Row(event_id=3, ts=1_000, user_id=2, event_type="view"),
+        Row(event_id=4, ts=2_000, user_id=2, event_type="click"),
+    ]
+    df = spark.createDataFrame(base).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    orig = X._t
+    X._t = lambda *_: df
+    try:
+        got = {r["step"]: r for r in X.funnel_conversion(
+            spark, SF_SMOKE).collect()}
+    finally:
+        X._t = orig
+    assert got[1]["n_users"] == 2  # both users viewed
+    assert got[2]["n_users"] == 1  # only user 2 clicked AFTER viewing
+    assert got[3]["n_users"] == 0
+
+
 def test_pq_rerank_full_refine_is_exact(spark):
     """pq_ann_rerank_frame with refine >= n degrades to EXACT search:
     the ADC shortlist covers the whole corpus, so the re-rank's output
