@@ -941,9 +941,20 @@ def quality_quantile_gate_approx(
     test) — the right contract for a quality FILTER, where the
     boundary row is noise either way; callers needing the exact rank
     semantics use quality_quantile_gate. Appends ``qthreshold`` (the
-    per-group cut) instead of ``qrank``."""
+    per-group cut) instead of ``qrank``.
+
+    ``scored`` is consumed TWICE (histogram pass + the threshold
+    filter), so it is materialized once up front — callers pass the
+    compact scored projection (id, group, score[, fp]), never raw
+    text, so the checkpoint holds feature-extraction OUTPUT at one row
+    per document; without it the whole upstream text lineage runs
+    twice (measured 5.2 s → 1.3 s per run on the sf0.1 curation
+    pipeline, with the one-time 4.5 s materialization visible as the
+    eager build). ``checkpoint()`` on a real cluster — same lifecycle
+    note as ivfpq's residual table."""
     from pyspark.sql import Window
 
+    scored = scored.localCheckpoint(eager=True)
     hist = scored.groupBy(group_col, score_col).agg(
         F.count("*").alias("__c")
     )
