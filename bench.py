@@ -465,6 +465,34 @@ def main() -> None:
         # spend the code space within cells)
         plan_checks["ann_recall_floor_ivfpq"] = (
             rec.get("ivfpq", 0.0) >= 0.8)
+        # matryoshka truncation: on this corpus a 16-dim prefix cannot
+        # fine-rank 2k near-identical cluster members (recall@10 ~0 —
+        # the same cell-resolution phenomenon PQ shows), but it MUST
+        # still land the query's cluster: the cell-level floor is what
+        # truncation-for-serving actually relies on (prefix search
+        # routes, full-dim scores re-rank)
+        from dbt_tpcdi_spark.operators import similarity as S
+
+        q16 = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"))
+        d16 = S.qdot(
+            F.slice(F.col("embedding"), 1, 16), F.slice(F.col("qv"), 1, 16))
+        m16 = (
+            emb.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q16))
+            .select("vec_id", d16.alias("qdot"))
+            .orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id")
+        )
+        mat_cell = (
+            m16.join(emb, "vec_id").crossJoin(F.broadcast(qlbl))
+            .agg(F.avg((F.col("label") == F.col("__ql")).cast("double")))
+            .collect()[0][0]
+        )
+        prep["ann_recall_values"]["matryoshka16_cell"] = round(mat_cell, 3)
+        plan_checks["ann_recall_floor_matryoshka16_cell"] = mat_cell >= 0.8
+
         # flat PQ + exact re-rank: the shortlist must be sized to the
         # quantizer's cell population (here ~2k/cluster) — refine=2500
         # covers the query's cell, so the exact pass recovers the true

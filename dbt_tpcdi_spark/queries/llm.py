@@ -1622,6 +1622,86 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+_MATRYOSHKA_DIMS = (16, 32, 64)
+
+
+def _matryoshka_cte(dims: int) -> str:
+    sl = f"embedding[1:{dims}]"
+    return f"""(
+        SELECT vec_id FROM (
+            SELECT e.vec_id,
+                   {S.qdot_sql(f'e.{sl}', f'q.qv[1:{dims}]')} AS qdot
+            FROM embeddings e
+            CROSS JOIN (SELECT embedding AS qv FROM embeddings
+                        WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+        ) QUALIFY row_number() OVER (ORDER BY qdot DESC, vec_id) <= 10
+    )"""
+
+
+@query(
+    "ann_matryoshka",
+    oracle=f"""
+    WITH truth AS {_matryoshka_cte(64)},
+    {', '.join(f'd{d} AS {_matryoshka_cte(d)}' for d in _MATRYOSHKA_DIMS)}
+    SELECT dims, cast(n_hits AS bigint) AS n_hits,
+           cast(n_hits AS double) / cast(10.0 AS double) AS recall
+    FROM ({' UNION ALL '.join(
+        f"SELECT {d} AS dims, (SELECT count(*) FROM d{d} "
+        f"JOIN truth USING (vec_id)) AS n_hits"
+        for d in _MATRYOSHKA_DIMS)})
+    """,
+    tags=["llm-ann-eval", "A1"],
+)
+def ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension retrieval eval (Kusupati
+    et al. 2022: nested-prefix embeddings let a serving stack search a
+    16- or 32-dim PREFIX and reserve full-dimension scoring for
+    re-rank): brute-force top-10 by quantized dot over each prefix
+    width vs the full-width truth, reported as recall@10 per width.
+    The measurement a pipeline runs before committing to a truncation
+    rung — each branch is the ``ann_topk`` scan shape (broadcast 1-row
+    query, slice pushed into the scan, top-k via
+    TakeOrderedAndProject), so cost is one corpus pass per width and
+    the 10-row intersections are metadata joins. On the driver's
+    uniform-random embeddings recall decays with width by
+    construction; the planted-structure floors live in the bench's
+    clustered corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"))
+
+    def topk(dims: int) -> DataFrame:
+        d = S.qdot(
+            F.slice(F.col("embedding"), 1, dims),
+            F.slice(F.col("qv"), 1, dims),
+        )
+        return (
+            e.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", d.alias("qdot"))
+            .orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id")
+        )
+
+    truth = topk(64)
+    out = None
+    for dims in _MATRYOSHKA_DIMS:
+        row = (
+            topk(dims).join(truth, "vec_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+            .select(
+                F.lit(dims).cast("int").alias("dims"),
+                "n_hits",
+                (F.col("n_hits").cast("double") / F.lit(10.0)).alias(
+                    "recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 @query(
     "ann_lsh_topk",
     oracle=f"""
