@@ -213,6 +213,94 @@ def _file_stats(data_dir: str, cols: list[str]) -> dict:
     return out
 
 
+#: Bloom sidecar defaults: 8192 bits / 4 md5-derived probes per value
+#: → ~0.04% false-positive rate at 300 distinct values per file; words
+#: hold 32 bits each so every manifest integer stays positive.
+_BLOOM_BITS = 8192
+_BLOOM_HASHES = 4
+_BLOOM_WORD = 32
+
+
+def _bloom_positions(value, bits: int, hashes: int) -> list[int]:
+    """Driver-side twin of the executor hash: position_i =
+    md5(\"{i}:\" || str(value))[:8] as int, mod bits. Values are keyed
+    by their STRING rendering (int/str columns round-trip identically
+    in Spark's cast-to-string and Python's str)."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16
+        ) % bits
+        for i in range(hashes)
+    ]
+
+
+def _bloom_stats(
+    spark: SparkSession,
+    data_dir: str,
+    cols: list[str],
+    bits: int = _BLOOM_BITS,
+    hashes: int = _BLOOM_HASHES,
+) -> dict:
+    """Per-file Bloom bitmaps for ``cols``: one column-pruned scan of
+    the just-written files (parquet reads ONLY the bloom columns +
+    the _metadata file name), bitmap OR-folded executor-side via
+    ``bit_or`` so the driver collects ≤ files·bits/{word} small rows —
+    manifest-sized metadata, never data. Every file gets an entry
+    (files whose column is entirely NULL carry an empty bitmap, which
+    correctly proves equality-absence: NULL never equals a probe)."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(data_dir).select(
+        F.col("_metadata.file_name").alias("__f"),
+        *[F.col(c) for c in cols],
+    )
+    files = [
+        name for name in sorted(os.listdir(data_dir))
+        if name.endswith(".parquet")
+    ]
+    out: dict[str, dict] = {
+        name: {
+            c: {"bits": bits, "k": hashes, "words": {}} for c in cols
+        }
+        for name in files
+    }
+    for c in cols:
+        pos = F.array(*[
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{i}:"), F.col(c).cast("string")
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % bits
+            for i in range(hashes)
+        ])
+        rows = (
+            base.filter(F.col(c).isNotNull())
+            .select("__f", F.explode(pos).alias("__p"))
+            .select(
+                "__f",
+                F.expr(f"__p div {_BLOOM_WORD}").alias("__w"),
+                F.expr(
+                    f"shiftleft(cast(1 AS bigint), "
+                    f"cast(__p % {_BLOOM_WORD} AS int))"
+                ).alias("__m"),
+            )
+            .groupBy("__f", "__w")
+            .agg(F.bit_or("__m").alias("__v"))
+            .collect()  # ≤ files · bits/word rows — metadata-sized
+        )
+        for r in rows:
+            out[r["__f"]][c]["words"][str(r["__w"])] = int(r["__v"])
+    return out
+
+
 def is_versioned(root: str) -> bool:
     """True if ``root`` carries a commit log (cheap existence check —
     used by CLI/refresh routing so read-only operations never touch a
@@ -283,6 +371,7 @@ class VersionedTable:
         partition_by: list[str] | None = None,
         max_retries: int = 10,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Write ``df`` as a new immutable snapshot and commit it as the
         next version. Returns the committed version number.
@@ -295,20 +384,32 @@ class VersionedTable:
         scan into reads of only the files whose stats ranges intersect.
         Pair with a range/Z-order layout at write time
         (``df.repartitionByRange(col)`` / ``layout.zorder_repartition``)
-        so per-file ranges are actually narrow."""
+        so per-file ranges are actually narrow.
+
+        ``bloom_cols`` opts into EQUALITY skipping on columns the
+        layout does NOT sort (where min/max spans the domain and prunes
+        nothing): per-file Bloom bitmaps (8192 bits, 4 md5 probes —
+        the Delta/Iceberg bloom-index trick) are stored in the entry
+        and ``read_where_eq`` drops every file whose bitmap proves the
+        probe value absent. Costs one column-pruned scan of the
+        written files (the bloom columns only)."""
         data_dir = f"data-{uuid.uuid4().hex[:12]}"
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(os.path.join(self.root, data_dir))
-        extra = None
+        extra = {}
         if stats_cols:
-            extra = {
-                "stats": _file_stats(
-                    os.path.join(self.root, data_dir), stats_cols
-                )
-            }
-        return self._commit_entry(data_dir, op, max_retries, extra=extra)
+            extra["stats"] = _file_stats(
+                os.path.join(self.root, data_dir), stats_cols
+            )
+        if bloom_cols:
+            extra["bloom"] = _bloom_stats(
+                self.spark, os.path.join(self.root, data_dir), bloom_cols
+            )
+        return self._commit_entry(
+            data_dir, op, max_retries, extra=extra or None
+        )
 
     def _commit_entry(
         self,
@@ -545,6 +646,73 @@ class VersionedTable:
             if ok:
                 keep.append(name)
         report = {"files_total": len(stats), "files_read": len(keep)}
+        if not keep:
+            df = self.spark.read.parquet(data_dir).limit(0)
+            return pred(df), report
+        df = self.spark.read.parquet(
+            *[os.path.join(data_dir, name) for name in keep]
+        )
+        return pred(df), report
+
+    def read_where_eq(
+        self,
+        col: str,
+        value,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Bloom-pruned point read: keep only the files whose Bloom
+        bitmap for ``col`` has ALL probe bits set for ``value`` (a
+        Bloom miss PROVES absence; a hit may be a false positive, so
+        the exact equality predicate is re-applied — result identical
+        to full scan + filter, same contract as ``read_where``). Files
+        without a bitmap, and versions committed without
+        ``bloom_cols``, are kept conservatively.
+
+        This is the skipping rung for point predicates on columns the
+        layout does not sort: after a Z-order on (a, b), min/max for
+        an unrelated high-cardinality key spans the whole domain in
+        every file and ``read_where`` keeps everything, while the
+        bitmap prunes to the handful of files that actually contain
+        the key. ``value`` must render to the same string Spark's
+        cast-to-string produces (int/string keys)."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise ValueError(f"{self.root}: no commits yet")
+        entry = self._entry(version)
+        if "parts" in entry:
+            raise ValueError(
+                "read_where_eq supports plain snapshot commits"
+            )
+
+        def pred(df: DataFrame) -> DataFrame:
+            return df.filter(F.col(col) == value)
+
+        data_dir = os.path.join(self.root, entry["data"])
+        bloom = entry.get("bloom")
+        if not bloom:
+            df = self.spark.read.parquet(data_dir)
+            n = len([f for f in os.listdir(data_dir)
+                     if f.endswith(".parquet")])
+            return pred(df), {"files_total": n, "files_read": n}
+        keep = []
+        for name, fbloom in bloom.items():
+            info = (fbloom or {}).get(col)
+            if info is None:
+                keep.append(name)  # no bitmap for this col: keep
+                continue
+            words = info["words"]
+            hit = True
+            for p in _bloom_positions(value, info["bits"], info["k"]):
+                w = int(words.get(str(p // _BLOOM_WORD), 0))
+                if not (w >> (p % _BLOOM_WORD)) & 1:
+                    hit = False  # proven absent
+                    break
+            if hit:
+                keep.append(name)
+        report = {"files_total": len(bloom), "files_read": len(keep)}
         if not keep:
             df = self.spark.read.parquet(data_dir).limit(0)
             return pred(df), report

@@ -1447,6 +1447,64 @@ def versioned_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SKIP_CACHE: dict = {}
 
 
+_BLOOM_KEY = 42
+
+
+@query(
+    "bloom_skipping",
+    oracle=f"""
+    SELECT doc_id, lang, cast(length(text) AS bigint) AS n_chars
+    FROM documents WHERE doc_id = {_BLOOM_KEY}
+    """,
+    tags=["S11", "layout-stats-skipping", "P3"],
+)
+def bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index equality skipping end-to-end: documents committed
+    round-robin (every file spans the full doc_id domain, so footer
+    min/max prunes NOTHING — asserted) with per-file Bloom bitmaps
+    (``bloom_cols``), then a point lookup via ``read_where_eq`` that
+    drops every file whose bitmap proves the key absent. The builder
+    asserts real pruning (files_read < files_total) AND that the
+    bitmap prunes strictly more files than the min/max range API can
+    on this layout (round-robin ranges span ~the whole domain; at
+    most a stray file misses the key by chance) — pinning that the
+    bitmap, not the stats, did the work; the oracle pins the pruned
+    result equal to a plain full-scan filter.
+
+    At 100 TB this is the Delta/Iceberg bloom-index rung: the layout
+    is spent on the range/Z-order dims, and point predicates on an
+    UNRELATED high-cardinality key still read O(files containing the
+    key) instead of O(table)."""
+    import tempfile
+
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+    cache_key = (sf_dir, spark.sparkContext.applicationId)
+    if cache_key not in _BLOOM_CACHE:
+        root = tempfile.mkdtemp(prefix="bloom_")
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        vt = VersionedTable(spark, f"{root}/docs_v")
+        vt.commit(
+            d.repartition(16),
+            stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+        )
+        _BLOOM_CACHE[cache_key] = vt
+    vt = _BLOOM_CACHE[cache_key]
+    pruned, report = vt.read_where_eq("doc_id", _BLOOM_KEY)
+    assert report["files_read"] < report["files_total"], report
+    _, rng = vt.read_where("doc_id", lo=_BLOOM_KEY, hi=_BLOOM_KEY)
+    assert rng["files_read"] > report["files_read"], (rng, report)
+    return pruned.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+
+_BLOOM_CACHE: dict = {}
+
+
 @query(
     "versioned_cdf",
     oracle=f"""

@@ -552,3 +552,56 @@ def test_stats_skipping_on_string_and_date_columns(spark, tmp_path):
     expect = t.read().filter(
         (F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi))).count()
     assert pruned.count() == expect
+
+
+def test_bloom_skipping_point_reads(spark, tmp_path):
+    """Bloom equality skipping: a present key reads only the files
+    whose bitmap admits it and returns exactly the full-scan-filter
+    rows; an absent key reads ZERO files; string keys work; versions
+    committed without bloom_cols stay conservative (all files read,
+    same rows)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.format_string("s%04d", F.col("id")).alias("s"),
+    )
+    # round-robin layout: every file spans the whole key domain, so
+    # min/max stats CANNOT prune — exactly bloom's territory
+    t.commit(df.repartition(16), stats_cols=["k"], bloom_cols=["k", "s"])
+
+    got, rep = t.read_where_eq("k", 1234)
+    assert rep["files_read"] < rep["files_total"], rep
+    assert [(r["k"], r["s"]) for r in got.collect()] == [(1234, "s1234")]
+    # the range API on the same commit proves min/max is useless here
+    _, rep_range = t.read_where("k", lo=1234, hi=1234)
+    assert rep_range["files_read"] == rep_range["files_total"]
+
+    absent, rep0 = t.read_where_eq("k", 999_999)
+    assert rep0["files_read"] == 0
+    assert absent.count() == 0 and absent.columns == ["k", "s"]
+
+    gs, reps = t.read_where_eq("s", "s0077")
+    assert reps["files_read"] < reps["files_total"]
+    assert [r["k"] for r in gs.collect()] == [77]
+
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.commit(df.repartition(4))
+    cons, repc = t2.read_where_eq("k", 7)
+    assert repc["files_read"] == repc["files_total"] == 4
+    assert cons.count() == 1
+
+
+def test_bloom_skipping_null_column_files(spark, tmp_path):
+    """A file whose bloom column is entirely NULL carries an empty
+    bitmap and is provably skippable for ANY probe (NULL never equals
+    a value); mixed files keep their non-null keys findable."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") < 50, F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    # range layout on v: files with v>=50 hold only NULL k
+    t.commit(df.repartitionByRange(4, "v"), bloom_cols=["k"])
+    got, rep = t.read_where_eq("k", 10)
+    assert rep["files_read"] < rep["files_total"], rep
+    assert [r["v"] for r in got.collect()] == [10]
