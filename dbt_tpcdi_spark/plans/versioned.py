@@ -372,6 +372,8 @@ class VersionedTable:
         max_retries: int = 10,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        bloom_bits: int = _BLOOM_BITS,
+        bloom_hashes: int = _BLOOM_HASHES,
     ) -> int:
         """Write ``df`` as a new immutable snapshot and commit it as the
         next version. Returns the committed version number.
@@ -392,7 +394,11 @@ class VersionedTable:
         the Delta/Iceberg bloom-index trick) are stored in the entry
         and ``read_where_eq`` drops every file whose bitmap proves the
         probe value absent. Costs one column-pruned scan of the
-        written files (the bloom columns only)."""
+        written files (the bloom columns only). Size ``bloom_bits`` ≈
+        10× the distinct values per FILE for a ~1% false-positive
+        rate; bitmaps live in the commit-log JSON, so beyond ~10⁵ bits
+        per file they belong in sidecar index files (the Delta bloom
+        layout) — a deliberate seam, not built here."""
         data_dir = f"data-{uuid.uuid4().hex[:12]}"
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -405,7 +411,8 @@ class VersionedTable:
             )
         if bloom_cols:
             extra["bloom"] = _bloom_stats(
-                self.spark, os.path.join(self.root, data_dir), bloom_cols
+                self.spark, os.path.join(self.root, data_dir),
+                bloom_cols, bits=bloom_bits, hashes=bloom_hashes,
             )
         return self._commit_entry(
             data_dir, op, max_retries, extra=extra or None
