@@ -601,13 +601,18 @@ class VersionedTable:
         self,
         preds: dict,
         version: int | None = None,
+        eq: dict | None = None,
     ) -> tuple[DataFrame, dict]:
         """Conjunctive pruning: ``preds`` maps column → (lo, hi)
-        (either bound may be None); a file is read only if EVERY
-        predicate's range intersects its stats — on a Z-ordered layout
-        the intersection prunes multiplicatively across dims. Same
-        exactness contract as ``read_where`` (which this generalizes:
-        one entry ≡ read_where)."""
+        (either bound may be None) and ``eq`` maps column → probe
+        value (Bloom-checked); a file is read only if EVERY range
+        predicate intersects its stats AND every equality probe passes
+        its Bloom bitmap — on a Z-ordered layout with a bloom key the
+        intersection prunes multiplicatively across dims AND the
+        point key. Same exactness contract as ``read_where`` (which
+        this generalizes: one range entry ≡ read_where; one eq entry ≡
+        read_where_eq); columns without stats/bitmaps contribute no
+        pruning, never wrong answers."""
         from pyspark.sql import functions as F
 
         if version is None:
@@ -619,6 +624,7 @@ class VersionedTable:
             raise ValueError(
                 "read_where_all supports plain snapshot commits"
             )
+        eq = eq or {}
 
         def pred(df: DataFrame) -> DataFrame:
             for col, (lo, hi) in preds.items():
@@ -626,17 +632,22 @@ class VersionedTable:
                     df = df.filter(F.col(col) >= lo)
                 if hi is not None:
                     df = df.filter(F.col(col) <= hi)
+            for col, value in eq.items():
+                df = df.filter(F.col(col) == value)
             return df
 
         data_dir = os.path.join(self.root, entry["data"])
         stats = entry.get("stats")
-        if not stats:
+        bloom = entry.get("bloom") or {}
+        if not stats and not bloom:
             df = self.spark.read.parquet(data_dir)
             n = len([f for f in os.listdir(data_dir)
                      if f.endswith(".parquet")])
             return pred(df), {"files_total": n, "files_read": n}
+        names = sorted(set(stats or {}) | set(bloom))
         keep = []
-        for name, fstats in stats.items():
+        for name in names:
+            fstats = (stats or {}).get(name)
             ok = True
             for col, (lo, hi) in preds.items():
                 s = (fstats or {}).get(col)
@@ -651,8 +662,23 @@ class VersionedTable:
                     ok = False
                     break
             if ok:
+                for col, value in eq.items():
+                    info = (bloom.get(name) or {}).get(col)
+                    if info is None:
+                        continue  # no bitmap: can't prune on it
+                    words = info["words"]
+                    for p in _bloom_positions(
+                        value, info["bits"], info["k"]
+                    ):
+                        w = int(words.get(str(p // _BLOOM_WORD), 0))
+                        if not (w >> (p % _BLOOM_WORD)) & 1:
+                            ok = False  # proven absent
+                            break
+                    if not ok:
+                        break
+            if ok:
                 keep.append(name)
-        report = {"files_total": len(stats), "files_read": len(keep)}
+        report = {"files_total": len(names), "files_read": len(keep)}
         if not keep:
             df = self.spark.read.parquet(data_dir).limit(0)
             return pred(df), report

@@ -605,3 +605,33 @@ def test_bloom_skipping_null_column_files(spark, tmp_path):
     got, rep = t.read_where_eq("k", 10)
     assert rep["files_read"] < rep["files_total"], rep
     assert [r["v"] for r in got.collect()] == [10]
+
+
+def test_read_where_all_composes_range_and_bloom(spark, tmp_path):
+    """Conjunctive range + equality pruning: the range dims and the
+    bloom key prune multiplicatively, result equals the full-scan
+    conjunction, and the composed read prunes at least as hard as
+    either predicate alone."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 64).alias("a"),
+        F.col("id").alias("k"),
+    )
+    t.commit(
+        df.repartitionByRange(16, "a"),
+        stats_cols=["a"], bloom_cols=["k"],
+    )
+    got, rep = t.read_where_all({"a": (10, 12)}, eq={"k": 1034})
+    _, rep_range = t.read_where_all({"a": (10, 12)})
+    _, rep_eq = t.read_where_eq("k", 1034)
+    assert rep["files_read"] <= min(
+        rep_range["files_read"], rep_eq["files_read"])
+    assert rep["files_read"] < rep["files_total"]
+    expect = [(r["a"], r["k"]) for r in t.read().filter(
+        (F.col("a") >= 10) & (F.col("a") <= 12) & (F.col("k") == 1034)
+    ).collect()]
+    assert sorted((r["a"], r["k"]) for r in got.collect()) == sorted(expect)
+    # impossible conjunction: bloom admits the key's file(s), range
+    # excludes them -> zero files, empty result, schema preserved
+    none, rep0 = t.read_where_all({"a": (999, 1000)}, eq={"k": 1034})
+    assert rep0["files_read"] == 0 and none.count() == 0
