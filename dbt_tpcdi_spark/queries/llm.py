@@ -573,6 +573,196 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 3σ tolerance in permille for the bottom-k Jaccard estimator:
+#: σ = sqrt(J(1−J)/k) ≤ 1/(2·sqrt(k)) → 3·1000/(2·sqrt(64)) = 187.5
+_KMV_J_TOL_PM = 188
+
+
+@query(
+    "kmv_overlap",
+    oracle=f"""
+    WITH tk AS (
+        SELECT source, {X.tokens_sql('text')} AS tk FROM documents
+    ),
+    toks AS (
+        SELECT source, unnest(list_transform(range(1, len(tk)),
+                              i -> tk[i] || ' ' || tk[i + 1])) AS tok
+        FROM tk WHERE len(tk) >= 2
+    ),
+    th AS MATERIALIZED (
+        SELECT DISTINCT source, {_KMV_H60} AS h FROM toks
+    ),
+    cand AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (
+                       PARTITION BY source, h % {_KMV_BUCKETS}
+                       ORDER BY h) AS rn
+            FROM th
+        ) WHERE rn <= {_KMV_K}
+    ),
+    sk AS MATERIALIZED (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY h) AS rn
+            FROM cand
+        ) WHERE rn <= {_KMV_K}
+    ),
+    srcs AS (SELECT DISTINCT source AS t FROM documents),
+    g AS (
+        SELECT least(source, t) AS source_a,
+               greatest(source, t) AS source_b, h,
+               max(CASE WHEN source < t THEN 1 ELSE 0 END) AS ia,
+               max(CASE WHEN source > t THEN 1 ELSE 0 END) AS ib
+        FROM sk CROSS JOIN srcs WHERE t <> source
+        GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY source_a, source_b ORDER BY h) AS rn
+            FROM g
+        ) WHERE rn <= {_KMV_K}
+    ),
+    est AS (
+        SELECT source_a, source_b,
+               cast(count(*) AS bigint) AS k_eff,
+               cast(sum(ia * ib) * 1000 // count(*) AS bigint)
+                   AS kmv_jaccard_pm
+        FROM merged GROUP BY 1, 2
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM th GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS ni
+        FROM th a JOIN th b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT sa.source AS source_a, sb.source AS source_b,
+               cast(coalesce(i.ni, 0) * 1000
+                    // (sa.n + sb.n - coalesce(i.ni, 0)) AS bigint)
+                   AS exact_jaccard_pm
+        FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+        LEFT JOIN inter i
+          ON i.source_a = sa.source AND i.source_b = sb.source
+    )
+    SELECT e.source_a, e.source_b, e.k_eff, e.kmv_jaccard_pm,
+           x.exact_jaccard_pm,
+           abs(e.kmv_jaccard_pm - x.exact_jaccard_pm)
+               <= {_KMV_J_TOL_PM} AS within_3sigma
+    FROM est e JOIN exact x USING (source_a, source_b)
+    """,
+    tags=["llm-sketch", "A1", "W3", "J2"],
+)
+def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-overlap estimation from MERGED bottom-k
+    sketches (Broder 1997 / Bar-Yossef et al. 2002): for every source
+    pair, J ≈ |bottom-k(S_A ∪ S_B) ∩ S_A ∩ S_B| / k — the cheap
+    contamination/redundancy screen a pipeline runs across N corpus
+    shards BEFORE any exact pass, because it needs only the N
+    per-source k-row sketches, never the data: pair estimation here
+    is sketch-rows × sources work (N·k·N), metadata at any corpus
+    size, and the sketches are the same ones ``kmv_distinct``
+    maintains. Integer permille arithmetic end to end (no floats), so
+    the DuckDB twin reproduces estimator AND audit bit-for-bit; the
+    exact per-pair Jaccard rides along as the audit column with a 3σ
+    (= 3/(2·sqrt(k)), 188‰) agreement flag — a 100 TB run drops the
+    audit, keeps the sketches."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__tk", X.tokens(F.col("text"))
+    )
+    toks = d.filter(F.size("__tk") >= 2).select(
+        "source",
+        F.explode(X._ngrams_linear(F.col("__tk"), 2)).alias("tok"),
+    )
+    th = toks.select(
+        "source",
+        X.md5_60bit(F.concat(F.lit(_KMV_SALT), F.col("tok"))).alias("h"),
+    ).distinct()
+    wb = Window.partitionBy(
+        "source", F.pmod(F.col("h"), F.lit(_KMV_BUCKETS))
+    ).orderBy("h")
+    cand = (
+        th.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    ws = Window.partitionBy("source").orderBy("h")
+    sk = (
+        cand.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    srcs = d.select(F.col("source").alias("__t")).distinct()
+    g = (
+        sk.crossJoin(F.broadcast(srcs))
+        .filter(F.col("__t") != F.col("source"))
+        .select(
+            F.least("source", "__t").alias("source_a"),
+            F.greatest("source", "__t").alias("source_b"),
+            "h",
+            (F.col("source") < F.col("__t")).cast("int").alias("__ia"),
+            (F.col("source") > F.col("__t")).cast("int").alias("__ib"),
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("__ia").alias("__ia"), F.max("__ib").alias("__ib"))
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy("h")
+    merged = (
+        g.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= _KMV_K)
+    )
+    est = merged.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("k_eff"),
+        F.expr("cast(sum(__ia * __ib) * 1000 div count(*) AS bigint)")
+        .alias("kmv_jaccard_pm"),
+    )
+    sizes = th.groupBy("source").agg(F.count("*").alias("__n"))
+    a, b = th.alias("__ka"), th.alias("__kb")
+    inter = (
+        a.join(
+            b,
+            (F.col("__ka.h") == F.col("__kb.h"))
+            & (F.col("__ka.source") < F.col("__kb.source")),
+        )
+        .groupBy(
+            F.col("__ka.source").alias("source_a"),
+            F.col("__kb.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("__ni"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("__n").alias("__nb"))
+    exact = (
+        sa.crossJoin(sb)
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(
+                "cast(coalesce(__ni, 0) * 1000 div "
+                "(__na + __nb - coalesce(__ni, 0)) AS bigint)"
+            ).alias("exact_jaccard_pm"),
+        )
+    )
+    return est.join(exact, ["source_a", "source_b"]).select(
+        "source_a",
+        "source_b",
+        "k_eff",
+        "kmv_jaccard_pm",
+        "exact_jaccard_pm",
+        (
+            F.abs(F.col("kmv_jaccard_pm") - F.col("exact_jaccard_pm"))
+            <= _KMV_J_TOL_PM
+        ).alias("within_3sigma"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # distributed linear-model fitting as aggregation: a quality-regression
 # fit is ONE Gram-matrix pass (sufficient statistics), the solve is an
