@@ -597,6 +597,75 @@ class VersionedTable:
         )
         return pred(df), report
 
+    def read_where_in(
+        self,
+        col: str,
+        values: list,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """IN-list Bloom pruning: a file is read iff at least ONE probe
+        value passes its bitmap (files proving every value absent are
+        dropped); the exact IN predicate is re-applied. Degenerates to
+        ``read_where_eq`` for a single value; conservative without
+        bitmaps — same contract family as the other read_where_*."""
+        from pyspark.sql import functions as F
+
+        if not values:
+            raise ValueError("read_where_in needs a non-empty IN list")
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise ValueError(f"{self.root}: no commits yet")
+        entry = self._entry(version)
+        if "parts" in entry:
+            raise ValueError(
+                "read_where_in supports plain snapshot commits"
+            )
+
+        def pred(df: DataFrame) -> DataFrame:
+            return df.filter(F.col(col).isin(values))
+
+        data_dir = os.path.join(self.root, entry["data"])
+        bloom = entry.get("bloom")
+        if not bloom:
+            df = self.spark.read.parquet(data_dir)
+            n = len([f for f in os.listdir(data_dir)
+                     if f.endswith(".parquet")])
+            return pred(df), {"files_total": n, "files_read": n}
+        pos: dict = {}  # (value, bits, k) -> positions, computed lazily
+        keep = []
+        for name, fbloom in bloom.items():
+            info = (fbloom or {}).get(col)
+            if info is None:
+                keep.append(name)
+                continue
+            words = info["words"]
+            any_hit = False
+            for v in values:
+                key = (v, info["bits"], info["k"])
+                if pos.get(key) is None:
+                    pos[key] = _bloom_positions(
+                        v, info["bits"], info["k"])
+                hit = True
+                for p in pos[key]:
+                    w = int(words.get(str(p // _BLOOM_WORD), 0))
+                    if not (w >> (p % _BLOOM_WORD)) & 1:
+                        hit = False
+                        break
+                if hit:
+                    any_hit = True
+                    break
+            if any_hit:
+                keep.append(name)
+        report = {"files_total": len(bloom), "files_read": len(keep)}
+        if not keep:
+            df = self.spark.read.parquet(data_dir).limit(0)
+            return pred(df), report
+        df = self.spark.read.parquet(
+            *[os.path.join(data_dir, name) for name in keep]
+        )
+        return pred(df), report
+
     def read_where_all(
         self,
         preds: dict,

@@ -635,3 +635,21 @@ def test_read_where_all_composes_range_and_bloom(spark, tmp_path):
     # excludes them -> zero files, empty result, schema preserved
     none, rep0 = t.read_where_all({"a": (999, 1000)}, eq={"k": 1034})
     assert rep0["files_read"] == 0 and none.count() == 0
+
+
+def test_read_where_in_bloom_pruning(spark, tmp_path):
+    """IN-list pruning: reads exactly the union of the per-value
+    admitted files, returns the full-scan IN result, zero files when
+    every value is provably absent, conservative without bitmaps."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    t.commit(df.repartition(16), bloom_cols=["k"])
+    got, rep = t.read_where_in("k", [3, 977, 1501])
+    assert rep["files_read"] < rep["files_total"], rep
+    assert sorted(r["k"] for r in got.collect()) == [3, 977, 1501]
+    # per-value union bound: IN read <= sum of single-value reads
+    singles = sum(
+        t.read_where_eq("k", v)[1]["files_read"] for v in [3, 977, 1501])
+    assert rep["files_read"] <= singles
+    none, rep0 = t.read_where_in("k", [10**9, 10**9 + 1])
+    assert rep0["files_read"] == 0 and none.count() == 0
