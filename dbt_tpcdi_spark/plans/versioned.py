@@ -1122,23 +1122,55 @@ class VersionedTable:
         commit it — the small-file remedy for tables grown by many
         incremental commits. Readers of prior versions are untouched
         (it's just another commit); run ``vacuum`` afterwards to
-        reclaim the fragmented snapshot."""
+        reclaim the fragmented snapshot.
+
+        Skipping metadata SURVIVES compaction: whichever of
+        stats/bloom the source version carried is re-derived for the
+        rewritten files (same columns, same bloom sizing) — otherwise
+        routine maintenance would silently turn every pruned read
+        back into a full scan."""
         for _ in range(max_retries):
             latest = self.latest_version()
             if latest is None:
                 raise ValueError(f"{self.root}: no commits yet")
+            src = self._entry(latest)
             df = self.read(latest).coalesce(target_files)
             data_dir = f"data-{uuid.uuid4().hex[:12]}"
             df.write.mode("overwrite").parquet(
                 os.path.join(self.root, data_dir)
             )
+            extra = {}
+            src_stats = src.get("stats")
+            if src_stats:
+                cols = sorted({
+                    c for f in src_stats.values() for c in (f or {})
+                })
+                if cols:
+                    extra["stats"] = _file_stats(
+                        os.path.join(self.root, data_dir), cols
+                    )
+            src_bloom = src.get("bloom")
+            if src_bloom:
+                sizing: dict[str, tuple[int, int]] = {}
+                for f in src_bloom.values():
+                    for c, info in (f or {}).items():
+                        sizing[c] = (info["bits"], info["k"])
+                bl: dict = {}
+                for c, (bits, k) in sizing.items():
+                    part = _bloom_stats(
+                        self.spark, os.path.join(self.root, data_dir),
+                        [c], bits=bits, hashes=k,
+                    )
+                    for name, fb in part.items():
+                        bl.setdefault(name, {}).update(fb)
+                extra["bloom"] = bl
             try:
                 # CAS like upsert: this snapshot derives from `latest`,
                 # so losing the race must rebase on the winner's data,
                 # never re-link the stale compaction over it
                 return self._commit_entry(
                     data_dir, f"compact({latest})", max_retries=1,
-                    expected_latest=latest,
+                    expected_latest=latest, extra=extra or None,
                 )
             except CommitConflict:
                 continue

@@ -653,3 +653,27 @@ def test_read_where_in_bloom_pruning(spark, tmp_path):
     assert rep["files_read"] <= singles
     none, rep0 = t.read_where_in("k", [10**9, 10**9 + 1])
     assert rep0["files_read"] == 0 and none.count() == 0
+
+
+def test_compact_preserves_skipping_metadata(spark, tmp_path):
+    """Compaction re-derives stats AND bloom for the rewritten files
+    (same columns, same bloom sizing) — pruned reads keep working on
+    the compacted version instead of silently reverting to full
+    scans."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    t.commit(df.repartitionByRange(16, "k"),
+             stats_cols=["k"], bloom_cols=["k"])
+    v = t.compact(target_files=4)
+    entry = t._entry(v)
+    assert "stats" in entry and "bloom" in entry
+    got, rep = t.read_where("k", lo=100, hi=150, version=v)
+    assert rep["files_total"] == 4
+    assert rep["files_read"] < rep["files_total"]
+    assert got.count() == 51
+    ge, repe = t.read_where_eq("k", 117, version=v)
+    # coalesce of a range layout keeps ranges: a single file admits it
+    assert repe["files_read"] < repe["files_total"]
+    assert [r["k"] for r in ge.collect()] == [117]
+    info = next(iter(entry["bloom"].values()))["k"]
+    assert info["bits"] == 8192 and info["k"] == 4  # sizing preserved
