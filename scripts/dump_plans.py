@@ -43,8 +43,18 @@ SHOWCASE = {
                              "map-side-combined shared-gram agg → "
                              "broadcast join back → per-doc islands "
                              "window; no suffix sort, no pairwise work",
-    "pq_ann_topk": "per-block codebook training + broadcast-codebook "
-                   "encode + ADC lookup join; no CartesianProduct",
+    "pq_ann_topk": "grouped one-pass codebook training + "
+                   "broadcast-codebook encode + ADC lookup join; no "
+                   "CartesianProduct",
+    "pq_ann_rerank": "ADC top-refine shortlist + exact quantized-L2 "
+                     "re-rank of refine rows; the exact pass joins "
+                     "the 100-row shortlist back, never rescans",
+    "funnel_conversion": "K funnel steps = K groupBy-min cascades "
+                         "keyed on user_id (map-side combinable); no "
+                         "per-user sort window, no CartesianProduct",
+    "kmv_overlap": "pair estimation = k-row sketches × sources "
+                   "broadcast; exact audit is the only data-scale "
+                   "join; no CartesianProduct",
     "ivfpq_ann_topk": "coarse assign + residual codebooks + per-cell "
                       "ADC table + exact top-200 refine; crossJoins "
                       "are ≤cells-row metadata broadcasts only",
