@@ -500,7 +500,6 @@ def main() -> None:
         # refine=100 (< cell size): ~0.0x by construction — together
         # they pin WHY ivfpq keeps refine small (residual codebooks)
         # while flat-PQ re-rank must widen with cell size.
-        from dbt_tpcdi_spark.operators import similarity as S
         from dbt_tpcdi_spark.queries.llm import pq_ann_rerank_frame
 
         rr_ids = pq_ann_rerank_frame(emb, refine=2500).select("vec_id")
