@@ -212,9 +212,14 @@ def capped_bucket_members(
     keys, so it reuses the rank's exchange and sort), rows of
     sufficient buckets keep their rank-based top-cap directly, and the
     ~0 expected deficient buckets are broadcast back against the full
-    membership for an exact re-rank. The kept set therefore equals the
-    exact per-bucket rank-based top-cap structurally — bucket for
-    bucket — not just with high probability.
+    membership for an exact re-rank. Hot buckets in which ZERO members
+    pass the prefilter leave no survivor row to flag, so they are
+    detected separately: hot-bucket keys (``sz > margin·cap``, a
+    broadcast-sized set) anti-joined against the hot survivors' keys
+    (ADVICE r8 — the survivor-only detection silently dropped such a
+    bucket's whole membership, P≈e^-margin·cap each). The kept set
+    therefore equals the exact per-bucket rank-based top-cap
+    structurally — bucket for bucket — not just with high probability.
 
     Plan-shape note (the r7→r8 rewrite, VERDICT r7 item 1): the r7
     guard paid two extra aggregations plus an anti/semi-join pair over
@@ -264,11 +269,32 @@ def capped_bucket_members(
     # (P[Binomial(sz, margin·cap/sz) < cap] — Poisson tail ≈ 1e-7 at
     # the defaults): a broadcast-sized set by construction, so the
     # re-rank semi-join never shuffles the membership table.
-    deficient = (
+    #
+    # Detection has TWO sources (ADVICE r8): survivor rows whose
+    # windowed count fell short (visible in `ranked`), and hot
+    # buckets with ZERO survivors — those have no row in `ranked` at
+    # all, so they are recovered from the size aggregate: hot bucket
+    # keys (sz > margin·cap, broadcast-sized) anti-joined against the
+    # hot-bucket survivors' keys. The semi-join bounding the
+    # anti-join's right side keeps it at ≤ hot·(expected margin·cap)
+    # rows — never a full-membership shuffle.
+    deficient_seen = (
         ranked.filter(F.col("__ns") < min_sz_cap)
         .select("band", "h")
         .distinct()
     )
+    hot = sz.filter(
+        F.col("sz") > F.lit(margin * cap).cast("long")
+    ).select("band", "h")
+    hot_survivor_keys = (
+        pref.join(F.broadcast(hot), ["band", "h"], "left_semi")
+        .select("band", "h")
+        .distinct()
+    )
+    zero_survivor = hot.join(
+        hot_survivor_keys, ["band", "h"], "left_anti"
+    )
+    deficient = deficient_seen.unionByName(zero_survivor).distinct()
     fallback = (
         m.join(F.broadcast(deficient), ["band", "h"], "left_semi")
         .withColumn("__rn", F.row_number().over(w_ord))

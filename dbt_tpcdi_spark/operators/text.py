@@ -912,6 +912,7 @@ def quality_quantile_gate_approx(
     scored: DataFrame,
     group_col: str = "lang",
     score_col: str = "quality_score",
+    materialize: bool = True,
 ) -> DataFrame:
     """The 100 TB quantile gate: two aggregation passes, NO
     per-group row sort.
@@ -944,17 +945,23 @@ def quality_quantile_gate_approx(
     per-group cut) instead of ``qrank``.
 
     ``scored`` is consumed TWICE (histogram pass + the threshold
-    filter), so it is materialized once up front — callers pass the
-    compact scored projection (id, group, score[, fp]), never raw
-    text, so the checkpoint holds feature-extraction OUTPUT at one row
-    per document; without it the whole upstream text lineage runs
-    twice (measured 5.2 s → 1.3 s per run on the sf0.1 curation
-    pipeline, with the one-time 4.5 s materialization visible as the
-    eager build). ``checkpoint()`` on a real cluster — same lifecycle
-    note as ivfpq's residual table."""
+    filter), so with ``materialize=True`` (default) it is
+    ``persist()``-ed — callers pass the compact scored projection
+    (id, group, score[, fp]), never raw text, so the cache holds
+    feature-extraction OUTPUT at one row per document; without it the
+    whole upstream text lineage runs twice (measured 5.2 s → 1.3 s per
+    run on the sf0.1 curation pipeline). ``persist`` (not the eager
+    ``localCheckpoint`` this used through r8) because checkpoint
+    blocks are PINNED for the session's lifetime — repeated
+    invocations accumulated storage until driver OOM (ADVICE r8),
+    while persisted blocks are evictable under memory pressure and
+    are released by the ContextCleaner once the returned DataFrame is
+    dropped. Callers that already materialized ``scored`` (or that
+    loop and manage their own caching) pass ``materialize=False``."""
     from pyspark.sql import Window
 
-    scored = scored.localCheckpoint(eager=True)
+    if materialize:
+        scored = scored.persist()
     hist = scored.groupBy(group_col, score_col).agg(
         F.count("*").alias("__c")
     )

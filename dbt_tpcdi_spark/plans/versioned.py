@@ -174,17 +174,36 @@ def _json_stat(v):
     return None
 
 
+def _parquet_relpaths(data_dir: str) -> list[str]:
+    """All ``*.parquet`` under ``data_dir``, as sorted paths RELATIVE
+    to it — recursive, so ``partitionBy`` layouts (part files nested
+    under ``key=value/`` subdirectories) enumerate correctly. Relpaths
+    are the canonical file key in stats/bloom manifests: basenames are
+    NOT unique under dynamic partitioning (one task writes the same
+    ``part-NNNNN-<jobUUID>`` name into every partition dir it sees)."""
+    out = []
+    for root, _dirs, names in os.walk(data_dir):
+        rel = os.path.relpath(root, data_dir)
+        for name in names:
+            if name.endswith(".parquet"):
+                out.append(
+                    name if rel == "." else os.path.join(rel, name)
+                )
+    return sorted(out)
+
+
 def _file_stats(data_dir: str, cols: list[str]) -> dict:
     """Per-file {col: [min, max, null_count]} from parquet FOOTERS —
     driver-side metadata only (one footer read per file, no data scan).
     A file whose footer lacks usable stats for a column maps that
-    column to None → ``read_where`` must conservatively keep it."""
+    column to None → ``read_where`` must conservatively keep it.
+    Files are keyed by path relative to ``data_dir`` (recursive, so
+    partitioned layouts get stats too; partition columns live in the
+    directory names, not footers, and surface as no-stats)."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
-    for name in sorted(os.listdir(data_dir)):
-        if not name.endswith(".parquet"):
-            continue
+    for name in _parquet_relpaths(data_dir):
         md = pq.ParquetFile(os.path.join(data_dir, name)).metadata
         idx = {md.schema.column(i).path: i
                for i in range(md.num_columns)}
@@ -236,6 +255,48 @@ def _bloom_positions(value, bits: int, hashes: int) -> list[int]:
     ]
 
 
+#: Spark types whose cast-to-string rendering is IDENTICAL to
+#: Python's str() of the probe value — the invariant the Bloom
+#: bitmaps depend on. bool ('true' vs 'True'), float ('1.0E20' vs
+#: '1e+20') and timestamps (tz/format drift) all violate it, so they
+#: are REJECTED at commit time instead of silently mispruning.
+_BLOOM_SAFE_TYPES = ("byte", "short", "int", "integer", "long",
+                     "bigint", "string")
+
+
+def _check_bloom_col_types(df: DataFrame, cols: list[str]) -> None:
+    """Enforce the int/string-only Bloom contract at commit time
+    (ADVICE r8): any other type renders differently between the
+    executor-side cast-to-string and the driver-side str(probe), so
+    a bitmap built on it would prune files that DO contain the probe
+    value — a silent wrong-answer, not a slow path."""
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for col in cols:
+        if col not in by_name:
+            raise ValueError(f"bloom_cols: no column {col!r}")
+        if by_name[col].simpleString() not in _BLOOM_SAFE_TYPES:
+            raise TypeError(
+                f"bloom_cols[{col!r}] has type "
+                f"{by_name[col].simpleString()}: Bloom skipping "
+                "supports integral/string columns only (other types' "
+                "string renderings differ between Spark executors "
+                "and the driver-side probe hash, which would prune "
+                "files that actually contain the value)"
+            )
+
+
+def _check_bloom_probe(col: str, value) -> None:
+    """The read-side twin of ``_check_bloom_col_types``: probe values
+    must be int (not bool) or str so ``str(value)`` matches the
+    executor rendering the bitmaps were built from."""
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            f"Bloom probe on {col!r} must be int or str, got "
+            f"{type(value).__name__}: other types hash differently "
+            "than the stored bitmaps and would prune wrongly"
+        )
+
+
 def _bloom_stats(
     spark: SparkSession,
     data_dir: str,
@@ -249,23 +310,34 @@ def _bloom_stats(
     ``bit_or`` so the driver collects ≤ files·bits/{word} small rows —
     manifest-sized metadata, never data. Every file gets an entry
     (files whose column is entirely NULL carry an empty bitmap, which
-    correctly proves equality-absence: NULL never equals a probe)."""
+    correctly proves equality-absence: NULL never equals a probe).
+    Files are keyed by path relative to ``data_dir`` (recursive —
+    same manifest key as ``_file_stats``, correct under
+    ``partitionBy`` layouts where basenames collide)."""
     from pyspark.sql import functions as F
 
     base = spark.read.parquet(data_dir).select(
-        F.col("_metadata.file_name").alias("__f"),
+        F.col("_metadata.file_path").alias("__f"),
         *[F.col(c) for c in cols],
     )
-    files = [
-        name for name in sorted(os.listdir(data_dir))
-        if name.endswith(".parquet")
-    ]
+    files = _parquet_relpaths(data_dir)
     out: dict[str, dict] = {
         name: {
             c: {"bits": bits, "k": hashes, "words": {}} for c in cols
         }
         for name in files
     }
+    abs_dir = os.path.abspath(data_dir)
+
+    def _rel(file_path: str) -> str:
+        # _metadata.file_path is a URI (file:/...); strip the scheme
+        # and relativize against data_dir to recover the manifest key
+        p = file_path
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+        return os.path.relpath(p, abs_dir)
     for c in cols:
         pos = F.array(*[
             F.conv(
@@ -297,7 +369,9 @@ def _bloom_stats(
             .collect()  # ≤ files · bits/word rows — metadata-sized
         )
         for r in rows:
-            out[r["__f"]][c]["words"][str(r["__w"])] = int(r["__v"])
+            out[_rel(r["__f"])][c]["words"][str(r["__w"])] = int(
+                r["__v"]
+            )
     return out
 
 
@@ -399,6 +473,8 @@ class VersionedTable:
         rate; bitmaps live in the commit-log JSON, so beyond ~10⁵ bits
         per file they belong in sidecar index files (the Delta bloom
         layout) — a deliberate seam, not built here."""
+        if bloom_cols:
+            _check_bloom_col_types(df, bloom_cols)
         data_dir = f"data-{uuid.uuid4().hex[:12]}"
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -483,7 +559,8 @@ class VersionedTable:
         entry = self._entry(version)
         extra = {
             k: entry[k]
-            for k in ("parts", "part_col", "part_type", "stats")
+            for k in ("parts", "part_col", "part_type", "stats",
+                      "bloom")
             if k in entry
         }
         return self._commit_entry(
@@ -571,8 +648,7 @@ class VersionedTable:
         stats = entry.get("stats")
         if not stats:
             df = self.spark.read.parquet(data_dir)
-            n = len([f for f in os.listdir(data_dir)
-                     if f.endswith(".parquet")])
+            n = len(_parquet_relpaths(data_dir))
             return pred(df), {"files_total": n, "files_read": n}
         qlo, qhi = _json_stat(lo), _json_stat(hi)
         keep = []
@@ -592,7 +668,7 @@ class VersionedTable:
             # preserve schema with an empty read of the full snapshot
             df = self.spark.read.parquet(data_dir).limit(0)
             return pred(df), report
-        df = self.spark.read.parquet(
+        df = self.spark.read.option("basePath", data_dir).parquet(
             *[os.path.join(data_dir, name) for name in keep]
         )
         return pred(df), report
@@ -622,6 +698,9 @@ class VersionedTable:
                 "read_where_in supports plain snapshot commits"
             )
 
+        for v in values:
+            _check_bloom_probe(col, v)
+
         def pred(df: DataFrame) -> DataFrame:
             return df.filter(F.col(col).isin(values))
 
@@ -629,8 +708,7 @@ class VersionedTable:
         bloom = entry.get("bloom")
         if not bloom:
             df = self.spark.read.parquet(data_dir)
-            n = len([f for f in os.listdir(data_dir)
-                     if f.endswith(".parquet")])
+            n = len(_parquet_relpaths(data_dir))
             return pred(df), {"files_total": n, "files_read": n}
         pos: dict = {}  # (value, bits, k) -> positions, computed lazily
         keep = []
@@ -661,7 +739,7 @@ class VersionedTable:
         if not keep:
             df = self.spark.read.parquet(data_dir).limit(0)
             return pred(df), report
-        df = self.spark.read.parquet(
+        df = self.spark.read.option("basePath", data_dir).parquet(
             *[os.path.join(data_dir, name) for name in keep]
         )
         return pred(df), report
@@ -694,6 +772,8 @@ class VersionedTable:
                 "read_where_all supports plain snapshot commits"
             )
         eq = eq or {}
+        for col, value in eq.items():
+            _check_bloom_probe(col, value)
 
         def pred(df: DataFrame) -> DataFrame:
             for col, (lo, hi) in preds.items():
@@ -710,8 +790,7 @@ class VersionedTable:
         bloom = entry.get("bloom") or {}
         if not stats and not bloom:
             df = self.spark.read.parquet(data_dir)
-            n = len([f for f in os.listdir(data_dir)
-                     if f.endswith(".parquet")])
+            n = len(_parquet_relpaths(data_dir))
             return pred(df), {"files_total": n, "files_read": n}
         names = sorted(set(stats or {}) | set(bloom))
         keep = []
@@ -751,7 +830,7 @@ class VersionedTable:
         if not keep:
             df = self.spark.read.parquet(data_dir).limit(0)
             return pred(df), report
-        df = self.spark.read.parquet(
+        df = self.spark.read.option("basePath", data_dir).parquet(
             *[os.path.join(data_dir, name) for name in keep]
         )
         return pred(df), report
@@ -789,6 +868,8 @@ class VersionedTable:
                 "read_where_eq supports plain snapshot commits"
             )
 
+        _check_bloom_probe(col, value)
+
         def pred(df: DataFrame) -> DataFrame:
             return df.filter(F.col(col) == value)
 
@@ -796,8 +877,7 @@ class VersionedTable:
         bloom = entry.get("bloom")
         if not bloom:
             df = self.spark.read.parquet(data_dir)
-            n = len([f for f in os.listdir(data_dir)
-                     if f.endswith(".parquet")])
+            n = len(_parquet_relpaths(data_dir))
             return pred(df), {"files_total": n, "files_read": n}
         keep = []
         for name, fbloom in bloom.items():
@@ -818,7 +898,7 @@ class VersionedTable:
         if not keep:
             df = self.spark.read.parquet(data_dir).limit(0)
             return pred(df), report
-        df = self.spark.read.parquet(
+        df = self.spark.read.option("basePath", data_dir).parquet(
             *[os.path.join(data_dir, name) for name in keep]
         )
         return pred(df), report

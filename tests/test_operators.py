@@ -402,3 +402,42 @@ def test_lsh_cap_equals_exact_rank_topcap_even_when_prefilter_starves(spark):
              for r in b.withColumn("__rn", F.row_number().over(w))
              .filter(F.col("__rn") <= cap).collect()}
     assert got == exact
+
+
+def test_lsh_cap_zero_survivor_bucket_recovered(spark):
+    """ADVICE r8: a hot bucket in which ZERO members pass the 20-bit
+    prefilter leaves no survivor row to flag deficiency from — the r8
+    guard silently dropped its entire membership (P≈e^-margin·cap per
+    hot bucket). Construct the event deterministically (4 ids whose
+    salted md5 20-bit prefixes all sit above the threshold) and assert
+    the exact rank-based top-cap still comes back."""
+    import hashlib
+
+    from dbt_tpcdi_spark.operators import dedup as D
+
+    cap, margin = 3, 1
+    thresh = margin * cap * (1 << 20)
+
+    def v20(i: int) -> int:
+        h = hashlib.md5(f"{D._LSH_CAP_SALT}{i}".encode()).hexdigest()
+        return int(h[:5], 16)
+
+    ids = [i for i in range(10_000) if v20(i) * 4 >= thresh][:4]
+    assert len(ids) == 4, "search range too small"
+    rows = [(i, "the quick brown fox shared nav footer text")
+            for i in ids]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = D.with_minhash_signature(d, "text")
+    kept = D.capped_bucket_members(
+        sigs, "doc_id", cap=cap, margin=margin).collect()
+    per_bucket: dict = {}
+    for r in kept:
+        assert r["sz"] == 4  # hot: sz > margin*cap, zero survivors
+        per_bucket.setdefault((r["band"], r["h"]), set()).add(
+            r["doc_id"])
+    assert len(per_bucket) == D.LSH_BANDS  # no band's bucket vanished
+    order = sorted(ids, key=lambda i: (
+        hashlib.md5(f"{D._LSH_CAP_SALT}{i}".encode()).hexdigest(), i))
+    expect = set(order[:cap])
+    for members in per_bucket.values():
+        assert members == expect

@@ -677,3 +677,83 @@ def test_compact_preserves_skipping_metadata(spark, tmp_path):
     assert [r["k"] for r in ge.collect()] == [117]
     info = next(iter(entry["bloom"].values()))["k"]
     assert info["bits"] == 8192 and info["k"] == 4  # sizing preserved
+
+
+def test_bloom_type_contract_enforced(spark, tmp_path):
+    """ADVICE r8: the int/string-only Bloom contract is ENFORCED, not
+    documented — float/bool/timestamp renderings differ between the
+    executor cast-to-string and the driver-side str(probe), so a
+    bitmap on them would prune files that contain the value. Rejected
+    at commit time AND at probe time."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    bad = spark.range(0, 10).select(
+        (F.col("id") * 1.5).alias("f"),
+        (F.col("id") % 2 == 0).alias("b"),
+        F.current_timestamp().alias("ts"),
+        F.col("id").alias("k"),
+    )
+    for col in ("f", "b", "ts"):
+        with pytest.raises(TypeError, match="integral/string"):
+            t.commit(bad, bloom_cols=[col])
+    with pytest.raises(ValueError, match="no column"):
+        t.commit(bad, bloom_cols=["zzz"])
+    assert t.latest_version() is None  # rejection precedes any write
+    t.commit(bad, bloom_cols=["k"])
+    with pytest.raises(TypeError, match="int or str"):
+        t.read_where_eq("k", 1.5)
+    with pytest.raises(TypeError, match="int or str"):
+        t.read_where_in("k", [1, True])  # bool is not a valid probe
+    with pytest.raises(TypeError, match="int or str"):
+        t.read_where_all({}, eq={"k": 3.14})
+
+
+def test_partitioned_commit_with_skipping_metadata(spark, tmp_path):
+    """ADVICE r8: partition_by + stats_cols/bloom_cols used to crash
+    (manifests keyed by top-level basenames, but partitioned writes
+    nest part files under key=value dirs — where basenames COLLIDE
+    across partitions). Manifests now key by relpath; pruned reads
+    re-attach the partition column via basePath."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 400).select(
+        (F.col("id") % 4).alias("p"),
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    ver = t.commit(
+        df.repartitionByRange(4, "k"), partition_by=["p"],
+        stats_cols=["k"], bloom_cols=["k"],
+    )
+    entry = t._entry(ver)
+    assert entry["stats"] and entry["bloom"]
+    assert all(name.startswith("p=") for name in entry["stats"])
+    assert set(entry["stats"]) == set(entry["bloom"])
+
+    got, rep = t.read_where("k", lo=100, hi=120)
+    assert rep["files_read"] < rep["files_total"], rep
+    expect = sorted(
+        (r["p"], r["k"], r["v"]) for r in t.read().filter(
+            (F.col("k") >= 100) & (F.col("k") <= 120)).collect())
+    assert sorted((r["p"], r["k"], r["v"])
+                  for r in got.collect()) == expect
+    assert {"p", "k", "v"} <= set(got.columns)  # partition col kept
+
+    ge, repe = t.read_where_eq("k", 37)
+    assert repe["files_read"] < repe["files_total"], repe
+    assert [(r["p"], r["k"], r["v"]) for r in ge.collect()] == [
+        (1, 37, 74)]
+
+
+def test_restore_carries_bloom(spark, tmp_path):
+    """ADVICE r8: restore() used to carry 'stats' forward but drop
+    'bloom' — point reads on a restored version silently degraded to
+    full scans. Both now survive (same unchanged data_dir)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    t.commit(df.repartition(16), stats_cols=["k"], bloom_cols=["k"])
+    t.commit(spark.range(0, 5).select(F.col("id").alias("k")))
+    v = t.restore(0)
+    entry = t._entry(v)
+    assert "stats" in entry and "bloom" in entry
+    got, rep = t.read_where_eq("k", 1234, version=v)
+    assert rep["files_read"] < rep["files_total"], rep
+    assert [r["k"] for r in got.collect()] == [1234]
