@@ -749,10 +749,75 @@ def main() -> None:
                     ] = "CartesianProduct" not in plan
             return out
 
-        dag_x10 = _dag_build(10)
+        def _dag_build_median3(copies: int, **kw) -> dict:
+            """Median-of-3 dag_build (VERDICT r9 item 2: the r8 single
+            measurements drifted ~1.56× with zero code change — same
+            treatment as the lshcap trials). Plan checks run on the
+            first trial only; the median trial's per-model times are
+            reported."""
+            trials = [_dag_build(copies, **kw)]
+            trials += [_dag_build(copies) for _ in range(2)]
+            walls = sorted(t["total_wall"] for t in trials)
+            prep[f"dagx{copies}_build_trials"] = walls
+            med = walls[1]
+            return next(t for t in trials if t["total_wall"] == med)
+
+        dag_x10 = _dag_build_median3(10)
         probes["dag_build_x10"] = dag_x10["total_wall"]
-        dag_x100 = _dag_build(100, slow_plan_checks=True)
+        dag_x100 = _dag_build_median3(100, slow_plan_checks=True)
         probes["dag_build_x100"] = dag_x100["total_wall"]
+
+        # -- versioned DAG skipping probe (VERDICT r9 item 1) ------------
+        # fact_trade committed through Runner(materialize="versioned")
+        # with its DECLARED Layout (range on sk_create_date, stats on
+        # the date keys, bloom on sk_account_id/sk_trade_id): a
+        # one-date window read and a bloom point read must prune files.
+        # AQE partition coalescing is disabled for the build only —
+        # at fixture scale it correctly folds the range shuffle to one
+        # file, which would make pruning unobservable (same treatment
+        # as the dag_versioned_skipping gate).
+        vdir = os.path.join("/tmp", "spark_graft_bench",
+                            f"dagvskip_{_uuid.uuid4().hex[:8]}")
+        vskip_sources = load_dag_sources(
+            spark, str(replicate_raw("/tmp/spark_graft_bench/dagx10",
+                                     copies=10)))
+        vr = Runner(spark, vskip_sources, warehouse_dir=vdir,
+                    materialize="versioned")
+        _ck = "spark.sql.adaptive.coalescePartitions.enabled"
+        _prev = spark.conf.get(_ck, None)
+        spark.conf.set(_ck, "false")
+        t0 = time.perf_counter()
+        try:
+            vr.run(targets=["fact_trade"], parallelism=8)
+        finally:
+            (spark.conf.unset(_ck) if _prev is None
+             else spark.conf.set(_ck, _prev))
+        prep["dagvskip_x10_commit"] = round(time.perf_counter() - t0, 3)
+        vt_ft = vr.table("fact_trade")
+        ft_full = vt_ft.read()
+        mid_date = sorted(
+            r0[0] for r0 in
+            ft_full.select("sk_create_date").distinct().collect()
+        )[3]
+        t0 = time.perf_counter()
+        vdf, vrep = vt_ft.read_where(
+            "sk_create_date", lo=mid_date, hi=mid_date)
+        vdf.write.mode("overwrite").format("noop").save()
+        probes["dagvskip_x10:window_read"] = round(
+            time.perf_counter() - t0, 3)
+        prep["dagvskip_x10_files"] = vrep
+        plan_checks["dagvskip_x10_files_pruned"] = (
+            vrep["files_read"] * 2 <= vrep["files_total"])
+        probe_tid = ft_full.select("sk_trade_id").orderBy(
+            "sk_trade_id").first()[0]
+        t0 = time.perf_counter()
+        pdf, prep_eq = vt_ft.read_where_eq("sk_trade_id", probe_tid)
+        pdf.write.mode("overwrite").format("noop").save()
+        probes["dagvskip_x10:point_read"] = round(
+            time.perf_counter() - t0, 3)
+        prep["dagvskip_x10_point_files"] = prep_eq
+        plan_checks["dagvskip_x10_point_pruned"] = (
+            prep_eq["files_read"] * 2 <= prep_eq["files_total"])
 
     total = round(sum(times.values()), 3)
     payload = json.dumps(

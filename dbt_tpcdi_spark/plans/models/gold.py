@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from dbt_tpcdi_spark.functions.keys import surrogate_key
 from dbt_tpcdi_spark.operators.windows import forward_fill
-from dbt_tpcdi_spark.plans.registry import model
+from dbt_tpcdi_spark.plans.registry import Layout, model
 
 _LOWGRADE = ["BB", "B", "CCC", "CC", "C", "D", "BB+", "B+", "CCC+", "BB-",
              "B-", "CCC-"]
@@ -219,7 +219,10 @@ def dim_date(ref, src) -> DataFrame:
     return ref("date")
 
 
-@model(layer="gold", deps=("trades", "dim_trade", "dim_account", "dim_security"))
+@model(layer="gold", deps=("trades", "dim_trade", "dim_account", "dim_security"),
+       layout=Layout(range_by=("sk_create_date",),
+                     stats_cols=("sk_create_date", "sk_close_date"),
+                     bloom_cols=("sk_account_id", "sk_trade_id")))
 def fact_trade(ref, src) -> DataFrame:
     """gold/fact_trade.sql — three temporal joins on create_timestamp."""
     t = ref("trades")
@@ -269,7 +272,10 @@ def fact_trade(ref, src) -> DataFrame:
     )
 
 
-@model(layer="gold", deps=("cash_transactions", "dim_account"))
+@model(layer="gold", deps=("cash_transactions", "dim_account"),
+       layout=Layout(range_by=("sk_transaction_date",),
+                     stats_cols=("sk_transaction_date",),
+                     bloom_cols=("sk_account_id",)))
 def fact_cash_transactions(ref, src) -> DataFrame:
     """gold/fact_cash_transactions.sql"""
     s1 = ref("cash_transactions").withColumn(
@@ -293,7 +299,10 @@ def fact_cash_transactions(ref, src) -> DataFrame:
     )
 
 
-@model(layer="gold", deps=("fact_cash_transactions",))
+@model(layer="gold", deps=("fact_cash_transactions",),
+       layout=Layout(range_by=("sk_transaction_date",),
+                     stats_cols=("sk_transaction_date",),
+                     bloom_cols=("sk_account_id",)))
 def fact_cash_balances(ref, src) -> DataFrame:
     """gold/fact_cash_balances.sql — GROUP BY ALL daily balance (A1)."""
     return (
@@ -307,7 +316,10 @@ def fact_cash_balances(ref, src) -> DataFrame:
 
 
 @model(layer="gold",
-       deps=("holdings_history", "dim_trade", "dim_account", "dim_security"))
+       deps=("holdings_history", "dim_trade", "dim_account", "dim_security"),
+       layout=Layout(range_by=("sk_trade_date",),
+                     stats_cols=("sk_trade_date",),
+                     bloom_cols=("sk_account_id", "sk_current_trade_id")))
 def fact_holdings(ref, src) -> DataFrame:
     """gold/fact_holdings.sql — dim_trade twice by role (J9: current vs
     previous trade); security joined on symbol only (faithful: no
@@ -377,7 +389,10 @@ def wrk_company_financials(ref, src) -> DataFrame:
 
 
 @model(layer="gold",
-       deps=("daily_market", "dim_security", "wrk_company_financials"))
+       deps=("daily_market", "dim_security", "wrk_company_financials"),
+       layout=Layout(range_by=("sk_date_id",),
+                     stats_cols=("sk_date_id",),
+                     bloom_cols=("sk_security_id",)))
 def fact_market_history(ref, src) -> DataFrame:
     """gold/fact_market_history.sql — temporal security join where a
     DATE meets TIMESTAMP bounds (hazard 6: date coerces to midnight).
@@ -422,7 +437,10 @@ def fact_market_history(ref, src) -> DataFrame:
     )
 
 
-@model(layer="gold", deps=("watches", "dim_customer", "dim_security"))
+@model(layer="gold", deps=("watches", "dim_customer", "dim_security"),
+       layout=Layout(range_by=("sk_date_placed",),
+                     stats_cols=("sk_date_placed",),
+                     bloom_cols=("sk_customer_id",)))
 def fact_watches(ref, src) -> DataFrame:
     """gold/fact_watches.sql — two temporal joins on placed_timestamp."""
     w = ref("watches")

@@ -18,6 +18,47 @@ LAYERS = ("bronze", "silver", "gold", "work")
 
 
 @dataclass(frozen=True)
+class Layout:
+    """Per-model physical layout + data-skipping metadata, honored by
+    ``Runner(materialize="versioned")`` and ``merge_refresh`` — the
+    engine's analog of the micro-partition pruning the reference's
+    dynamic tables inherit from Snowflake for free
+    (reference dbt_project.yml:33-47: every table materialization is
+    automatically clustered/pruned by Snowflake's metadata service).
+
+    - ``range_by``: ``repartitionByRange`` keys applied before the
+      write, so per-file min/max for those columns is NARROW — the
+      precondition for ``stats_cols`` pruning to bite.
+    - ``zorder``: two-column normalized Z-order clustering instead of
+      a single-dim range (requires ``files``); prunes on BOTH dims.
+    - ``stats_cols``: per-file min/max/nulls recorded in the commit
+      entry → ``VersionedTable.read_where`` range pruning.
+    - ``bloom_cols``: per-file Bloom bitmaps (int/string columns
+      only — enforced) → ``read_where_eq/_in`` point pruning on keys
+      the sort does NOT cover.
+    - ``partition_by``: hive-style directory partitioning (coarse
+      pruning by enumeration; use for low-cardinality keys only).
+    - ``files``: explicit output-partition count for the layout
+      shuffle (None → Spark's default parallelism). At 100 TB leave
+      None and let AQE size partitions; the explicit knob exists for
+      Z-order (which must pick a grid) and for tests.
+    """
+
+    stats_cols: tuple[str, ...] = ()
+    bloom_cols: tuple[str, ...] = ()
+    range_by: tuple[str, ...] = ()
+    zorder: tuple[str, str] | None = None
+    partition_by: tuple[str, ...] = ()
+    files: int | None = None
+
+    def __post_init__(self) -> None:
+        if self.zorder and self.range_by:
+            raise ValueError("layout: zorder and range_by are exclusive")
+        if self.zorder and not self.files:
+            raise ValueError("layout: zorder needs an explicit files=")
+
+
+@dataclass(frozen=True)
 class Model:
     name: str
     layer: str
@@ -28,6 +69,9 @@ class Model:
     #: incremental refresh (Runner.merge_refresh): build() over delta
     #: sources, then merge_scd2 against the existing table.
     scd2_key: str | None = None
+    #: physical layout for versioned materialization (None = plain
+    #: write, no skipping metadata).
+    layout: Layout | None = None
 
 
 MODELS: dict[str, Model] = {}
@@ -38,6 +82,7 @@ def model(
     deps: tuple[str, ...] = (),
     sources: tuple[str, ...] = (),
     scd2_key: str | None = None,
+    layout: Layout | None = None,
 ):
     assert layer in LAYERS, layer
 
@@ -45,7 +90,7 @@ def model(
         name = fn.__name__
         assert name not in MODELS, f"duplicate model {name}"
         MODELS[name] = Model(name, layer, tuple(deps), tuple(sources), fn,
-                             scd2_key)
+                             scd2_key, layout)
         return fn
 
     return wrap

@@ -699,3 +699,128 @@ def dag_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "model string, incremental_equals_rebuild boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# versioned-warehouse data skipping on the DAG path (VERDICT r8 item 1)
+
+#: check names emitted by dag_versioned_skipping, pinned true by its
+#: oracle.
+VSKIP_CHECKS = (
+    "commit_has_stats",
+    "commit_has_bloom",
+    "multiple_files",
+    "date_window_pruned",
+    "date_window_exact",
+    "point_read_pruned",
+    "point_read_exact",
+    "absent_key_reads_zero_files",
+    "rows_equal_plain_build",
+)
+
+
+def _versioned_skipping_checks(spark: SparkSession) -> list[tuple[str, bool]]:
+    """Build the fact_trade cone with ``materialize="versioned"`` so
+    the model's declared ``Layout`` (range-cluster on sk_create_date,
+    footer stats on the date keys, Bloom bitmaps on sk_account_id /
+    sk_trade_id — plans/models/gold.py) lands in the commit entry,
+    then prove the skipping works END TO END on the DAG table: a
+    date-window read and a point read must each touch FEWER files than
+    the snapshot holds while returning exactly the full-scan-filter
+    rows, an absent key must read zero files, and the laid-out build
+    must equal the plain parquet build row-for-row (the layout shuffle
+    reorders, never rewrites). This is the engine's analog of the
+    micro-partition pruning the reference's dynamic tables get from
+    Snowflake for free (reference dbt_project.yml:33-47). Memoized per
+    SparkSession."""
+    key = ("vskip", spark.sparkContext.applicationId)
+    if key in _CACHE:
+        return _CACHE[key]
+    with _PARITY_LOCK:
+        if key in _CACHE:  # raced another thread to the lock
+            return _CACHE[key]
+        root = _fixture_root()
+        wh = root / f"wh_vskip_{spark.sparkContext.applicationId}"
+        sources = load_dag_sources(spark, str(root / "raw"))
+        r = Runner(spark, sources, warehouse_dir=str(wh),
+                   materialize="versioned")
+        # At fixture scale AQE correctly coalesces the layout's range
+        # shuffle to ONE partition (6 fact_trade rows are one file of
+        # data) — which would make "pruned" unobservable. Disable
+        # partition coalescing for this build only, so the file count
+        # reflects what the same declared layout produces at scale
+        # (session-wide conf, hence inside _PARITY_LOCK like the
+        # parity env mutation; restored in finally).
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev = spark.conf.get(coalesce_key, None)
+        spark.conf.set(coalesce_key, "false")
+        try:
+            r.run(targets=["fact_trade"], parallelism=8)
+        finally:
+            if prev is None:
+                spark.conf.unset(coalesce_key)
+            else:
+                spark.conf.set(coalesce_key, prev)
+        t = r.table("fact_trade")
+        entry = t._entry(t.latest_version())
+        full = t.read()
+        checks: list[tuple[str, bool]] = [
+            ("commit_has_stats", bool(entry.get("stats"))),
+            ("commit_has_bloom", bool(entry.get("bloom"))),
+            ("multiple_files", len(entry.get("stats") or {}) > 1),
+        ]
+        dates = sorted(
+            r0["sk_create_date"]
+            for r0 in full.select("sk_create_date").distinct().collect()
+        )
+        mid = dates[len(dates) // 2]
+        got, rep = t.read_where("sk_create_date", lo=mid, hi=mid)
+        checks.append(
+            ("date_window_pruned",
+             rep["files_read"] < rep["files_total"]))
+        exp = full.filter(F.col("sk_create_date") == F.lit(mid))
+        checks.append(
+            ("date_window_exact",
+             got.exceptAll(exp).isEmpty()
+             and exp.exceptAll(got).isEmpty()))
+        probe = full.select("sk_trade_id").orderBy(
+            "sk_trade_id").first()["sk_trade_id"]
+        gpt, rpt = t.read_where_eq("sk_trade_id", probe)
+        checks.append(
+            ("point_read_pruned",
+             rpt["files_read"] < rpt["files_total"]))
+        expp = full.filter(F.col("sk_trade_id") == probe)
+        checks.append(
+            ("point_read_exact",
+             gpt.exceptAll(expp).isEmpty()
+             and expp.exceptAll(gpt).isEmpty()))
+        ab, rab = t.read_where_eq("sk_trade_id", "no-such-key")
+        checks.append(
+            ("absent_key_reads_zero_files",
+             rab["files_read"] == 0 and ab.isEmpty()))
+        plain = spark.read.parquet(str(_warehouse(spark) / "fact_trade"))
+        checks.append(
+            ("rows_equal_plain_build",
+             full.exceptAll(plain).isEmpty()
+             and plain.exceptAll(full).isEmpty()))
+        assert sorted(n for n, _ in checks) == sorted(VSKIP_CHECKS)
+        _CACHE[key] = checks
+        return checks
+
+
+@query(
+    "dag_versioned_skipping",
+    oracle="SELECT * FROM (VALUES " + ", ".join(
+        f"('{n}', true)" for n in sorted(VSKIP_CHECKS)
+    ) + ") t(check_name, ok)",
+    tags=["S11", "storage-skipping"],
+)
+def dag_versioned_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping wired into the warehouse DAG (VERDICT r8 item 1):
+    fact_trade built through ``Runner(materialize="versioned")`` with
+    its declared per-model Layout must be range-clustered, carry
+    footer stats + Bloom bitmaps in its commit entry, and serve pruned
+    date-window and point reads that match the full scan exactly. One
+    boolean row per check; the oracle pins them all true."""
+    rows = _versioned_skipping_checks(spark)
+    return spark.createDataFrame(rows, "check_name string, ok boolean")

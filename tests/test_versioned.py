@@ -757,3 +757,49 @@ def test_restore_carries_bloom(spark, tmp_path):
     got, rep = t.read_where_eq("k", 1234, version=v)
     assert rep["files_read"] < rep["files_total"], rep
     assert [r["k"] for r in got.collect()] == [1234]
+
+
+def test_runner_honors_model_layout(spark, tmp_path):
+    """VERDICT r9 item 1: per-model Layout metadata drives the
+    versioned materialization — the fact models' declared range
+    clustering + stats/bloom land in the commit entry without the
+    caller passing anything, and apply_layout's zorder rung clusters
+    both dims."""
+    from dbt_tpcdi_spark.plans.registry import Layout, all_models
+    from dbt_tpcdi_spark.plans.runner import apply_layout
+
+    # the gold facts declare layouts with date-range clustering,
+    # date stats, and bloom on their high-cardinality point keys
+    m = all_models()["fact_trade"]
+    assert m.layout is not None
+    assert m.layout.range_by == ("sk_create_date",)
+    assert "sk_create_date" in m.layout.stats_cols
+    assert set(m.layout.bloom_cols) == {"sk_account_id", "sk_trade_id"}
+    for fact in ("fact_market_history", "fact_cash_balances",
+                 "fact_cash_transactions", "fact_holdings",
+                 "fact_watches"):
+        lay = all_models()[fact].layout
+        assert lay and lay.range_by and lay.stats_cols and lay.bloom_cols
+
+    # zorder layout: both dims end up narrow per output partition
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+    )
+    z = apply_layout(df, Layout(zorder=("x", "y"), files=16))
+    assert z.rdd.getNumPartitions() == 16
+    spans = z.rdd.mapPartitions(lambda it: [
+        (lambda rs: (max(r.x for r in rs) - min(r.x for r in rs),
+                     max(r.y for r in rs) - min(r.y for r in rs))
+         if rs else None)(list(it))
+    ]).collect()
+    spans = [s for s in spans if s]
+    # a 16-file z-layout over a 64x64 grid keeps each file well under
+    # the full 63-wide domain on BOTH dims
+    assert all(sx < 48 and sy < 48 for sx, sy in spans), spans
+
+    # layout validation
+    with pytest.raises(ValueError, match="exclusive"):
+        Layout(range_by=("a",), zorder=("x", "y"), files=4)
+    with pytest.raises(ValueError, match="files"):
+        Layout(zorder=("x", "y"))
