@@ -206,16 +206,22 @@ def main() -> None:
         # this 30-stage plan (measured 7.4s cold vs ~3.4s warm), which
         # otherwise swamps the regression signal round-to-round (same
         # treatment as the x10 revenue_by_nation trials)
-        capped = D.lsh_candidate_pairs_capped(
-            bsigs, "doc_id", cap=8, distinct=False)
+        # each trial rebuilds AND releases the capped pipeline's
+        # internal caches (the structural persist of the kept set,
+        # VERDICT r9 item 3) so every trial measures the full
+        # fill+join cost, not a warm cache read
         cap_trials = []
         for _ in range(3):
+            capped = D.lsh_candidate_pairs_capped(
+                bsigs, "doc_id", cap=8, distinct=False)
             t0 = time.perf_counter()
             n_cap = capped.count()
             cap_trials.append(round(time.perf_counter() - t0, 3))
+            cplan = (capped._jdf.queryExecution().executedPlan()
+                     .toString())
+            D.release_lsh_caches(capped)
         prep["lshcap_x10_capped_trials"] = cap_trials
         probes["lshcap_x10:capped"] = sorted(cap_trials)[1]
-        cplan = capped._jdf.queryExecution().executedPlan().toString()
         plan_checks["lshcap_candidates_bounded"] = n_cap * 1000 < n_unc
         plan_checks["lshcap_no_cartesian"] = "CartesianProduct" not in cplan
         prep["lshcap_x10_candidates"] = {
@@ -396,20 +402,23 @@ def main() -> None:
         )
         bsigs100 = D.with_minhash_signature(b100, "text").persist()
         bsigs100.count()
-        capped100 = D.lsh_candidate_pairs_capped(
-            bsigs100, "doc_id", cap=8, distinct=False)
         # median of 3 (same rationale as the x10 capped trials): this
         # is the probe where a one-off multi-second machine stall
-        # would spuriously fail the subquadratic check
+        # would spuriously fail the subquadratic check; rebuild +
+        # release per trial so each measures fill+join, not a warm
+        # cache read
         cap100_trials = []
         for _ in range(3):
+            capped100 = D.lsh_candidate_pairs_capped(
+                bsigs100, "doc_id", cap=8, distinct=False)
             t0 = time.perf_counter()
             n_cap100 = capped100.count()
             cap100_trials.append(round(time.perf_counter() - t0, 3))
+            c100plan = (capped100._jdf.queryExecution().executedPlan()
+                        .toString())
+            D.release_lsh_caches(capped100)
         prep["lshcap_x100_capped_trials"] = cap100_trials
         probes["lshcap_x100:capped"] = sorted(cap100_trials)[1]
-        c100plan = (capped100._jdf.queryExecution().executedPlan()
-                    .toString())
         plan_checks["lshcap_x100_no_cartesian"] = (
             "CartesianProduct" not in c100plan)
         # hot buckets stay capped at any scale, so candidates grow

