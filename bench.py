@@ -576,6 +576,56 @@ def main() -> None:
         plan_checks["bpe_1k_collect_bounded"] = (
             bool(csizes) and max(csizes) <= 256 * (TRIGRAM_CAP + 3)
         )
+
+        # -- sample-trained BPE (VERDICT r9 item 4) ----------------------
+        # the claim worth pinning is CORPUS-INDEPENDENCE: training on a
+        # deterministic 10% hash-sample of a 10x corpus (sample size ==
+        # the 1x corpus) must cost about the same as the full train on
+        # the 1x corpus — the only corpus-sized work left is the
+        # word-count scan (the pq_ann_sampled economics; at bench scale
+        # "sampled-vs-full on the SAME corpus" shows nothing because
+        # the trainer is round-trip-bound, ~12 serial rounds either
+        # way). The full corpus is then segmented with the sampled
+        # merge table — vocabulary-sized column ops, never the corpus.
+        from dbt_tpcdi_spark.functions.scalar import hash_sample
+        from dbt_tpcdi_spark.operators.bpe import (
+            segment_words,
+            word_counts,
+        )
+
+        bpe_corpus_x10 = benchdata.realistic_corpus(
+            spark, n_docs=200_000).persist()
+        bpe_corpus_x10.count()
+        t0 = time.perf_counter()
+        s_learned, _sw, s_used = bpe_train_incremental(
+            bpe_corpus_x10.filter(
+                hash_sample(F.col("doc_id"), 0.1, salt="bpesample")),
+            "text", rounds=12, window=256,
+        )
+        probes["bpe_sampled_1k_train_x10corpus"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        seg_full = segment_words(
+            word_counts(bpe_corpus, "text"),
+            [p for p, _c in s_learned])
+        vocab_rows = (
+            seg_full.select(
+                F.explode(F.split(F.col("sp"), " +")).alias("symbol"))
+            .groupBy("symbol").count()
+            .count()
+        )
+        probes["bpe_sampled_1k_segment_x1corpus"] = round(
+            time.perf_counter() - t0, 3)
+        prep["bpe_sampled_1k"] = {
+            "merges": len(s_learned),
+            "round_trips": s_used,
+            "full_vocab_symbols": vocab_rows,
+        }
+        plan_checks["bpe_sampled_train_corpus_independent"] = (
+            probes["bpe_sampled_1k_train_x10corpus"]
+            <= 1.35 * probes["bpe_incremental_1k_train"]
+        )
+        bpe_corpus_x10.unpersist()
         bpe_corpus.unpersist()
 
         # -- zipfian hot-key skew probes ---------------------------------

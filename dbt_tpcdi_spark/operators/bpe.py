@@ -970,3 +970,90 @@ def bpe_encode_sql(
            cast(coalesce(p.n_bpe_tokens, 0) AS bigint) AS n_bpe_tokens
     FROM {from_table} t LEFT JOIN __per_doc p USING ({id_col})"""
     )
+
+
+def segment_words(
+    w: DataFrame, merges: list[str], chunk: int = 128
+) -> DataFrame:
+    """Apply a LEARNED merge list (in learned order) to an arbitrary
+    ``(word, ...)`` table, appending ``sp`` — the serve path for a
+    SAMPLE-trained vocabulary: merges are patterns, not a word lookup,
+    so out-of-sample words segment correctly (a word the trainer never
+    saw still merges every learned pair it contains, exactly like a
+    real tokenizer applying its merge table to new text).
+
+    Cost is |vocab|·merges column ops over the vocabulary table, never
+    the corpus; the expression tree is checkpoint-chunked every
+    ``chunk`` merges so the plan stays codegen-sized at real merge
+    counts (same lifecycle as the trainer's per-round checkpoints).
+
+    Within-round merge order does not matter (rounds are trigram-safe
+    batches), across rounds it does — ``merges`` must be in learned
+    order, as returned by ``bpe_train_incremental``.
+
+    Each chunk pads ONCE and chains its replaces (the trainer's own
+    per-round apply shape): every replace pattern consumes the single
+    flanking space on each side and the replacement restores it, so
+    the two-space separator invariant holds continuously and chunk
+    boundaries need no re-normalization — 3× fewer expression nodes
+    than one pad/trim per merge."""
+    out = w.withColumn("sp", char_spaced(F.col("word")))
+    ids: set[int] = set()
+    for start in range(0, len(merges), chunk):
+        sp = F.concat(F.lit(" "), F.col("sp"), F.lit(" "))
+        for pair in merges[start:start + chunk]:
+            x, y = pair.split(" ")
+            sp = F.replace(
+                sp, F.lit(f" {x}{SEP}{y} "), F.lit(f" {x}{y} ")
+            )
+        out = out.withColumn("sp", F.trim(sp))
+        if start + chunk < len(merges):
+            out, ids = _checkpoint_replacing(out, ids)
+    return out
+
+
+def bpe_vocab_sampled_sql(
+    from_table: str,
+    text_col: str,
+    sample_where: str,
+    rounds: int = 4,
+    window: int = 32,
+    trigram_cap: int = TRIGRAM_CAP,
+) -> str:
+    """DuckDB twin of sample-trained BPE: the incremental training CTE
+    chain runs on ``from_table WHERE sample_where`` (the identical
+    deterministic hash-sample predicate the Spark side filters with),
+    then the learned per-round selections (``__isel{r}``) are applied
+    — same rank-ordered nested-replace rule — to the FULL corpus's
+    distinct-word table, and the vocabulary aggregates over the full
+    corpus."""
+    sampled = f"(SELECT * FROM {from_table} WHERE {sample_where})"
+    ctes = _incremental_ctes(sampled, text_col, rounds, window,
+                             trigram_cap)
+    ctes.append(f"""__fwc AS MATERIALIZED (
+        SELECT word, cast(count(*) AS bigint) AS wc FROM (
+            SELECT unnest({tokens_sql(text_col)}) AS word
+            FROM {from_table}
+        ) GROUP BY 1
+    )""")
+    ctes.append(f"""__fw0 AS MATERIALIZED (
+        SELECT word, wc, {char_spaced_sql('word')} AS sp FROM __fwc
+    )""")
+    for r in range(rounds):
+        sp = "' ' || sp || ' '"
+        for j in range(1, window + 1):
+            sel = f"(SELECT pair FROM __isel{r} WHERE rnk = {j})"
+            pat = (f"' ' || replace(coalesce({sel}, {_NOMATCH}), "
+                   f"' ', '{SEP}') || ' '")
+            rep = f"' ' || replace(coalesce({sel}, ''), ' ', '') || ' '"
+            sp = f"replace({sp}, {pat}, {rep})"
+        ctes.append(f"""__fw{r + 1} AS MATERIALIZED (
+            SELECT word, wc, trim({sp}) AS sp FROM __fw{r}
+        )""")
+    return (
+        "WITH " + ", ".join(ctes)
+        + f""" SELECT symbol, cast(sum(wc) AS bigint) AS n_occurrences
+        FROM (SELECT wc, unnest(regexp_split_to_array(sp, ' +')) AS symbol
+              FROM __fw{rounds})
+        GROUP BY 1"""
+    )

@@ -916,3 +916,51 @@ def logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs bigint, n_pos bigint, converged boolean, "
         "acc_ge_090 boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# sample-trained BPE (VERDICT r9 item 4)
+
+#: deterministic training-sample predicate shared with the oracle
+_BPE_SAMPLE_FRAC, _BPE_SAMPLE_SALT = 0.25, "bpesample"
+
+
+@query(
+    "bpe_vocab_sampled",
+    oracle=B.bpe_vocab_sampled_sql(
+        "documents", "text",
+        hash_sample_sql("doc_id", _BPE_SAMPLE_FRAC,
+                        salt=_BPE_SAMPLE_SALT),
+        rounds=4, window=32,
+    ),
+    tags=["llm-bpe", "A1"],
+)
+def bpe_vocab_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-trained BPE — the economics real tokenizer training
+    uses (GPT-2/SentencePiece train on a corpus SAMPLE, then encode
+    everything): merges learn on a deterministic 25% md5 hash-sample
+    of documents (``hash_sample`` — partitioning-independent, twin
+    filters the identical predicate), and the FULL corpus's
+    distinct-word table is segmented with the learned merge list
+    (``segment_words`` — patterns, not a word lookup, so out-of-sample
+    words merge correctly). Training cost is bounded by the SAMPLE
+    (the trainer's per-round aggregations run on the sample's word
+    table); full-corpus cost is one word-count shuffle plus
+    vocabulary-sized column ops — the same split that cut PQ codebook
+    training 18× (``pq_ann_sampled``). Returns the full-corpus
+    (symbol, n_occurrences) vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    sample = d.filter(
+        hash_sample(F.col("doc_id"), _BPE_SAMPLE_FRAC,
+                    salt=_BPE_SAMPLE_SALT))
+    learned, _w, _used = B.bpe_train_incremental(
+        sample, "text", rounds=4, window=32)
+    wc = B.word_counts(d, "text")
+    seg = B.segment_words(wc, [p for p, _c in learned])
+    return (
+        seg.select(
+            "wc", F.explode(F.split(F.col("sp"), " +")).alias("symbol")
+        )
+        .groupBy("symbol")
+        .agg(F.sum("wc").cast("bigint").alias("n_occurrences"))
+    )

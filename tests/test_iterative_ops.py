@@ -356,3 +356,54 @@ def test_bpe_incremental_trigram_collect_bounded_with_fallback(spark):
             )).fetchall())
         )
         assert spark_vocab == duck_vocab, cap
+
+
+def test_segment_words_applies_merges_to_unseen_words(spark):
+    """Sample-trained BPE (VERDICT r9 item 4): segment_words applies a
+    LEARNED merge list as patterns, so words the trainer never saw
+    still merge every learned pair they contain — and the sampled
+    vocabulary over the full corpus equals training-side segmentation
+    for in-sample words."""
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators import bpe as B
+
+    train = spark.createDataFrame(
+        [("low lower lowest low low",), ("low lower newer low",)],
+        "text string",
+    )
+    learned, w_train, _ = B.bpe_train_incremental(
+        train, "text", rounds=2, window=8)
+    merges = [p for p, _c in learned]
+    assert merges, "trainer learned nothing"
+
+    # a word table with words ABSENT from training ('slow', 'glower')
+    # that contain learned substrings
+    vocab = spark.createDataFrame(
+        [("low", 1), ("slow", 1), ("glower", 1), ("zzq", 1)],
+        "word string, wc int",
+    )
+    seg = {r["word"]: r["sp"]
+           for r in B.segment_words(vocab, merges).collect()}
+
+    # in-sample words match the trainer's own segmentation
+    train_seg = {r["word"]: r["sp"] for r in w_train.collect()}
+    assert seg["low"] == train_seg["low"]
+
+    # out-of-sample: every learned merge applied in order by a naive
+    # driver-side reimplementation gives the same segmentation
+    def apply_all(word: str) -> str:
+        sp = B.SEP.join(word)
+        for pair in merges:
+            x, y = pair.split(" ")
+            sp = f" {sp} ".replace(f" {x}{B.SEP}{y} ",
+                                   f" {x}{y} ").strip()
+        return sp
+    for wrd in ("slow", "glower", "zzq"):
+        assert " ".join(seg[wrd].split()) == " ".join(
+            apply_all(wrd).split()), wrd
+
+    # chunked checkpointing changes nothing
+    seg2 = {r["word"]: r["sp"]
+            for r in B.segment_words(vocab, merges, chunk=2).collect()}
+    assert seg2 == seg
