@@ -315,6 +315,41 @@ def main() -> None:
             "CartesianProduct" not in df._jdf.queryExecution()
             .executedPlan().toString())
 
+        # persisted IVFPQ index at x100 (VERDICT r9 item 5): build the
+        # versioned index once (cells scaled to the corpus), then
+        # serve a top-k probe — probe-only wall must be a small
+        # fraction of build wall, and the cell read must be pruned
+        # (files_read < files_total via the codes table's Bloom +
+        # range stats)
+        import uuid as _uuid
+
+        from dbt_tpcdi_spark.queries.llm import (
+            ivfpq_index_build,
+            ivfpq_serve_topk,
+        )
+        from dbt_tpcdi_spark.sources.parquet import load_table, spread
+
+        e100p = spread(load_table(spark, x100_dir, "embeddings"))
+        idx_root = os.path.join("/tmp", "spark_graft_bench",
+                                f"ivfpq_idx_{_uuid.uuid4().hex[:8]}")
+        t0 = time.perf_counter()
+        idx100 = ivfpq_index_build(
+            e100p, idx_root, cells=64, blocks=8, codes=64, files=32)
+        probes["x100:ivfpq_index_build"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        top_p, rep_p = ivfpq_serve_topk(
+            e100p, idx100, nprobe=8, refine=200, k=10)
+        top_p.collect()
+        probes["x100:ivfpq_index_probe"] = round(
+            time.perf_counter() - t0, 3)
+        prep["ivfpq_persisted_x100_files"] = rep_p
+        plan_checks["ivfpq_persisted_probe_pruned"] = (
+            rep_p["files_read"] * 2 <= rep_p["files_total"])
+        plan_checks["ivfpq_persisted_probe_fast"] = (
+            probes["x100:ivfpq_index_probe"]
+            <= 0.5 * probes["x100:ivfpq_index_build"])
+
         # sharded SemDedup at x100 with the PRODUCTION configuration
         # (fixed k_coarse=100): linear coarse pass + per-cell BLAS
         # assignment + grouped-Gram pair scan — the hierarchy that

@@ -1525,6 +1525,7 @@ def ivfpq_adc_topk_sql(
     iters: int = 1,
     refine: int = 50,
     k: int = 10,
+    nprobe: int | None = None,
 ) -> str:
     """DuckDB twin of the full IVFADC pipeline (Jégou et al. 2011,
     the IVF+residual-PQ composition): coarse seed cells + exact
@@ -1534,7 +1535,10 @@ def ivfpq_adc_topk_sql(
     residuals unchanged), per-block residual codebooks, per-(vector,
     block) encode, the query's per-CELL residual (block, code) →
     distance table, ADC top-``refine``, and an exact quantized-L2
-    re-rank to the final top-``k``."""
+    re-rank to the final top-``k``. ``nprobe`` restricts the ADC to
+    the query's ``nprobe`` nearest cells (dist asc, cell asc) — the
+    serve-from-persisted-index shape where unprobed cells' codes are
+    never read."""
     sub = dim // blocks
     if sub * blocks != dim:
         raise ValueError(f"dim {dim} not divisible by blocks {blocks}")
@@ -1620,6 +1624,14 @@ def ivfpq_adc_topk_sql(
             FROM __cc c CROSS JOIN __qrow q
         )""",
     )
+    if nprobe is not None:
+        pdist = (f"list_sum(list_transform(range(1, {dim} + 1), i -> "
+                 "(q.qq[i] - c.ccent[i]) * (q.qq[i] - c.ccent[i])))")
+        ctes.append(f"""__probe AS MATERIALIZED (
+            SELECT c.cell FROM __cc c CROSS JOIN __qrow q
+            ORDER BY {pdist} ASC, c.cell ASC
+            LIMIT {nprobe}
+        )""")
     qsv_union = " UNION ALL ".join(
         f"SELECT cell, {b} AS block, "
         f"rv[{b * sub + 1}:{(b + 1) * sub}] AS sv FROM __qres"
@@ -1639,6 +1651,7 @@ def ivfpq_adc_topk_sql(
                    cast(sum(d.d) AS bigint) AS adc_dist2
             FROM __pqcode e
             JOIN __casg a USING ({id_col})
+            {"JOIN __probe p ON a.cell = p.cell" if nprobe else ""}
             JOIN __pqd d ON a.cell = d.cell AND e.block = d.block
                          AND e.code = d.code
             GROUP BY 1, 2

@@ -4635,3 +4635,173 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_frac_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVFPQ index (VERDICT r9 item 5): build once into versioned
+# tables, serve top-k with cell-pruned reads
+
+_IVFPQ_NPROBE = 4
+_IVFPQ_IDX_CACHE: dict = {}
+
+
+def ivfpq_index_build(
+    e: DataFrame, root: str, cells: int, blocks: int, codes: int,
+    dim: int = 64, files: int = 8,
+) -> dict:
+    """Materialize the IVFADC index as VERSIONED TABLES (the
+    incremental_dedup index pattern): ``cents`` (≤cells rows),
+    ``codebooks`` (cells·blocks·codes metadata rows), and ``codes`` —
+    one (vec_id, cell, block, code) row per vector·block, range-
+    clustered on ``cell`` with footer stats + Bloom bitmaps so a
+    serve-time probe reads ONLY the probed cells' files
+    (``read_where_in``). Build cost is the same Θ(n·cells) coarse
+    pass + grouped one-pass Lloyd as ``ivfpq_ann_topk``; at 100 TB
+    the build amortizes over every query served from the persisted
+    index, which is the only reason IVF indexes exist. Returns the
+    three table handles."""
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+    spark = e.sparkSession
+    cents = S.seed_centroid_table(e, "vec_id", "embedding", cells)
+    base = e.select(
+        "vec_id", S._qlist(F.col("embedding")).alias("__qv")
+    )
+    asg = S.assign_centroids_bcast(base, "vec_id", cents)
+    resid = (
+        asg.join(F.broadcast(cents), asg["cluster"] == cents["__cl"])
+        .select(
+            "vec_id",
+            F.col("cluster").alias("cell"),
+            F.zip_with(
+                F.col("__qv"), F.col("__cent"),
+                lambda a, b: (a - b) / F.lit(10000.0),
+            ).alias("__rv"),
+        )
+        .localCheckpoint(eager=True)  # checkpoint() on a real cluster
+    )
+    cb = S.pq_codebooks(
+        resid, "vec_id", "__rv", dim, blocks=blocks, codes=codes,
+        iters=1, assign_mode="broadcast",
+    )
+    pq_codes = S.pq_encode(
+        resid, "vec_id", "__rv", cb, dim, blocks=blocks
+    ).join(resid.select("vec_id", "cell"), "vec_id")
+    t_cents = VersionedTable(spark, f"{root}/cents")
+    t_cents.commit(cents)
+    t_cb = VersionedTable(spark, f"{root}/codebooks")
+    t_cb.commit(cb)
+    t_codes = VersionedTable(spark, f"{root}/codes")
+    # explicit partition count: the range layout must produce >1 file
+    # for cell pruning to bite (AQE would coalesce this metadata-sized
+    # table to one file; a real deployment sizes this by data volume)
+    t_codes.commit(
+        pq_codes.repartitionByRange(files, "cell"),
+        stats_cols=["cell"], bloom_cols=["cell"],
+    )
+    return {"cents": t_cents, "cb": t_cb, "codes": t_codes}
+
+
+def ivfpq_serve_topk(
+    e: DataFrame, idx: dict, nprobe: int, refine: int, k: int,
+    dim: int = 64, blocks: int = 8,
+) -> tuple[DataFrame, dict]:
+    """Serve one ANN query from a persisted IVFPQ index: pick the
+    ``nprobe`` nearest cells (dist asc, cell asc — a ≤cells-row
+    metadata collect), read ONLY those cells' code files
+    (``read_where_in`` — Bloom + stats pruned), ADC against the
+    broadcast lookup table, exact re-rank of the top-``refine``.
+    Probe-time work is Θ(codes-in-probed-cells), never the index —
+    returns (top-k DataFrame, the pruning report)."""
+    cents = idx["cents"].read()
+    qrow = (
+        e.orderBy("vec_id").limit(1)
+        .select(S._qlist(F.col("embedding")).alias("__qq"))
+    )
+    pd2 = S.qdist2_q(F.col("__qq"), F.col("__cent"))
+    probe_rows = (
+        F.broadcast(cents).crossJoin(F.broadcast(qrow))
+        .select(F.col("__cl"), pd2.alias("__d"))
+        .orderBy(F.col("__d").asc(), F.col("__cl").asc())
+        .limit(nprobe)
+        .collect()  # ≤nprobe rows — metadata-sized
+    )
+    probe_cells = [int(r["__cl"]) for r in probe_rows]
+    codes_df, rep = idx["codes"].read_where_in("cell", probe_cells)
+    cb = idx["cb"].read()
+    qres = (
+        F.broadcast(cents.filter(F.col("__cl").isin(probe_cells)))
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            F.col("__cl").alias("cell"),
+            F.zip_with(
+                F.col("__qq"), F.col("__cent"),
+                lambda a, b: (a - b) / F.lit(10000.0),
+            ).alias("__rv"),
+        )
+    )
+    qsv = qres.select(
+        "cell",
+        F.explode(
+            S._subvector_structs("__rv", dim, blocks)
+        ).alias("__s"),
+    ).select("cell", "__s.block", "__s.__qsv")
+    d = S.qdist2_q(F.col("__qsv"), F.col("__cent"))
+    dtab = cb.join(qsv, "block").select(
+        "cell", "block", F.col("__cl").alias("code"), d.alias("d")
+    )
+    adc = (
+        codes_df.join(F.broadcast(dtab), ["cell", "block", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist2"))
+        .orderBy(F.col("adc_dist2").asc(), F.col("vec_id").asc())
+        .limit(refine)
+    )
+    base = e.select(
+        "vec_id", S._qlist(F.col("embedding")).alias("__qv")
+    )
+    rr = S.qdist2_q(F.col("__qv"), F.col("__qq"))
+    top = (
+        adc.join(base, "vec_id")
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", rr.alias("dist2"))
+        .orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+    return top, rep
+
+
+@query(
+    "ivfpq_ann_persisted",
+    oracle=S.ivfpq_adc_topk_sql(
+        "embeddings", "vec_id", "embedding", dim=64,
+        cells=_IVFPQ_CELLS, blocks=8, codes=_IVFPQ_CODES, iters=1,
+        refine=_IVFPQ_REFINE, k=10, nprobe=_IVFPQ_NPROBE,
+    ),
+    tags=["llm-ann-pq", "llm-ann-ivf", "S11", "iterative"],
+)
+def ivfpq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ served from a PERSISTED versioned index — the production
+    ANN lifecycle (build once, serve many): codebooks, codes, and
+    cell assignments live as versioned tables (snapshot-isolated,
+    restorable, compactable like any warehouse table), and each query
+    probes its ``nprobe`` nearest cells through a Bloom/stats-pruned
+    ``read_where_in`` on the cell id — unprobed cells' files are
+    never read. The twin re-derives the identical index in SQL and
+    restricts ADC to the same probe set (dist asc, cell asc). Index
+    build is memoized per (sf_dir, session) — the serve path is what
+    this query times after the first call."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    key = (sf_dir, spark.sparkContext.applicationId)
+    if key not in _IVFPQ_IDX_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="ivfpq_idx_")
+        _IVFPQ_IDX_CACHE[key] = ivfpq_index_build(
+            e, root, cells=_IVFPQ_CELLS, blocks=8, codes=_IVFPQ_CODES
+        )
+    top, _rep = ivfpq_serve_topk(
+        e, _IVFPQ_IDX_CACHE[key], nprobe=_IVFPQ_NPROBE,
+        refine=_IVFPQ_REFINE, k=10,
+    )
+    return top

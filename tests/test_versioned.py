@@ -803,3 +803,40 @@ def test_runner_honors_model_layout(spark, tmp_path):
         Layout(range_by=("a",), zorder=("x", "y"), files=4)
     with pytest.raises(ValueError, match="files"):
         Layout(zorder=("x", "y"))
+
+
+def test_ivfpq_persisted_index_prunes_and_serves(spark, tmp_path):
+    """VERDICT r9 item 5: the persisted IVFPQ index serves top-k with
+    a cell-pruned read (files_read < files_total on the codes table)
+    and the served result is stable across calls (the index is
+    immutable versioned state)."""
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.queries.llm import (
+        ivfpq_index_build,
+        ivfpq_serve_topk,
+    )
+
+    e = spark.range(0, 400).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                F.pmod(F.col("id") * i, F.lit(97)) / 97.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    idx = ivfpq_index_build(
+        e, str(tmp_path / "idx"), cells=16, blocks=8, codes=16,
+        files=8,
+    )
+    entry = idx["codes"]._entry(idx["codes"].latest_version())
+    assert entry.get("stats") and entry.get("bloom")
+    top, rep = ivfpq_serve_topk(e, idx, nprobe=4, refine=50, k=10)
+    rows = [(r["vec_id"], r["dist2"]) for r in top.collect()]
+    assert len(rows) == 10
+    assert rep["files_read"] < rep["files_total"], rep
+    # the query vector is vec_id 0 itself -> exact match first
+    assert rows[0] == (0, 0)
+    top2, _ = ivfpq_serve_topk(e, idx, nprobe=4, refine=50, k=10)
+    assert [(r["vec_id"], r["dist2"]) for r in top2.collect()] == rows
