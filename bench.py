@@ -778,6 +778,127 @@ def main() -> None:
         _timed(probes, "skew:sessionize_chunked_zipf", zs2)
         zipf.unpersist()
 
+        # -- x100-scale skew probes (VERDICT r9 item 6) ------------------
+        # the same zipfian machinery at a 10M-row corpus, each
+        # mitigation measured against an UNSKEWED twin of identical
+        # size (hot_pct=0): within ~1.5x of the uniform cost means the
+        # mitigation removed the skew penalty, not just survived it
+        def _skew_wall(events, op: str) -> float:
+            if op == "join":
+                zd = benchdata.zipf_dim(spark)
+                df = (salted_join(events, zd, key="k",
+                                  salt_from="row_id", n_salts=16)
+                      .groupBy("grp").agg(F.sum("v").alias("s")))
+            elif op == "plain_join":
+                zd = benchdata.zipf_dim(spark)
+                df = (events.join(zd, "k")
+                      .groupBy("grp").agg(F.sum("v").alias("s")))
+            else:  # chunked or plain sessionize
+                ev = events.select(
+                    F.col("k").alias("user_id"),
+                    F.col("row_id").alias("event_id"), "ts_ms")
+                ch = ev.withColumn(
+                    "__chunk", F.expr("ts_ms div 3600000"))
+                wA = Window.partitionBy("user_id", "__chunk").orderBy(
+                    "ts_ms", "event_id")
+                sA = (
+                    ch.withColumn(
+                        "new_s",
+                        F.when(
+                            (F.col("ts_ms") - F.lag("ts_ms").over(wA)
+                             > 1800000)
+                            | F.lag("ts_ms").over(wA).isNull(),
+                            1).otherwise(0))
+                    .withColumn(
+                        "s1",
+                        F.sum("new_s").over(
+                            wA.rowsBetween(
+                                Window.unboundedPreceding, 0)))
+                    .groupBy("user_id", "__chunk", "s1")
+                    .agg(F.count("*").alias("n"),
+                         F.min("ts_ms").alias("a"),
+                         F.max("ts_ms").alias("b"))
+                )
+                wB = Window.partitionBy("user_id").orderBy("a", "b")
+                df = (
+                    sA.withColumn(
+                        "new_g",
+                        F.when((F.col("a") - F.lag("b").over(wB)
+                                > 1800000)
+                               | F.lag("b").over(wB).isNull(),
+                               1).otherwise(0))
+                    .withColumn(
+                        "sid",
+                        F.sum("new_g").over(
+                            wB.rowsBetween(
+                                Window.unboundedPreceding, 0)))
+                    .groupBy("user_id", "sid")
+                    .agg(F.sum("n").alias("n_events"))
+                )
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            return round(time.perf_counter() - t0, 3)
+
+        zipf100 = benchdata.zipf_events(
+            spark, n_rows=10_000_000).persist()
+        zipf100.count()
+        unif100 = benchdata.zipf_events(
+            spark, n_rows=10_000_000, hot_pct=0).persist()
+        unif100.count()
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes", "1m")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "2")
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                "256k")
+            probes["skew_x100:salted_join_zipf"] = _skew_wall(
+                zipf100, "join")
+            probes["skew_x100:salted_join_uniform"] = _skew_wall(
+                unif100, "join")
+            probes["skew_x100:plain_join_uniform"] = _skew_wall(
+                unif100, "plain_join")
+            # AQE skew-split still fires on the plain skewed join at
+            # this scale
+            zd100 = benchdata.zipf_dim(spark)
+            plain100 = (zipf100.join(zd100, "k")
+                        .groupBy("grp").agg(F.sum("v").alias("s")))
+            t0 = time.perf_counter()
+            plain100.collect()
+            probes["skew_x100:plain_join_zipf"] = round(
+                time.perf_counter() - t0, 3)
+            plan_checks["skew_x100_plain_join_aqe_split"] = (
+                "skew=true" in plain100._jdf.queryExecution()
+                .executedPlan().toString())
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+        probes["skew_x100:sessionize_chunked_zipf"] = _skew_wall(
+            zipf100, "sessionize")
+        probes["skew_x100:sessionize_chunked_uniform"] = _skew_wall(
+            unif100, "sessionize")
+        # each mitigation's cost must be skew-INDEPENDENT (within
+        # 1.5x of itself on the uniform twin); the AQE-split plain
+        # join must also land within 1.5x of the uniform plain join
+        # (the salted join's fixed salt-explode overhead vs plain is
+        # a documented trade, visible side by side in the probes)
+        plan_checks["skew_x100_aqe_within_1_5x_uniform"] = (
+            probes["skew_x100:plain_join_zipf"]
+            <= 1.5 * max(probes["skew_x100:plain_join_uniform"], 0.5))
+        plan_checks["skew_x100_salted_skew_independent"] = (
+            probes["skew_x100:salted_join_zipf"]
+            <= 1.5 * max(probes["skew_x100:salted_join_uniform"], 0.5))
+        plan_checks["skew_x100_chunked_within_1_5x_uniform"] = (
+            probes["skew_x100:sessionize_chunked_zipf"]
+            <= 1.5 * max(
+                probes["skew_x100:sessionize_chunked_uniform"], 0.5))
+        zipf100.unpersist()
+        unif100.unpersist()
+
     # -- full-DAG builds at ×10 and ×100 fixture scale ------------------
     # ×10 keeps the round-over-round series comparable; ×100 is the
     # scale point where per-model walls are whole seconds and the
