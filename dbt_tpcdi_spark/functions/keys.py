@@ -52,3 +52,17 @@ def surrogate_key_sql(*cols: str) -> str:
     ]
     joiner = f" || '{_SEPARATOR}' || "
     return f"md5({joiner.join(parts)})"
+
+
+def surrogate_key_spark_sql(*cols: str) -> str:
+    """The same key as SPARK SQL text — the SQL-authoring surface for
+    models written as SQL strings (reference parity: the reference
+    authors every model as SQL; dialect note: Spark casts to
+    ``string`` where DuckDB needs ``varchar``, both render identical
+    md5 hex for the same parts). ``concat_ws`` is NULL-skipping, so
+    parts coalesce first — same note as the Column builder."""
+    parts = [
+        f"coalesce(cast({c} as string), '{_NULL_PLACEHOLDER}')"
+        for c in cols
+    ]
+    return f"md5(concat_ws('{_SEPARATOR}', {', '.join(parts)}))"
