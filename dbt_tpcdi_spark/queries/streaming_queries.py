@@ -480,3 +480,76 @@ def _install_streaming_hh_oracle() -> None:
 
 
 _install_streaming_hh_oracle()
+
+
+# ---------------------------------------------------------------------------
+# streaming ordered funnel (VERDICT r9 item 8)
+
+
+def _install_streaming_funnel() -> None:
+    from dbt_tpcdi_spark.queries.extended import (
+        _FUNNEL_GAP_MS,
+        _FUNNEL_ORACLE,
+    )
+
+    @query(
+        "streaming_funnel",
+        oracle=_FUNNEL_ORACLE,
+        tags=["§2.9-streaming", "ext-funnel", "A3"],
+    )
+    def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The ordered funnel computed BY the streaming engine:
+        per-user stateful re-evaluation (``streaming_funnel_state`` —
+        a late earlier view repairs downstream steps exactly), update
+        emissions deduped to each user's final ``seq``, then the same
+        per-step counts + integer mean gaps as the batch cascade —
+        gated against the IDENTICAL oracle as ``funnel_conversion``
+        (batch/stream parity is the assertion, the 11th streaming
+        gate)."""
+        from dbt_tpcdi_spark.streaming.ops import streaming_funnel_state
+
+        events = stream_events(spark, sf_dir)
+        out = streaming_funnel_state(events, _FUNNEL_GAP_MS)
+        run_to_memory(out, "q_streaming_funnel", output_mode="update")
+        sink = spark.table("q_streaming_funnel")
+        last = (
+            sink.groupBy("user_id")
+            .agg(F.max("seq").alias("__last"))
+            .select(F.col("user_id").alias("__u"), "__last")
+        )
+        per_user = sink.join(
+            last,
+            (F.col("user_id") == F.col("__u"))
+            & (F.col("seq") == F.col("__last")),
+        ).select("t1", "t2", "t3")
+
+        def _step(df: DataFrame, step: int, name: str,
+                  gap: str | None) -> DataFrame:
+            n = F.count("*").cast("bigint")
+            mean = (
+                F.expr(f"sum({gap}) div count(*)") if gap
+                else F.lit(None)
+            )
+            return df.agg(
+                n.alias("n_users"),
+                mean.cast("bigint").alias("mean_gap_ms"),
+            ).select(
+                F.lit(step).cast("int").alias("step"),
+                F.lit(name).alias("step_name"),
+                "n_users",
+                "mean_gap_ms",
+            )
+
+        return (
+            _step(per_user.filter(F.col("t1").isNotNull()),
+                  1, "view", None)
+            .unionByName(_step(
+                per_user.filter(F.col("t2").isNotNull()),
+                2, "click", "t2 - t1"))
+            .unionByName(_step(
+                per_user.filter(F.col("t3").isNotNull()),
+                3, "purchase", "t3 - t2"))
+        )
+
+
+_install_streaming_funnel()

@@ -179,3 +179,59 @@ def test_stream_merge_scd2_overlapping_redelivery(spark, tmp_path):
     got = table.read()
     assert got.exceptAll(expected).isEmpty()
     assert expected.exceptAll(got).isEmpty()
+
+
+def test_streaming_funnel_out_of_order_repair(spark, tmp_path):
+    """A late-arriving EARLIER view must lower t1 and repair t2/t3
+    exactly (the stateful re-evaluation, VERDICT r9 item 8): user 1's
+    click qualifies only under the view that arrives in micro-batch 2,
+    and user 2's purchase chain resolves across three batches."""
+    import pandas as pd
+
+    from dbt_tpcdi_spark.streaming.ops import streaming_funnel_state
+
+    gap = 1000  # 1s funnel gap for the test
+    ts = lambda ms: pd.Timestamp(ms, unit="ms")  # noqa: E731
+    batches = [
+        # batch 1: user 1 view@5000, click@5500 (qualifies under 5000)
+        #          user 2 click@800 (no view yet -> no t2)
+        [(1, "view", 5000), (1, "click", 5500), (2, "click", 800)],
+        # batch 2: user 1 LATE view@100 -> t1 drops to 100; click@5500
+        #          now OUTSIDE (100, 1100] -> t2 must become the new
+        #          click@900; user 2 view@500 -> t2=800
+        [(1, "view", 100), (1, "click", 900), (2, "view", 500)],
+        # batch 3: purchases: user1 purchase@1500 (within 1000 of 900);
+        #          user 2 purchase@5000 (outside 800+1000)
+        [(1, "purchase", 1500), (2, "purchase", 5000)],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            [(u, et, ts(ms)) for u, et, ms in rows],
+            columns=["user_id", "event_type", "ts"],
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(str(tmp_path / "ev"))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "ev"))
+    )
+    out = streaming_funnel_state(stream, gap)
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName("funnel_repair").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    sink = spark.table("funnel_repair").toPandas()
+    final = (
+        sink.sort_values("seq").groupby("user_id").last().reset_index()
+    )
+    by_user = {
+        int(r.user_id): (r.t1, r.t2, r.t3) for r in final.itertuples()
+    }
+    assert by_user[1] == (100, 900, 1500)
+    assert by_user[2][0] == 500 and by_user[2][1] == 800
+    assert pd.isna(by_user[2][2])  # purchase outside the gap
