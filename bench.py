@@ -394,6 +394,23 @@ def main() -> None:
             _timed(probes, f"{tag}:heavy_hitters", df)
         _subq("heavy_hitters")
 
+        # sketch-only KMV overlap serving plan at x10 (VERDICT r9
+        # item 9): the plan must carry no shuffle join — pair
+        # estimation is sketch-rows x sources metadata work
+        from dbt_tpcdi_spark.operators import text as TXK
+        from dbt_tpcdi_spark.queries.llm import kmv_overlap_estimates
+
+        kdocs = spark.read.parquet(
+            os.path.join(x10_dir, "documents.parquet")
+        ).withColumn("__tk", TXK.tokens(F.col("text")))
+        kest = kmv_overlap_estimates(kdocs)
+        _timed(probes, "x10:kmv_overlap_serving", kest)
+        kest.collect()
+        kplan = kest._jdf.queryExecution().executedPlan().toString()
+        plan_checks["kmv_serving_no_shuffle_join"] = (
+            "SortMergeJoin" not in kplan
+            and "ShuffledHashJoin" not in kplan)
+
         # -- stats-skipping rung: footer-pruned reads at x10 -------------
         # commit x10 lineitem Z-ordered (normalized grid) with footer
         # stats, then a 15%-of-domain window on the SECOND dim must

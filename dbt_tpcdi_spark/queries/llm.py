@@ -578,10 +578,10 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_J_TOL_PM = 188
 
 
-@query(
-    "kmv_overlap",
-    oracle=f"""
-    WITH tk AS (
+#: shared sketch-only estimator CTE chain (tk -> ... -> est):
+#: the SERVING plan a 100 TB run executes — N*k sketch rows crossed
+#: with the source list, never the shingle table
+_KMV_EST_CTES = f"""tk AS (
         SELECT source, {X.tokens_sql('text')} AS tk FROM documents
     ),
     toks AS (
@@ -631,48 +631,15 @@ _KMV_J_TOL_PM = 188
                cast(sum(ia * ib) * 1000 // count(*) AS bigint)
                    AS kmv_jaccard_pm
         FROM merged GROUP BY 1, 2
-    ),
-    sizes AS (SELECT source, count(*) AS n FROM th GROUP BY 1),
-    inter AS (
-        SELECT a.source AS source_a, b.source AS source_b,
-               count(*) AS ni
-        FROM th a JOIN th b ON a.h = b.h AND a.source < b.source
-        GROUP BY 1, 2
-    ),
-    exact AS (
-        SELECT sa.source AS source_a, sb.source AS source_b,
-               cast(coalesce(i.ni, 0) * 1000
-                    // (sa.n + sb.n - coalesce(i.ni, 0)) AS bigint)
-                   AS exact_jaccard_pm
-        FROM sizes sa JOIN sizes sb ON sa.source < sb.source
-        LEFT JOIN inter i
-          ON i.source_a = sa.source AND i.source_b = sb.source
-    )
-    SELECT e.source_a, e.source_b, e.k_eff, e.kmv_jaccard_pm,
-           x.exact_jaccard_pm,
-           abs(e.kmv_jaccard_pm - x.exact_jaccard_pm)
-               <= {_KMV_J_TOL_PM} AS within_3sigma
-    FROM est e JOIN exact x USING (source_a, source_b)
-    """,
-    tags=["llm-sketch", "A1", "W3", "J2"],
-)
-def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise corpus-overlap estimation from MERGED bottom-k
-    sketches (Broder 1997 / Bar-Yossef et al. 2002): for every source
-    pair, J ≈ |bottom-k(S_A ∪ S_B) ∩ S_A ∩ S_B| / k — the cheap
-    contamination/redundancy screen a pipeline runs across N corpus
-    shards BEFORE any exact pass, because it needs only the N
-    per-source k-row sketches, never the data: pair estimation here
-    is sketch-rows × sources work (N·k·N), metadata at any corpus
-    size, and the sketches are the same ones ``kmv_distinct``
-    maintains. Integer permille arithmetic end to end (no floats), so
-    the DuckDB twin reproduces estimator AND audit bit-for-bit; the
-    exact per-pair Jaccard rides along as the audit column with a 3σ
-    (= 3/(2·sqrt(k)), 188‰) agreement flag — a 100 TB run drops the
-    audit, keeps the sketches."""
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "__tk", X.tokens(F.col("text"))
-    )
+    )"""
+
+
+def _kmv_components(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared KMV machinery: returns (est, th) — ``est`` the merged
+    bottom-k pairwise Jaccard estimates (the SERVING output: N·k
+    sketch rows × N sources, metadata at any corpus size), ``th`` the
+    distinct 60-bit shingle hashes the audit columns recount from.
+    ``d`` carries a ``__tk`` tokens column."""
     toks = d.filter(F.size("__tk") >= 2).select(
         "source",
         F.explode(X._ngrams_linear(F.col("__tk"), 2)).alias("tok"),
@@ -719,6 +686,67 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(sum(__ia * __ib) * 1000 div count(*) AS bigint)")
         .alias("kmv_jaccard_pm"),
     )
+    return est, th
+
+
+def kmv_overlap_estimates(d: DataFrame) -> DataFrame:
+    """Sketch-only pairwise overlap estimation — the plan a 100 TB
+    run executes (VERDICT r9 item 9): sketches are N·k rows, pair
+    estimation never touches the shingle table, and the physical plan
+    contains NO shuffle join at all (the only join is the broadcast
+    source-list fan-out) — pinned by test_plan_properties and the
+    bench plan check. The audited twin (``kmv_overlap``) carries the
+    exact-Jaccard recount alongside for the gate."""
+    est, _th = _kmv_components(d)
+    return est
+
+
+@query(
+    "kmv_overlap",
+    oracle=f"""
+    WITH {_KMV_EST_CTES},
+    sizes AS (SELECT source, count(*) AS n FROM th GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS ni
+        FROM th a JOIN th b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT sa.source AS source_a, sb.source AS source_b,
+               cast(coalesce(i.ni, 0) * 1000
+                    // (sa.n + sb.n - coalesce(i.ni, 0)) AS bigint)
+                   AS exact_jaccard_pm
+        FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+        LEFT JOIN inter i
+          ON i.source_a = sa.source AND i.source_b = sb.source
+    )
+    SELECT e.source_a, e.source_b, e.k_eff, e.kmv_jaccard_pm,
+           x.exact_jaccard_pm,
+           abs(e.kmv_jaccard_pm - x.exact_jaccard_pm)
+               <= {_KMV_J_TOL_PM} AS within_3sigma
+    FROM est e JOIN exact x USING (source_a, source_b)
+    """,
+    tags=["llm-sketch", "A1", "W3", "J2"],
+)
+def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-overlap estimation from MERGED bottom-k
+    sketches (Broder 1997 / Bar-Yossef et al. 2002): for every source
+    pair, J ≈ |bottom-k(S_A ∪ S_B) ∩ S_A ∩ S_B| / k — the cheap
+    contamination/redundancy screen a pipeline runs across N corpus
+    shards BEFORE any exact pass, because it needs only the N
+    per-source k-row sketches, never the data: pair estimation here
+    is sketch-rows × sources work (N·k·N), metadata at any corpus
+    size, and the sketches are the same ones ``kmv_distinct``
+    maintains. Integer permille arithmetic end to end (no floats), so
+    the DuckDB twin reproduces estimator AND audit bit-for-bit; the
+    exact per-pair Jaccard rides along as the audit column with a 3σ
+    (= 3/(2·sqrt(k)), 188‰) agreement flag — a 100 TB run drops the
+    audit, keeps the sketches."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__tk", X.tokens(F.col("text"))
+    )
+    est, th = _kmv_components(d)
     sizes = th.groupBy("source").agg(F.count("*").alias("__n"))
     a, b = th.alias("__ka"), th.alias("__kb")
     inter = (
@@ -761,6 +789,29 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= _KMV_J_TOL_PM
         ).alias("within_3sigma"),
     )
+
+
+@query(
+    "kmv_overlap_serving",
+    oracle=f"""
+    WITH {_KMV_EST_CTES}
+    SELECT source_a, source_b, k_eff, kmv_jaccard_pm FROM est
+    """,
+    tags=["llm-sketch", "A1", "W3"],
+)
+def kmv_overlap_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-only KMV overlap SERVING plan (VERDICT r9 item 9):
+    identical estimates to ``kmv_overlap`` without the exact-Jaccard
+    audit — no shingle-table self-join anywhere, no shuffle join at
+    all (the single join is the broadcast source-list fan-out), so
+    pair estimation stays metadata-sized at any corpus size. The
+    audited twin remains the accuracy gate; this is the query a
+    100 TB run executes."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__tk", X.tokens(F.col("text"))
+    )
+    return kmv_overlap_estimates(d)
+
 
 
 # ---------------------------------------------------------------------------

@@ -441,3 +441,28 @@ def test_lsh_capped_lineage_structurally_shared(spark):
     assert "InMemoryTableScan" in top, top
     assert "Generate" not in top, top
     pairs.unpersist()
+
+
+def test_kmv_serving_plan_has_no_shuffle_join(spark):
+    """VERDICT r9 item 9: the sketch-only KMV overlap SERVING plan
+    must never self-join the shingle table — in fact it contains NO
+    shuffle join at all (the only join is the broadcast source-list
+    fan-out), so pair estimation is metadata work at any corpus
+    size. The audited twin keeps the exact recount for the gate."""
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators import text as X
+    from dbt_tpcdi_spark.queries.llm import kmv_overlap_estimates
+
+    d = spark.createDataFrame(
+        [(i, f"src{i % 3}", f"alpha beta gamma delta {i} {i*7}")
+         for i in range(60)],
+        "doc_id bigint, source string, text string",
+    ).withColumn("__tk", X.tokens(F.col("text")))
+    est = kmv_overlap_estimates(d)
+    est.collect()
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert est.columns == [
+        "source_a", "source_b", "k_eff", "kmv_jaccard_pm"]
