@@ -55,6 +55,14 @@ SHOWCASE = {
     "kmv_overlap": "pair estimation = k-row sketches × sources "
                    "broadcast; exact audit is the only data-scale "
                    "join; no CartesianProduct",
+    "kmv_overlap_serving": "the sketch-only serving plan: NO shuffle "
+                           "join at all (broadcast source-list "
+                           "fan-out is the only join) — pair "
+                           "estimation stays metadata-sized",
+    "bpe_vocab_sampled": "sample-trained merges applied to the FULL "
+                         "corpus word table as pad-once chained "
+                         "replaces; one corpus word-count shuffle, "
+                         "everything after is vocabulary-sized",
     "ivfpq_ann_topk": "coarse assign + residual codebooks + per-cell "
                       "ADC table + exact top-200 refine; crossJoins "
                       "are ≤cells-row metadata broadcasts only",
