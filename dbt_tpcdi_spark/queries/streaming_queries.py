@@ -553,3 +553,123 @@ def _install_streaming_funnel() -> None:
 
 
 _install_streaming_funnel()
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup-index ingestion (the streaming twin of
+# incremental_dedup: a fingerprint index as a versioned table, fed by
+# a document stream)
+
+_DEDUP_STREAM_CACHE: dict = {}
+
+
+def _install_streaming_dedup_index() -> None:
+    from dbt_tpcdi_spark.operators import text as TX
+
+    @query(
+        "streaming_dedup_index",
+        oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {TX.fingerprint_sql('text')} AS fp
+            FROM documents
+        )
+        SELECT fp, min(doc_id) AS first_doc,
+               substr(fp, 1, 1) AS fp_bucket
+        FROM d GROUP BY fp
+        """,
+        tags=["§2.9-streaming", "llm-dedup-incremental", "S11"],
+    )
+    def streaming_dedup_index(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Streaming corpus ingestion against a versioned fingerprint
+        index (the 12th streaming gate — incremental_dedup's
+        streaming twin): documents arrive as micro-batches
+        (foreachBatch over a file stream), each batch MIN-merges its
+        per-fingerprint first_doc into the index via
+        ``partitioned_upsert`` — only fingerprints whose winner
+        CHANGED commit, so the merge is ORDER-INDEPENDENT across any
+        micro-batch split (min is associative/commutative/idempotent)
+        and an at-least-once REPLAY of the whole stream commits
+        nothing (asserted in-query). Per batch the work is one
+        fingerprint projection, one map-side min, one join against
+        the index, and a partition-pruned commit of the touched
+        fp-prefix buckets — O(touched buckets + batch), never
+        O(index)."""
+        import tempfile
+
+        from dbt_tpcdi_spark.plans.versioned import VersionedTable
+        from dbt_tpcdi_spark.sources.parquet import load_table
+
+        cache_key = (sf_dir, spark.sparkContext.applicationId)
+        if cache_key not in _DEDUP_STREAM_CACHE:
+            root = tempfile.mkdtemp(prefix="dedup_stream_")
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            for b in (0, 1, 2):
+                docs.filter(F.col("doc_id") % 3 == b).coalesce(
+                    1
+                ).write.parquet(f"{root}/deltas/b{b}")
+            index = VersionedTable(spark, f"{root}/fp_index")
+
+            def ingest(batch_df: DataFrame, batch_id: int) -> None:
+                b = (
+                    batch_df.select(
+                        TX.fingerprint(F.col("text")).alias("fp"),
+                        "doc_id",
+                    )
+                    .groupBy("fp")
+                    .agg(F.min("doc_id").alias("first_doc"))
+                    .withColumn(
+                        "fp_bucket", F.substring("fp", 1, 1)
+                    )
+                )
+                if index.latest_version() is None:
+                    index.partitioned_upsert(
+                        b, key="fp", partition_col="fp_bucket"
+                    )
+                    return
+                existing = index.read().select(
+                    "fp", F.col("first_doc").alias("__old")
+                )
+                changed = (
+                    b.join(existing, "fp", "left")
+                    .filter(
+                        F.col("__old").isNull()
+                        | (F.col("first_doc") < F.col("__old"))
+                    )
+                    .select("fp", "first_doc", "fp_bucket")
+                )
+                if changed.isEmpty():
+                    return  # min unchanged everywhere: no commit
+                index.partitioned_upsert(
+                    changed, key="fp", partition_col="fp_bucket"
+                )
+
+            def run(ckpt: str) -> None:
+                q = (
+                    spark.readStream.schema(
+                        "doc_id bigint, text string"
+                    )
+                    .option("recursiveFileLookup", "true")
+                    .option("pathGlobFilter", "*.parquet")
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(f"{root}/deltas")
+                    .writeStream.foreachBatch(ingest)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+            run(f"{root}/ckpt")
+            v_done = index.latest_version()
+            run(f"{root}/ckpt_replay")  # at-least-once redelivery
+            if index.latest_version() != v_done:
+                raise AssertionError("replayed stream was not no-op")
+            _DEDUP_STREAM_CACHE[cache_key] = index
+        return _DEDUP_STREAM_CACHE[cache_key].read()
+
+
+_install_streaming_dedup_index()

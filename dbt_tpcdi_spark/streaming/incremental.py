@@ -126,9 +126,27 @@ class IncrementalRunner:
                 built.__getitem__, sources_loaded.__getitem__
             )
             if versioned:
+                from dbt_tpcdi_spark.plans.runner import apply_layout
                 from dbt_tpcdi_spark.plans.versioned import VersionedTable
 
-                VersionedTable(self.spark, path).commit(df, op="refresh")
+                # honor the model's declared physical layout on every
+                # refresh commit (same as Runner._materialize /
+                # merge_refresh) — otherwise one incremental refresh
+                # would silently strip the fact tables' skipping
+                # metadata and every pruned read would degrade to a
+                # full scan
+                layout = models[name].layout
+                if layout:
+                    df = apply_layout(df, layout)
+                    VersionedTable(self.spark, path).commit(
+                        df, op="refresh",
+                        partition_by=list(layout.partition_by) or None,
+                        stats_cols=list(layout.stats_cols) or None,
+                        bloom_cols=list(layout.bloom_cols) or None,
+                    )
+                else:
+                    VersionedTable(self.spark, path).commit(
+                        df, op="refresh")
             else:
                 df.write.mode("overwrite").parquet(path)
             built[name] = self._read(path, versioned)

@@ -840,3 +840,33 @@ def test_ivfpq_persisted_index_prunes_and_serves(spark, tmp_path):
     assert rows[0] == (0, 0)
     top2, _ = ivfpq_serve_topk(e, idx, nprobe=4, refine=50, k=10)
     assert [(r["vec_id"], r["dist2"]) for r in top2.collect()] == rows
+
+
+def test_incremental_refresh_preserves_layout_metadata(spark, tmp_path):
+    """An IncrementalRunner refresh of a versioned warehouse must
+    honor the model's declared Layout — the refresh commit carries
+    stats/bloom like the build commit did, so pruned reads never
+    silently degrade to full scans after routine maintenance."""
+    from dbt_tpcdi_spark.plans.sources import load_dag_sources
+    from dbt_tpcdi_spark.streaming.incremental import IncrementalRunner
+    from dbt_tpcdi_spark.tpcdi.fixtures import generate
+
+    root = tmp_path / "fx"
+    generate(root)
+    wh = str(tmp_path / "wh")
+    sources = load_dag_sources(spark, str(root / "raw"))
+    Runner(spark, sources, warehouse_dir=wh,
+           materialize="versioned").run(targets=["fact_trade"])
+    vt = VersionedTable(spark, os.path.join(wh, "fact_trade"))
+    v0 = vt.latest_version()
+    assert "stats" in vt._entry(v0) and "bloom" in vt._entry(v0)
+
+    inc = IncrementalRunner(spark, str(root / "raw"), wh)
+    # force a rebuild of the whole cone (no prior fingerprint state)
+    status = inc.refresh()
+    assert status["fact_trade"] == "refreshed"
+    v1 = vt.latest_version()
+    assert v1 > v0
+    entry = vt._entry(v1)
+    assert entry["op"] == "refresh"
+    assert entry.get("stats") and entry.get("bloom"), entry.keys()
