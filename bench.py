@@ -518,6 +518,32 @@ def main() -> None:
             .collect()[0][0]
         )
         prep["ann_recall_values"] = {**rec, "pq_cell": round(pq_cell, 3)}
+        # SQ8: 8-bit-per-dim linear codes keep enough geometry on the
+        # planted corpus for near-exact top-10 (the compression rung
+        # before PQ earns its training)
+        from dbt_tpcdi_spark.operators import similarity as SIM
+
+        sq_ids = (
+            all_queries()["ann_sq8_topk"].build(spark, ann_dir)
+            .select("vec_id")
+        )
+        qv0 = emb.orderBy("vec_id").limit(1).select(
+            SIM._qlist(F.col("embedding")).alias("__q0"))
+        truth_sq = (
+            emb.crossJoin(F.broadcast(qv0))
+            .select(
+                "vec_id",
+                SIM.qdist2_q(
+                    SIM._qlist(F.col("embedding")), F.col("__q0")
+                ).alias("__d2"),
+            )
+            .orderBy(F.col("__d2").asc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id")
+        )
+        sq_recall = sq_ids.join(truth_sq, "vec_id").count() / 10.0
+        prep["ann_recall_values"]["sq8"] = round(sq_recall, 3)
+        plan_checks["ann_recall_floor_sq8"] = sq_recall >= 0.8
         plan_checks["ann_recall_floor_ivf"] = rec.get("ivf", 0.0) >= 0.8
         plan_checks["ann_recall_floor_lsh"] = rec.get("lsh", 0.0) >= 0.6
         plan_checks["ann_recall_floor_pq_cell"] = pq_cell >= 0.8

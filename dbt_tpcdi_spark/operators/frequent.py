@@ -96,3 +96,116 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
         .filter(F.col(col).isNotNull())
         .select(col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+
+#: default sketch geometry: 4 rows x 1024 columns = 4096 bounded,
+#: MERGEABLE counters (sketches of shards add cell-wise), error
+#: bound est - true <= e/1024 * N per row with prob 1 - e^-4 overall
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def cm_cells(df: DataFrame, col: str, depth: int = CM_DEPTH,
+             width: int = CM_WIDTH) -> DataFrame:
+    """Count-Min sketch cells ``(row, pos, c)`` over ``df[col]``: each
+    item lands in one md5-derived position per row, counts fold with
+    ONE map-side-combined shuffle of depth·n rows into ≤ depth·width
+    cells — bounded state whatever the stream length, and cell-wise
+    ADDITIVE across shards (the mergeability that makes CM the
+    frequency summary for shard-at-a-time corpus passes, next to
+    Misra–Gries' candidate bound and KMV's distinct bound). Salts are
+    positional (``cm{row}:``), shared verbatim with the SQL twin."""
+    from dbt_tpcdi_spark.functions.scalar import md5_mod
+
+    rows = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    md5_mod(F.col(col), width, salt=f"cm{i}:")
+                    .alias("pos"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("__c")
+    ).select("__c.row", "__c.pos")
+    return rows.groupBy("row", "pos").agg(
+        F.count("*").cast("long").alias("c")
+    )
+
+
+def cm_estimate(cells: DataFrame, probes: DataFrame, col: str,
+                depth: int = CM_DEPTH,
+                width: int = CM_WIDTH) -> DataFrame:
+    """Point-frequency estimates for ``probes[col]`` from a CM cell
+    table: min over the item's depth cells (missing cell = 0).
+    Work is probes·depth rows against a broadcast-sized cell table —
+    metadata, never data."""
+    from dbt_tpcdi_spark.functions.scalar import md5_mod
+
+    pr = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    md5_mod(F.col(col), width, salt=f"cm{i}:")
+                    .alias("pos"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("__c"),
+    ).select(col, "__c.row", "__c.pos")
+    return (
+        pr.join(F.broadcast(cells), ["row", "pos"], "left")
+        .groupBy(col)
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long").alias("cm_est")
+        )
+    )
+
+
+def cm_cells_sql(inner_sql: str, col: str, depth: int = CM_DEPTH,
+                 width: int = CM_WIDTH) -> str:
+    """DuckDB twin of ``cm_cells`` over ``inner_sql`` rows."""
+    from dbt_tpcdi_spark.functions.scalar import md5_mod_sql
+
+    arms = " UNION ALL ".join(
+        f"SELECT {i} AS row, "
+        f"{md5_mod_sql(col, width, salt=f'cm{i}:')} AS pos "
+        f"FROM __cmsrc"
+        for i in range(depth)
+    )
+    return (
+        f"__cmsrc AS MATERIALIZED ({inner_sql}), "
+        f"__cmcells AS MATERIALIZED ("
+        f"SELECT row, pos, cast(count(*) AS bigint) AS c "
+        f"FROM ({arms}) GROUP BY 1, 2)"
+    )
+
+
+def cm_estimate_sql(probes_sql: str, col: str, depth: int = CM_DEPTH,
+                    width: int = CM_WIDTH) -> str:
+    """DuckDB twin of ``cm_estimate``: SELECT ``col, cm_est`` given
+    the ``__cmcells`` CTE from ``cm_cells_sql`` in scope."""
+    from dbt_tpcdi_spark.functions.scalar import md5_mod_sql
+
+    arms = " UNION ALL ".join(
+        f"SELECT {col}, {i} AS row, "
+        f"{md5_mod_sql(col, width, salt=f'cm{i}:')} AS pos "
+        f"FROM __cmprobes"
+        for i in range(depth)
+    )
+    return (
+        f"__cmprobes AS MATERIALIZED ({probes_sql}), "
+        f"__cmpr AS MATERIALIZED ({arms}), "
+        f"__cmest AS MATERIALIZED ("
+        f"SELECT p.{col}, cast(min(coalesce(c.c, 0)) AS bigint) "
+        f"AS cm_est "
+        f"FROM __cmpr p LEFT JOIN __cmcells c USING (row, pos) "
+        f"GROUP BY 1)"
+    )

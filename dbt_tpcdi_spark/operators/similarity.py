@@ -1717,3 +1717,75 @@ def pq_adc_rerank_topk_sql(
     ORDER BY dist2 ASC, s.{id_col} ASC
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (SQ8): per-dimension linear 8-bit codes
+
+
+def sq8_dequant(
+    e: DataFrame, id_col: str, vec_col: str, dim: int
+) -> tuple[DataFrame, DataFrame]:
+    """Scalar 8-bit quantization (the FAISS SQ8 rung — the cheap
+    compression step BEFORE PQ is worth its training): per-dimension
+    [min, max] over the corpus maps each component to an integer code
+    0..255, and distances are computed on the DEQUANTIZED integers
+    ``lo + (code·(hi−lo)) div 255`` — all integer arithmetic over the
+    shared fixed-point quantizer, so the DuckDB twin reproduces every
+    code and distance bit-for-bit.
+
+    Returns (dequantized per-dim rows ``(id, d, dq)``, the 
+    ``(d, lo, hi)`` stats table). Scale shape: training is ONE
+    map-side-combined agg over n·dim exploded rows to a dim-row
+    stats table (broadcast); encode/dequant is a broadcast join —
+    no shuffle beyond the final per-id aggregate the caller adds.
+    Compression: 8 bits/dim vs 64-bit fixed point — the 8× memory
+    rung that makes brute-force scans over RAM-resident shards
+    feasible before any IVF structure."""
+    dims = e.select(
+        F.col(id_col),
+        F.posexplode(_qlist(F.col(vec_col))).alias("__d", "__x"),
+    )
+    stats = dims.groupBy("__d").agg(
+        F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+    )
+    # integer div end to end: float division + cast would truncate a
+    # rounding-error float and diverge from the twin's `//`
+    dq_expr = (
+        "__lo + ((((__x - __lo) * 255) div greatest(__hi - __lo, 1)) "
+        "* (__hi - __lo)) div 255"
+    )
+    dq = dims.join(F.broadcast(stats), "__d").select(
+        id_col,
+        "__d",
+        F.expr(dq_expr).cast("long").alias("__dq"),
+    )
+    return dq, stats
+
+
+def sq8_dequant_sql(
+    from_table: str, id_col: str, vec_col: str, dim: int
+) -> str:
+    """DuckDB CTE chain ending in ``__sqdq(id, d, dq)`` — the twin of
+    ``sq8_dequant`` (identical integer codes and dequantized
+    values)."""
+    qv = (
+        f"list_transform(range(1, {dim} + 1), i -> "
+        f"cast(round(cast({vec_col}[i] AS double) * {QUANT}) AS bigint))"
+    )
+    return f"""__sqv AS MATERIALIZED (
+        SELECT {id_col}, {qv} AS v FROM {from_table}
+    ),
+    __sqd AS MATERIALIZED (
+        SELECT {id_col}, i AS d, v[i] AS x
+        FROM __sqv CROSS JOIN range(1, {dim} + 1) t(i)
+    ),
+    __sqstats AS MATERIALIZED (
+        SELECT d, min(x) AS lo, max(x) AS hi FROM __sqd GROUP BY 1
+    ),
+    __sqdq AS MATERIALIZED (
+        SELECT e.{id_col}, e.d,
+               s.lo + (((e.x - s.lo) * 255 // greatest(s.hi - s.lo, 1))
+                       * (s.hi - s.lo)) // 255 AS dq
+        FROM __sqd e JOIN __sqstats s USING (d)
+    )"""

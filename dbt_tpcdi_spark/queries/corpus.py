@@ -964,3 +964,60 @@ def bpe_vocab_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("symbol")
         .agg(F.sum("wc").cast("bigint").alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch point frequencies (sketch family: MG candidates,
+# KMV distinct/overlap, CM point counts)
+
+
+@query(
+    "cm_sketch_counts",
+    oracle=f"""
+    WITH {FQ.cm_cells_sql(
+        f"SELECT unnest({X.tokens_sql('text')}) AS token FROM documents",
+        "token")},
+    __exact AS MATERIALIZED (
+        SELECT token, cast(count(*) AS bigint) AS exact_n
+        FROM __cmsrc GROUP BY 1
+    ),
+    __tot AS (SELECT sum(exact_n) AS n FROM __exact),
+    {FQ.cm_estimate_sql(
+        "SELECT token FROM __exact CROSS JOIN __tot "
+        "WHERE exact_n * 200 >= n", "token")}
+    SELECT e.token, x.exact_n, e.cm_est,
+           e.cm_est >= x.exact_n AS never_underestimates
+    FROM __cmest e JOIN __exact x USING (token)
+    """,
+    tags=["llm-sketch", "A1", "J1"],
+)
+def cm_sketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimation (Cormode & Muthukrishnan
+    2005) with the exact recount as the audit column: token counts
+    fold into a 4×1024 MERGEABLE cell table (one map-side-combined
+    shuffle, bounded state — shard sketches add cell-wise), then the
+    corpus's ≥0.5%-frequency tokens are probed and every estimate
+    must sit at or above its true count (CM never underestimates —
+    pinned by the oracle's boolean column). The exact pass exists for
+    the GATE; a 100 TB run keeps only the 4096 cells, the same
+    audit-drops-at-scale contract as ``kmv_overlap``."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+    cells = FQ.cm_cells(toks, "token")
+    exact = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("exact_n")
+    )
+    total = exact.agg(F.sum("exact_n").alias("__n"))
+    probes = (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_n") * 200 >= F.col("__n"))
+        .select("token")
+    )
+    est = FQ.cm_estimate(cells, probes, "token")
+    return est.join(exact, "token").select(
+        "token",
+        "exact_n",
+        "cm_est",
+        (F.col("cm_est") >= F.col("exact_n"))
+        .alias("never_underestimates"),
+    )

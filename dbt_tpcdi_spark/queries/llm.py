@@ -4856,3 +4856,57 @@ def ivfpq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         refine=_IVFPQ_REFINE, k=10,
     )
     return top
+
+
+# ---------------------------------------------------------------------------
+# scalar-quantization (SQ8) ANN rung
+
+
+@query(
+    "ann_sq8_topk",
+    oracle=f"""
+    WITH {S.sq8_dequant_sql('embeddings', 'vec_id', 'embedding', 64)},
+    __q AS (
+        SELECT d, dq AS qdq FROM __sqdq
+        WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    __dist AS (
+        SELECT e.vec_id,
+               cast(sum((e.dq - q.qdq) * (e.dq - q.qdq)) AS bigint)
+                   AS sq_dist2
+        FROM __sqdq e JOIN __q q USING (d)
+        GROUP BY 1
+    )
+    SELECT vec_id, sq_dist2 FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY sq_dist2 ASC, vec_id ASC) AS rn
+        FROM __dist
+    ) WHERE rn <= 10
+    """,
+    tags=["llm-ann-sq", "A1", "J1"],
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (FAISS SQ8 — the 8-bit compression
+    rung BEFORE product quantization earns its training): each
+    dimension maps linearly onto 0..255 over its corpus [min, max],
+    top-10 by squared distance between the DEQUANTIZED integers —
+    exact integer arithmetic over the shared fixed-point quantizer,
+    so the twin reproduces every code and distance. Training is one
+    map-side agg to a dim-row stats broadcast; search is a linear
+    scan of n·dim integer rows (8× smaller at rest than the raw
+    fixed-point vectors — the memory rung that keeps brute-force
+    shard scans RAM-resident)."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    dq, _stats = S.sq8_dequant(e, "vec_id", "embedding", 64)
+    qid = e.agg(F.min("vec_id")).first()[0]  # 1-row metadata collect
+    qdq = dq.filter(F.col("vec_id") == qid).select(
+        "__d", F.col("__dq").alias("__qdq")
+    )
+    diff = F.col("__dq") - F.col("__qdq")
+    return (
+        dq.join(F.broadcast(qdq), "__d")
+        .groupBy("vec_id")
+        .agg(F.sum(diff * diff).cast("long").alias("sq_dist2"))
+        .orderBy(F.col("sq_dist2").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
