@@ -961,7 +961,12 @@ def quality_quantile_gate_approx(
     from pyspark.sql import Window
 
     if materialize:
+        # eager fill (count) so the one-time materialization cost
+        # lands here, not inside the caller's first consuming action —
+        # but through an EVICTABLE persist, never the session-pinned
+        # localCheckpoint this used through r8
         scored = scored.persist()
+        scored.count()
     hist = scored.groupBy(group_col, score_col).agg(
         F.count("*").alias("__c")
     )
