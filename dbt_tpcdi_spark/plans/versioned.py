@@ -597,6 +597,53 @@ class VersionedTable:
             out = leaf if out is None else out.unionByName(leaf)
         return out
 
+    def read_parts(
+        self, values: list, version: int | None = None
+    ) -> tuple[DataFrame, dict]:
+        """Partition-pruned read of a MANIFEST version
+        (``partitioned_upsert`` tables): resolve only the requested
+        partition values' leaf directories — the point-lookup serving
+        path for a partition-bucketed index (e.g. the fp-prefix
+        buckets of the incremental dedup index: a lookup reads ONE
+        bucket, never the index). Unknown values contribute nothing
+        (an absent partition provably holds no rows). Returns
+        (DataFrame, {"parts_total": N, "parts_read": M}). Plain
+        snapshot versions raise — use ``read_where_*`` there (those
+        prune by file stats, this prunes by manifest enumeration)."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise ValueError(f"{self.root}: no commits yet")
+        entry = self._entry(version)
+        if "parts" not in entry:
+            raise ValueError(
+                "read_parts needs a partition-manifest version "
+                "(partitioned_upsert); plain snapshots prune via "
+                "read_where_*"
+            )
+        from pyspark.sql import functions as F
+        col, dtype = entry["part_col"], entry["part_type"]
+        wanted = {str(v) for v in values}
+        keep = {
+            val: data_dir
+            for val, data_dir in entry["parts"].items()
+            if val in wanted
+        }
+        report = {
+            "parts_total": len(entry["parts"]),
+            "parts_read": len(keep),
+        }
+        if not keep:
+            empty = self.read(version).limit(0)
+            return empty, report
+        out = None
+        for val, data_dir in sorted(keep.items()):
+            leaf = self.spark.read.parquet(
+                os.path.join(self.root, data_dir, f"{col}={val}")
+            ).withColumn(col, F.lit(val).cast(dtype))
+            out = leaf if out is None else out.unionByName(leaf)
+        return out, report
+
     def read_where(
         self,
         col: str,

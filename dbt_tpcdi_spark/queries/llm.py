@@ -4910,3 +4910,67 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sq_dist2").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "dedup_index_lookup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {X.fingerprint_sql('text')} AS fp FROM documents
+    ),
+    b1 AS (
+        SELECT fp, min(doc_id) AS first_doc FROM d
+        WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    b2 AS (
+        SELECT fp, min(doc_id) AS first_doc FROM d
+        WHERE doc_id % 2 = 1 GROUP BY 1
+    ),
+    final AS (
+        SELECT fp, first_doc, cast(1 AS int) AS from_batch,
+               substr(fp, 1, 1) AS fp_bucket
+        FROM b1
+        UNION ALL
+        SELECT b2.fp, b2.first_doc, cast(2 AS int) AS from_batch,
+               substr(b2.fp, 1, 1) AS fp_bucket
+        FROM b2 ANTI JOIN b1 USING (fp)
+    ),
+    probe AS (
+        SELECT DISTINCT fp FROM (
+            SELECT fp, row_number() OVER (ORDER BY doc_id) AS rn
+            FROM d
+        ) WHERE rn <= 10
+    )
+    SELECT f.fp, f.first_doc, f.from_batch, f.fp_bucket
+    FROM final f JOIN probe USING (fp)
+    """,
+    tags=["llm-dedup-incremental", "S11", "storage-skipping"],
+)
+def dedup_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups against the PARTITIONED dedup index — the
+    serving path `partitioned_upsert` exists for: the probe
+    fingerprints' fp-prefix buckets resolve through the partition
+    MANIFEST (``read_parts``), so a lookup reads only its buckets'
+    leaf directories, never the index (asserted in-query:
+    parts_read < parts_total). The probe set is the 10 smallest
+    doc_ids' fingerprints (a ≤10-row metadata collect); the twin
+    recomputes the same batch-1/batch-2 index semantics and
+    restricts to the same probe."""
+    incremental_dedup(spark, sf_dir)  # ensure the memoized index
+    index = _INCR_DEDUP_CACHE[(sf_dir,
+                               spark.sparkContext.applicationId)]
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fp")
+    )
+    probe_fps = sorted({
+        r["fp"] for r in d.orderBy("doc_id").limit(10).collect()
+    })  # ≤10 rows — metadata-sized
+    buckets = sorted({fp[0] for fp in probe_fps})
+    looked, rep = index.read_parts(buckets)
+    if rep["parts_total"] > 1 and not (
+        rep["parts_read"] < rep["parts_total"]
+    ):
+        raise AssertionError(f"lookup did not prune: {rep}")
+    return looked.filter(F.col("fp").isin(probe_fps)).select(
+        "fp", "first_doc", "from_batch", "fp_bucket"
+    )

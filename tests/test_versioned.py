@@ -870,3 +870,30 @@ def test_incremental_refresh_preserves_layout_metadata(spark, tmp_path):
     entry = vt._entry(v1)
     assert entry["op"] == "refresh"
     assert entry.get("stats") and entry.get("bloom"), entry.keys()
+
+
+def test_read_parts_prunes_manifest(spark, tmp_path):
+    """read_parts resolves only the requested partition values' leaf
+    dirs from the manifest (the index point-lookup serving path):
+    rows equal a full-read filter, absent values prove empty, plain
+    snapshots raise."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, f"b{i % 4}") for i in range(40)], "k int, bucket string"
+    )
+    t.partitioned_upsert(df, key="k", partition_col="bucket")
+    got, rep = t.read_parts(["b1", "b3"])
+    assert rep == {"parts_total": 4, "parts_read": 2}
+    expect = sorted(
+        (r["k"], r["bucket"]) for r in t.read().filter(
+            F.col("bucket").isin("b1", "b3")).collect())
+    assert sorted((r["k"], r["bucket"])
+                  for r in got.collect()) == expect
+    none, rep0 = t.read_parts(["zz"])
+    assert rep0["parts_read"] == 0 and none.count() == 0
+    assert none.columns == got.columns
+
+    plain = VersionedTable(spark, str(tmp_path / "p"))
+    plain.commit(df)
+    with pytest.raises(ValueError, match="manifest"):
+        plain.read_parts(["b1"])
