@@ -1021,3 +1021,92 @@ def cm_sketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cm_est") >= F.col("exact_n"))
         .alias("never_underestimates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# full tokenization output (token sequences, not just counts)
+
+
+@query(
+    "bpe_tokenize_docs",
+    oracle=f"""
+    WITH {', '.join(B._incremental_ctes('documents', 'text', 4, 32))},
+    __tk AS (
+        SELECT doc_id, {X.tokens_sql('text')} AS tk FROM documents
+    ),
+    __dw AS (
+        SELECT doc_id, unnest(generate_series(1, len(tk))) AS wpos, tk
+        FROM __tk
+    ),
+    __seg AS (
+        SELECT d.doc_id, d.wpos,
+               array_to_string(
+                   regexp_split_to_array(w.sp, ' +'), ' ') AS syms,
+               len(regexp_split_to_array(w.sp, ' +')) AS n
+        FROM (SELECT doc_id, wpos, tk[wpos] AS word FROM __dw) d
+        JOIN __iw4 w USING (word)
+    ),
+    __docs AS (
+        SELECT doc_id,
+               cast(sum(n) AS bigint) AS n_tokens,
+               string_agg(syms, ' ' ORDER BY wpos) AS bpe_tokens
+        FROM __seg GROUP BY 1
+    )
+    SELECT t.doc_id,
+           cast(coalesce(d.n_tokens, 0) AS bigint) AS n_tokens,
+           coalesce(d.bpe_tokens, '') AS bpe_tokens
+    FROM documents t LEFT JOIN __docs d USING (doc_id)
+    """,
+    tags=["llm-bpe", "W5", "J1"],
+)
+def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL tokenization output — the actual per-document BPE token
+    SEQUENCE (space-joined subword symbols in document order), not
+    just counts: what a training-data writer materializes before
+    packing. Same scale shape as the encode-counts path (the merge
+    chain touches only the distinct-word table; documents equi-join
+    their positional words against it), plus one per-doc ordered
+    reassembly — ``sort_array(collect_list(struct(pos, syms)))``, a
+    single aggregate, no window. Symbols never contain spaces, so the
+    joined string is a lossless rendering both engines produce
+    byte-identically."""
+    d = load_table(spark, sf_dir, "documents")
+    _learned, w, _used = B.bpe_train_incremental(
+        d, "text", rounds=4, window=32)
+    vocab = w.select(
+        "word",
+        F.regexp_replace(F.trim(F.col("sp")), " +", " ").alias("__syms"),
+        F.size(F.split(F.col("sp"), " +")).cast("long").alias("__n"),
+    )
+    docw = d.select(
+        "doc_id",
+        F.posexplode(X.tokens(F.col("text"))).alias("__wpos", "word"),
+    )
+    seg = docw.join(vocab, "word")
+    per_doc = (
+        seg.groupBy("doc_id")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("__wpos"), F.col("__syms"))
+                        )
+                    ),
+                    lambda s: s["__syms"],
+                ),
+                " ",
+            ).alias("bpe_tokens"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce("bpe_tokens", F.lit("")).alias("bpe_tokens"),
+        )
+    )
