@@ -1569,3 +1569,53 @@ def versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _CDF_CACHE[cache_key] = vt
     return _CDF_CACHE[cache_key].changes(0, 2)
+
+
+# ---------------------------------------------------------------------------
+# linear gap interpolation (forward fill's numeric sibling)
+
+from dbt_tpcdi_spark.functions.scalar import round4_sql
+from dbt_tpcdi_spark.operators.timeseries import (
+    interpolate_daily_linear,
+    interpolate_daily_linear_sql,
+)
+
+_INTERP_INNER = f"""
+    SELECT user_id, cast(ts AS date) AS d,
+           cast(round(sum(cast(value AS {MONEY})), 2) AS double)
+               AS day_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "interpolate_daily",
+    oracle=f"""
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           {round4_sql('day_value')} AS day_value, is_filled
+    FROM ({interpolate_daily_linear_sql(
+        _INTERP_INNER, 'user_id', 'd', 'day_value')})
+    """,
+    tags=["timeseries-resample", "W7", "A1"],
+)
+def interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series with LINEAR interpolation: each missing
+    day gets the straight-line value between its bracketing
+    observations (``resample_daily``'s forward fill carries a level;
+    this carries a trend — the resampling rung for balances/metrics
+    that drift between observations). Per-key spine + two
+    frame-bounded windows sharing one exchange; no self-join. Output
+    round4-quantized (the interpolation fraction is double — IEEE-
+    identical cross-engine, quantized for hash-stable strings)."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(money_sum(F.col("value"), "day_value"))
+    )
+    out = interpolate_daily_linear(daily, "user_id", "d", "day_value")
+    return out.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        round4(F.col("day_value")).alias("day_value"),
+        "is_filled",
+    )
