@@ -1244,24 +1244,54 @@ class VersionedTable:
         deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
 
-    def compact(self, target_files: int = 1, max_retries: int = 10) -> int:
+    def compact(
+        self,
+        target_files: int = 1,
+        max_retries: int = 10,
+        zorder: tuple[str, str] | None = None,
+        range_by: list[str] | None = None,
+    ) -> int:
         """Rewrite the latest snapshot as ``target_files`` files and
         commit it — the small-file remedy for tables grown by many
         incremental commits. Readers of prior versions are untouched
         (it's just another commit); run ``vacuum`` afterwards to
         reclaim the fragmented snapshot.
 
+        ``zorder=(x, y)`` / ``range_by=[cols]`` make the rewrite a
+        LAYOUT-IMPROVING compaction (the Delta ``OPTIMIZE ZORDER BY``
+        shape): data written by arrival order re-clusters so the
+        re-derived stats actually prune — maintenance that upgrades
+        skipping instead of merely preserving it. ``zorder`` uses the
+        normalized interleave (both dims prune); ``range_by`` is the
+        single-dim sort. Exclusive.
+
         Skipping metadata SURVIVES compaction: whichever of
         stats/bloom the source version carried is re-derived for the
         rewritten files (same columns, same bloom sizing) — otherwise
         routine maintenance would silently turn every pruned read
         back into a full scan."""
+        if zorder and range_by:
+            raise ValueError("compact: zorder and range_by are exclusive")
         for _ in range(max_retries):
             latest = self.latest_version()
             if latest is None:
                 raise ValueError(f"{self.root}: no commits yet")
             src = self._entry(latest)
-            df = self.read(latest).coalesce(target_files)
+            if zorder:
+                from dbt_tpcdi_spark.operators.layout import (
+                    zorder_repartition_normalized,
+                )
+
+                df = zorder_repartition_normalized(
+                    self.read(latest), zorder[0], zorder[1],
+                    target_files,
+                )
+            elif range_by:
+                df = self.read(latest).repartitionByRange(
+                    target_files, *range_by
+                )
+            else:
+                df = self.read(latest).coalesce(target_files)
             data_dir = f"data-{uuid.uuid4().hex[:12]}"
             df.write.mode("overwrite").parquet(
                 os.path.join(self.root, data_dir)

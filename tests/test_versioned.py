@@ -897,3 +897,37 @@ def test_read_parts_prunes_manifest(spark, tmp_path):
     plain.commit(df)
     with pytest.raises(ValueError, match="manifest"):
         plain.read_parts(["b1"])
+
+
+def test_compact_zorder_upgrades_layout(spark, tmp_path):
+    """Layout-improving compaction (Delta OPTIMIZE ZORDER shape): a
+    round-robin-written table where stats prune NOTHING becomes,
+    after compact(zorder=...), prunable on BOTH interleaved dims —
+    maintenance that upgrades skipping, with identical rows."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    t.commit(df.repartition(16), stats_cols=["x", "y"])
+    _, rep0 = t.read_where("x", lo=3, hi=6)
+    assert rep0["files_read"] == rep0["files_total"]  # nothing prunes
+
+    v = t.compact(target_files=16, zorder=("x", "y"))
+    assert t._entry(v)["op"].startswith("compact(")
+    gx, repx = t.read_where("x", lo=3, hi=6, version=v)
+    gy, repy = t.read_where("y", lo=3, hi=6, version=v)
+    assert repx["files_read"] < repx["files_total"], repx
+    assert repy["files_read"] < repy["files_total"], repy
+    assert gx.count() == df.filter("x between 3 and 6").count()
+    assert gy.count() == df.filter("y between 3 and 6").count()
+    # rows identical to the pre-compaction snapshot
+    assert t.read(v).exceptAll(t.read(0)).isEmpty()
+    assert t.read(0).exceptAll(t.read(v)).isEmpty()
+
+    # range_by variant + exclusivity
+    v2 = t.compact(target_files=8, range_by=["y"])
+    _, repy2 = t.read_where("y", lo=3, hi=6, version=v2)
+    assert repy2["files_read"] < repy2["files_total"]
+    with pytest.raises(ValueError, match="exclusive"):
+        t.compact(zorder=("x", "y"), range_by=["x"])
