@@ -494,6 +494,68 @@ class VersionedTable:
             data_dir, op, max_retries, extra=extra or None
         )
 
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 10,
+        meta: dict | None = None,
+    ) -> int:
+        """APPEND-ONLY commit: write ``df`` as a NEW data directory and
+        commit an entry referencing all prior directories plus it —
+        O(batch) per commit instead of the copy-on-write snapshot's
+        O(table), the ingest shape for append streams (fact feeds,
+        event logs). The entry's ``datas`` list is the snapshot; CAS
+        like ``upsert`` (an append derives from the version it read,
+        losing the race re-lists the winner's directories and
+        retries, so concurrent appends all land exactly once).
+
+        ``meta`` rides in the commit entry (e.g. a streaming sink's
+        ``{"stream": {"query": ..., "batch_id": N}}`` fence — see
+        ``last_stream_batch``). Many appends fragment the table; fold
+        with ``compact()`` (which reads the union and re-derives
+        layout/skipping), then ``vacuum``. Tables with a partition
+        manifest don't support append (use ``partitioned_upsert``)."""
+        data_dir = f"data-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.root, data_dir)
+        )
+        for _ in range(max_retries):
+            latest = self.latest_version()
+            prior: list[str] = []
+            if latest is not None:
+                entry = self._entry(latest)
+                if "parts" in entry:
+                    raise ValueError(
+                        "append: table has a partition manifest; use "
+                        "partitioned_upsert"
+                    )
+                prior = list(entry.get("datas") or [entry["data"]])
+            extra: dict = {"datas": prior + [data_dir]}
+            if meta:
+                extra["meta"] = meta
+            try:
+                return self._commit_entry(
+                    data_dir, "append", max_retries=1,
+                    expected_latest=latest, extra=extra,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"{self.root}: append lost {max_retries} races"
+        )
+
+    def last_stream_batch(self, query_id: str) -> int | None:
+        """Newest committed streaming batch id for ``query_id`` (the
+        exactly-once FENCE a foreachBatch sink checks before
+        committing — Delta's txnAppId/txnVersion contract): scan the
+        log newest-first for a matching ``meta.stream`` entry. Log-
+        length driver metadata."""
+        for e in reversed(self.versions()):
+            st = (e.get("meta") or {}).get("stream")
+            if st and st.get("query") == query_id:
+                return int(st["batch_id"])
+        return None
+
     def _commit_entry(
         self,
         data_dir: str,
@@ -560,7 +622,7 @@ class VersionedTable:
         extra = {
             k: entry[k]
             for k in ("parts", "part_col", "part_type", "stats",
-                      "bloom")
+                      "bloom", "datas")
             if k in entry
         }
         return self._commit_entry(
@@ -582,6 +644,10 @@ class VersionedTable:
             if version is None:
                 raise ValueError(f"{self.root}: no commits yet")
         entry = self._entry(version)
+        if "datas" in entry:
+            return self.spark.read.parquet(*[
+                os.path.join(self.root, d) for d in entry["datas"]
+            ])
         if "parts" not in entry:
             return self.spark.read.parquet(
                 os.path.join(self.root, entry["data"])
@@ -676,7 +742,7 @@ class VersionedTable:
             if version is None:
                 raise ValueError(f"{self.root}: no commits yet")
         entry = self._entry(version)
-        if "parts" in entry:
+        if "parts" in entry or "datas" in entry:
             raise ValueError(
                 "read_where supports plain snapshot commits "
                 "(partition-manifest versions already prune by "
@@ -740,7 +806,7 @@ class VersionedTable:
             if version is None:
                 raise ValueError(f"{self.root}: no commits yet")
         entry = self._entry(version)
-        if "parts" in entry:
+        if "parts" in entry or "datas" in entry:
             raise ValueError(
                 "read_where_in supports plain snapshot commits"
             )
@@ -814,7 +880,7 @@ class VersionedTable:
             if version is None:
                 raise ValueError(f"{self.root}: no commits yet")
         entry = self._entry(version)
-        if "parts" in entry:
+        if "parts" in entry or "datas" in entry:
             raise ValueError(
                 "read_where_all supports plain snapshot commits"
             )
@@ -910,7 +976,7 @@ class VersionedTable:
             if version is None:
                 raise ValueError(f"{self.root}: no commits yet")
         entry = self._entry(version)
-        if "parts" in entry:
+        if "parts" in entry or "datas" in entry:
             raise ValueError(
                 "read_where_eq supports plain snapshot commits"
             )
@@ -1359,9 +1425,11 @@ class VersionedTable:
         if not entries:
             return []
         kept = entries[-keep_last:]
-        keep_dirs = {e["data"] for e in kept} | {
-            d for e in kept for d in e.get("parts", {}).values()
-        }
+        keep_dirs = (
+            {e["data"] for e in kept}
+            | {d for e in kept for d in e.get("parts", {}).values()}
+            | {d for e in kept for d in e.get("datas", [])}
+        )
         age_cutoff = time.time() - retention_seconds
         removed = []
         for e in entries[: len(entries) - len(kept)]:

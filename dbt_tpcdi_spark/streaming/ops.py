@@ -448,3 +448,35 @@ def streaming_funnel_state(events: DataFrame, gap_ms: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_append_versioned(
+    stream_df: DataFrame,
+    table,
+    checkpoint_dir: str,
+    query_id: str = "stream",
+) -> None:
+    """Exactly-once streaming APPEND into a ``VersionedTable``: each
+    micro-batch lands as one O(batch) append commit carrying a
+    ``{"stream": {"query", "batch_id"}}`` fence, and a redelivered
+    batch (failure between commit and checkpoint write) is SKIPPED
+    because its id is already fenced — the Delta txnAppId/txnVersion
+    contract on the engine's own commit log. Readers keep snapshot
+    isolation throughout; fold fragmentation with ``compact()``."""
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = table.last_stream_batch(query_id)
+        if last is not None and batch_id <= last:
+            return  # fenced: this batch already committed
+        table.append(
+            batch_df,
+            meta={"stream": {"query": query_id, "batch_id": batch_id}},
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -931,3 +931,57 @@ def test_compact_zorder_upgrades_layout(spark, tmp_path):
     assert repy2["files_read"] < repy2["files_total"]
     with pytest.raises(ValueError, match="exclusive"):
         t.compact(zorder=("x", "y"), range_by=["x"])
+
+
+def test_append_commits_and_stream_fence(spark, tmp_path):
+    """Append-only commits: O(batch) entries referencing all prior
+    dirs, snapshot-isolated reads, restore/vacuum/compact aware; the
+    streaming sink's batch-id fence makes redelivery a no-op."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 1, 2))
+    reader_v0 = t.read()
+    t.append(_df(spark, 3))
+    assert _vals(t.read()) == [1, 2, 3]
+    assert _vals(reader_v0) == [1, 2]  # snapshot isolation holds
+    assert _vals(t.read(version=0)) == [1, 2]
+    # restore to the first append, then back
+    v = t.restore(0)
+    assert _vals(t.read(v)) == [1, 2]
+    t.restore(1)
+    # pruned reads refuse multi-dir snapshots (no stats contract)
+    with pytest.raises(ValueError, match="plain snapshot"):
+        t.read_where("x", lo=1, hi=2)
+    # compact folds the fragments into one plain snapshot
+    vc = t.compact(target_files=1)
+    assert _vals(t.read(vc)) == [1, 2, 3]
+    # vacuum keeps every dir the kept tail references
+    t.vacuum(keep_last=2, retention_seconds=0)
+    assert _vals(t.read()) == [1, 2, 3]
+
+    # streaming sink with batch-id fencing: replay commits nothing
+    from dbt_tpcdi_spark.streaming.ops import stream_append_versioned
+
+    s = VersionedTable(spark, str(tmp_path / "s"))
+    for b in (0, 1, 2):
+        _df(spark, 10 + b).coalesce(1).write.parquet(
+            str(tmp_path / "in" / f"b{b}"))
+
+    def stream():
+        return (
+            spark.readStream.schema("x int")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "in"))
+        )
+
+    stream_append_versioned(stream(), s, str(tmp_path / "c1"), "q1")
+    assert _vals(s.read()) == [10, 11, 12]
+    v_done = s.latest_version()
+    assert s.last_stream_batch("q1") is not None
+    # full redelivery with a fresh checkpoint: every batch is fenced
+    stream_append_versioned(stream(), s, str(tmp_path / "c2"), "q1")
+    assert s.latest_version() == v_done
+    assert _vals(s.read()) == [10, 11, 12]
+    # a different query id is NOT fenced (appends its own batches)
+    assert s.last_stream_batch("other") is None
