@@ -55,6 +55,13 @@ SHOWCASE = {
     "kmv_overlap": "pair estimation = k-row sketches × sources "
                    "broadcast; exact audit is the only data-scale "
                    "join; no CartesianProduct",
+    "ann_sq8_topk": "per-dim stats broadcast + integer dequant "
+                    "distance; one groupBy + TakeOrdered, no "
+                    "CartesianProduct beyond the 1-row query "
+                    "broadcast",
+    "interpolate_daily": "spine join + forward/backward ignore-nulls "
+                         "windows on ONE exchange; no self-join "
+                         "against the observation table",
     "kmv_overlap_serving": "the sketch-only serving plan: NO shuffle "
                            "join at all (broadcast source-list "
                            "fan-out is the only join) — pair "
