@@ -29,9 +29,23 @@ SPARK_GRAFT_BENCH_SCALE=0):
   recall floors on a clustered corpus where a correct quantizer
   recovers the true neighbors (the driver's random embeddings can't
   grade recall).
-- ``bpe_incremental_1k_*``: ≥1k BPE merges through the incremental
-  trainer with the round-trip budget (rounds ≤ merges/15) and the
-  bounded per-round collect asserted.
+- ``bpe_incremental_1k_*`` / ``bpe_sampled_1k_*``: ≥1k BPE merges
+  through the incremental trainer (round-trip budget rounds ≤
+  merges/15, bounded per-round collect) and the sample-trained twin
+  pinned CORPUS-INDEPENDENT (training on a 10% sample of a 10×
+  corpus ≈ the full train on 1×).
+- ``dagvskip_x10:*``: fact_trade built through the versioned Runner
+  with its DECLARED Layout; date-window and bloom point reads must
+  prune files (files_read·2 ≤ files_total).
+- ``x100:ivfpq_index_*``: the persisted ANN index — build once
+  (versioned codebook/code tables), probe must be a small fraction
+  of build wall AND read only the probed cells' files.
+- ``skew_x100:*``: zipfian skew at a 10M-row corpus vs an UNSKEWED
+  twin of identical size — AQE's split lands within 1.5× of uniform,
+  and each mitigation (salted join, chunked sessionize) is pinned
+  skew-independent.
+- ``dag_build_x10/x100``: median-of-3 full-DAG builds (single
+  measurements drifted 1.6× round-over-round with zero code change).
 
 ``value`` stays the sum of the HEADLINE queries only, so rounds remain
 comparable on the same key; the probes report their own timings under
