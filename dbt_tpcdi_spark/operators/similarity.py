@@ -1542,6 +1542,10 @@ def ivfpq_adc_topk_sql(
     sub = dim // blocks
     if sub * blocks != dim:
         raise ValueError(f"dim {dim} not divisible by blocks {blocks}")
+    if nprobe is not None and nprobe <= 0:
+        # nprobe=0 would build the probe CTE yet skip the ADC join
+        # (`if nprobe` is falsy), silently serving the FULL corpus
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     qv = (
         f"list_transform(range(1, {dim} + 1), i -> "
         f"cast(round(cast({{v}}[i] AS double) * {QUANT}) AS bigint))"
@@ -1651,7 +1655,8 @@ def ivfpq_adc_topk_sql(
                    cast(sum(d.d) AS bigint) AS adc_dist2
             FROM __pqcode e
             JOIN __casg a USING ({id_col})
-            {"JOIN __probe p ON a.cell = p.cell" if nprobe else ""}
+            {"JOIN __probe p ON a.cell = p.cell"
+             if nprobe is not None else ""}
             JOIN __pqd d ON a.cell = d.cell AND e.block = d.block
                          AND e.code = d.code
             GROUP BY 1, 2

@@ -297,6 +297,18 @@ def _check_bloom_probe(col: str, value) -> None:
         )
 
 
+def _bloom_has_col(bloom: dict | None, col: str) -> bool:
+    """True iff the commit's Bloom manifest carries a bitmap for
+    ``col`` in at least one file. The probe-type contract
+    (``_check_bloom_probe``) is only enforced when this holds
+    (ADVICE r9): equality reads with date/decimal/float probes on
+    stats-only or metadata-free tables must keep working as
+    full-scan-plus-filter, since no bitmap can misprune them."""
+    return any(
+        (fb or {}).get(col) is not None for fb in (bloom or {}).values()
+    )
+
+
 def _bloom_stats(
     spark: SparkSession,
     data_dir: str,
@@ -327,17 +339,18 @@ def _bloom_stats(
         }
         for name in files
     }
-    abs_dir = os.path.abspath(data_dir)
+    abs_dir = os.path.realpath(data_dir)
 
     def _rel(file_path: str) -> str:
-        # _metadata.file_path is a URI (file:/...); strip the scheme
-        # and relativize against data_dir to recover the manifest key
-        p = file_path
-        if p.startswith("file:"):
-            p = p[len("file:"):]
-            while p.startswith("//"):
-                p = p[1:]
-        return os.path.relpath(p, abs_dir)
+        # _metadata.file_path is a URI (file:/...) — percent-encoded
+        # (a space in the table root) and possibly symlink-resolved,
+        # so decode it properly and relativize against the REAL path
+        # of data_dir to recover the manifest key (ADVICE r9).
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(file_path)
+        p = unquote(parsed.path) if parsed.scheme else file_path
+        return os.path.relpath(os.path.realpath(p), abs_dir)
     for c in cols:
         pos = F.array(*[
             F.conv(
@@ -515,6 +528,16 @@ class VersionedTable:
         with ``compact()`` (which reads the union and re-derives
         layout/skipping), then ``vacuum``. Tables with a partition
         manifest don't support append (use ``partitioned_upsert``)."""
+        # reject partition-manifest tables BEFORE writing the batch
+        # directory, so the ValueError path leaves no orphaned data
+        # dir behind (ADVICE r9) — re-checked inside the CAS loop too,
+        # since a concurrent writer could introduce a manifest
+        _latest0 = self.latest_version()
+        if _latest0 is not None and "parts" in self._entry(_latest0):
+            raise ValueError(
+                "append: table has a partition manifest; use "
+                "partitioned_upsert"
+            )
         data_dir = f"data-{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(
             os.path.join(self.root, data_dir)
@@ -811,14 +834,14 @@ class VersionedTable:
                 "read_where_in supports plain snapshot commits"
             )
 
-        for v in values:
-            _check_bloom_probe(col, v)
-
         def pred(df: DataFrame) -> DataFrame:
             return df.filter(F.col(col).isin(values))
 
         data_dir = os.path.join(self.root, entry["data"])
         bloom = entry.get("bloom")
+        if _bloom_has_col(bloom, col):
+            for v in values:
+                _check_bloom_probe(col, v)
         if not bloom:
             df = self.spark.read.parquet(data_dir)
             n = len(_parquet_relpaths(data_dir))
@@ -885,8 +908,10 @@ class VersionedTable:
                 "read_where_all supports plain snapshot commits"
             )
         eq = eq or {}
+        _entry_bloom = entry.get("bloom")
         for col, value in eq.items():
-            _check_bloom_probe(col, value)
+            if _bloom_has_col(_entry_bloom, col):
+                _check_bloom_probe(col, value)
 
         def pred(df: DataFrame) -> DataFrame:
             for col, (lo, hi) in preds.items():
@@ -981,13 +1006,13 @@ class VersionedTable:
                 "read_where_eq supports plain snapshot commits"
             )
 
-        _check_bloom_probe(col, value)
-
         def pred(df: DataFrame) -> DataFrame:
             return df.filter(F.col(col) == value)
 
         data_dir = os.path.join(self.root, entry["data"])
         bloom = entry.get("bloom")
+        if _bloom_has_col(bloom, col):
+            _check_bloom_probe(col, value)
         if not bloom:
             df = self.spark.read.parquet(data_dir)
             n = len(_parquet_relpaths(data_dir))

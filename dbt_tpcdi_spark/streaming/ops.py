@@ -462,7 +462,15 @@ def stream_append_versioned(
     batch (failure between commit and checkpoint write) is SKIPPED
     because its id is already fenced — the Delta txnAppId/txnVersion
     contract on the engine's own commit log. Readers keep snapshot
-    isolation throughout; fold fragmentation with ``compact()``."""
+    isolation throughout; fold fragmentation with ``compact()``.
+
+    CONTRACT (ADVICE r9): ``query_id`` and ``checkpoint_dir`` are a
+    PAIR — Spark's ``batch_id`` counter lives in the checkpoint, so a
+    restart with a FRESH checkpoint directory restarts ids at 0, and
+    reusing the old ``query_id`` would fence those genuinely-new
+    batches as replays (silent data loss). Whenever the checkpoint
+    location changes, change ``query_id`` too (exactly Delta's
+    txnAppId contract), e.g. derive it from the checkpoint path."""
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
         last = table.last_stream_batch(query_id)

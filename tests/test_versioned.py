@@ -707,6 +707,74 @@ def test_bloom_type_contract_enforced(spark, tmp_path):
         t.read_where_all({}, eq={"k": 3.14})
 
 
+def test_bloom_probe_contract_scoped_to_bitmapped_cols(spark, tmp_path):
+    """ADVICE r9: the probe-type contract applies ONLY to columns that
+    actually carry Bloom bitmaps. Equality reads with non-int/str
+    probes (date, float, decimal) on stats-only or metadata-free
+    tables — where no bitmap can misprune — keep working as
+    full-scan-plus-filter instead of raising TypeError."""
+    import datetime
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("f"),
+        F.date_add(F.lit("2020-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("d"),
+    )
+    # metadata-free table: any probe type works, full scan + filter
+    t0 = VersionedTable(spark, str(tmp_path / "t0"))
+    t0.commit(df)
+    got, rep = t0.read_where_eq("f", 7.5)
+    assert [r["k"] for r in got.collect()] == [5]
+    assert rep["files_read"] == rep["files_total"]
+    gd, _ = t0.read_where_eq("d", datetime.date(2020, 1, 11))
+    assert [r["k"] for r in gd.collect()] == [10]
+
+    # stats-only table: same — stats prune ranges, not equalities
+    t1 = VersionedTable(spark, str(tmp_path / "t1"))
+    t1.commit(df, stats_cols=["k"])
+    gi, _ = t1.read_where_in("f", [1.5, 3.0])
+    assert sorted(r["k"] for r in gi.collect()) == [1, 2]
+    ga, _ = t1.read_where_all(
+        {"k": (0, 20)}, eq={"d": datetime.date(2020, 1, 4)})
+    assert [r["k"] for r in ga.collect()] == [3]
+
+    # bloom on k: probes on k still enforced, probes on f still free
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.commit(df, bloom_cols=["k"])
+    with pytest.raises(TypeError, match="int or str"):
+        t2.read_where_eq("k", 1.5)
+    gf, _ = t2.read_where_eq("f", 7.5)
+    assert [r["k"] for r in gf.collect()] == [5]
+
+
+def test_append_rejects_partitioned_without_orphan(spark, tmp_path):
+    """ADVICE r9: append() on a partition-manifest table raises
+    BEFORE writing the batch directory — the failed call leaves no
+    orphaned data-* dir behind."""
+    import os as _os
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 40).select(
+        (F.col("id") % 4).alias("p"), F.col("id").alias("k"))
+    t.partitioned_upsert(df, key="k", partition_col="p")
+    before = {n for n in _os.listdir(t.root) if n.startswith("data-")}
+    with pytest.raises(ValueError, match="partition manifest"):
+        t.append(df)
+    after = {n for n in _os.listdir(t.root) if n.startswith("data-")}
+    assert after == before  # no orphaned batch directory
+
+
+def test_nprobe_zero_rejected():
+    """ADVICE r9: nprobe=0 used to build the probe CTE but skip the
+    ADC join (falsy), silently serving the full corpus."""
+    from dbt_tpcdi_spark.operators.similarity import ivfpq_adc_topk_sql
+
+    with pytest.raises(ValueError, match="nprobe"):
+        ivfpq_adc_topk_sql(
+            "embeddings", "id", "embedding", dim=8, nprobe=0)
+
+
 def test_partitioned_commit_with_skipping_metadata(spark, tmp_path):
     """ADVICE r8: partition_by + stats_cols/bloom_cols used to crash
     (manifests keyed by top-level basenames, but partitioned writes
