@@ -102,9 +102,24 @@ def main() -> None:
     for t in ("lineitem", "documents", "embeddings", "events"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
+    # Median-of-3 per headline query (VERDICT r9: single measurements
+    # drifted 1.2-1.6x round-over-round with zero code change — same
+    # treatment the probes already use). One build, three sinks;
+    # clearCache() between sinks so queries with library-internal
+    # structural persists measure the full pipeline every trial, not a
+    # warm cache read. Trial 0 (the old single-shot series) is kept in
+    # the full artifact for round-over-round continuity.
     times: dict[str, float] = {}
+    headline_trials: dict[str, list[float]] = {}
     for name in sorted(queries):
-        _timed(times, name, _built(queries, name, spark, sf_dir))
+        df = _built(queries, name, spark, sf_dir)
+        trs: dict[str, float] = {}
+        for t in range(3):
+            _timed(trs, f"t{t}", df)
+            spark.catalog.clearCache()
+        vals = list(trs.values())
+        headline_trials[name] = vals
+        times[name] = sorted(vals)[1]
 
     probes: dict[str, float] = {}
     prep: dict[str, float] = {}
@@ -1091,29 +1106,167 @@ def main() -> None:
         plan_checks["dagvskip_x10_point_pruned"] = (
             prep_eq["files_read"] * 2 <= prep_eq["files_total"])
 
-    total = round(sum(times.values()), 3)
-    payload = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": times,
-            "sf": sf,
-            "scale_probes": probes,
-            "prep": prep,
-            "plan_checks": plan_checks,
-            "dag_build_x10": dag_x10,
-            "dag_build_x100": dag_x100,
-            "eager_build": {**EAGER_BUILD, **x10_builds},
+    # -- volume-scale DAG build (VERDICT r9 item 1) ---------------------
+    # the 45-model warehouse at fact-table volume: 1 M trades / ~2.35 M
+    # trade-history rows / 5 M daily_market rows / 12.5 k securities,
+    # synthesized Spark-side (tpcdi/bigdata.py) and built through the
+    # SAME Runner as the fixture gates — batch AND versioned (with the
+    # gold facts' declared Layouts). Reference anchor: Snowflake SF=10
+    # full build 70.51 s / 20 threads (BASELINE.md; budget ≤ 141 s).
+    dag_big = None
+    if os.environ.get("SPARK_GRAFT_BENCH_DAGBIG", "1") != "0":
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from dbt_tpcdi_spark.plans.registry import all_models
+        from dbt_tpcdi_spark.plans.runner import Runner
+        from dbt_tpcdi_spark.plans.sources import load_dag_sources
+        from dbt_tpcdi_spark.tpcdi.bigdata import synthesize_raw
+
+        big_dir = "/tmp/spark_graft_bench/dagbig"
+        t0 = time.perf_counter()
+        raw_big = synthesize_raw(spark, big_dir)
+        prep["dagbig_synthesize"] = round(time.perf_counter() - t0, 3)
+        big_sources = load_dag_sources(spark, str(raw_big))
+        big_models: dict[str, float] = {}
+
+        class _TimedRunnerBig(Runner):
+            def _materialize(self, name, df):
+                m0 = time.perf_counter()
+                out = super()._materialize(name, df)
+                big_models[name] = round(time.perf_counter() - m0, 3)
+                return out
+
+        wh_big = os.path.join(big_dir, "wh")
+        shutil.rmtree(wh_big, ignore_errors=True)
+        t0 = time.perf_counter()
+        _TimedRunnerBig(
+            spark, big_sources, warehouse_dir=wh_big
+        ).run(parallelism=8)
+        big_wall = round(time.perf_counter() - t0, 3)
+        probes["dag_build_big"] = big_wall
+        dag_big = {
+            "total_wall": big_wall,
+            "parallelism": 8,
+            "rows": {"trade": 1_000_000, "daily_market": 5_000_000,
+                     "trade_history": 2_350_000, "securities": 12_500,
+                     "customers": 25_000},
+            "budget_sec": 141.0,
+            "models": dict(
+                sorted(big_models.items(), key=lambda kv: -kv[1])
+            ),
         }
-    )
-    print(payload)
-    # self-preserving artifact: the driver captures only a stdout tail,
-    # which truncated the r5 JSON — the full line is always on disk too
+        plan_checks["dagbig_within_budget"] = big_wall <= 141.0
+        # coherence at volume: the temporal joins must keep EVERY fact
+        # row — exactly one dimension version matches per fact
+        n_ft = spark.read.parquet(
+            os.path.join(wh_big, "fact_trade")).count()
+        n_mh = spark.read.parquet(
+            os.path.join(wh_big, "fact_market_history")).count()
+        plan_checks["dagbig_fact_trade_rows_exact"] = n_ft == 1_000_000
+        plan_checks["dagbig_fact_market_history_rows_exact"] = (
+            n_mh == 5_000_000)
+        # plan audit at volume: the window-not-self-join 52-week plan,
+        # broadcast dims on both headline facts, no cartesian anywhere
+        models = all_models()
+
+        def _big_plan(name: str) -> str:
+            df = models[name].build(
+                lambda n: spark.read.parquet(os.path.join(wh_big, n)),
+                big_sources.__getitem__,
+            )
+            df.write.mode("overwrite").format("noop").save()
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        t0 = time.perf_counter()
+        dm_plan = _big_plan("daily_market")
+        probes["dagbig:daily_market_rebuild"] = round(
+            time.perf_counter() - t0, 3)
+        plan_checks["dagbig_daily_market_window_not_self_join"] = (
+            "Window" in dm_plan and "Join" not in dm_plan)
+        for name in ("fact_market_history", "fact_trade"):
+            t0 = time.perf_counter()
+            plan = _big_plan(name)
+            probes[f"dagbig:{name}_rebuild"] = round(
+                time.perf_counter() - t0, 3)
+            plan_checks[f"dagbig_{name}_no_cartesian"] = (
+                "CartesianProduct" not in plan)
+            plan_checks[f"dagbig_{name}_broadcasts"] = (
+                "BroadcastHashJoin" in plan)
+
+        # versioned build with the declared Layouts (range cluster +
+        # stats + bloom on the gold facts); AQE partition coalescing
+        # off during the build so the range layouts keep >1 file (the
+        # dag_versioned_skipping gate's treatment)
+        vdir_big = os.path.join(big_dir, "whv")
+        shutil.rmtree(vdir_big, ignore_errors=True)
+        vrb = Runner(spark, big_sources, warehouse_dir=vdir_big,
+                     materialize="versioned")
+        _ck = "spark.sql.adaptive.coalescePartitions.enabled"
+        _prev = spark.conf.get(_ck, None)
+        spark.conf.set(_ck, "false")
+        t0 = time.perf_counter()
+        try:
+            vrb.run(parallelism=8)
+        finally:
+            (spark.conf.unset(_ck) if _prev is None
+             else spark.conf.set(_ck, _prev))
+        big_v_wall = round(time.perf_counter() - t0, 3)
+        probes["dag_build_big_versioned"] = big_v_wall
+        dag_big["versioned_wall"] = big_v_wall
+        # the declared fact_trade layout must prune a one-date window
+        # read at volume
+        vt_big = vrb.table("fact_trade")
+        mid = vt_big.read().select(F.min("sk_create_date")).first()[0]
+        t0 = time.perf_counter()
+        vdf_b, vrep_b = vt_big.read_where(
+            "sk_create_date", lo=mid, hi=mid)
+        vdf_b.write.mode("overwrite").format("noop").save()
+        probes["dagbig:versioned_window_read"] = round(
+            time.perf_counter() - t0, 3)
+        prep["dagbig_versioned_files"] = vrep_b
+        plan_checks["dagbig_versioned_window_pruned"] = (
+            vrep_b["files_read"] * 2 <= vrep_b["files_total"])
+
+    total = round(sum(times.values()), 3)
+    single_shot = {n: v[0] for n, v in headline_trials.items()}
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "queries_single_shot": single_shot,
+        "value_single_shot": round(sum(single_shot.values()), 3),
+        "headline_trials": headline_trials,
+        "scale_probes": probes,
+        "prep": prep,
+        "plan_checks": plan_checks,
+        "dag_build_x10": dag_x10,
+        "dag_build_x100": dag_x100,
+        "dag_build_big": dag_big,
+        "eager_build": {**EAGER_BUILD, **x10_builds},
+    }
+    # stdout carries ONLY the headline line (VERDICT r9: the inlined
+    # per-model maps overflowed the driver's stdout capture two rounds
+    # running — BENCH_r{8,9}.json parsed null); everything else lives
+    # in bench_out.json, committed per-round as BENCH_r{N}_full.json
+    slim = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_plan_checks": len(plan_checks),
+        "plan_checks_failed": sorted(
+            k for k, v in plan_checks.items() if not v),
+    }
+    print(json.dumps(slim))
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_out.json")
     with open(out_path, "w") as f:
-        f.write(payload + "\n")
+        f.write(json.dumps(full) + "\n")
     spark.stop()
 
 

@@ -1526,6 +1526,7 @@ def ivfpq_adc_topk_sql(
     refine: int = 50,
     k: int = 10,
     nprobe: int | None = None,
+    train_where: str | None = None,
 ) -> str:
     """DuckDB twin of the full IVFADC pipeline (Jégou et al. 2011,
     the IVF+residual-PQ composition): coarse seed cells + exact
@@ -1538,7 +1539,11 @@ def ivfpq_adc_topk_sql(
     re-rank to the final top-``k``. ``nprobe`` restricts the ADC to
     the query's ``nprobe`` nearest cells (dist asc, cell asc) — the
     serve-from-persisted-index shape where unprobed cells' codes are
-    never read."""
+    never read. ``train_where`` (a predicate over ``id_col``)
+    restricts cell SEEDS and codebook TRAINING to a subset — the
+    build-then-append lifecycle's twin, where later batches are
+    encoded against codebooks frozen on the initial corpus; assign,
+    encode, and ADC always run over the full corpus."""
     sub = dim // blocks
     if sub * blocks != dim:
         raise ValueError(f"dim {dim} not divisible by blocks {blocks}")
@@ -1551,11 +1556,13 @@ def ivfpq_adc_topk_sql(
         f"cast(round(cast({{v}}[i] AS double) * {QUANT}) AS bigint))"
     )
     cdist = qdist2_int_sql(f"e.{vec_col}", "c.ccent")
+    tw = f"WHERE {train_where}" if train_where else ""
+    res_src = "__res_tr" if train_where else "__res"
     ctes = [
         f"""__cc AS MATERIALIZED (
             SELECT cast({id_col} AS bigint) AS cell,
                    {qv.format(v=vec_col)} AS ccent
-            FROM {from_table}
+            FROM {from_table} {tw}
             QUALIFY row_number() OVER (ORDER BY {id_col}) <= {cells}
         )""",
         f"""__casg AS MATERIALIZED (
@@ -1575,11 +1582,17 @@ def ivfpq_adc_topk_sql(
             FROM __casg
         )""",
     ]
+    if train_where:
+        ctes.append(
+            f"""__res_tr AS MATERIALIZED (
+                SELECT * FROM __res WHERE {train_where}
+            )"""
+        )
     for b in range(blocks):
         lo, hi = b * sub + 1, (b + 1) * sub
         ctes.append(
             f"""__pqs{b} AS MATERIALIZED (
-                SELECT {id_col}, rv[{lo}:{hi}] AS sv FROM __res
+                SELECT {id_col}, rv[{lo}:{hi}] AS sv FROM {res_src}
             )"""
         )
         km = kmeans_sql(

@@ -1388,7 +1388,22 @@ class VersionedTable:
                 os.path.join(self.root, data_dir)
             )
             extra = {}
+            # append commits carry no per-file manifests, so a compact
+            # that follows appends must RESTORE skipping, not drop it:
+            # recover the stats/bloom column sets from the newest
+            # entry that carries them (r10: the ivfpq_index_append →
+            # compact(range_by="cell") maintenance cycle)
             src_stats = src.get("stats")
+            src_bloom_src = src.get("bloom")
+            if src_stats is None or src_bloom_src is None:
+                for e in reversed(self.versions()):
+                    if src_stats is None and e.get("stats"):
+                        src_stats = e["stats"]
+                    if src_bloom_src is None and e.get("bloom"):
+                        src_bloom_src = e["bloom"]
+                    if (src_stats is not None
+                            and src_bloom_src is not None):
+                        break
             if src_stats:
                 cols = sorted({
                     c for f in src_stats.values() for c in (f or {})
@@ -1397,7 +1412,7 @@ class VersionedTable:
                     extra["stats"] = _file_stats(
                         os.path.join(self.root, data_dir), cols
                     )
-            src_bloom = src.get("bloom")
+            src_bloom = src_bloom_src
             if src_bloom:
                 sizing: dict[str, tuple[int, int]] = {}
                 for f in src_bloom.values():

@@ -4753,6 +4753,46 @@ def ivfpq_index_build(
     return {"cents": t_cents, "cb": t_cb, "codes": t_codes}
 
 
+def ivfpq_index_append(
+    idx: dict, new_e: DataFrame, dim: int = 64, blocks: int = 8,
+) -> int:
+    """Incremental index maintenance (VERDICT r9 item 3 — the FAISS
+    ``IndexIVF.add`` path): encode a batch of NEW vectors against the
+    FROZEN coarse centroids and codebooks (coarse argmin + residual +
+    per-block code argmin — no retraining, no Lloyd rounds) and land
+    the codes through the versioned APPEND commit: O(batch) work and
+    O(batch) new files, CAS-safe under concurrent appends, readers
+    keep snapshot isolation. Daily appends therefore never force the
+    Θ(n·cells) full rebuild.
+
+    Appended commits are multi-directory snapshots without per-file
+    skipping manifests, so probes fall back to an unpruned (still
+    correct) scan until maintenance folds them:
+    ``idx["codes"].compact(target_files=N, range_by=["cell"])``
+    re-clusters on cell and RESTORES the stats + Bloom pruning."""
+    cents = idx["cents"].read()
+    cb = idx["cb"].read()
+    base = new_e.select(
+        "vec_id", S._qlist(F.col("embedding")).alias("__qv")
+    )
+    asg = S.assign_centroids_bcast(base, "vec_id", cents)
+    resid = (
+        asg.join(F.broadcast(cents), asg["cluster"] == cents["__cl"])
+        .select(
+            "vec_id",
+            F.col("cluster").alias("cell"),
+            F.zip_with(
+                F.col("__qv"), F.col("__cent"),
+                lambda a, b: (a - b) / F.lit(10000.0),
+            ).alias("__rv"),
+        )
+    )
+    codes = S.pq_encode(
+        resid, "vec_id", "__rv", cb, dim, blocks=blocks
+    ).join(resid.select("vec_id", "cell"), "vec_id")
+    return idx["codes"].append(codes)
+
+
 def ivfpq_serve_topk(
     e: DataFrame, idx: dict, nprobe: int, refine: int, k: int,
     dim: int = 64, blocks: int = 8,
@@ -4778,7 +4818,15 @@ def ivfpq_serve_topk(
         .collect()  # ≤nprobe rows — metadata-sized
     )
     probe_cells = [int(r["__cl"]) for r in probe_rows]
-    codes_df, rep = idx["codes"].read_where_in("cell", probe_cells)
+    try:
+        codes_df, rep = idx["codes"].read_where_in("cell", probe_cells)
+    except ValueError:
+        # append commits (multi-directory snapshots) carry no per-file
+        # manifests: serve correctly but unpruned until a
+        # compact(range_by=["cell"]) folds them (ivfpq_index_append)
+        codes_df = idx["codes"].read().filter(
+            F.col("cell").isin(probe_cells))
+        rep = {"files_total": -1, "files_read": -1, "pruned": False}
     cb = idx["cb"].read()
     qres = (
         F.broadcast(cents.filter(F.col("__cl").isin(probe_cells)))
@@ -4854,6 +4902,47 @@ def ivfpq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     top, _rep = ivfpq_serve_topk(
         e, _IVFPQ_IDX_CACHE[key], nprobe=_IVFPQ_NPROBE,
         refine=_IVFPQ_REFINE, k=10,
+    )
+    return top
+
+
+@query(
+    "ivfpq_ann_append",
+    oracle=S.ivfpq_adc_topk_sql(
+        "embeddings", "vec_id", "embedding", dim=64,
+        cells=_IVFPQ_CELLS, blocks=8, codes=_IVFPQ_CODES, iters=1,
+        refine=_IVFPQ_REFINE, k=10, nprobe=_IVFPQ_NPROBE,
+        train_where="vec_id % 3 <> 0",
+    ),
+    tags=["llm-ann-pq", "llm-ann-ivf", "S11", "iterative"],
+)
+def ivfpq_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-maintenance lifecycle end-to-end: build the
+    persisted IVFPQ index on 2/3 of the corpus, APPEND the remaining
+    third in two batches encoded against the FROZEN codebooks
+    (``ivfpq_index_append`` — O(batch) commits, no retraining), fold
+    with ``compact(range_by=["cell"])`` (which restores the cell
+    range-cluster + stats + Bloom skipping), then serve top-k over
+    the full corpus through the cell-pruned read. The twin trains
+    seeds/codebooks under the same ``vec_id % 3 <> 0`` predicate and
+    encodes/ADCs the full corpus — exactly the append semantics —
+    so a drifted append path (re-trained codebooks, dropped batch,
+    wrong residual cell) hash-mismatches."""
+    import tempfile
+
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    base = e.filter("vec_id % 3 <> 0")
+    b1 = e.filter("vec_id % 3 = 0 AND vec_id % 2 = 0")
+    b2 = e.filter("vec_id % 3 = 0 AND vec_id % 2 = 1")
+    root = tempfile.mkdtemp(prefix="ivfpq_app_")
+    idx = ivfpq_index_build(
+        base, root, cells=_IVFPQ_CELLS, blocks=8, codes=_IVFPQ_CODES
+    )
+    ivfpq_index_append(idx, b1)
+    ivfpq_index_append(idx, b2)
+    idx["codes"].compact(target_files=8, range_by=["cell"])
+    top, _rep = ivfpq_serve_topk(
+        e, idx, nprobe=_IVFPQ_NPROBE, refine=_IVFPQ_REFINE, k=10
     )
     return top
 
