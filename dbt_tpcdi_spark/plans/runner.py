@@ -32,6 +32,70 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dbt_tpcdi_spark.plans.registry import Layout, Model, all_models
 
+#: table name (under the warehouse dir) of the run-level snapshot
+#: manifest — itself a VersionedTable, so manifests are atomic,
+#: time-travelable commits like everything else
+MANIFEST_TABLE = "_warehouse_manifest"
+
+
+def commit_warehouse_manifest(
+    spark: SparkSession, warehouse_dir: str
+) -> int:
+    """Run-level consistent snapshot (VERDICT r9 item 4): record
+    ``{model: current version}`` for every versioned model table in
+    the warehouse as ONE atomic manifest commit. Versioned tables
+    commit independently, so a reader during a refresh could join
+    ``fact_trade``@new to ``dim_trade``@old — a torn cross-table
+    view; pinning through ``read_warehouse`` removes that window.
+    Returns the manifest version (the warehouse-level snapshot id)."""
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+    rows = []
+    for name in sorted(all_models()):
+        root = os.path.join(warehouse_dir, name)
+        if os.path.isdir(os.path.join(root, "_log")):
+            v = VersionedTable(spark, root).latest_version()
+            if v is not None:
+                rows.append((name, v))
+    if not rows:
+        raise ValueError(
+            f"{warehouse_dir}: no versioned model tables to manifest"
+        )
+    mdf = spark.createDataFrame(rows, "model string, version bigint")
+    mt = VersionedTable(
+        spark, os.path.join(warehouse_dir, MANIFEST_TABLE)
+    )
+    return mt.commit(mdf.coalesce(1), op="manifest")
+
+
+def read_warehouse(
+    spark: SparkSession,
+    warehouse_dir: str,
+    manifest_version: int | None = None,
+) -> dict[str, DataFrame]:
+    """Consistent cross-table read: every model pinned at the version
+    the (given or latest) manifest recorded. Concurrent refreshes
+    landing table-by-table are invisible — each table's snapshot is
+    immutable and the manifest names exactly one per model. The
+    manifest collect is ≤ |models| rows (metadata-sized). Pair with
+    ``VersionedTable.vacuum(keep_last=...)`` sized to the oldest
+    manifest still served."""
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+    mt = VersionedTable(
+        spark, os.path.join(warehouse_dir, MANIFEST_TABLE)
+    )
+    pins = {
+        r["model"]: int(r["version"])
+        for r in mt.read(manifest_version).collect()
+    }
+    return {
+        m: VersionedTable(
+            spark, os.path.join(warehouse_dir, m)
+        ).read(v)
+        for m, v in pins.items()
+    }
+
 
 def apply_layout(df: DataFrame, layout: Layout) -> DataFrame:
     """Cluster ``df`` per its model's declared physical layout BEFORE
@@ -115,6 +179,8 @@ class Runner:
                     built.__getitem__, self.sources.__getitem__
                 )
                 built[name] = self._materialize(name, df)
+            if self.materialize == "versioned":
+                self.commit_manifest()
             return built
 
         import concurrent.futures as cf
@@ -139,7 +205,29 @@ class Runner:
                     name = in_flight.pop(fut)
                     built[name] = fut.result()  # raises on failure
                     ts.done(name)
+        if self.materialize == "versioned":
+            self.commit_manifest()
         return built
+
+    def commit_manifest(self) -> int:
+        """Record the run-level ``{model: version}`` snapshot manifest
+        (versioned mode; called automatically at the end of ``run``).
+        Callers driving ``merge_refresh`` directly should call this
+        once per refresh BATCH — after all of the batch's merges have
+        landed — so each manifest names a mutually consistent set."""
+        if self.materialize != "versioned":
+            raise ValueError(
+                "commit_manifest() requires materialize='versioned'")
+        return commit_warehouse_manifest(self.spark, self.warehouse_dir)
+
+    def read_warehouse(
+        self, manifest_version: int | None = None
+    ) -> dict[str, DataFrame]:
+        """Consistent cross-table view pinned at a manifest — see
+        module-level ``read_warehouse``."""
+        return read_warehouse(
+            self.spark, self.warehouse_dir, manifest_version
+        )
 
     def _materialize(self, name: str, df: DataFrame) -> DataFrame:
         if self.materialize == "lazy":

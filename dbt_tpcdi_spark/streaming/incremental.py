@@ -152,6 +152,17 @@ class IncrementalRunner:
             built[name] = self._read(path, versioned)
             status[name] = "refreshed"
         self._save_state(fps)
+        # one run-level manifest per refresh cycle: readers pinning it
+        # see all of this cycle's commits or none of them
+        if any(
+            os.path.isdir(os.path.join(self.warehouse_dir, n, "_log"))
+            for n in status
+        ):
+            from dbt_tpcdi_spark.plans.runner import (
+                commit_warehouse_manifest,
+            )
+
+            commit_warehouse_manifest(self.spark, self.warehouse_dir)
         return status
 
     def _read(self, path: str, versioned: bool) -> DataFrame:
