@@ -379,6 +379,40 @@ def main() -> None:
             probes["x100:ivfpq_index_probe"]
             <= 0.5 * probes["x100:ivfpq_index_build"])
 
+        # incremental maintenance economics (VERDICT r9 item 3): a 1%
+        # batch appends against the FROZEN codebooks in a small
+        # fraction of the full build wall (the reason daily ingest
+        # never forces a rebuild), and the compact fold restores the
+        # cell-pruned serve
+        from dbt_tpcdi_spark.functions.scalar import hash_sample
+        from dbt_tpcdi_spark.queries.llm import ivfpq_index_append
+
+        new_batch = (
+            e100p.filter(hash_sample(F.col("vec_id"), 0.01,
+                                     salt="ivfpqadd"))
+            .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+        )
+        t0 = time.perf_counter()
+        ivfpq_index_append(idx100, new_batch)
+        probes["x100:ivfpq_index_append"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        idx100["codes"].compact(target_files=32, range_by=["cell"])
+        probes["x100:ivfpq_index_compact"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        top_a, rep_a = ivfpq_serve_topk(
+            e100p, idx100, nprobe=8, refine=200, k=10)
+        top_a.collect()
+        probes["x100:ivfpq_probe_after_append"] = round(
+            time.perf_counter() - t0, 3)
+        prep["ivfpq_append_x100_files"] = rep_a
+        plan_checks["ivfpq_append_obatch"] = (
+            probes["x100:ivfpq_index_append"]
+            <= 0.1 * probes["x100:ivfpq_index_build"])
+        plan_checks["ivfpq_append_probe_pruned"] = (
+            rep_a["files_read"] * 2 <= rep_a["files_total"])
+
         # sharded SemDedup at x100 with the PRODUCTION configuration
         # (fixed k_coarse=100): linear coarse pass + per-cell BLAS
         # assignment + grouped-Gram pair scan — the hierarchy that
@@ -1228,6 +1262,112 @@ def main() -> None:
         prep["dagbig_versioned_files"] = vrep_b
         plan_checks["dagbig_versioned_window_pruned"] = (
             vrep_b["files_read"] * 2 <= vrep_b["files_total"])
+
+        # -- skewed-symbol DAG probe (VERDICT r9 item 8) ------------------
+        # fact_market_history's security join with ONE symbol holding
+        # 30% of the 5M daily_market rows, vs the uniform twin of
+        # identical size. Auto-broadcast is disabled so the probe pins
+        # the AQE SKEW-SPLIT mechanism on the SMJ (with broadcast on —
+        # the production plan — the join is map-side and skew-immune,
+        # which the dagbig_fact_market_history_broadcasts check above
+        # already pins). The per-symbol 52-week WINDOW is deliberately
+        # not 1.5x-pinned: its partition size is bounded by the
+        # CALENDAR (rows per symbol = trading days, ~250/yr), so at
+        # 100 TB volume grows across symbols — perfectly spread — not
+        # within one; the honest walls are recorded side by side.
+        from pyspark.sql import functions as FB
+
+        dm_sil = spark.read.parquet(os.path.join(wh_big, "daily_market"))
+        skew_dir = os.path.join(big_dir, "dm_silver_skew")
+        if not os.path.exists(os.path.join(skew_dir, "_SUCCESS")):
+            dm_sil.withColumn(
+                "dm_s_symb",
+                FB.when(FB.crc32(FB.concat_ws(
+                    "|", "dm_s_symb", "dm_date")) % 10 < 3,
+                    FB.lit("S000000")).otherwise(FB.col("dm_s_symb")),
+            ).write.mode("overwrite").parquet(skew_dir)
+        sec_big = spark.read.parquet(os.path.join(wh_big, "dim_security"))
+
+        def _fmh_join(dm_path: str):
+            dmh = spark.read.parquet(dm_path)
+            return dmh.join(
+                sec_big,
+                (sec_big["symbol"] == dmh["dm_s_symb"])
+                & dmh["dm_date"].cast("timestamp").between(
+                    sec_big["effective_timestamp"],
+                    sec_big["end_timestamp"]),
+            ).select(
+                sec_big["sk_security_id"],
+                dmh["dm_date"].alias("sk_date_id"),
+                dmh["dm_close"].alias("closeprice"),
+                dmh["fifty_two_week_high"],
+                dmh["fifty_two_week_low"],
+            )
+
+        saved_sd = {
+            kk: spark.conf.get(kk)
+            for kk in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            # thresholds scaled to bench-sized shuffles (the zipf
+            # probes' treatment): the hot symbol's 1.5M-row partition
+            # lz4-compresses to single-digit MB, far under the 256MB
+            # production default
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes", "1m")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+            _timed(probes, "skew_dag:fmh_join_uniform",
+                   _fmh_join(os.path.join(wh_big, "daily_market")))
+            skew_df = _fmh_join(skew_dir)
+            _timed(probes, "skew_dag:fmh_join_skewed", skew_df)
+            # AQE only finalizes a DataFrame's OWN QueryExecution when
+            # that execution runs an action; the join result is 5M
+            # rows, so finalize an aggregated twin (same SMJ underneath,
+            # group-by-sized collect) and read ITS plan for the split
+            skew_agg = _fmh_join(skew_dir).groupBy(
+                "sk_security_id").count()
+            skew_agg.collect()
+            splan = (skew_agg._jdf.queryExecution().executedPlan()
+                     .toString())
+            plan_checks["skew_dag_fmh_aqe_split"] = "skew=true" in splan
+            plan_checks["skew_dag_fmh_within_1_5x_uniform"] = (
+                probes["skew_dag:fmh_join_skewed"]
+                <= 1.5 * max(probes["skew_dag:fmh_join_uniform"], 0.5))
+        finally:
+            for kk, vv in saved_sd.items():
+                spark.conf.set(kk, vv)
+        # honest per-key window walls, skewed vs uniform (no pin — see
+        # the calendar-bound note above)
+        from pyspark.sql import Window as WB
+
+        def _win52(dm_path: str):
+            dmh = spark.read.parquet(dm_path).select(
+                "dm_s_symb", "dm_date", "dm_low", "dm_high")
+            w52 = (
+                WB.partitionBy("dm_s_symb")
+                .orderBy(FB.col("dm_date").asc())
+                .rowsBetween(-364, 0)
+            )
+            return dmh.select(
+                "dm_s_symb", "dm_date",
+                FB.min("dm_low").over(w52).alias("lo52"),
+                FB.max("dm_high").over(w52).alias("hi52"),
+            )
+
+        _timed(probes, "skew_dag:window_uniform",
+               _win52(os.path.join(wh_big, "daily_market")))
+        _timed(probes, "skew_dag:window_skewed", _win52(skew_dir))
 
     total = round(sum(times.values()), 3)
     single_shot = {n: v[0] for n, v in headline_trials.items()}

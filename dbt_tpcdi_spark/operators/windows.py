@@ -81,6 +81,71 @@ def rolling_window(
     )
 
 
+def sliding_extremes_blocks(
+    df: DataFrame,
+    key: str | list[str],
+    order: str,
+    cols: list[tuple],
+    preceding: int,
+) -> DataFrame:
+    """O(n) trailing-frame min/max — the two-block prefix/suffix
+    decomposition of ``ROWS BETWEEN preceding PRECEDING AND CURRENT
+    ROW`` (the classic sliding-window-minimum construction).
+
+    Spark's Window evaluates a moving-frame ``min``/``max`` by
+    re-scanning the whole frame for every row — O(frame·n) comparisons
+    (1.8 B struct compares for the 52-week window over 5 M rows).
+    Instead: number rows per key, cut blocks of ``preceding+1`` rows,
+    take the running prefix extreme (ascending) and suffix extreme
+    (descending) WITHIN each block, and reassemble any trailing frame
+    as ``suffix(previous block from frame start) ∪ prefix(current
+    block)`` — the row exactly ``preceding`` back holds that suffix,
+    so one ``lag`` fetches it. Three linear window passes sharing one
+    shuffle replace the quadratic frame scan; at the frame's block
+    boundary the lag row is the current block's first row, whose
+    suffix equals the full block — a harmless duplicate of the prefix.
+
+    ``cols``: list of ``(out_name, column, 'min'|'max')``; the column
+    (typically a struct for extreme-with-tiebreak) must be non-null
+    and ``(key, order)`` pairs unique — the daily-market contract.
+    Exactness: both plans reduce the same frame multiset with the same
+    lexicographic comparator, so results are identical, ties included.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    n = preceding + 1
+    w_seq = Window.partitionBy(*keys).orderBy(F.col(order).asc())
+    out = df.withColumn("__rn", F.row_number().over(w_seq))
+    out = out.withColumn("__blk", F.expr(f"(__rn - 1) div {n}"))
+    w_pre = (
+        Window.partitionBy(*keys, "__blk")
+        .orderBy(F.col(order).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_suf = (
+        Window.partitionBy(*keys, "__blk")
+        .orderBy(F.col(order).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tmp: list[str] = []
+    for name, col, kind in cols:
+        agg = F.min if kind == "min" else F.max
+        out = out.withColumn(f"__pre_{name}", agg(col).over(w_pre))
+        out = out.withColumn(f"__suf_{name}", agg(col).over(w_suf))
+        tmp += [f"__pre_{name}", f"__suf_{name}"]
+    for name, _col, kind in cols:
+        comb = F.least if kind == "min" else F.greatest
+        # least/greatest skip NULL: rows in the first (partial) block
+        # have no lagged suffix and reduce to the prefix alone
+        out = out.withColumn(
+            name,
+            comb(
+                F.col(f"__pre_{name}"),
+                F.lag(F.col(f"__suf_{name}"), preceding).over(w_seq),
+            ),
+        )
+    return out.drop("__rn", "__blk", *tmp)
+
+
 def rolling_extreme_with_date(
     df: DataFrame,
     key: str,
@@ -101,18 +166,32 @@ def rolling_extreme_with_date(
     struct(value, order) where order is negated... simpler and exact:
     min_by/max_by on (value, order) pairs via struct comparison —
     max(struct(value, -epoch)) picks highest value, earliest date.
-    """
-    w = rolling_window(key, order, preceding)
+
+    Evaluation goes through ``sliding_extremes_blocks`` (r10): the
+    naive moving frame re-scans ``preceding+1`` rows per row —
+    O(frame·n) struct comparisons — while the block decomposition is
+    O(n) with identical results."""
     # struct comparison is lexicographic: (value, -days) so the max
     # struct is (max value, earliest date); (−value, −days) for min.
     order_days = F.datediff(F.col(order), F.lit("1970-01-01"))
-    hi = F.max(F.struct(F.col(value).alias("v"), (-order_days).alias("negd"))).over(w)
-    lo = F.min(F.struct(F.col(value).alias("v"), (order_days).alias("d"))).over(w)
+    out = sliding_extremes_blocks(
+        df, key, order,
+        [
+            ("__hi", F.struct(F.col(value).alias("v"),
+                              (-order_days).alias("negd")), "max"),
+            ("__lo", F.struct(F.col(value).alias("v"),
+                              order_days.alias("d")), "min"),
+        ],
+        preceding,
+    )
     return (
-        df.withColumn(f"{value}_high", hi["v"])
-        .withColumn(f"{value}_high_{order}", F.date_add(F.lit("1970-01-01"), -hi["negd"]))
-        .withColumn(f"{value}_low", lo["v"])
-        .withColumn(f"{value}_low_{order}", F.date_add(F.lit("1970-01-01"), lo["d"]))
+        out.withColumn(f"{value}_high", F.col("__hi")["v"])
+        .withColumn(f"{value}_high_{order}",
+                    F.date_add(F.lit("1970-01-01"), -F.col("__hi")["negd"]))
+        .withColumn(f"{value}_low", F.col("__lo")["v"])
+        .withColumn(f"{value}_low_{order}",
+                    F.date_add(F.lit("1970-01-01"), F.col("__lo")["d"]))
+        .drop("__hi", "__lo")
     )
 
 

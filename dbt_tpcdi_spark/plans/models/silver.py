@@ -297,11 +297,12 @@ def daily_market(ref, src) -> DataFrame:
 
     Two plans, switched by ``SPARK_TPCDI_PARITY``:
 
-    - default (**fast**): single window pass — min/max over
-      ``struct(value, epoch_day)`` picks the extreme AND its earliest
-      tie date in one frame (the J8 self-join collapses to W4). One
-      shuffle per symbol partition; no join, no QUALIFY. This is the
-      plan that survives 100 TB.
+    - default (**fast**): min/max over ``struct(value, epoch_day)``
+      picks the extreme AND its earliest tie date (the J8 self-join
+      collapses to W4), evaluated through the O(n) two-block
+      prefix/suffix decomposition (``sliding_extremes_blocks``, r10)
+      instead of the naive O(365·n) frame re-scan — one shuffle, no
+      join, no QUALIFY. This is the plan that survives 100 TB.
     - ``strict``: the reference-shaped calendar self-join + QUALIFY
       (silver/daily_market.sql:8-34). O(rows×365) per symbol, but
       byte-faithful to the reference on the add_months edge: the
@@ -317,18 +318,30 @@ def daily_market(ref, src) -> DataFrame:
         .rowsBetween(-364, 0)
     )
     if os.environ.get("SPARK_TPCDI_PARITY", "") != "strict":
+        from dbt_tpcdi_spark.operators.windows import (
+            sliding_extremes_blocks,
+        )
+
         days = F.datediff(F.col("dm_date"), F.lit("1970-01-01"))
-        lo = F.min(F.struct(F.col("dm_low").alias("v"), days.alias("d"))).over(w)
-        hi = F.max(
-            F.struct(F.col("dm_high").alias("v"), (-days).alias("negd"))
-        ).over(w)
+        out = sliding_extremes_blocks(
+            dm, "dm_s_symb", "dm_date",
+            [
+                ("__lo", F.struct(F.col("dm_low").alias("v"),
+                                  days.alias("d")), "min"),
+                ("__hi", F.struct(F.col("dm_high").alias("v"),
+                                  (-days).alias("negd")), "max"),
+            ],
+            preceding=364,
+        )
         epoch = F.lit("1970-01-01").cast("date")
-        return dm.select(
-            "*",
-            lo["v"].alias("fifty_two_week_low"),
-            F.date_add(epoch, lo["d"]).alias("fifty_two_week_low_date"),
-            hi["v"].alias("fifty_two_week_high"),
-            F.date_add(epoch, -hi["negd"]).alias("fifty_two_week_high_date"),
+        return out.select(
+            *dm.columns,
+            F.col("__lo")["v"].alias("fifty_two_week_low"),
+            F.date_add(epoch, F.col("__lo")["d"]).alias(
+                "fifty_two_week_low_date"),
+            F.col("__hi")["v"].alias("fifty_two_week_high"),
+            F.date_add(epoch, -F.col("__hi")["negd"]).alias(
+                "fifty_two_week_high_date"),
         )
     s1 = dm.withColumn("fifty_two_week_low", F.min("dm_low").over(w)).withColumn(
         "fifty_two_week_high", F.max("dm_high").over(w)

@@ -441,3 +441,42 @@ def test_lsh_cap_zero_survivor_bucket_recovered(spark):
     expect = set(order[:cap])
     for members in per_bucket.values():
         assert members == expect
+
+
+def test_sliding_extremes_blocks_equals_naive_frame(spark):
+    """The O(n) two-block decomposition (r10) must reproduce the naive
+    O(frame·n) moving-frame min/max EXACTLY — values, tie dates, and
+    partial leading frames — across frame sizes that hit every edge:
+    frame 1 (prefix only), frames larger than a partition, frames that
+    land exactly on block boundaries."""
+    import random
+
+    from pyspark.sql import Window
+
+    from dbt_tpcdi_spark.operators.windows import sliding_extremes_blocks
+
+    random.seed(42)
+    rows = []
+    for k in range(6):
+        n = random.choice([1, 2, 7, 8, 14, 15, 16, 50])
+        vals = [float(random.choice([1, 2, 3, 2, 1])) for _ in range(n)]
+        rows += [(k, i, vals[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, "k int, i int, v double")
+    lo_st = F.struct(F.col("v").alias("v"), F.col("i").alias("d"))
+    hi_st = F.struct(F.col("v").alias("v"), (-F.col("i")).alias("nd"))
+    for prec in (0, 1, 6, 7, 8, 100):
+        w = (
+            Window.partitionBy("k").orderBy(F.col("i").asc())
+            .rowsBetween(-prec, 0)
+        )
+        naive = df.select(
+            "k", "i",
+            F.min(lo_st).over(w).alias("lo"),
+            F.max(hi_st).over(w).alias("hi"),
+        )
+        blk = sliding_extremes_blocks(
+            df, "k", "i",
+            [("lo", lo_st, "min"), ("hi", hi_st, "max")], prec,
+        ).select("k", "i", "lo", "hi")
+        assert naive.exceptAll(blk).isEmpty()
+        assert blk.exceptAll(naive).isEmpty()
