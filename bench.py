@@ -1173,12 +1173,19 @@ def main() -> None:
                 return out
 
         wh_big = os.path.join(big_dir, "wh")
-        shutil.rmtree(wh_big, ignore_errors=True)
-        t0 = time.perf_counter()
-        _TimedRunnerBig(
-            spark, big_sources, warehouse_dir=wh_big
-        ).run(parallelism=8)
-        big_wall = round(time.perf_counter() - t0, 3)
+        # median-of-3 (the dag_build_x10/x100 treatment): single-shot
+        # volume builds drifted ~25% run-to-run from page-cache state
+        big_walls = []
+        for _ in range(3):
+            big_models.clear()
+            shutil.rmtree(wh_big, ignore_errors=True)
+            t0 = time.perf_counter()
+            _TimedRunnerBig(
+                spark, big_sources, warehouse_dir=wh_big
+            ).run(parallelism=8)
+            big_walls.append(round(time.perf_counter() - t0, 3))
+        prep["dagbig_build_trials"] = sorted(big_walls)
+        big_wall = sorted(big_walls)[1]
         probes["dag_build_big"] = big_wall
         dag_big = {
             "total_wall": big_wall,

@@ -527,7 +527,19 @@ class VersionedTable:
         ``last_stream_batch``). Many appends fragment the table; fold
         with ``compact()`` (which reads the union and re-derives
         layout/skipping), then ``vacuum``. Tables with a partition
-        manifest don't support append (use ``partitioned_upsert``)."""
+        manifest don't support append (use ``partitioned_upsert``);
+        snapshots written with ``partition_by`` layouts aren't
+        appendable either (the flat batch can't carry the partition
+        column).
+
+        SKIPPING SURVIVES APPENDS (r10, the Delta per-add-action stats
+        shape): whatever stats/Bloom columns the current snapshot
+        carries are derived for the NEW batch directory — O(batch)
+        footer reads / one batch-sized column scan — and the entry
+        stores the union of the prior manifests (re-keyed
+        root-relative) with the batch's, so ``read_where_*`` prune
+        appended snapshots too; probes between compactions stay
+        file-pruned instead of degrading to full scans."""
         # reject partition-manifest tables BEFORE writing the batch
         # directory, so the ValueError path leaves no orphaned data
         # dir behind (ADVICE r9) — re-checked inside the CAS loop too,
@@ -538,13 +550,35 @@ class VersionedTable:
                 "append: table has a partition manifest; use "
                 "partitioned_upsert"
             )
+        stats_cols, bloom_sizing = self._inherited_skipping()
+        if bloom_sizing:
+            _check_bloom_col_types(df, sorted(bloom_sizing))
         data_dir = f"data-{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(
             os.path.join(self.root, data_dir)
         )
+        new_stats: dict = {}
+        new_bloom: dict = {}
+        if stats_cols:
+            new_stats = {
+                f"{data_dir}/{k}": v
+                for k, v in _file_stats(
+                    os.path.join(self.root, data_dir), stats_cols
+                ).items()
+            }
+        for c, (bits, k_) in sorted(bloom_sizing.items()):
+            part = _bloom_stats(
+                self.spark, os.path.join(self.root, data_dir),
+                [c], bits=bits, hashes=k_,
+            )
+            for name, fb in part.items():
+                new_bloom.setdefault(
+                    f"{data_dir}/{name}", {}).update(fb)
         for _ in range(max_retries):
             latest = self.latest_version()
             prior: list[str] = []
+            pstats: dict = {}
+            pbloom: dict = {}
             if latest is not None:
                 entry = self._entry(latest)
                 if "parts" in entry:
@@ -553,7 +587,14 @@ class VersionedTable:
                         "partitioned_upsert"
                     )
                 prior = list(entry.get("datas") or [entry["data"]])
+                _pf, pstats, pbloom, _pb = self._resolve_snapshot(entry)
             extra: dict = {"datas": prior + [data_dir]}
+            merged_stats = {**pstats, **new_stats}
+            merged_bloom = {**pbloom, **new_bloom}
+            if merged_stats:
+                extra["stats"] = merged_stats
+            if merged_bloom:
+                extra["bloom"] = merged_bloom
             if meta:
                 extra["meta"] = meta
             try:
@@ -566,6 +607,26 @@ class VersionedTable:
         raise CommitConflict(
             f"{self.root}: append lost {max_retries} races"
         )
+
+    def _inherited_skipping(self) -> tuple[list, dict]:
+        """The skipping configuration the current snapshot lineage
+        carries: (stats column list, {bloom col: (bits, k)}) from the
+        newest entries that have each — the rule ``compact`` uses to
+        restore skipping, reused so ``append`` preserves it."""
+        stats_cols: list = []
+        bloom_sizing: dict = {}
+        for e in reversed(self.versions()):
+            if not stats_cols and e.get("stats"):
+                stats_cols = sorted({
+                    c for f in e["stats"].values() for c in (f or {})
+                })
+            if not bloom_sizing and e.get("bloom"):
+                for f in e["bloom"].values():
+                    for c, info in (f or {}).items():
+                        bloom_sizing[c] = (info["bits"], info["k"])
+            if stats_cols and bloom_sizing:
+                break
+        return stats_cols, bloom_sizing
 
     def last_stream_batch(self, query_id: str) -> int | None:
         """Newest committed streaming batch id for ``query_id`` (the
@@ -733,6 +794,47 @@ class VersionedTable:
             out = leaf if out is None else out.unionByName(leaf)
         return out, report
 
+    def _resolve_snapshot(self, entry) -> tuple[list, dict, dict, str]:
+        """Normalize a plain or append (multi-directory) snapshot for
+        the pruned-read paths: (files, stats, bloom, base) where files
+        and the manifest keys are TABLE-ROOT-relative paths. Plain
+        entries key their manifests relative to the data dir — re-key
+        them; ``datas`` entries store root-relative keys natively
+        (``append``). ``base`` is the single data dir of a plain
+        entry (the ``basePath`` that re-attaches partition columns) or
+        "" for multi-dir snapshots (append is flat-layout only)."""
+        if "parts" in entry:
+            raise ValueError(
+                "pruned reads support plain or append snapshots; "
+                "partition-manifest versions prune via read_parts"
+            )
+        if "datas" in entry:
+            files = [
+                f"{d}/{p}" for d in entry["datas"]
+                for p in _parquet_relpaths(os.path.join(self.root, d))
+            ]
+            return (files, entry.get("stats") or {},
+                    entry.get("bloom") or {}, "")
+        d = entry["data"]
+        files = [
+            f"{d}/{p}"
+            for p in _parquet_relpaths(os.path.join(self.root, d))
+        ]
+        stats = {
+            f"{d}/{k}": v for k, v in (entry.get("stats") or {}).items()
+        }
+        bloom = {
+            f"{d}/{k}": v for k, v in (entry.get("bloom") or {}).items()
+        }
+        return files, stats, bloom, os.path.join(self.root, d)
+
+    def _read_files(self, keep: list, base: str) -> DataFrame:
+        paths = [os.path.join(self.root, name) for name in keep]
+        reader = self.spark.read
+        if base:
+            reader = reader.option("basePath", base)
+        return reader.parquet(*paths)
+
     def read_where(
         self,
         col: str,
@@ -765,12 +867,7 @@ class VersionedTable:
             if version is None:
                 raise ValueError(f"{self.root}: no commits yet")
         entry = self._entry(version)
-        if "parts" in entry or "datas" in entry:
-            raise ValueError(
-                "read_where supports plain snapshot commits "
-                "(partition-manifest versions already prune by "
-                "partition value)"
-            )
+        files, stats, _bloom, base = self._resolve_snapshot(entry)
 
         def pred(df: DataFrame) -> DataFrame:
             c = F.col(col)
@@ -780,16 +877,14 @@ class VersionedTable:
                 df = df.filter(c <= hi)
             return df
 
-        data_dir = os.path.join(self.root, entry["data"])
-        stats = entry.get("stats")
         if not stats:
-            df = self.spark.read.parquet(data_dir)
-            n = len(_parquet_relpaths(data_dir))
-            return pred(df), {"files_total": n, "files_read": n}
+            n = len(files)
+            return pred(self.read(version)), {
+                "files_total": n, "files_read": n}
         qlo, qhi = _json_stat(lo), _json_stat(hi)
         keep = []
-        for name, fstats in stats.items():
-            s = (fstats or {}).get(col)
+        for name in files:
+            s = (stats.get(name) or {}).get(col)
             if s is None:
                 keep.append(name)  # no usable stats: conservative
                 continue
@@ -799,15 +894,11 @@ class VersionedTable:
             if qlo is not None and fmax is not None and fmax < qlo:
                 continue
             keep.append(name)
-        report = {"files_total": len(stats), "files_read": len(keep)}
+        report = {"files_total": len(files), "files_read": len(keep)}
         if not keep:
             # preserve schema with an empty read of the full snapshot
-            df = self.spark.read.parquet(data_dir).limit(0)
-            return pred(df), report
-        df = self.spark.read.option("basePath", data_dir).parquet(
-            *[os.path.join(data_dir, name) for name in keep]
-        )
-        return pred(df), report
+            return pred(self.read(version).limit(0)), report
+        return pred(self._read_files(keep, base)), report
 
     def read_where_in(
         self,
@@ -829,27 +920,22 @@ class VersionedTable:
             if version is None:
                 raise ValueError(f"{self.root}: no commits yet")
         entry = self._entry(version)
-        if "parts" in entry or "datas" in entry:
-            raise ValueError(
-                "read_where_in supports plain snapshot commits"
-            )
+        files, _stats, bloom, base = self._resolve_snapshot(entry)
 
         def pred(df: DataFrame) -> DataFrame:
             return df.filter(F.col(col).isin(values))
 
-        data_dir = os.path.join(self.root, entry["data"])
-        bloom = entry.get("bloom")
         if _bloom_has_col(bloom, col):
             for v in values:
                 _check_bloom_probe(col, v)
         if not bloom:
-            df = self.spark.read.parquet(data_dir)
-            n = len(_parquet_relpaths(data_dir))
-            return pred(df), {"files_total": n, "files_read": n}
+            n = len(files)
+            return pred(self.read(version)), {
+                "files_total": n, "files_read": n}
         pos: dict = {}  # (value, bits, k) -> positions, computed lazily
         keep = []
-        for name, fbloom in bloom.items():
-            info = (fbloom or {}).get(col)
+        for name in files:
+            info = (bloom.get(name) or {}).get(col)
             if info is None:
                 keep.append(name)
                 continue
@@ -871,14 +957,10 @@ class VersionedTable:
                     break
             if any_hit:
                 keep.append(name)
-        report = {"files_total": len(bloom), "files_read": len(keep)}
+        report = {"files_total": len(files), "files_read": len(keep)}
         if not keep:
-            df = self.spark.read.parquet(data_dir).limit(0)
-            return pred(df), report
-        df = self.spark.read.option("basePath", data_dir).parquet(
-            *[os.path.join(data_dir, name) for name in keep]
-        )
-        return pred(df), report
+            return pred(self.read(version).limit(0)), report
+        return pred(self._read_files(keep, base)), report
 
     def read_where_all(
         self,
@@ -903,14 +985,10 @@ class VersionedTable:
             if version is None:
                 raise ValueError(f"{self.root}: no commits yet")
         entry = self._entry(version)
-        if "parts" in entry or "datas" in entry:
-            raise ValueError(
-                "read_where_all supports plain snapshot commits"
-            )
+        files, stats, bloom, base = self._resolve_snapshot(entry)
         eq = eq or {}
-        _entry_bloom = entry.get("bloom")
         for col, value in eq.items():
-            if _bloom_has_col(_entry_bloom, col):
+            if _bloom_has_col(bloom, col):
                 _check_bloom_probe(col, value)
 
         def pred(df: DataFrame) -> DataFrame:
@@ -923,17 +1001,13 @@ class VersionedTable:
                 df = df.filter(F.col(col) == value)
             return df
 
-        data_dir = os.path.join(self.root, entry["data"])
-        stats = entry.get("stats")
-        bloom = entry.get("bloom") or {}
         if not stats and not bloom:
-            df = self.spark.read.parquet(data_dir)
-            n = len(_parquet_relpaths(data_dir))
-            return pred(df), {"files_total": n, "files_read": n}
-        names = sorted(set(stats or {}) | set(bloom))
+            n = len(files)
+            return pred(self.read(version)), {
+                "files_total": n, "files_read": n}
         keep = []
-        for name in names:
-            fstats = (stats or {}).get(name)
+        for name in files:
+            fstats = stats.get(name)
             ok = True
             for col, (lo, hi) in preds.items():
                 s = (fstats or {}).get(col)
@@ -964,14 +1038,10 @@ class VersionedTable:
                         break
             if ok:
                 keep.append(name)
-        report = {"files_total": len(names), "files_read": len(keep)}
+        report = {"files_total": len(files), "files_read": len(keep)}
         if not keep:
-            df = self.spark.read.parquet(data_dir).limit(0)
-            return pred(df), report
-        df = self.spark.read.option("basePath", data_dir).parquet(
-            *[os.path.join(data_dir, name) for name in keep]
-        )
-        return pred(df), report
+            return pred(self.read(version).limit(0)), report
+        return pred(self._read_files(keep, base)), report
 
     def read_where_eq(
         self,
@@ -1001,25 +1071,20 @@ class VersionedTable:
             if version is None:
                 raise ValueError(f"{self.root}: no commits yet")
         entry = self._entry(version)
-        if "parts" in entry or "datas" in entry:
-            raise ValueError(
-                "read_where_eq supports plain snapshot commits"
-            )
+        files, _stats, bloom, base = self._resolve_snapshot(entry)
 
         def pred(df: DataFrame) -> DataFrame:
             return df.filter(F.col(col) == value)
 
-        data_dir = os.path.join(self.root, entry["data"])
-        bloom = entry.get("bloom")
         if _bloom_has_col(bloom, col):
             _check_bloom_probe(col, value)
         if not bloom:
-            df = self.spark.read.parquet(data_dir)
-            n = len(_parquet_relpaths(data_dir))
-            return pred(df), {"files_total": n, "files_read": n}
+            n = len(files)
+            return pred(self.read(version)), {
+                "files_total": n, "files_read": n}
         keep = []
-        for name, fbloom in bloom.items():
-            info = (fbloom or {}).get(col)
+        for name in files:
+            info = (bloom.get(name) or {}).get(col)
             if info is None:
                 keep.append(name)  # no bitmap for this col: keep
                 continue
@@ -1032,14 +1097,10 @@ class VersionedTable:
                     break
             if hit:
                 keep.append(name)
-        report = {"files_total": len(bloom), "files_read": len(keep)}
+        report = {"files_total": len(files), "files_read": len(keep)}
         if not keep:
-            df = self.spark.read.parquet(data_dir).limit(0)
-            return pred(df), report
-        df = self.spark.read.option("basePath", data_dir).parquet(
-            *[os.path.join(data_dir, name) for name in keep]
-        )
-        return pred(df), report
+            return pred(self.read(version).limit(0)), report
+        return pred(self._read_files(keep, base)), report
 
     def as_of(self, timestamp: float) -> DataFrame:
         """Time travel: the table as of a wall-clock instant (latest

@@ -4765,11 +4765,12 @@ def ivfpq_index_append(
     keep snapshot isolation. Daily appends therefore never force the
     Θ(n·cells) full rebuild.
 
-    Appended commits are multi-directory snapshots without per-file
-    skipping manifests, so probes fall back to an unpruned (still
-    correct) scan until maintenance folds them:
-    ``idx["codes"].compact(target_files=N, range_by=["cell"])``
-    re-clusters on cell and RESTORES the stats + Bloom pruning."""
+    Appends INHERIT the codes table's stats/Bloom columns (r10):
+    the batch directory's manifests are derived at O(batch) cost and
+    unioned with the prior snapshot's, so cell-pruned probes keep
+    working on the fragmented index; maintenance still folds
+    fragmentation (and re-clusters for narrow per-file cell ranges)
+    with ``idx["codes"].compact(target_files=N, range_by=["cell"])``."""
     cents = idx["cents"].read()
     cb = idx["cb"].read()
     base = new_e.select(
@@ -4821,9 +4822,8 @@ def ivfpq_serve_topk(
     try:
         codes_df, rep = idx["codes"].read_where_in("cell", probe_cells)
     except ValueError:
-        # append commits (multi-directory snapshots) carry no per-file
-        # manifests: serve correctly but unpruned until a
-        # compact(range_by=["cell"]) folds them (ivfpq_index_append)
+        # defensive only (e.g. a partition-manifest codes table):
+        # serve correctly but unpruned
         codes_df = idx["codes"].read().filter(
             F.col("cell").isin(probe_cells))
         rep = {"files_total": -1, "files_read": -1, "pruned": False}

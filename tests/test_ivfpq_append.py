@@ -45,11 +45,16 @@ def test_append_lifecycle(spark, tmp_path):
     assert n_all == e.count() * 8  # one row per vector x block
     assert n_all > n_base
 
-    # serve BEFORE compaction: correct but unpruned fallback
+    # serve BEFORE compaction: appends inherit the codes table's
+    # stats/bloom (r10, Delta per-add-action shape), so the fragmented
+    # snapshot is still file-pruned — and still correct
     top_frag, rep_frag = ivfpq_serve_topk(e, idx, nprobe=4,
                                           refine=50, k=10)
     frag_rows = _rows(top_frag)
-    assert rep_frag.get("pruned") is False
+    assert rep_frag["files_read"] < rep_frag["files_total"], rep_frag
+    ev2 = codes_t._entry(v2)
+    assert ev2.get("stats") and ev2.get("bloom")
+    assert any(k.startswith(ev2["datas"][-1]) for k in ev2["bloom"])
 
     # compact folds the appends AND restores the cell skipping that
     # the initial commit declared (stats + bloom re-derived)

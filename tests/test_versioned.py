@@ -938,6 +938,13 @@ def test_incremental_refresh_preserves_layout_metadata(spark, tmp_path):
     entry = vt._entry(v1)
     assert entry["op"] == "refresh"
     assert entry.get("stats") and entry.get("bloom"), entry.keys()
+    # the refresh cycle commits a run-level manifest (r10) that pins
+    # this table at its new version
+    from dbt_tpcdi_spark.plans.runner import MANIFEST_TABLE
+
+    mt = VersionedTable(spark, os.path.join(wh, MANIFEST_TABLE))
+    pins = {r["model"]: r["version"] for r in mt.read().collect()}
+    assert pins["fact_trade"] == v1
 
 
 def test_read_parts_prunes_manifest(spark, tmp_path):
@@ -1016,9 +1023,12 @@ def test_append_commits_and_stream_fence(spark, tmp_path):
     v = t.restore(0)
     assert _vals(t.read(v)) == [1, 2]
     t.restore(1)
-    # pruned reads refuse multi-dir snapshots (no stats contract)
-    with pytest.raises(ValueError, match="plain snapshot"):
-        t.read_where("x", lo=1, hi=2)
+    # pruned reads WORK on multi-dir snapshots (r10): this lineage
+    # carries no stats, so the read is a conservative full scan with
+    # an exact predicate — correct, never an error
+    gw, repw = t.read_where("x", lo=1, hi=2)
+    assert _vals(gw) == [1, 2]
+    assert repw["files_read"] == repw["files_total"]
     # compact folds the fragments into one plain snapshot
     vc = t.compact(target_files=1)
     assert _vals(t.read(vc)) == [1, 2, 3]
