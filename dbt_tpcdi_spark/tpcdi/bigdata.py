@@ -233,11 +233,11 @@ def _daily_market(spark: SparkSession, n_symbols: int,
 
 def _trades(spark: SparkSession, n_trades: int, n_symbols: int,
             n_customers: int):
-    sym_mod = _symbol_mod(n_symbols, n_customers)
     """Trade.txt + TradeHistory.txt + HoldingHistory.txt +
     CashTransaction.txt from one shared base frame. Status mix:
     80% CMPT / 10% CNCL / 10% SBMT; every trade's SBMT history row is
     at t_dts (the create timestamp ``silver.trades`` recovers)."""
+    sym_mod = _symbol_mod(n_symbols, n_customers)
     base = (
         spark.range(1, n_trades + 1)
         .selectExpr(

@@ -109,6 +109,10 @@ SHOWCASE = {
     "anomaly_zscore": "groupBy + equi-join + groupBy; no window, no "
                       "sort",
     "ewma_trailing": "all 8 lag offsets share ONE WindowExec",
+    "rolling_extremes": "O(n) two-block sliding extremes: the "
+                        "prefix/suffix/lag window passes share ONE "
+                        "exchange on the entity key; no O(frame·n) "
+                        "moving-frame re-scan, no self-join",
     "source_cap_sample_twopass": "bucket prefilter before the "
                                  "per-source rank window",
     "nb_lang_classify": "vocab-sized stats; argmax via min(struct) "

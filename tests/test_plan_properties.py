@@ -466,3 +466,16 @@ def test_kmv_serving_plan_has_no_shuffle_join(spark):
     assert "ShuffledHashJoin" not in plan, plan
     assert est.columns == [
         "source_a", "source_b", "k_eff", "kmv_jaccard_pm"]
+
+
+def test_rolling_extremes_blocks_one_exchange_no_join(spark):
+    """The O(n) two-block sliding-extremes plan (r10): the rn/prefix/
+    suffix/lag window passes all partition on the same entity key, so
+    ONE hash exchange feeds them (local sorts only differ) — and the
+    argmax-date recovery stays join-free (the J8 self-join stays
+    collapsed)."""
+    plan = _plan(spark, "rolling_extremes")
+    assert "Join" not in plan or "BroadcastHashJoin" not in plan
+    # daily pre-agg + the shared window key: at most 2 hash exchanges
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Window" in plan
