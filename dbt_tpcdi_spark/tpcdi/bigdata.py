@@ -474,3 +474,117 @@ def synthesize_raw(
     (raw / "CustomerMgmt.xml").write_text(_customer_xml(n_customers))
     marker.touch()
     return raw
+
+
+# ---------------------------------------------------------------------------
+# Batch2 delta synthesis (r10): the incremental-refresh path at fact
+# volume — the fixture Batch2 is 2 trades; this is 10% of the corpus.
+
+
+def synthesize_batch2(
+    spark: SparkSession,
+    target: str | Path,
+    n_symbols: int = 12_500,
+    n_customers: int = 25_000,
+    n_trades: int = 1_000_000,
+    n_new_trades: int = 100_000,
+) -> Path:
+    """Write a raw_batch2/ delta drop coherent with ``synthesize_raw``
+    output of the same parameterization:
+
+    - every Batch1 SBMT trade (t % 10 = 9, 10 % of the corpus) is
+      UPDATED to its completed final state (new Trade.txt row with a
+      price — the full-version-replacement shape) with ACTV/CMPT
+      history rows strictly after every Batch1 row of that trade;
+    - ``n_new_trades`` new trades (ids above the Batch1 range) land
+      completed in Nov 2018 (inside the Date calendar, after every
+      Batch1 fact), accounts/symbols via the Batch1 formulas.
+
+    Idempotent via a marker file; returns the raw_batch2 dir."""
+    target = Path(target)
+    raw2 = target / "raw_batch2"
+    key = f"{n_symbols}_{n_customers}_{n_trades}_{n_new_trades}"
+    marker = target / f"_BIG2_COMPLETE_{key}"
+    if marker.exists():
+        return raw2
+    for stale in target.glob("_BIG2_COMPLETE_*"):
+        stale.unlink()
+    raw2.mkdir(parents=True, exist_ok=True)
+    sym_mod = _symbol_mod(n_symbols, n_customers)
+
+    upd = (
+        spark.range(1, n_trades + 1).filter("id % 10 = 9")
+        .selectExpr(
+            "id AS t",
+            f"(id - 1) % {n_customers} AS cust",
+            f"((id - 1) * 131) % {sym_mod} AS sidx",
+        )
+        .selectExpr(
+            "t",
+            "CASE WHEN cust % 2 = 0 AND t % 7 = 0 THEN 2 * cust + 2 "
+            "     ELSE 2 * cust + 1 END AS ca",
+            "format_string('S%06d', sidx) AS symb",
+            "element_at(array('TMB','TMS','TLB','TLS'), "
+            "           CAST(t % 4 + 1 AS INT)) AS tt",
+            "CASE WHEN t % 2 = 0 THEN 'true' ELSE 'false' END AS is_cash",
+            "CAST(t % 100 + 1 AS DOUBLE) AS qty",
+            "5.0D + (t % 80) * 0.25D AS bid",
+            _ts("2017-04-01 08:00:00",
+                "(t % 550) * 86400 + (t * 7919) % 43200") + " AS dts",
+        )
+    )
+    new = (
+        spark.range(n_trades + 1, n_trades + n_new_trades + 1)
+        .selectExpr(
+            "id AS t",
+            f"(id - 1) % {n_customers} AS cust",
+            f"((id - 1) * 131) % {sym_mod} AS sidx",
+        )
+        .selectExpr(
+            "t",
+            "CASE WHEN cust % 2 = 0 AND t % 7 = 0 THEN 2 * cust + 2 "
+            "     ELSE 2 * cust + 1 END AS ca",
+            "format_string('S%06d', sidx) AS symb",
+            "element_at(array('TMB','TMS','TLB','TLS'), "
+            "           CAST(t % 4 + 1 AS INT)) AS tt",
+            "CASE WHEN t % 2 = 0 THEN 'true' ELSE 'false' END AS is_cash",
+            "CAST(t % 100 + 1 AS DOUBLE) AS qty",
+            "5.0D + (t % 80) * 0.25D AS bid",
+            _ts("2018-11-01 08:00:00",
+                "(t % 30) * 86400 + (t * 7919) % 43200") + " AS dts",
+        )
+    )
+
+    def trade_line(df: DataFrame) -> DataFrame:
+        return df.selectExpr(
+            "concat_ws('|', CAST(t AS STRING), " + _fmt_ts("dts")
+            + ", 'CMPT', tt, is_cash, symb,"
+            " format_string('%.1f', qty), format_string('%.2f', bid),"
+            " CAST(ca AS STRING), format_string('Exec %03d', t % 997),"
+            " format_string('%.2f', bid + 0.25D), '1.0', '0.5',"
+            " '0.25') AS line"
+        )
+
+    _write_lines(
+        trade_line(upd).unionAll(trade_line(new)), F.col("line"),
+        raw2 / "Trade.txt", files=8)
+
+    # updated trades: history STRICTLY AFTER their Batch1 SBMT row;
+    # new trades: a fresh SBMT + CMPT pair
+    hist = (
+        upd.selectExpr(
+            "concat_ws('|', CAST(t AS STRING), "
+            + _fmt_ts("dts + INTERVAL 1 DAY") + ", 'ACTV') AS line")
+        .unionAll(upd.selectExpr(
+            "concat_ws('|', CAST(t AS STRING), "
+            + _fmt_ts("dts + INTERVAL 2 DAY") + ", 'CMPT') AS line"))
+        .unionAll(new.selectExpr(
+            "concat_ws('|', CAST(t AS STRING), " + _fmt_ts("dts")
+            + ", 'SBMT') AS line"))
+        .unionAll(new.selectExpr(
+            "concat_ws('|', CAST(t AS STRING), "
+            + _fmt_ts("dts + INTERVAL 6 HOUR") + ", 'CMPT') AS line"))
+    )
+    _write_lines(hist, F.col("line"), raw2 / "TradeHistory.txt", files=8)
+    marker.touch()
+    return raw2

@@ -101,3 +101,50 @@ def test_idempotent_marker(spark, big_wh, tmp_path):
         dm_days=3, watch_pairs=10,
     )
     assert raw == again
+
+
+def test_batch2_delta_merge_equals_rebuild(spark, big_wh, tmp_path):
+    """synthesize_batch2 coherence: replace-mode merge_refresh of the
+    delta into a versioned trades_history equals the from-scratch
+    rebuild over combined sources — dag_incremental_equivalence's
+    semantics on the volume generator's output."""
+    from dbt_tpcdi_spark.tpcdi.bigdata import synthesize_batch2
+
+    wh, srcs = big_wh
+    target = tmp_path / "b2"
+    raw2 = synthesize_batch2(
+        spark, target, n_symbols=_N_SYMBOLS, n_customers=_N_CUST,
+        n_trades=_N_TRADES, n_new_trades=200,
+    )
+    b2 = load_dag_sources(spark, str(raw2))
+    assert b2["trade"].count() == _N_TRADES // 10 + 200
+
+    vwh = str(tmp_path / "vwh")
+    vr = Runner(spark, srcs, warehouse_dir=vwh, materialize="versioned")
+    vr.run(targets=["trades_history"], parallelism=4)
+    touched = b2["trade_history"].select("th_t_id").distinct()
+    cum_trade = (
+        srcs["trade"].join(b2["trade"].select("t_id"), "t_id",
+                           "left_anti").unionByName(b2["trade"])
+    )
+    cum_th = srcs["trade_history"].unionByName(b2["trade_history"])
+    vr.merge_refresh(
+        "trades_history",
+        {
+            "brokerage_trade_history": cum_th.join(
+                touched, "th_t_id", "left_semi"),
+            "brokerage_trade": cum_trade.join(
+                touched.withColumnRenamed("th_t_id", "t_id"),
+                "t_id", "left_semi"),
+        },
+        replace=True,
+    )
+    cum = dict(srcs)
+    cum["trade"], cum["trade_history"] = cum_trade, cum_th
+    rwh = str(tmp_path / "rwh")
+    Runner(spark, cum, warehouse_dir=rwh).run(
+        targets=["trades_history"], parallelism=4)
+    merged = vr.table("trades_history").read()
+    rebuilt = spark.read.parquet(f"{rwh}/trades_history")
+    assert merged.exceptAll(rebuilt).isEmpty()
+    assert rebuilt.exceptAll(merged).isEmpty()
