@@ -1177,10 +1177,23 @@ def main() -> None:
         from dbt_tpcdi_spark.plans.sources import load_dag_sources
         from dbt_tpcdi_spark.tpcdi.bigdata import synthesize_raw
 
-        big_dir = "/tmp/spark_graft_bench/dagbig"
+        # SPARK_GRAFT_DAGBIG_TRADES scales the whole world linearly
+        # (daily_market rows = 5x trades, customers = trades/40,
+        # symbols = trades/80) — default 1M trades / 5M daily_market
+        big_trades = int(os.environ.get(
+            "SPARK_GRAFT_DAGBIG_TRADES", "1000000"))
+        big_dir = f"/tmp/spark_graft_bench/dagbig_{big_trades}" \
+            if big_trades != 1_000_000 else "/tmp/spark_graft_bench/dagbig"
         t0 = time.perf_counter()
-        raw_big = synthesize_raw(spark, big_dir)
+        raw_big = synthesize_raw(
+            spark, big_dir,
+            n_symbols=max(big_trades // 80, 40),
+            n_customers=max(big_trades // 40, 80),
+            n_trades=big_trades,
+            watch_pairs=max(big_trades * 2 // 5, 100),
+        )
         prep["dagbig_synthesize"] = round(time.perf_counter() - t0, 3)
+        prep["dagbig_n_trades"] = big_trades
         big_sources = load_dag_sources(spark, str(raw_big))
         big_models: dict[str, float] = {}
 
@@ -1206,12 +1219,14 @@ def main() -> None:
         prep["dagbig_build_trials"] = sorted(big_walls)
         big_wall = sorted(big_walls)[1]
         probes["dag_build_big"] = big_wall
+        big_symbols = max(big_trades // 80, 40)
         dag_big = {
             "total_wall": big_wall,
             "parallelism": 8,
-            "rows": {"trade": 1_000_000, "daily_market": 5_000_000,
-                     "trade_history": 2_350_000, "securities": 12_500,
-                     "customers": 25_000},
+            "rows": {"trade": big_trades,
+                     "daily_market": big_symbols * 400,
+                     "securities": big_symbols,
+                     "customers": max(big_trades // 40, 80)},
             "budget_sec": 141.0,
             "models": dict(
                 sorted(big_models.items(), key=lambda kv: -kv[1])
@@ -1224,9 +1239,9 @@ def main() -> None:
             os.path.join(wh_big, "fact_trade")).count()
         n_mh = spark.read.parquet(
             os.path.join(wh_big, "fact_market_history")).count()
-        plan_checks["dagbig_fact_trade_rows_exact"] = n_ft == 1_000_000
+        plan_checks["dagbig_fact_trade_rows_exact"] = n_ft == big_trades
         plan_checks["dagbig_fact_market_history_rows_exact"] = (
-            n_mh == 5_000_000)
+            n_mh == big_symbols * 400)
         # plan audit at volume: the window-not-self-join 52-week plan,
         # broadcast dims on both headline facts, no cartesian anywhere
         models = all_models()
@@ -1298,7 +1313,13 @@ def main() -> None:
         # without costing more than the rebuild it replaces
         from dbt_tpcdi_spark.tpcdi.bigdata import synthesize_batch2
 
-        raw2_big = synthesize_batch2(spark, big_dir)
+        raw2_big = synthesize_batch2(
+            spark, big_dir,
+            n_symbols=big_symbols,
+            n_customers=max(big_trades // 40, 80),
+            n_trades=big_trades,
+            n_new_trades=max(big_trades // 10, 20),
+        )
         b2_big = load_dag_sources(spark, str(raw2_big))
         touched_big = b2_big["trade_history"].select(
             "th_t_id").distinct()
@@ -1428,7 +1449,12 @@ def main() -> None:
             skew_agg.collect()
             splan = (skew_agg._jdf.queryExecution().executedPlan()
                      .toString())
-            plan_checks["skew_dag_fmh_aqe_split"] = "skew=true" in splan
+            if big_trades >= 1_000_000:
+                # the 1m/512k skew thresholds are sized for the 5M-row
+                # corpus; below it the hot partition can't trip the
+                # detector and the pin would fail vacuously
+                plan_checks["skew_dag_fmh_aqe_split"] = (
+                    "skew=true" in splan)
             plan_checks["skew_dag_fmh_within_1_5x_uniform"] = (
                 probes["skew_dag:fmh_join_skewed"]
                 <= 1.5 * max(probes["skew_dag:fmh_join_uniform"], 0.5))

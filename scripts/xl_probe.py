@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""One-off ×1000 scale probe (r10): the linear-by-design dedup/ANN
+rungs at a corpus one decade past the per-round bench ×100 point —
+5 M documents / 2 M embedding vectors — re-measuring the ×100 walls in
+the same session so the growth factors are apples-to-apples.
+
+Pins: wall(×1000) ≤ 20 × wall(×100) for each rung (the same
+subquadratic envelope the per-round bench uses between ×10 and ×100;
+a quadratic op would grow ~100×). SemDedup runs the two-level sharded
+variant with CONSTANT cell size (k_coarse = n/2000), which is the
+production scaling rule — fixed k at 10× the corpus would inflate the
+per-cell Gram quadratically by design, not by defect.
+
+Writes BENCH_r{N}_xl.json (pass the round as argv[1], default r10).
+Run manually; not part of the per-round bench (adds ~10 min of wall).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "r10"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                            "/root/testdata/sf0.1")
+
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark import benchdata
+    from dbt_tpcdi_spark.operators import dedup as D
+    from dbt_tpcdi_spark.queries import all_queries
+    from dbt_tpcdi_spark.queries.llm import (
+        _LSH_BOILER,
+        semdedup_sharded_frame,
+    )
+    from dbt_tpcdi_spark.session import get_spark
+    from dbt_tpcdi_spark.sources.parquet import load_table, spread
+
+    spark = get_spark("xl_probe")
+    out: dict = {"metric": "xl_probe", "unit": "sec", "probes": {},
+                 "checks": {}, "prep": {}}
+    probes, checks, prep = out["probes"], out["checks"], out["prep"]
+
+    dirs = {}
+    for tag, copies in (("x100", 100), ("x1000", 1000)):
+        t0 = time.perf_counter()
+        dirs[tag] = benchdata.replicate_sf(
+            spark, sf_dir,
+            os.path.join("/tmp", "spark_graft_bench",
+                         os.path.basename(sf_dir.rstrip("/"))
+                         + f"_{tag}xl"),
+            copies=copies,
+            tables=("documents", "embeddings"),
+        )
+        prep[f"{tag}_replicate"] = round(time.perf_counter() - t0, 3)
+
+    def timed_median3(name: str, build) -> None:
+        for tag, d in dirs.items():
+            df = build(d)
+            trials = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                trials.append(round(time.perf_counter() - t0, 3))
+            probes[f"{tag}:{name}"] = sorted(trials)[1]
+            prep[f"{tag}_{name}_trials"] = trials
+        checks[f"x1000_{name}_subquadratic"] = (
+            probes[f"x1000:{name}"]
+            <= 20.0 * max(probes[f"x100:{name}"], 0.5)
+        )
+
+    qs = all_queries()
+    timed_median3("kmeans_assign_ivf",
+                  lambda d: qs["kmeans_assign_ivf"].build(spark, d))
+    timed_median3("pq_ann_topk",
+                  lambda d: qs["pq_ann_topk"].build(spark, d))
+
+    # two-level SemDedup at constant cell size (~2000 vectors/cell)
+    def _sharded(d: str):
+        e = spread(load_table(spark, d, "embeddings"))
+        n = e.count()
+        return semdedup_sharded_frame(e, max(n // 2000, 10))
+
+    timed_median3("semdedup_sharded_constcell", _sharded)
+
+    # capped LSH on the boilerplate-heavy corpus (hot buckets at any
+    # scale); signature build included in the wall — it IS the linear
+    # part
+    for tag, d in dirs.items():
+        docs = (
+            spark.read.parquet(os.path.join(d, "documents.parquet"))
+            .select("doc_id", F.concat(
+                F.col("text"), F.lit(" " + _LSH_BOILER)).alias("text"))
+        )
+        t0 = time.perf_counter()
+        sigs = D.with_minhash_signature(docs, "text").persist()
+        sigs.count()
+        capped = D.lsh_candidate_pairs_capped(
+            sigs, "doc_id", cap=8, distinct=False)
+        n_cap = capped.count()
+        probes[f"{tag}:lshcap"] = round(time.perf_counter() - t0, 3)
+        prep[f"{tag}_lshcap_candidates"] = n_cap
+        D.release_lsh_caches(capped)
+        sigs.unpersist()
+    checks["x1000_lshcap_subquadratic"] = (
+        probes["x1000:lshcap"] <= 20.0 * max(probes["x100:lshcap"], 0.5))
+    # candidates grow ~linearly with singleton buckets, never bucket²
+    checks["x1000_lshcap_candidates_linear"] = (
+        prep["x1000_lshcap_candidates"]
+        <= 15 * max(prep["x100_lshcap_candidates"], 1))
+
+    payload = json.dumps(out)
+    print(payload)
+    with open(os.path.join(REPO, f"BENCH_{rnd}_xl.json"), "w") as f:
+        f.write(payload + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
