@@ -47,16 +47,42 @@ def commit_warehouse_manifest(
     commit independently, so a reader during a refresh could join
     ``fact_trade``@new to ``dim_trade``@old — a torn cross-table
     view; pinning through ``read_warehouse`` removes that window.
-    Returns the manifest version (the warehouse-level snapshot id)."""
+    Returns the manifest version (the warehouse-level snapshot id).
+
+    Enumeration is itself not atomic, so a WRITER committing
+    mid-enumeration could make the manifest name a torn pre/post
+    mix — the exact hazard it exists to close. Guard: re-enumerate
+    until two consecutive passes agree (double-read validation — the
+    snapshot is consistent iff nothing moved while it was taken);
+    bail after ``max_passes`` so a continuously-committing writer
+    can't livelock the caller. Per-refresh callers (``Runner.run`` /
+    ``IncrementalRunner.refresh``) hold the single-writer role for
+    their warehouse, so pass 2 normally agrees immediately."""
     from dbt_tpcdi_spark.plans.versioned import VersionedTable
 
-    rows = []
-    for name in sorted(all_models()):
-        root = os.path.join(warehouse_dir, name)
-        if os.path.isdir(os.path.join(root, "_log")):
-            v = VersionedTable(spark, root).latest_version()
-            if v is not None:
-                rows.append((name, v))
+    def _enumerate() -> list[tuple[str, int]]:
+        out = []
+        for name in sorted(all_models()):
+            root = os.path.join(warehouse_dir, name)
+            if os.path.isdir(os.path.join(root, "_log")):
+                v = VersionedTable(spark, root).latest_version()
+                if v is not None:
+                    out.append((name, v))
+        return out
+
+    max_passes = 5
+    rows = _enumerate()
+    for _ in range(max_passes):
+        again = _enumerate()
+        if again == rows:
+            break
+        rows = again
+    else:
+        raise RuntimeError(
+            f"{warehouse_dir}: table versions kept moving across "
+            f"{max_passes} enumeration passes — a concurrent refresh "
+            "is in flight; retry when it settles"
+        )
     if not rows:
         raise ValueError(
             f"{warehouse_dir}: no versioned model tables to manifest"

@@ -494,6 +494,12 @@ class VersionedTable:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(os.path.join(self.root, data_dir))
         extra = {}
+        if partition_by:
+            # recorded so append() can refuse: a flat batch dir can't
+            # carry hive key=value layout, and mixing the two under one
+            # 'datas' snapshot makes later reads fail or drop the
+            # partition column (ADVICE r10)
+            extra["partition_by"] = list(partition_by)
         if stats_cols:
             extra["stats"] = _file_stats(
                 os.path.join(self.root, data_dir), stats_cols
@@ -530,7 +536,8 @@ class VersionedTable:
         manifest don't support append (use ``partitioned_upsert``);
         snapshots written with ``partition_by`` layouts aren't
         appendable either (the flat batch can't carry the partition
-        column).
+        column) — both are rejected with ValueError BEFORE the batch
+        directory is written, and re-checked inside the CAS loop.
 
         SKIPPING SURVIVES APPENDS (r10, the Delta per-add-action stats
         shape): whatever stats/Bloom columns the current snapshot
@@ -545,11 +552,14 @@ class VersionedTable:
         # dir behind (ADVICE r9) — re-checked inside the CAS loop too,
         # since a concurrent writer could introduce a manifest
         _latest0 = self.latest_version()
-        if _latest0 is not None and "parts" in self._entry(_latest0):
-            raise ValueError(
-                "append: table has a partition manifest; use "
-                "partitioned_upsert"
-            )
+        if _latest0 is not None:
+            _e0 = self._entry(_latest0)
+            if "parts" in _e0:
+                raise ValueError(
+                    "append: table has a partition manifest; use "
+                    "partitioned_upsert"
+                )
+            self._check_not_hive_partitioned(_e0)
         stats_cols, bloom_sizing = self._inherited_skipping()
         if bloom_sizing:
             _check_bloom_col_types(df, sorted(bloom_sizing))
@@ -586,6 +596,7 @@ class VersionedTable:
                         "append: table has a partition manifest; use "
                         "partitioned_upsert"
                     )
+                self._check_not_hive_partitioned(entry)
                 prior = list(entry.get("datas") or [entry["data"]])
                 _pf, pstats, pbloom, _pb = self._resolve_snapshot(entry)
             extra: dict = {"datas": prior + [data_dir]}
@@ -627,6 +638,35 @@ class VersionedTable:
             if stats_cols and bloom_sizing:
                 break
         return stats_cols, bloom_sizing
+
+    def _check_not_hive_partitioned(self, entry: dict) -> None:
+        """Refuse to append onto a hive-partitioned snapshot: the flat
+        batch dir can't carry the key=value layout, so a mixed 'datas'
+        snapshot would fail on read (conflicting partition schemas) or
+        silently drop the partition column AFTER the commit landed.
+        Detection: the explicit ``partition_by`` flag newer commits
+        record, plus a key=value-subdir scan for entries written before
+        the flag existed. Mirrors the partition-manifest pre-check."""
+        if entry.get("partition_by"):
+            raise ValueError(
+                "append: snapshot was written partition_by="
+                f"{entry['partition_by']}; a flat append batch can't "
+                "join a hive-partitioned layout — rewrite via commit()"
+            )
+        for d in entry.get("datas") or [entry.get("data")]:
+            if not d:
+                continue
+            p = os.path.join(self.root, d)
+            if not os.path.isdir(p):
+                continue
+            for name in os.listdir(p):
+                if "=" in name and os.path.isdir(os.path.join(p, name)):
+                    raise ValueError(
+                        "append: snapshot data dir "
+                        f"{d!r} is hive-partitioned ({name!r}); a flat "
+                        "append batch can't join it — rewrite via "
+                        "commit()"
+                    )
 
     def last_stream_batch(self, query_id: str) -> int | None:
         """Newest committed streaming batch id for ``query_id`` (the
@@ -1449,15 +1489,21 @@ class VersionedTable:
                 os.path.join(self.root, data_dir)
             )
             extra = {}
-            # append commits carry no per-file manifests, so a compact
-            # that follows appends must RESTORE skipping, not drop it:
-            # recover the stats/bloom column sets from the newest
-            # entry that carries them (r10: the ivfpq_index_append →
-            # compact(range_by="cell") maintenance cycle)
+            # r10 appends DO carry merged per-file manifests, but an
+            # append lineage can still be manifest-less if it stems
+            # from a skipping-less base, so a compact that follows
+            # appends must RESTORE skipping, not drop it. The scan is
+            # bounded to the CURRENT snapshot's append lineage —
+            # newest-first, stopping at the newest non-append entry —
+            # so compacting a table whose latest plain commit
+            # deliberately dropped skipping does NOT resurrect a
+            # superseded config from pre-rewrite history.
             src_stats = src.get("stats")
             src_bloom_src = src.get("bloom")
             if src_stats is None or src_bloom_src is None:
                 for e in reversed(self.versions()):
+                    if e["version"] > latest:
+                        continue
                     if src_stats is None and e.get("stats"):
                         src_stats = e["stats"]
                     if src_bloom_src is None and e.get("bloom"):
@@ -1465,6 +1511,8 @@ class VersionedTable:
                     if (src_stats is not None
                             and src_bloom_src is not None):
                         break
+                    if e.get("op") != "append":
+                        break  # left the append lineage
             if src_stats:
                 cols = sorted({
                     c for f in src_stats.values() for c in (f or {})

@@ -475,7 +475,10 @@ def test_rolling_extremes_blocks_one_exchange_no_join(spark):
     argmax-date recovery stays join-free (the J8 self-join stays
     collapsed)."""
     plan = _plan(spark, "rolling_extremes")
-    assert "Join" not in plan or "BroadcastHashJoin" not in plan
+    # join-free means JOIN-FREE: any join node here (SortMergeJoin,
+    # ShuffledHashJoin, BroadcastHashJoin, CartesianProduct) is the
+    # J8 self-join regression this gate exists to catch
+    assert "Join" not in plan, plan
     # daily pre-agg + the shared window key: at most 2 hash exchanges
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "Window" in plan

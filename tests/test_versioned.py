@@ -765,6 +765,122 @@ def test_append_rejects_partitioned_without_orphan(spark, tmp_path):
     assert after == before  # no orphaned batch directory
 
 
+def test_append_rejects_hive_partitioned_snapshot(spark, tmp_path):
+    """ADVICE r10: appending to a snapshot written with partition_by
+    used to succeed and commit a 'datas' entry mixing a key=value-
+    partitioned dir with a flat batch dir — later reads then fail on
+    conflicting partition schemas or drop the partition column. Now
+    it raises BEFORE writing the batch dir (no orphan), and old
+    entries without the partition_by flag are caught by the
+    key=value-subdir scan."""
+    import json as _json
+    import os as _os
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 40).select(
+        (F.col("id") % 4).alias("p"), F.col("id").alias("k"))
+    v = t.commit(df, partition_by=["p"])
+    assert t._entry(v)["partition_by"] == ["p"]
+    before = {n for n in _os.listdir(t.root) if n.startswith("data-")}
+    with pytest.raises(ValueError, match="partition_by"):
+        t.append(df.select("k"))
+    after = {n for n in _os.listdir(t.root) if n.startswith("data-")}
+    assert after == before  # no orphaned batch directory
+    # pre-flag entry (simulate an old log without partition_by):
+    # the directory scan still refuses
+    ep = t._entry_path(v)
+    e = t._entry(v)
+    e.pop("partition_by")
+    with open(ep, "w") as f:
+        _json.dump(e, f)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        t.append(df.select("k"))
+    # flat tables still append fine
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.commit(df)
+    t2.append(df)
+    assert t2.read().count() == 80
+
+
+def test_compact_skipping_restore_bounded_to_append_lineage(
+    spark, tmp_path
+):
+    """ADVICE r10: compact()'s skipping-restore fallback used to scan
+    the ENTIRE version history, so compacting a table whose latest
+    plain commit deliberately dropped skipping resurrected the old
+    stats/bloom config. The scan now stops at the newest non-append
+    entry: a skipping-less overwrite stays skipping-less through
+    compact, while append lineages still restore."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t.commit(df, stats_cols=["k"], bloom_cols=["k"])
+    # a plain overwrite that DELIBERATELY drops skipping
+    t.commit(df)
+    v = t.compact(target_files=1)
+    e = t._entry(v)
+    assert "stats" not in e and "bloom" not in e, e
+    # but an append lineage stemming from a skipping commit restores
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.commit(df, stats_cols=["k"])
+    t2.append(df.limit(10))
+    v2 = t2.compact(target_files=1)
+    assert t2._entry(v2).get("stats"), t2._entry(v2)
+
+
+def test_warehouse_manifest_double_pass_settles(spark, tmp_path, monkeypatch):
+    """ADVICE r10: commit_warehouse_manifest re-enumerates until two
+    passes agree, so a writer committing mid-enumeration can't land a
+    torn manifest; a version bump between pass 1 and pass 2 is
+    re-read, and continuous movement raises instead of committing."""
+    from dbt_tpcdi_spark.plans import runner as R
+
+    wh = str(tmp_path / "wh")
+    models = list(sorted(R.all_models()))[:2]
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    for m in models:
+        VersionedTable(spark, f"{wh}/{m}").commit(df)
+
+    bumped = {"done": False}
+    orig = VersionedTable.latest_version
+
+    def racing_latest(self):
+        v = orig(self)
+        # after the first table is read, a "concurrent writer" bumps
+        # the second table once — pass 2 must pick up the new version
+        if not bumped["done"] and self.root.endswith(models[0]):
+            bumped["done"] = True
+            VersionedTable(spark, f"{wh}/{models[1]}").commit(df)
+        return v
+
+    monkeypatch.setattr(VersionedTable, "latest_version", racing_latest)
+    mv = R.commit_warehouse_manifest(spark, wh)
+    monkeypatch.setattr(VersionedTable, "latest_version", orig)
+    pins = {
+        r["model"]: int(r["version"])
+        for r in VersionedTable(
+            spark, f"{wh}/{R.MANIFEST_TABLE}").read(mv).collect()
+    }
+    # manifest names the POST-bump version of the second table
+    assert pins[models[1]] == 1, pins
+
+    depth = {"in": False}
+
+    def always_moving(self):
+        v = orig(self)
+        if self.root.endswith(models[1]) and not depth["in"]:
+            depth["in"] = True  # commit() re-enters latest_version
+            try:
+                VersionedTable(spark, f"{wh}/{models[1]}").commit(df)
+            finally:
+                depth["in"] = False
+        return v
+
+    monkeypatch.setattr(VersionedTable, "latest_version", always_moving)
+    with pytest.raises(RuntimeError, match="kept moving"):
+        R.commit_warehouse_manifest(spark, wh)
+
+
 def test_nprobe_zero_rejected():
     """ADVICE r9: nprobe=0 used to build the probe CTE but skip the
     ADC join (falsy), silently serving the full corpus."""
