@@ -569,7 +569,8 @@ def _top_ngram_frac(text_col: str, n: int) -> Column:
 
 
 def repetition_features(
-    df: DataFrame, id_col: str, text_col: str = "text"
+    df: DataFrame, id_col: str, text_col: str = "text",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style repetition measures per document:
 
@@ -586,27 +587,62 @@ def repetition_features(
     folds over the sorted gram array instead of exploding to a
     per-(doc, gram) count), so repetition filtering runs at scan
     bandwidth at any corpus size.
+
+    ``keep`` carries extra input columns through the projection so a
+    pipeline can FILTER on ``is_repetitive`` in place instead of
+    joining the features back to the source — a projection is free,
+    the join-back is a second scan plus a shuffle (the r10
+    curation-pipeline shape).
     """
     c = F.col(text_col)
-    toks = tokens(c)
-    n_tokens = F.size(toks)
-    dup_tok = F.when(
-        n_tokens > 0,
-        round4((n_tokens - F.size(F.array_distinct(toks))) / n_tokens),
-    ).otherwise(F.lit(0.0))
-    lines = F.split(c, "\n")
-    n_lines = F.size(lines)
-    dup_line = F.when(
-        n_lines > 0,
-        round4((n_lines - F.size(F.array_distinct(lines))) / n_lines),
-    ).otherwise(F.lit(0.0))
+
+    # SINGLE-EVALUATION plan (r11): the naive per-feature expression
+    # list re-derives tokens ~8x and each n-gram array 3x per row
+    # (CollapseProject inlines aliases, and the when/size guards defeat
+    # codegen subexpression elimination across features — measured
+    # 2.6 s vs 0.6 s on the sf0.1 pass). Binding the token array as a
+    # higher-order-function lambda variable forces exactly one
+    # evaluation: transform() over a one-element array makes `tk` a
+    # bound reference, not a re-derivable subtree; the n-gram arrays
+    # get the same treatment one level down.
+    def _once(expr: Column, fn) -> Column:
+        return F.transform(F.array(expr), fn)[0]
+
+    def _top_frac(tk: Column, n: int) -> Column:
+        grams = F.when(F.size(tk) >= n, _ngrams_linear(tk, n)).otherwise(
+            F.array().cast("array<string>")
+        )
+        return _once(
+            grams,
+            lambda gr: F.when(
+                F.size(gr) > 0,
+                round4(_max_multiplicity(gr) / F.size(gr)),
+            ).otherwise(F.lit(0.0)),
+        )
+
+    def _dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0, round4((n - F.size(F.array_distinct(arr))) / n)
+        ).otherwise(F.lit(0.0))
+
+    feats = _once(
+        tokens(c),
+        lambda tk: F.struct(
+            F.size(tk).cast("bigint").alias("n_tokens"),
+            _dup_frac(tk).alias("dup_token_frac"),
+            _top_frac(tk, 2).alias("top_2gram_frac"),
+            _top_frac(tk, 3).alias("top_3gram_frac"),
+        ),
+    )
     out = df.select(
         F.col(id_col),
-        n_tokens.cast("bigint").alias("n_tokens"),
-        dup_tok.alias("dup_token_frac"),
-        dup_line.alias("dup_line_frac"),
-        _top_ngram_frac(text_col, 2).alias("top_2gram_frac"),
-        _top_ngram_frac(text_col, 3).alias("top_3gram_frac"),
+        *[F.col(k) for k in keep],
+        feats["n_tokens"].alias("n_tokens"),
+        feats["dup_token_frac"].alias("dup_token_frac"),
+        _once(F.split(c, "\n"), _dup_frac).alias("dup_line_frac"),
+        feats["top_2gram_frac"].alias("top_2gram_frac"),
+        feats["top_3gram_frac"].alias("top_3gram_frac"),
     )
     return out.withColumn(
         "is_repetitive",
@@ -957,16 +993,26 @@ def quality_quantile_gate_approx(
     while persisted blocks are evictable under memory pressure and
     are released by the ContextCleaner once the returned DataFrame is
     dropped. Callers that already materialized ``scored`` (or that
-    loop and manage their own caching) pass ``materialize=False``."""
+    loop and manage their own caching) pass ``materialize=False``.
+
+    EXECUTION SHAPE (r11 — fixes the r10 rising-trials regression):
+    the per-group threshold is resolved EAGERLY, in the SAME pass that
+    fills the persist (the threshold aggregation is the cache-filling
+    action — no separate ``count()`` warm-up pass), and embedded into
+    the returned plan as a LITERAL broadcast (``createDataFrame`` of
+    ≤ |groups| rows — driver metadata, like k-means centroids). The
+    returned DataFrame therefore consumes the ``scored`` subtree
+    exactly ONCE: even if an external ``clearCache()`` drops the
+    persist, re-executing the result recomputes upstream once, never
+    twice (r10: the threshold-join plan re-ran the whole text-feature
+    lineage per consumer after clearCache — trials [1.9, 4.7, 4.5]
+    instead of a flat ~2 s)."""
     from pyspark.sql import Window
 
     if materialize:
-        # eager fill (count) so the one-time materialization cost
-        # lands here, not inside the caller's first consuming action —
-        # but through an EVICTABLE persist, never the session-pinned
-        # localCheckpoint this used through r8
+        # evictable persist (never the session-pinned localCheckpoint
+        # this used through r8); filled by the threshold collect below
         scored = scored.persist()
-        scored.count()
     hist = scored.groupBy(group_col, score_col).agg(
         F.count("*").alias("__c")
     )
@@ -981,11 +1027,19 @@ def quality_quantile_gate_approx(
         f"({QUALITY_QUANTILE_NUM} * __n + {QUALITY_QUANTILE_DEN} - 1) "
         f"div {QUALITY_QUANTILE_DEN}"
     )
-    thr = (
+    thr_rows = (
         cum.join(tot, group_col)
         .filter(F.col("__cum") >= target)
         .groupBy(group_col)
         .agg(F.min(score_col).alias("qthreshold"))
+        .collect()  # ≤ |groups| rows — bounded driver metadata
+    )
+    spark = scored.sparkSession
+    g_type = scored.schema[group_col].dataType.simpleString()
+    s_type = scored.schema[score_col].dataType.simpleString()
+    thr = spark.createDataFrame(
+        [(r[group_col], r["qthreshold"]) for r in thr_rows],
+        f"{group_col} {g_type}, qthreshold {s_type}",
     )
     return (
         scored.join(F.broadcast(thr), group_col)

@@ -227,7 +227,14 @@ def financials(ref, src) -> DataFrame:
 @model(layer="silver",
        deps=("brokerage_trade", "brokerage_trade_history",
              "reference_trade_type", "reference_status_type"),
-       scd2_key="trade_id")
+       scd2_key="trade_id",
+       # partition-scoped incremental merge: trade ids are assigned
+       # roughly monotonically in time (TPC-DI), so a Batch2/3 delta
+       # — late corrections + new trades — clusters in the top id
+       # ranges and rewrites only those partitions (~32k keys each).
+       # id-derived (not timestamp-derived) because a CDC update may
+       # carry a NEW t_dts while the key must stay in its partition.
+       merge_partition=("mp_id_block", "CAST(trade_id DIV 32768 AS INT)"))
 def trades_history(ref, src) -> DataFrame:
     """silver/trades_history.sql — 4-way join (J2; status_type twice)
     then SCD2 by trade over history timestamps."""

@@ -72,6 +72,17 @@ class Model:
     #: physical layout for versioned materialization (None = plain
     #: write, no skipping metadata).
     layout: Layout | None = None
+    #: (column_name, sql_expr) for PARTITION-SCOPED incremental merge
+    #: (VERDICT r10 item 1): versioned materialization stores the model
+    #: under an INTERNAL partition manifest keyed by this derived
+    #: column (``partitioned_upsert(internal=True)``), and
+    #: ``Runner.merge_refresh`` rewrites only the partitions a delta
+    #: touches instead of copy-on-writing the whole table. The expr is
+    #: evaluated over the model's OUTPUT columns and MUST be a pure
+    #: function of ``scd2_key`` (checked per batch by the upsert's
+    #: key-spread guard). The column never appears in reads — it is a
+    #: storage detail, so the model's user-visible schema is unchanged.
+    merge_partition: tuple[str, str] | None = None
 
 
 MODELS: dict[str, Model] = {}
@@ -83,14 +94,21 @@ def model(
     sources: tuple[str, ...] = (),
     scd2_key: str | None = None,
     layout: Layout | None = None,
+    merge_partition: tuple[str, str] | None = None,
 ):
     assert layer in LAYERS, layer
+    assert not (merge_partition and layout), \
+        "merge_partition and layout are exclusive (partition manifest " \
+        "vs plain-snapshot skipping)"
+    assert not merge_partition or scd2_key, \
+        "merge_partition needs scd2_key (the partition expr must be a " \
+        "function of the merge key)"
 
     def wrap(fn: Callable[[Ref, Ref], DataFrame]):
         name = fn.__name__
         assert name not in MODELS, f"duplicate model {name}"
         MODELS[name] = Model(name, layer, tuple(deps), tuple(sources), fn,
-                             scd2_key, layout)
+                             scd2_key, layout, merge_partition)
         return fn
 
     return wrap

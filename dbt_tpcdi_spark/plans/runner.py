@@ -123,6 +123,21 @@ def read_warehouse(
     }
 
 
+def _key_derived(df: DataFrame, key: str, expr: str) -> bool:
+    """True iff ``expr`` resolves against a key-only projection of
+    ``df`` — i.e. references nothing but the key, so it is a
+    deterministic per-row function of the key and the partitioned
+    upsert's key-spread probe is provably redundant. Analysis-time
+    only (no Spark job)."""
+    from pyspark.sql import functions as F
+
+    try:
+        df.select(key).select(F.expr(expr))
+        return True
+    except Exception:
+        return False
+
+
 def apply_layout(df: DataFrame, layout: Layout) -> DataFrame:
     """Cluster ``df`` per its model's declared physical layout BEFORE
     the versioned write, so the skipping metadata the commit records
@@ -260,6 +275,23 @@ class Runner:
             return df
         if self.materialize == "versioned":
             vt = self.table(name)
+            m = all_models().get(name)
+            if m is not None and m.merge_partition is not None:
+                # establish the internal partition manifest at build
+                # time so merge_refresh's partition-pruned path is live
+                # from the first delta; overwrite=True keeps build's
+                # replace-the-table semantics
+                from pyspark.sql import functions as F
+
+                col, expr = m.merge_partition
+                vt.partitioned_upsert(
+                    df.withColumn(col, F.expr(expr)),
+                    key=m.scd2_key, partition_col=col,
+                    internal=True, overwrite=True,
+                    check_key_spread=not _key_derived(
+                        df, m.scd2_key, expr),
+                )
+                return vt.read()
             layout = self._layout(name)
             if layout:
                 df = apply_layout(df, layout)
@@ -344,11 +376,6 @@ class Runner:
             raise ValueError(f"{name} is not an SCD2 model")
         versioned = self.materialize == "versioned"
         path = os.path.join(self.warehouse_dir, name)
-        if versioned:
-            existing = self.table(name).read()
-        else:
-            self._adopt_stranded_swap(path)
-            existing = self.spark.read.parquet(path)
 
         def ref(n: str) -> DataFrame:
             if n in delta_refs:
@@ -361,6 +388,32 @@ class Runner:
             if n in delta_refs:
                 return delta_refs[n]
             return self.sources[n]
+
+        if (
+            versioned
+            and m.merge_partition is not None
+            and delta_refs
+            and delete_keys is None
+        ):
+            vt = self.table(name)
+            latest = vt.latest_version()
+            entry = vt._entry(latest) if latest is not None else None
+            if entry is not None and entry.get("part_col") == m.merge_partition[0]:
+                # PARTITION-PRUNED merge (VERDICT r10 item 1): rewrite
+                # only the partitions the delta touches — O(touched
+                # partitions + delta) instead of the full-table
+                # copy-on-write below. Falls through to the full path
+                # when the manifest is absent (legacy table, or a
+                # delete purge dropped it).
+                return self._merge_refresh_partitioned(
+                    m, vt, ref, src, replace
+                )
+
+        if versioned:
+            existing = self.table(name).read()
+        else:
+            self._adopt_stranded_swap(path)
+            existing = self.spark.read.parquet(path)
 
         if delta_refs:
             delta_built = m.build(ref, src).drop(
@@ -413,6 +466,63 @@ class Runner:
         os.rename(staging, path)
         shutil.rmtree(old)
         return self.spark.read.parquet(path)
+
+    def _merge_refresh_partitioned(
+        self, m: Model, vt, ref, src, replace: bool
+    ) -> DataFrame:
+        """Partition-scoped row-level refresh: the delta's recomputed
+        rows land via ``partitioned_upsert`` on the model's declared
+        ``merge_partition`` column, so only touched partitions of the
+        table rewrite — the Delta/Iceberg dynamic-partition MERGE
+        shape. A ≤1% delta at fact volume rewrites 1-2 partitions out
+        of dozens instead of copy-on-writing the whole snapshot, which
+        is what makes incremental refresh CHEAPER than rebuild (the
+        dynamic-table economics the reference gets from Snowflake,
+        dbt_project.yml:33-47).
+
+        ``replace=False`` re-windows existing versions of touched keys
+        alongside the delta; the partition expr is a function of the
+        key, so those versions provably live in the delta's own
+        partitions — ``read_parts`` fetches them without scanning the
+        rest of the table."""
+        from pyspark.sql import functions as F
+
+        from dbt_tpcdi_spark.operators.scd2 import with_scd2
+
+        col, pexpr = m.merge_partition
+        delta_built = m.build(ref, src).drop(
+            "end_timestamp", "is_current"
+        ).withColumn(col, F.expr(pexpr))
+        key_derived = _key_derived(delta_built, m.scd2_key, pexpr)
+        if replace:
+            to_window = delta_built
+        else:
+            vals = [
+                r[0] for r in delta_built.select(col).distinct().collect()
+            ]
+            touched, _ = vt.read_parts(vals)  # internal: no layout col
+            touched = (
+                touched.join(
+                    delta_built.select(m.scd2_key).distinct(),
+                    m.scd2_key, "left_semi",
+                )
+                .drop("end_timestamp", "is_current")
+                .withColumn(col, F.expr(pexpr))
+            )
+            to_window = touched.unionByName(delta_built)
+        updates = with_scd2(to_window, key=m.scd2_key)
+        # the upsert consumes `updates` three times (key-spread check,
+        # touched-value collect, merge write); persist the delta-sized
+        # result so the builder's join lineage runs once, not 3x
+        updates = updates.persist()
+        try:
+            vt.partitioned_upsert(
+                updates, key=m.scd2_key, partition_col=col, internal=True,
+                check_key_spread=not key_derived,
+            )
+        finally:
+            updates.unpersist()
+        return vt.read()
 
     def _adopt_stranded_swap(self, path: str) -> None:
         """Recover a merge_refresh interrupted mid-swap (see ordering

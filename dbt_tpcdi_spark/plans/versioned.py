@@ -745,8 +745,8 @@ class VersionedTable:
         entry = self._entry(version)
         extra = {
             k: entry[k]
-            for k in ("parts", "part_col", "part_type", "stats",
-                      "bloom", "datas")
+            for k in ("parts", "part_col", "part_type", "part_internal",
+                      "partition_by", "stats", "bloom", "datas")
             if k in entry
         }
         return self._commit_entry(
@@ -779,11 +779,16 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         col, dtype = entry["part_col"], entry["part_type"]
+        internal = entry.get("part_internal", False)
         out = None
         for val, data_dir in sorted(entry["parts"].items()):
             leaf = self.spark.read.parquet(
                 os.path.join(self.root, data_dir, f"{col}={val}")
-            ).withColumn(col, F.lit(val).cast(dtype))
+            )
+            if not internal:
+                # re-attach the partition column; internal layout
+                # columns stay a storage detail (part_internal)
+                leaf = leaf.withColumn(col, F.lit(val).cast(dtype))
             out = leaf if out is None else out.unionByName(leaf)
         return out
 
@@ -826,11 +831,14 @@ class VersionedTable:
         if not keep:
             empty = self.read(version).limit(0)
             return empty, report
+        internal = entry.get("part_internal", False)
         out = None
         for val, data_dir in sorted(keep.items()):
             leaf = self.spark.read.parquet(
                 os.path.join(self.root, data_dir, f"{col}={val}")
-            ).withColumn(col, F.lit(val).cast(dtype))
+            )
+            if not internal:
+                leaf = leaf.withColumn(col, F.lit(val).cast(dtype))
             out = leaf if out is None else out.unionByName(leaf)
         return out, report
 
@@ -1238,6 +1246,9 @@ class VersionedTable:
         partition_col: str,
         max_retries: int = 10,
         keys_move_partitions: bool = False,
+        internal: bool = False,
+        overwrite: bool = False,
+        check_key_spread: bool = True,
     ) -> int:
         """MERGE that rewrites ONLY the partitions the batch touches —
         the Iceberg/Delta dynamic-partition-overwrite shape, and the
@@ -1277,12 +1288,35 @@ class VersionedTable:
         proves the column is NOT key-derived → ``ValueError``).
         ``keys_move_partitions=True`` drops the assumption and
         anti-joins the FULL manifest by key — correct for moving keys
-        but O(table) per batch, the same cost as plain ``upsert``."""
+        but O(table) per batch, the same cost as plain ``upsert``.
+
+        ``internal=True`` marks the partition column as a STORAGE
+        DETAIL (``part_internal`` in the entry): ``read()`` /
+        ``read_parts()`` return the table WITHOUT it, so a model can
+        adopt a partition-pruned merge layout without changing its
+        user-visible schema — the hive-partition analog of a layout
+        column. The column still lives in the leaf-directory names
+        and in ``updates`` (callers derive it right before the call).
+        Internal tables can't transition FROM a plain non-empty
+        snapshot via the merge path (the existing rows' partition
+        values aren't derivable storage-side) — bootstrap with
+        ``overwrite=True`` instead.
+
+        ``overwrite=True`` replaces the WHOLE table with ``updates``
+        as a fresh full manifest (no anti-join, no carried-forward
+        partitions) — the bootstrap/rebuild shape with overwrite
+        semantics: keys absent from ``updates`` disappear, which a
+        plain upsert never does."""
         from pyspark.sql import functions as F
 
         keys = [key] if isinstance(key, str) else list(key)
         dtype = updates.schema[partition_col].dataType.simpleString()
-        if not keys_move_partitions:
+        if not keys_move_partitions and check_key_spread:
+            # callers that DERIVED partition_col as a deterministic
+            # per-row expression over the key columns may pass
+            # check_key_spread=False: such a column provably can't put
+            # one key under two values in a batch, and the groupBy
+            # probe is one whole-batch aggregation job saved per merge
             bad = (
                 updates.groupBy(*keys)
                 .agg(F.countDistinct(partition_col).alias("__np"))
@@ -1308,7 +1342,10 @@ class VersionedTable:
                 str(r[0])
                 for r in updates.select(partition_col).distinct().collect()
             )
-            if (
+            if overwrite:
+                merged = updates
+                prev_parts = {}
+            elif (
                 base_entry is not None
                 and base_entry.get("part_col") == partition_col
                 and not keys_move_partitions
@@ -1350,6 +1387,16 @@ class VersionedTable:
                 # keys_move_partitions=True (the anti-join must see
                 # EVERY partition so a key's old row in its previous
                 # partition is dropped, not carried forward)
+                if internal:
+                    # internal reads drop the partition column, so the
+                    # full-rewrite path (which anti-joins the whole
+                    # read) can't reconstruct it for carried rows
+                    raise ValueError(
+                        f"{self.root}: internal-partition merge needs "
+                        f"an existing {partition_col!r} manifest with "
+                        "keys_move_partitions=False; bootstrap or "
+                        "re-partition with overwrite=True"
+                    )
                 existing = self.read(base_version)
                 keep = existing.join(
                     updates.select(*keys).distinct(), keys, "left_anti"
@@ -1366,21 +1413,31 @@ class VersionedTable:
                 merged = updates
                 prev_parts = {}
             data_dir = f"data-{uuid.uuid4().hex[:12]}"
+            if internal:
+                # cluster by partition value before the partitionBy
+                # write: otherwise every shuffle task writes a sliver
+                # into every touched partition dir — O(tasks × values)
+                # small files per commit, the classic dynamic-partition
+                # write explosion
+                merged = merged.repartition(F.col(partition_col))
             merged.write.mode("overwrite").partitionBy(partition_col).parquet(
                 os.path.join(self.root, data_dir)
             )
             parts = {**prev_parts, **{v: data_dir for v in vals}}
+            extra = {
+                "parts": parts,
+                "part_col": partition_col,
+                "part_type": dtype,
+            }
+            if internal:
+                extra["part_internal"] = True
             try:
                 return self._commit_entry(
                     data_dir,
                     "partitioned_upsert",
                     max_retries=1,
                     expected_latest=base_version,
-                    extra={
-                        "parts": parts,
-                        "part_col": partition_col,
-                        "part_type": dtype,
-                    },
+                    extra=extra,
                 )
             except CommitConflict:
                 continue

@@ -3308,8 +3308,13 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str, gate) -> DataFrame:
     the one stage with two legitimate scale/semantics trade-offs, so
     it is a parameter rather than a fork of the pipeline."""
     d = _spread(load_table(spark, sf_dir, "documents"))
-    rep = X.repetition_features(d, "doc_id").filter(~F.col("is_repetitive"))
-    survivors = d.join(rep.select("doc_id"), "doc_id")
+    # is_repetitive is a pure projection (no shuffle) — filter in
+    # place via keep= instead of the r10 join-back, which cost a
+    # second documents scan plus a doc_id shuffle per execution
+    survivors = (
+        X.repetition_features(d, "doc_id", keep=("lang", "text"))
+        .filter(~F.col("is_repetitive"))
+    )
     scored = X.quality_features(
         survivors.select("doc_id", "lang", "text")
     ).select(

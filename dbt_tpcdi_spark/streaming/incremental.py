@@ -135,8 +135,24 @@ class IncrementalRunner:
                 # would silently strip the fact tables' skipping
                 # metadata and every pruned read would degrade to a
                 # full scan
+                mp = models[name].merge_partition
                 layout = models[name].layout
-                if layout:
+                if mp:
+                    # keep the internal partition manifest alive across
+                    # full refreshes so merge_refresh's pruned path
+                    # stays available (same as Runner._materialize)
+                    from pyspark.sql import functions as F
+
+                    from dbt_tpcdi_spark.plans.runner import _key_derived
+
+                    VersionedTable(self.spark, path).partitioned_upsert(
+                        df.withColumn(mp[0], F.expr(mp[1])),
+                        key=models[name].scd2_key, partition_col=mp[0],
+                        internal=True, overwrite=True,
+                        check_key_spread=not _key_derived(
+                            df, models[name].scd2_key, mp[1]),
+                    )
+                elif layout:
                     df = apply_layout(df, layout)
                     VersionedTable(self.spark, path).commit(
                         df, op="refresh",

@@ -37,6 +37,7 @@ File-name conventions follow ``plans/sources.py`` (a DIRECTORY named
 from __future__ import annotations
 
 import datetime as _dt
+import hashlib
 from pathlib import Path
 
 import math
@@ -488,32 +489,49 @@ def synthesize_batch2(
     n_customers: int = 25_000,
     n_trades: int = 1_000_000,
     n_new_trades: int = 100_000,
+    update_pred: str = "id % 10 = 9",
+    new_id_base: int | None = None,
+    dir_name: str = "raw_batch2",
 ) -> Path:
     """Write a raw_batch2/ delta drop coherent with ``synthesize_raw``
     output of the same parameterization:
 
-    - every Batch1 SBMT trade (t % 10 = 9, 10 % of the corpus) is
-      UPDATED to its completed final state (new Trade.txt row with a
-      price — the full-version-replacement shape) with ACTV/CMPT
-      history rows strictly after every Batch1 row of that trade;
-    - ``n_new_trades`` new trades (ids above the Batch1 range) land
-      completed in Nov 2018 (inside the Date calendar, after every
-      Batch1 fact), accounts/symbols via the Batch1 formulas.
+    - every Batch1 trade matching ``update_pred`` (default
+      ``id % 10 = 9``: 10 % of the corpus, spread across the whole id
+      range — the LARGE-delta shape) is UPDATED to its completed final
+      state (new Trade.txt row with a price — the
+      full-version-replacement shape) with ACTV/CMPT history rows
+      strictly after every Batch1 row of that trade;
+    - ``n_new_trades`` new trades (ids above ``new_id_base``, default
+      the Batch1 range) land completed in Nov 2018 (inside the Date
+      calendar, after every Batch1 fact), accounts/symbols via the
+      Batch1 formulas.
 
-    Idempotent via a marker file; returns the raw_batch2 dir."""
+    Pass ``update_pred="id >= <hi>"`` with a small count for the
+    SMALL-delta shape (late corrections clustered in the newest id
+    blocks — the realistic steady-state refresh) and ``dir_name`` to
+    keep it beside the big batch. Idempotent via a marker file;
+    returns the delta dir."""
     target = Path(target)
-    raw2 = target / "raw_batch2"
-    key = f"{n_symbols}_{n_customers}_{n_trades}_{n_new_trades}"
+    raw2 = target / dir_name
+    base = n_trades if new_id_base is None else new_id_base
+    pred_tag = hashlib.md5(update_pred.encode()).hexdigest()[:8]
+    key = (f"{dir_name}_{n_symbols}_{n_customers}_{n_trades}_"
+           f"{n_new_trades}_{base}_{pred_tag}")
     marker = target / f"_BIG2_COMPLETE_{key}"
     if marker.exists():
         return raw2
-    for stale in target.glob("_BIG2_COMPLETE_*"):
+    # markers are per-dir_name so a small-delta synthesis never
+    # invalidates the big batch2 next to it (and vice versa)
+    for stale in target.glob(f"_BIG2_COMPLETE_{dir_name}_*"):
         stale.unlink()
+    for stale in target.glob("_BIG2_COMPLETE_[0-9]*"):
+        stale.unlink()  # pre-r11 un-namespaced markers
     raw2.mkdir(parents=True, exist_ok=True)
     sym_mod = _symbol_mod(n_symbols, n_customers)
 
     upd = (
-        spark.range(1, n_trades + 1).filter("id % 10 = 9")
+        spark.range(1, n_trades + 1).filter(update_pred)
         .selectExpr(
             "id AS t",
             f"(id - 1) % {n_customers} AS cust",
@@ -534,7 +552,7 @@ def synthesize_batch2(
         )
     )
     new = (
-        spark.range(n_trades + 1, n_trades + n_new_trades + 1)
+        spark.range(base + 1, base + n_new_trades + 1)
         .selectExpr(
             "id AS t",
             f"(id - 1) % {n_customers} AS cust",

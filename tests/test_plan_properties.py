@@ -482,3 +482,32 @@ def test_rolling_extremes_blocks_one_exchange_no_join(spark):
     # daily pre-agg + the shared window key: at most 2 hash exchanges
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "Window" in plan
+
+
+def test_curation_approx_single_scored_execution(spark):
+    """VERDICT r10 item 2: curation_pipeline_approx's returned plan
+    must consume the scored subtree exactly ONCE — the per-group
+    threshold is resolved eagerly at build and embedded as a literal
+    broadcast (LocalTableScan), so re-executing the result (e.g.
+    after clearCache) recomputes the text-feature lineage once, never
+    twice. r10's plan re-ran the whole lineage per consumer: trials
+    rose [1.9, 4.7, 4.5] instead of staying flat."""
+    plan = _plan(spark, "curation_pipeline_approx")
+    # the scored subtree appears as exactly ONE cached consumer (the
+    # quality filter); nothing else in the result plan re-derives it
+    assert plan.count("InMemoryTableScan") == 1, plan
+    # the threshold side is a driver literal (createDataFrame), not a
+    # recomputation of the scored lineage
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    # no trace of the threshold derivation (histogram cumsum) or the
+    # exact gate's sort rank in the result plan
+    assert "__cum" not in plan, plan
+    assert "percent_rank" not in plan, plan
+    # and the r10 regression shape is gone: no join-back of repetition
+    # features (one documents scan per execution). clearCache first:
+    # the approx build's persist would otherwise substitute its
+    # InMemoryRelation into the exact plan's matching subtree
+    spark.catalog.clearCache()
+    exact = _plan(spark, "curation_pipeline")
+    assert "percent_rank" in exact  # exact keeps rank semantics
+    assert exact.count("Scan parquet") == 1, exact

@@ -881,6 +881,63 @@ def test_warehouse_manifest_double_pass_settles(spark, tmp_path, monkeypatch):
         R.commit_warehouse_manifest(spark, wh)
 
 
+def test_partitioned_upsert_internal_and_overwrite(spark, tmp_path):
+    """VERDICT r10 item 1 plumbing: ``internal=True`` keeps the
+    partition column a storage detail (absent from read()/read_parts()
+    schemas), ``overwrite=True`` replaces the whole table (absent keys
+    disappear), and the pruned merge still carries untouched
+    partitions' directories forward by reference."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+
+    def mk(lo, hi, v):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k", f"{v} AS val", "CAST(id DIV 100 AS INT) AS blk")
+
+    t.partitioned_upsert(mk(0, 300, 1), key="k", partition_col="blk",
+                         internal=True, overwrite=True)
+    e0 = t._entry(0)
+    assert e0["part_internal"] is True
+    assert set(e0["parts"]) == {"0", "1", "2"}
+    assert "blk" not in t.read().columns
+    assert t.read().count() == 300
+    df_p, rep = t.read_parts(["1"])
+    assert "blk" not in df_p.columns
+    assert df_p.count() == 100 and rep["parts_read"] == 1
+
+    # pruned merge: delta touches only block 2 → blocks 0/1 carried
+    # forward BY REFERENCE (same data dir as v0)
+    t.partitioned_upsert(mk(250, 300, 9), key="k", partition_col="blk",
+                         internal=True)
+    e1 = t._entry(1)
+    assert e1["parts"]["0"] == e0["parts"]["0"]
+    assert e1["parts"]["1"] == e0["parts"]["1"]
+    assert e1["parts"]["2"] != e0["parts"]["2"]
+    got = t.read()
+    assert got.filter("val = 9").count() == 50
+    assert got.count() == 300
+
+    # overwrite drops keys absent from updates (rebuild semantics)
+    t.partitioned_upsert(mk(0, 120, 2), key="k", partition_col="blk",
+                         internal=True, overwrite=True)
+    assert t.read().count() == 120
+    assert sorted(t._entry(2)["parts"]) == ["0", "1"]
+
+    # internal merge can't transition FROM a plain snapshot
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.commit(mk(0, 50, 1))
+    with pytest.raises(ValueError, match="internal-partition"):
+        t2.partitioned_upsert(mk(0, 50, 2), key="k", partition_col="blk",
+                              internal=True)
+    # ...but bootstraps with overwrite=True
+    t2.partitioned_upsert(mk(0, 50, 2), key="k", partition_col="blk",
+                          internal=True, overwrite=True)
+    assert "blk" not in t2.read().columns and t2.read().count() == 50
+    # restore of an internal-manifest version keeps the flag
+    v = t2.restore(1)
+    assert t2._entry(v)["part_internal"] is True
+    assert "blk" not in t2.read(v).columns
+
+
 def test_nprobe_zero_rejected():
     """ADVICE r9: nprobe=0 used to build the probe CTE but skip the
     ADC join (falsy), silently serving the full corpus."""
