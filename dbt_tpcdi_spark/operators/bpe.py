@@ -507,6 +507,160 @@ def bpe_train_incremental(
     return learned, w, used
 
 
+def bpe_train_local(
+    df: DataFrame,
+    text_col: str,
+    merges: int,
+    max_words: int | None = None,
+) -> tuple[list[tuple[str, int]], DataFrame]:
+    """EXACT sequential BPE trained in ONE executor-side Arrow batch —
+    the production path for realistic merge counts (1k-50k).
+
+    The corpus collapses to the distinct-word count table (the one
+    corpus-sized shuffle — same first step as every trainer here);
+    training itself is inherently SEQUENTIAL state over that
+    vocabulary-sized table (each merge re-ranks the next), so instead
+    of per-merge (``bpe_train``) or per-round (``bpe_train_incremental``)
+    driver round-trips, the whole word table flows through ONE
+    ``applyInPandas`` group where a classic indexed BPE loop (pair →
+    containing-words index, delta-maintained counts — the HuggingFace
+    trainer construction, public algorithm) learns all ``merges`` in a
+    single task. This is the k-means-centroid pattern: bounded
+    aggregate state trained locally, corpus-sized work stays
+    distributed (word counting before, ``segment_words``/encode
+    after).
+
+    Identical semantics to ``bpe_train``: (count desc, pair asc)
+    tie-break, left-to-right non-overlapping greedy merge within a
+    word — pinned by the oracle-gated ``bpe_vocab_local`` query
+    against the same unrolled SQL twin as the sequential path.
+
+    ``max_words`` optionally truncates to the most frequent words
+    (ties broken by word asc) — the guardrail for open vocabularies
+    whose long tail exceeds one task's memory; None keeps all words
+    (exactness). The merge table returns as driver metadata
+    (``merges`` rows); the returned (word, wc, sp) DataFrame is the
+    DISTRIBUTED segmentation of the full word table via
+    ``segment_words``.
+    """
+    w = word_counts(df, text_col)
+    train_w = w
+    if max_words is not None:
+        train_w = (
+            w.orderBy(F.col("wc").desc(), F.col("word").asc())
+            .limit(max_words)
+        )
+
+    n_merges = merges
+
+    def _train(pdf):
+        import heapq
+
+        import pandas as pd
+
+        words = [list(s) for s in pdf["word"].tolist()]
+        wcs = pdf["wc"].tolist()
+        counts: dict[tuple, int] = {}
+        where: dict[tuple, set] = {}
+        for i, syms in enumerate(words):
+            c = wcs[i]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+                where.setdefault((a, b), set()).add(i)
+        # lazy-invalidation heap: every count change pushes a fresh
+        # entry; a popped entry only wins if it still matches the live
+        # count — O(log n) selection per merge instead of a full scan.
+        # Tie-break key is the SPACE-JOINED STRING (not the tuple), so
+        # ordering matches the engine/oracle's (c desc, pair asc) on
+        # the gram string exactly, whatever the symbol alphabet.
+        heap = [(-c, f"{p[0]} {p[1]}", p) for p, c in counts.items()]
+        heapq.heapify(heap)
+        learned = []
+        for _ in range(n_merges):
+            pair = None
+            while heap:
+                negc, _ps, p = heapq.heappop(heap)
+                if counts.get(p, 0) == -negc and -negc > 0:
+                    pair, cnt = p, -negc
+                    break
+            if pair is None:
+                break
+            learned.append((pair[0] + " " + pair[1], cnt))
+            x, y = pair
+            merged = x + y
+            for i in sorted(where.get(pair, ())):
+                syms = words[i]
+                c = wcs[i]
+                # left-to-right non-overlapping greedy merge (the
+                # string-replace semantics of _merge_expr)
+                out = []
+                j = 0
+                n = len(syms)
+                while j < n:
+                    if (j + 1 < n and syms[j] == x
+                            and syms[j + 1] == y):
+                        out.append(merged)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                # delta-update counts and the containing-word index
+                old_pairs = list(zip(syms, syms[1:]))
+                new_pairs = list(zip(out, out[1:]))
+                touched_pairs = set(old_pairs) | set(new_pairs)
+                for p in old_pairs:
+                    counts[p] -= c
+                for p in new_pairs:
+                    counts[p] = counts.get(p, 0) + c
+                for p in touched_pairs:
+                    heapq.heappush(
+                        heap,
+                        (-counts.get(p, 0), f"{p[0]} {p[1]}", p),
+                    )
+                ops, nps = set(old_pairs), set(new_pairs)
+                for p in ops - nps:
+                    s = where.get(p)
+                    if s is not None:
+                        s.discard(i)
+                for p in nps - ops:
+                    where.setdefault(p, set()).add(i)
+                words[i] = out
+            where.pop(pair, None)
+            counts.pop(pair, None)
+        return pd.DataFrame(
+            {
+                "rank": range(len(learned)),
+                "pair": [p for p, _ in learned],
+                "c": [c for _, c in learned],
+            }
+        )
+
+    table = (
+        train_w.groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(_train, "rank long, pair string, c long")
+        .orderBy("rank")
+        .collect()  # `merges` rows — bounded driver metadata
+    )
+    learned = [(r["pair"], int(r["c"])) for r in table]
+    return learned, segment_words(w, [p for p, _ in learned])
+
+
+def bpe_vocab_local(
+    df: DataFrame, text_col: str, merges: int = 4
+) -> DataFrame:
+    """Final symbol vocabulary after executor-local training: (symbol,
+    n_occurrences) weighted by word frequency — must equal
+    ``bpe_vocab`` exactly (same tie-breaks, same greedy merge)."""
+    _, w = bpe_train_local(df, text_col, merges)
+    return (
+        w.select(
+            "wc", F.explode(F.split(F.col("sp"), " +")).alias("symbol")
+        )
+        .groupBy("symbol")
+        .agg(F.sum("wc").cast("bigint").alias("n_occurrences"))
+    )
+
+
 def bpe_vocab_incremental(
     df: DataFrame, text_col: str, rounds: int = 4, window: int = 32,
     trigram_cap: int = TRIGRAM_CAP,

@@ -1034,10 +1034,13 @@ def quality_quantile_gate_approx(
         .agg(F.min(score_col).alias("qthreshold"))
         .collect()  # ≤ |groups| rows — bounded driver metadata
     )
+    from dbt_tpcdi_spark.session import local_df
+
     spark = scored.sparkSession
     g_type = scored.schema[group_col].dataType.simpleString()
     s_type = scored.schema[score_col].dataType.simpleString()
-    thr = spark.createDataFrame(
+    thr = local_df(
+        spark,
         [(r[group_col], r["qthreshold"]) for r in thr_rows],
         f"{group_col} {g_type}, qthreshold {s_type}",
     )

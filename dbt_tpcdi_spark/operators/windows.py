@@ -87,6 +87,7 @@ def sliding_extremes_blocks(
     order: str,
     cols: list[tuple],
     preceding: int,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """O(n) trailing-frame min/max — the two-block prefix/suffix
     decomposition of ``ROWS BETWEEN preceding PRECEDING AND CURRENT
@@ -110,9 +111,34 @@ def sliding_extremes_blocks(
     and ``(key, order)`` pairs unique — the daily-market contract.
     Exactness: both plans reduce the same frame multiset with the same
     lexicographic comparator, so results are identical, ties included.
+
+    ``skew_safe=True`` (r11) removes the remaining per-key serial
+    passes for HOT keys: the default plan's row_number and suffix-lag
+    both run inside ``Window.partitionBy(key)``, so one key holding a
+    large share of the rows becomes one long task even though the
+    per-row work is O(1). The skew-safe plan:
+
+    1. numbers rows with the two-phase range-partition trick (the
+       chunked-sessionize construction): ``repartitionByRange(key,
+       order)`` splits even a single key across partitions, local
+       row_number runs per (key, partition-id) slice, and per-slice
+       counts cumulate into global per-key offsets — no per-key
+       serial pass anywhere;
+    2. the block prefix/suffix windows already parallelize (≤
+       ``preceding+1`` rows per (key, block));
+    3. the suffix fetch becomes an equi-JOIN on (key, rn −
+       preceding) instead of ``lag().over(key)`` — unique join keys,
+       perfectly spread.
+
+    Identical results; costs two extra shuffles, so the default stays
+    the cheaper plan for key-bounded data (TPC-DI symbols are
+    calendar-bounded) and ``skew_safe`` is the explicit knob for
+    corpora where one key can dominate.
     """
     keys = [key] if isinstance(key, str) else list(key)
     n = preceding + 1
+    if skew_safe:
+        return _sliding_extremes_skew_safe(df, keys, order, cols, preceding)
     w_seq = Window.partitionBy(*keys).orderBy(F.col(order).asc())
     out = df.withColumn("__rn", F.row_number().over(w_seq))
     out = out.withColumn("__blk", F.expr(f"(__rn - 1) div {n}"))
@@ -144,6 +170,100 @@ def sliding_extremes_blocks(
             ),
         )
     return out.drop("__rn", "__blk", *tmp)
+
+
+def _sliding_extremes_skew_safe(
+    df: DataFrame,
+    keys: list[str],
+    order: str,
+    cols: list[tuple],
+    preceding: int,
+) -> DataFrame:
+    """The hot-key-parallel evaluation of ``sliding_extremes_blocks``
+    (see its docstring, ``skew_safe=True``)."""
+    n = preceding + 1
+    base_cols = df.columns
+    # 1. global per-key row numbers WITHOUT a per-key window: range
+    # partitioning on (key, order) keeps rows of one key contiguous
+    # ACROSS partitions, so a local rank per (key, partition) slice
+    # plus the cumulative count of the key's earlier slices is the
+    # global rank. The slice-offset table is |key slices| rows
+    # (≈ keys + partitions), aggregated distributively.
+    part = df.repartitionByRange(*keys, order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_loc = Window.partitionBy(*keys, "__pid").orderBy(F.col(order).asc())
+    part = part.withColumn("__lrn", F.row_number().over(w_loc))
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        part.groupBy(*keys, "__pid")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+        )
+        .drop("__cnt")
+    )
+    out = part.join(F.broadcast(offsets), [*keys, "__pid"]).withColumn(
+        "__rn", (F.col("__off") + F.col("__lrn")).cast("int")
+    )
+    out = out.withColumn("__blk", F.expr(f"(__rn - 1) div {n}"))
+    # 2. block-local prefix/suffix extremes: ≤ n rows per partition
+    # slice regardless of key skew
+    w_pre = (
+        Window.partitionBy(*keys, "__blk")
+        .orderBy(F.col(order).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_suf = (
+        Window.partitionBy(*keys, "__blk")
+        .orderBy(F.col(order).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tmp: list[str] = []
+    for name, col, kind in cols:
+        agg = F.min if kind == "min" else F.max
+        out = out.withColumn(f"__pre_{name}", agg(col).over(w_pre))
+        out = out.withColumn(f"__suf_{name}", agg(col).over(w_suf))
+        tmp += [f"__pre_{name}", f"__suf_{name}"]
+    # 3. the lagged suffix via a self-equi-join on (key, rn −
+    # preceding): one row per join key on both sides — no hot
+    # partition, and rows of the first partial block simply have no
+    # match (left join; least/greatest skip the NULLs, same as the
+    # default plan's missing lag). The join consumes `out` twice and
+    # Spark does not reuse the exchange across the pruned sides, so
+    # persist the windowed result — evictable storage, released by the
+    # ContextCleaner once the returned DataFrame is dropped (the
+    # quality-gate materialize contract); without it the whole
+    # range+window pipeline executes once per side (measured 4.6 s vs
+    # 3.0 s on the 5M-row skew probe).
+    out = out.persist()
+    left = out.alias("__l")
+    right = out.select(
+        *keys,
+        F.col("__rn").alias("__rn_r"),
+        *[F.col(f"__suf_{name}").alias(f"__sufr_{name}")
+          for name, _c, _k in cols],
+    ).alias("__r")
+    cond = (F.col("__l.__rn") - F.lit(preceding)) == F.col("__r.__rn_r")
+    for k in keys:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    joined = left.join(right, cond, "left")
+    for name, _col, kind in cols:
+        comb = F.least if kind == "min" else F.greatest
+        joined = joined.withColumn(
+            name,
+            comb(
+                F.col(f"__l.__pre_{name}"), F.col(f"__sufr_{name}")
+            ),
+        )
+    return joined.select(
+        *[F.col(f"__l.{c}") for c in base_cols],
+        *[F.col(name) for name, _c, _k in cols],
+    )
 
 
 def rolling_extreme_with_date(

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dbt_tpcdi_spark.plans.registry import model
+from dbt_tpcdi_spark.plans.registry import Layout, model
 
 # --- brokerage passthroughs (e.g. brokerage_trade.sql:1-2) -----------------
 
@@ -37,7 +37,14 @@ def brokerage_trade(ref, src) -> DataFrame:
     return src("trade")
 
 
-@model(layer="bronze", sources=("trade_history",))
+@model(layer="bronze", sources=("trade_history",),
+       # range-cluster on the trade id so incremental refreshes can
+       # FILE-PRUNE their prior-history lookup (a Batch2+ delta's
+       # touched keys are id-local): read_where("th_t_id", lo, hi)
+       # reads only the id blocks the delta spans instead of the whole
+       # bronze feed — the piece that keeps merge_refresh O(delta) at
+       # 100 TB even though it must re-derive touched keys' history
+       layout=Layout(range_by=("th_t_id",), stats_cols=("th_t_id",)))
 def brokerage_trade_history(ref, src) -> DataFrame:
     return src("trade_history")
 
@@ -135,8 +142,15 @@ def finwire_security(ref, src) -> DataFrame:
 
 @model(layer="bronze", sources=("fin",))
 def finwire_financial(ref, src) -> DataFrame:
-    """Conversions + CIK disambiguation (finwire_financial.sql:1-27)."""
+    """Conversions + CIK disambiguation (finwire_financial.sql:1-27).
+
+    Money fields cast to DoubleType by default, DecimalType(15,2)
+    under ``SPARK_TPCDI_MONEY=decimal`` (see
+    ``sources/delimited.MONEY_COLS``) — resolved at build time."""
+    from dbt_tpcdi_spark.sources.delimited import money_mode_decimal
+
     s = src("fin")
+    money = "decimal(15,2)" if money_mode_decimal() else "double"
     try_cik = F.col("co_name_or_cik").try_cast("long")
     return s.select(
         "pts",
@@ -144,14 +158,14 @@ def finwire_financial(ref, src) -> DataFrame:
         F.col("quarter").cast("long").alias("quarter"),
         F.to_date("quarter_start_date", "yyyyMMdd").alias("quarter_start_date"),
         F.to_date("posting_date", "yyyyMMdd").alias("posting_date"),
-        F.col("revenue").cast("double").alias("revenue"),
-        F.col("earnings").cast("double").alias("earnings"),
-        F.col("eps").cast("double").alias("eps"),
-        F.col("diluted_eps").cast("double").alias("diluted_eps"),
-        F.col("margin").cast("double").alias("margin"),
-        F.col("inventory").cast("double").alias("inventory"),
-        F.col("assets").cast("double").alias("assets"),
-        F.col("liabilities").cast("double").alias("liabilities"),
+        F.col("revenue").cast(money).alias("revenue"),
+        F.col("earnings").cast(money).alias("earnings"),
+        F.col("eps").cast(money).alias("eps"),
+        F.col("diluted_eps").cast(money).alias("diluted_eps"),
+        F.col("margin").cast(money).alias("margin"),
+        F.col("inventory").cast(money).alias("inventory"),
+        F.col("assets").cast(money).alias("assets"),
+        F.col("liabilities").cast(money).alias("liabilities"),
         F.col("sh_out").cast("long").alias("sh_out"),
         F.col("diluted_sh_out").cast("long").alias("diluted_sh_out"),
         try_cik.alias("cik"),

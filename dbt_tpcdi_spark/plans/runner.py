@@ -87,11 +87,13 @@ def commit_warehouse_manifest(
         raise ValueError(
             f"{warehouse_dir}: no versioned model tables to manifest"
         )
-    mdf = spark.createDataFrame(rows, "model string, version bigint")
+    from dbt_tpcdi_spark.session import local_df
+
+    mdf = local_df(spark, rows, "model string, version bigint")
     mt = VersionedTable(
         spark, os.path.join(warehouse_dir, MANIFEST_TABLE)
     )
-    return mt.commit(mdf.coalesce(1), op="manifest")
+    return mt.commit(mdf, op="manifest")
 
 
 def read_warehouse(

@@ -779,16 +779,20 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         col, dtype = entry["part_col"], entry["part_type"]
-        internal = entry.get("part_internal", False)
+        if entry.get("part_internal", False):
+            # internal layout column: nothing to re-attach, so ALL leaf
+            # directories resolve through ONE multi-path scan — a
+            # driver-side listing, not an N-way union whose analysis
+            # costs ~100 ms per leaf on wide manifests
+            return self.spark.read.parquet(*[
+                os.path.join(self.root, d, f"{col}={v}")
+                for v, d in sorted(entry["parts"].items())
+            ])
         out = None
         for val, data_dir in sorted(entry["parts"].items()):
             leaf = self.spark.read.parquet(
                 os.path.join(self.root, data_dir, f"{col}={val}")
-            )
-            if not internal:
-                # re-attach the partition column; internal layout
-                # columns stay a storage detail (part_internal)
-                leaf = leaf.withColumn(col, F.lit(val).cast(dtype))
+            ).withColumn(col, F.lit(val).cast(dtype))
             out = leaf if out is None else out.unionByName(leaf)
         return out
 
@@ -831,14 +835,16 @@ class VersionedTable:
         if not keep:
             empty = self.read(version).limit(0)
             return empty, report
-        internal = entry.get("part_internal", False)
+        if entry.get("part_internal", False):
+            return self.spark.read.parquet(*[
+                os.path.join(self.root, d, f"{col}={v}")
+                for v, d in sorted(keep.items())
+            ]), report
         out = None
         for val, data_dir in sorted(keep.items()):
             leaf = self.spark.read.parquet(
                 os.path.join(self.root, data_dir, f"{col}={val}")
-            )
-            if not internal:
-                leaf = leaf.withColumn(col, F.lit(val).cast(dtype))
+            ).withColumn(col, F.lit(val).cast(dtype))
             out = leaf if out is None else out.unionByName(leaf)
         return out, report
 

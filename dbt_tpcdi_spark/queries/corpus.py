@@ -34,6 +34,7 @@ from dbt_tpcdi_spark.operators import text as X
 from dbt_tpcdi_spark.queries import query
 from dbt_tpcdi_spark.sources.parquet import load_table
 from dbt_tpcdi_spark.sources.parquet import spread as _spread
+from dbt_tpcdi_spark.session import local_df
 
 # ---------------------------------------------------------------------------
 # exact heavy hitters via a two-pass Misra–Gries summary
@@ -910,7 +911,7 @@ def logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         d.unpersist()
     acc_ok = acc_row["n_right"] >= 0.9 * acc_row["n_docs"]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(acc_row["n_docs"], acc_row["n_pos"], bool(converged),
           bool(acc_ok))],
         "n_docs bigint, n_pos bigint, converged boolean, "

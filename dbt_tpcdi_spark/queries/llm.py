@@ -28,6 +28,7 @@ from dbt_tpcdi_spark.operators import text as X
 from dbt_tpcdi_spark.queries import query
 from dbt_tpcdi_spark.sources.parquet import load_table
 from dbt_tpcdi_spark.sources.parquet import spread as _spread
+from dbt_tpcdi_spark.session import local_df
 
 
 # ---------------------------------------------------------------------------
@@ -970,7 +971,7 @@ def ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]["ssr"]
     sst = sum_yy - sum_y * sum_y / max(n, 1.0)
     fit_improves = bool(ssr <= 0.5 * sst)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (i, int(row[f"s{i}{dd}"]), solve_ok, fit_improves)
             for i in range(dd)
@@ -1102,7 +1103,7 @@ def pca_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     psd_ok = bool(ev[-1] >= -1e-6 * max(tr, 1.0))
     eigsum_ok = bool(abs(ev.sum() - tr) <= 1e-6 * max(tr, 1.0))
     topk = bool(ev[:_PCA_TOPK].sum() >= 0.05 * max(tr, 1e-12))
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (k, n, trace_num, psd_ok, eigsum_ok, topk)
             for k in range(_PCA_TOPK)
@@ -2978,6 +2979,24 @@ def bpe_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
     return B.bpe_vocab(d, "text", merges=4)
+
+
+@query(
+    "bpe_vocab_local",
+    oracle=B.bpe_vocab_sql("documents", "text", merges=4),
+    tags=["llm-bpe", "A1"],
+)
+def bpe_vocab_local_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-local BPE training (VERDICT r10 item 7): the whole
+    merge loop runs in ONE applyInPandas task over the vocabulary-
+    sized word table (classic indexed BPE — delta-maintained pair
+    counts), replacing per-merge/per-round driver round-trips; the
+    corpus-sized word count and the final segmentation stay
+    distributed. Same oracle as ``bpe_vocab`` — the local loop must
+    reproduce sequential BPE bit-for-bit (tie-breaks, greedy
+    left-to-right merge)."""
+    d = load_table(spark, sf_dir, "documents")
+    return B.bpe_vocab_local(d, "text", merges=4)
 
 
 @query(

@@ -14,6 +14,7 @@ from dbt_tpcdi_spark.operators import text as X
 from dbt_tpcdi_spark.queries import query
 from dbt_tpcdi_spark.queries.relational import MONEY, TS_FMT, TS_FMT_DUCK
 from dbt_tpcdi_spark.streaming.ops import run_to_memory, stream_events
+from dbt_tpcdi_spark.session import local_df
 
 
 @query(
@@ -745,7 +746,7 @@ def streaming_dag_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for nm in ("trade", "trade_history"):
                 src = b2[nm]
                 for i, row in enumerate(src.collect()):  # fixture-sized
-                    spark.createDataFrame([row], src.schema).coalesce(
+                    local_df(spark, [row], src.schema).coalesce(
                         1).write.parquet(str(work / f"in_{nm}" / f"p{i}"))
                 feed = VersionedTable(spark, str(work / f"feed_{nm}"))
 
@@ -827,5 +828,5 @@ def streaming_dag_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("manifest_advanced", mt.latest_version() == m0 + 1),
             ]
             _STREAM_DAG_CACHE[key] = checks
-    return spark.createDataFrame(
+    return local_df(spark, 
         _STREAM_DAG_CACHE[key], "check_name string, ok boolean")

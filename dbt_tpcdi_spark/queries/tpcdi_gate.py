@@ -46,6 +46,7 @@ from dbt_tpcdi_spark.tpcdi.fixtures import (
     generate,
     logical_tables,
 )
+from dbt_tpcdi_spark.session import local_df
 from dbt_tpcdi_spark.tpcdi.oracle import (
     FACT_MARKET_HISTORY_STRICT_SQL,
     ORACLE_MODELS,
@@ -301,7 +302,7 @@ def _dag_model(spark: SparkSession, target: str) -> DataFrame:
 
 
 def _finwire_parsed(spark: SparkSession, rec_type: str) -> DataFrame:
-    lines = spark.createDataFrame(
+    lines = local_df(spark, 
         [(ln,) for ln in finwire_raw_lines()], "line string"
     )
     return parse_finwire(prefix_parse(lines), rec_type)
@@ -351,7 +352,7 @@ def xml_customer_mgmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested schema + flattened (attr access, phone concat with NULL
     propagation — reference tpcdi.py:174-186,265-331); oracle is the
     independently-rendered logical table."""
-    frags = spark.createDataFrame(
+    frags = local_df(spark, 
         [(s,) for s in action_xml_fragments()], "xml string"
     )
     parsed = frags.select(
@@ -392,6 +393,49 @@ def dag_fact_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end: 3 temporal BETWEEN joins over SCD2 dims
     (gold/fact_trade.sql) from raw fixtures through the full DAG."""
     return _dag_model(spark, "fact_trade")
+
+
+@query("dag_fact_trade_decimal",
+       oracle=_dag_oracle("fact_trade", gate="dag_fact_trade"),
+       tags=["J6", "S9", "S11", "F-cast"])
+def dag_fact_trade_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-money parity twin (VERDICT r10 item 3): the ENTIRE
+    fact_trade cone rebuilt with ``SPARK_TPCDI_MONEY=decimal`` — money
+    scans as DecimalType(15,2) and flows through SCD2, temporal joins,
+    and the gold projection as exact cents — then cast back to double
+    and compared against the SAME oracle as ``dag_fact_trade``. Proves
+    the DAG is money-type-agnostic: the 100 TB deployment can flip the
+    mode for drift-free SUMs without touching a model. Plan
+    construction runs under the selector (the ``SPARK_TPCDI_PARITY``
+    pattern); scan schemas are baked at construction, so execution
+    needs no env."""
+    from pyspark.sql import types as T
+
+    with _PARITY_LOCK:
+        prev = os.environ.get("SPARK_TPCDI_MONEY")
+        os.environ["SPARK_TPCDI_MONEY"] = "decimal"
+        try:
+            root = _fixture_root()
+            sources = load_dag_sources(spark, str(root / "raw"))
+            built = Runner(spark, sources, materialize="lazy").run(
+                targets=["fact_trade"]
+            )
+            df = built["fact_trade"]
+        finally:
+            if prev is None:
+                os.environ.pop("SPARK_TPCDI_MONEY", None)
+            else:
+                os.environ["SPARK_TPCDI_MONEY"] = prev
+    dec_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.DecimalType)
+    ]
+    assert dec_cols, "decimal mode produced no decimal columns"
+    df = df.select([
+        F.col(c).cast("double").alias(c) if c in dec_cols else F.col(c)
+        for c in df.columns
+    ])
+    return _normalize_spark(df, NORM_SPECS["dag_fact_trade"][2])
 
 
 @query("dag_watches", oracle=_dag_oracle("watches"),
@@ -589,7 +633,7 @@ def warehouse_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(str(wh / name))
 
     rows = [(n, v) for n, v in run_checks(resolve)]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "check_name string, violations int"
     ).withColumn("violations", F.col("violations").cast("int"))
 
@@ -683,7 +727,7 @@ def dag_incremental_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Batch3 purges 9001), and the purges must be provably non-vacuous.
     One boolean row per check; the oracle pins them all true."""
     rows = _incremental_deletes(spark)
-    return spark.createDataFrame(rows, "check_name string, ok boolean")
+    return local_df(spark, rows, "check_name string, ok boolean")
 
 
 @query(
@@ -701,7 +745,7 @@ def dag_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits one boolean row per model; the oracle pins them all true — a
     false value hash-mismatches and fails the gate."""
     rows = _incremental_vs_rebuild(spark)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "model string, incremental_equals_rebuild boolean"
     )
 
@@ -828,7 +872,7 @@ def dag_versioned_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     date-window and point reads that match the full scan exactly. One
     boolean row per check; the oracle pins them all true."""
     rows = _versioned_skipping_checks(spark)
-    return spark.createDataFrame(rows, "check_name string, ok boolean")
+    return local_df(spark, rows, "check_name string, ok boolean")
 
 
 # ---------------------------------------------------------------------------
@@ -1046,7 +1090,7 @@ def dag_warehouse_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     showing the UNPINNED mix does dangle. One boolean row per check;
     the oracle pins them all true."""
     rows = _manifest_checks(spark)
-    return spark.createDataFrame(rows, "check_name string, ok boolean")
+    return local_df(spark, rows, "check_name string, ok boolean")
 
 
 # ---------------------------------------------------------------------------
@@ -1273,5 +1317,5 @@ def dag_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and in-window referential integrity for every fact FK. The oracle
     pins every violation count to zero."""
     rows = [(n, int(v)) for n, v in _batch_audit(spark)]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "check_name string, violations int")

@@ -162,11 +162,50 @@ def delimiter_for(path: str) -> str:
     return "," if path.lower().endswith(".csv") else "|"
 
 
+#: money columns per source — the reference's FloatType price/fee/amount
+#: fields (``tpcdi.py:376-383`` for trade, ``:303-309`` for cash).
+#: Under ``SPARK_TPCDI_MONEY=decimal`` these scan as DecimalType(15,2)
+#: instead of the default DoubleType: exact cents at 100 TB (no
+#: accumulation drift in SUMs) at the cost of slower arithmetic. The
+#: default stays double for value-hash parity with the DuckDB oracles
+#: (SURVEY §1.2 hazard 5); ``dag_fact_trade_decimal`` gates that the
+#:  DAG is type-agnostic end to end.
+MONEY_COLS: dict[str, tuple[str, ...]] = {
+    "trade": ("t_bid_price", "t_trade_price", "t_chrg", "t_comm",
+              "t_tax"),
+    "cash_transaction": ("ct_amt",),
+}
+
+
+def money_mode_decimal() -> bool:
+    """True when ``SPARK_TPCDI_MONEY=decimal`` — read at scan/build
+    time (the ``SPARK_TPCDI_PARITY`` selector pattern), never baked at
+    import."""
+    import os
+
+    return os.environ.get("SPARK_TPCDI_MONEY", "") == "decimal"
+
+
+def schema_for(source: str) -> T.StructType:
+    """The source's scan schema under the current money mode."""
+    base = SCHEMAS[source]
+    cols = MONEY_COLS.get(source)
+    if not cols or not money_mode_decimal():
+        return base
+    dec = T.DecimalType(15, 2)
+    return T.StructType([
+        T.StructField(
+            f.name, dec if f.name in cols else f.dataType, f.nullable
+        )
+        for f in base.fields
+    ])
+
+
 def read_delimited(
     spark: SparkSession, path: str, source: str, delimiter: str | None = None
 ) -> DataFrame:
     """Typed scan of one delimited source file/directory (S1)."""
-    schema = SCHEMAS[source]
+    schema = schema_for(source)
     return (
         spark.read.schema(schema)
         .option("sep", delimiter or delimiter_for(path))

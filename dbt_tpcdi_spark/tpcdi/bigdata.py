@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from dbt_tpcdi_spark.sources.finwire import CMP_LAYOUT, FIN_LAYOUT, SEC_LAYOUT
 from dbt_tpcdi_spark.tpcdi import fixtures as FX
+from dbt_tpcdi_spark.session import local_df
 
 _TAX_PAIRS = [("US1", "US2"), ("CA1", "DE1"), ("US2", "US1"), ("DE1", "CA1")]
 _BROKERS = (1, 2, 4)  # HR employees with job code 314
@@ -172,7 +173,7 @@ def _finwire_lines(spark: SparkSession, n_symbols: int) -> DataFrame:
         (2018, 1, "20180101", "20180405"), (2018, 2, "20180401", "20180705"),
         (2018, 3, "20180701", "20181005"), (2018, 4, "20181001", "20190105"),
     ]
-    q = spark.createDataFrame(
+    q = local_df(spark, 
         [(y, qq, qs, p) for y, qq, qs, p in quarters],
         "year INT, quarter INT, qstart STRING, posting STRING",
     )

@@ -407,3 +407,40 @@ def test_segment_words_applies_merges_to_unseen_words(spark):
     seg2 = {r["word"]: r["sp"]
             for r in B.segment_words(vocab, merges, chunk=2).collect()}
     assert seg2 == seg
+
+
+def test_bpe_local_matches_sequential_exactly(spark):
+    """bpe_train_local (one applyInPandas task, VERDICT r10 item 7)
+    must reproduce the sequential trainer's merge table AND final
+    segmentation bit-for-bit — same (count desc, pair asc) tie-break
+    on the gram string, same left-to-right non-overlapping greedy
+    merge — on a randomized open-vocabulary corpus."""
+    import random
+
+    from dbt_tpcdi_spark.operators.bpe import bpe_train_local
+
+    random.seed(7)
+    vocab = ["the", "cat", "sat", "aaaa", "aab", "banana", "ab",
+             "rat", "mat", "a", "bb", "thecat"]
+    docs = [" ".join(random.choices(vocab, k=20)) for _ in range(50)]
+    corpus = _docs(spark, docs)
+    seq_merges, seq_w = bpe_train(corpus, "text", merges=12)
+    loc_merges, loc_w = bpe_train_local(corpus, "text", merges=12)
+    assert loc_merges == seq_merges
+    seq_rows = sorted(map(tuple, seq_w.select("word", "wc", "sp").collect()))
+    loc_rows = sorted(map(tuple, loc_w.select("word", "wc", "sp").collect()))
+    assert seq_rows == loc_rows
+
+
+def test_bpe_local_max_words_and_exhaustion(spark):
+    """max_words truncates training to the most frequent words but the
+    returned segmentation still covers the FULL word table; a merge
+    budget beyond exhaustion stops cleanly."""
+    from dbt_tpcdi_spark.operators.bpe import bpe_train_local
+
+    corpus = _docs(spark, ["ab ab ab zq"])
+    merges, w = bpe_train_local(corpus, "text", merges=10, max_words=1)
+    assert [p for p, _ in merges] == ["a b"]
+    segs = {r["word"]: r["sp"] for r in w.collect()}
+    assert segs["ab"] == "ab"
+    assert set(segs) == {"ab", "zq"}  # full table segmented

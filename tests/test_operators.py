@@ -480,3 +480,34 @@ def test_sliding_extremes_blocks_equals_naive_frame(spark):
         ).select("k", "i", "lo", "hi")
         assert naive.exceptAll(blk).isEmpty()
         assert blk.exceptAll(naive).isEmpty()
+        # the hot-key-parallel plan (r11, VERDICT item 4) must be
+        # row-identical too — same frames, no per-key serial pass
+        safe = sliding_extremes_blocks(
+            df, "k", "i",
+            [("lo", lo_st, "min"), ("hi", hi_st, "max")], prec,
+            skew_safe=True,
+        ).select("k", "i", "lo", "hi")
+        assert naive.exceptAll(safe).isEmpty(), prec
+        assert safe.exceptAll(naive).isEmpty(), prec
+
+
+def test_sliding_extremes_skew_safe_no_per_key_window(spark):
+    """Plan shape of the skew-safe path: every Window partitions by
+    MORE than the bare key ((key, slice) or (key, block)) and the
+    suffix fetch is a join — so a key holding most of the table never
+    serializes into one task."""
+    from dbt_tpcdi_spark.operators.windows import sliding_extremes_blocks
+
+    df = spark.range(0, 1000).selectExpr(
+        "CAST(id % 3 AS INT) AS k", "CAST(id AS INT) AS i",
+        "CAST(id % 17 AS DOUBLE) AS v")
+    out = sliding_extremes_blocks(
+        df, "k", "i", [("lo", F.col("v"), "min")], 9, skew_safe=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no Window partitioned by the key alone: the key always rides
+    # with __pid or __blk in the windowspecdefinition
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "__pid" in ln or "__blk" in ln, ln
+    assert "Join" in plan  # the suffix fetch is the equi-join

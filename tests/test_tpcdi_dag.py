@@ -163,3 +163,63 @@ def test_fact_market_history_strict_parity(spark, dag_env, monkeypatch):
     assert strict_df.select(fast_df.columns).distinct().count() \
         == fast_df.distinct().count()
     assert strict_df.count() > fast_df.count()
+
+
+@pytest.mark.parametrize("mode", ["strict", "decimal"])
+def test_dag_oracle_full_matrix(spark, dag_env, monkeypatch, mode):
+    """VERDICT r10 items 3+8 — the alternate-mode gate MATRIX, run
+    every round so parity rot can't hide behind an un-set env var:
+
+    - ``strict``: the FULL 45-model DAG built under
+      ``SPARK_TPCDI_PARITY=strict``. The two parity-capable models
+      compare against their strict DuckDB twins (composed: the
+      fact_market_history twin reads the strict daily_market view);
+      every OTHER model must still match the standard oracle — the
+      flag must not leak anywhere else.
+    - ``decimal``: the FULL DAG built under
+      ``SPARK_TPCDI_MONEY=decimal`` (money scans as DecimalType(15,2)
+      end to end). Every model must match the standard oracle after
+      DuckDB's type-cast normalization — the DAG is money-type-
+      agnostic (the 100 TB drift-free-SUM deployment mode).
+    """
+    from dbt_tpcdi_spark.tpcdi.oracle import (
+        DAILY_MARKET_STRICT_SQL,
+        FACT_MARKET_HISTORY_STRICT_SQL,
+    )
+
+    warehouse, _ = dag_env
+    root = warehouse.parent
+    env = (("SPARK_TPCDI_PARITY", "strict") if mode == "strict"
+           else ("SPARK_TPCDI_MONEY", "decimal"))
+    monkeypatch.setenv(*env)
+    try:
+        sources = load_dag_sources(spark, str(root / "raw"))
+        wh2 = root / f"warehouse_{mode}"
+        Runner(spark, sources, warehouse_dir=str(wh2)).run(parallelism=8)
+    finally:
+        monkeypatch.delenv(env[0])
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for s in LOGICAL_SOURCES:
+        con.execute(
+            f"CREATE VIEW src_{s} AS SELECT * FROM "
+            f"read_parquet('{root}/logical/{s}.parquet')"
+        )
+    for name, sql in ORACLE_MODELS.items():
+        con.execute(f'CREATE VIEW "{name}" AS {sql}')
+    if mode == "strict":
+        # the strict twins compose through DuckDB's late view binding:
+        # replacing daily_market re-points the fact_market_history
+        # twin's read automatically
+        con.execute("CREATE OR REPLACE VIEW daily_market AS "
+                    + DAILY_MARKET_STRICT_SQL)
+        con.execute("CREATE OR REPLACE VIEW fact_market_history AS "
+                    + FACT_MARKET_HISTORY_STRICT_SQL)
+    failures = []
+    for name in sorted(ORACLE_MODELS):
+        try:
+            _compare(con, name, str(wh2 / name))
+        except AssertionError as e:
+            failures.append(str(e)[:300])
+    assert not failures, failures
