@@ -1296,21 +1296,35 @@ def main() -> None:
         # off during the build so the range layouts keep >1 file (the
         # dag_versioned_skipping gate's treatment)
         vdir_big = os.path.join(big_dir, "whv")
-        shutil.rmtree(vdir_big, ignore_errors=True)
-        vrb = Runner(spark, big_sources, warehouse_dir=vdir_big,
-                     materialize="versioned")
         _ck = "spark.sql.adaptive.coalescePartitions.enabled"
         _prev = spark.conf.get(_ck, None)
         spark.conf.set(_ck, "false")
-        t0 = time.perf_counter()
+        big_v_walls = []
         try:
-            vrb.run(parallelism=8)
+            # median-of-3, same treatment as the batch build above —
+            # the versioned/batch ratio is PINNED below, so both sides
+            # need the same noise discipline
+            for _ in range(3):
+                shutil.rmtree(vdir_big, ignore_errors=True)
+                vrb = Runner(spark, big_sources, warehouse_dir=vdir_big,
+                             materialize="versioned")
+                t0 = time.perf_counter()
+                vrb.run(parallelism=8)
+                big_v_walls.append(round(time.perf_counter() - t0, 3))
         finally:
             (spark.conf.unset(_ck) if _prev is None
              else spark.conf.set(_ck, _prev))
-        big_v_wall = round(time.perf_counter() - t0, 3)
+        prep["dagbig_versioned_trials"] = sorted(big_v_walls)
+        big_v_wall = sorted(big_v_walls)[1]
         probes["dag_build_big_versioned"] = big_v_wall
         dag_big["versioned_wall"] = big_v_wall
+        # commit amortization (VERDICT r10 item 5): per-model commits
+        # (footer stats, bloom manifests, read-back) must cost ≤40%
+        # over the plain batch build — measured 0.99x after the r11
+        # fixes (bootstrap single-execution, schema-hint read-backs,
+        # one bloom scan for all columns)
+        plan_checks["dagbig_versioned_within_1_4x_batch"] = (
+            big_v_wall <= 1.4 * big_wall)
         # the declared fact_trade layout must prune a one-date window
         # read at volume
         vt_big = vrb.table("fact_trade")

@@ -293,7 +293,9 @@ class Runner:
                     check_key_spread=not _key_derived(
                         df, m.scd2_key, expr),
                 )
-                return vt.read()
+                # internal layout col is a storage detail — reads see
+                # the model's own schema (skips inference, see read())
+                return vt.read(schema=df.schema)
             layout = self._layout(name)
             if layout:
                 df = apply_layout(df, layout)
@@ -306,7 +308,15 @@ class Runner:
                 bloom_cols=(list(layout.bloom_cols) or None)
                 if layout else None,
             )
-            return vt.read()
+            # the just-written df's schema IS the file schema for a
+            # flat snapshot — skip the per-model inference job. Hive
+            # partition_by layouts re-derive partition cols from dir
+            # names, so those fall back to inference.
+            hint = None if (
+                self.partition_spec.get(name)
+                or (layout and layout.partition_by)
+            ) else df.schema
+            return vt.read(schema=hint)
         path = os.path.join(self.warehouse_dir, name)
         writer = df.write.mode("overwrite")
         if name in self.partition_spec:

@@ -315,6 +315,7 @@ def _bloom_stats(
     cols: list[str],
     bits: int = _BLOOM_BITS,
     hashes: int = _BLOOM_HASHES,
+    schema=None,
 ) -> dict:
     """Per-file Bloom bitmaps for ``cols``: one column-pruned scan of
     the just-written files (parquet reads ONLY the bloom columns +
@@ -328,7 +329,8 @@ def _bloom_stats(
     ``partitionBy`` layouts where basenames collide)."""
     from pyspark.sql import functions as F
 
-    base = spark.read.parquet(data_dir).select(
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    base = reader.parquet(data_dir).select(
         F.col("_metadata.file_path").alias("__f"),
         *[F.col(c) for c in cols],
     )
@@ -351,8 +353,8 @@ def _bloom_stats(
         parsed = urlparse(file_path)
         p = unquote(parsed.path) if parsed.scheme else file_path
         return os.path.relpath(os.path.realpath(p), abs_dir)
-    for c in cols:
-        pos = F.array(*[
+    def _pos(c: str):
+        return F.array(*[
             F.conv(
                 F.substring(
                     F.md5(
@@ -366,25 +368,42 @@ def _bloom_stats(
             ).cast("long") % bits
             for i in range(hashes)
         ])
-        rows = (
-            base.filter(F.col(c).isNotNull())
-            .select("__f", F.explode(pos).alias("__p"))
-            .select(
-                "__f",
-                F.expr(f"__p div {_BLOOM_WORD}").alias("__w"),
-                F.expr(
-                    f"shiftleft(cast(1 AS bigint), "
-                    f"cast(__p % {_BLOOM_WORD} AS int))"
-                ).alias("__m"),
+
+    # ONE job for ALL bloom columns (a multi-column layout used to pay
+    # one scan per column): stack each column's position array behind a
+    # column tag, explode once, and OR-fold per (file, col, word). The
+    # stacked row count is rows·cols·hashes pre-combine, but bit_or is
+    # map-side combined, so the shuffle stays ≤ files·cols·bits/word.
+    stacked = base.select(
+        "__f",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("__c"),
+                F.when(F.col(c).isNotNull(), _pos(c)).alias("__ps"),
             )
-            .groupBy("__f", "__w")
-            .agg(F.bit_or("__m").alias("__v"))
-            .collect()  # ≤ files · bits/word rows — metadata-sized
+            for c in cols
+        ])).alias("__s"),
+    ).select(
+        "__f", F.col("__s.__c").alias("__c"),
+        F.explode("__s.__ps").alias("__p"),
+    )
+    rows = (
+        stacked.select(
+            "__f", "__c",
+            F.expr(f"__p div {_BLOOM_WORD}").alias("__w"),
+            F.expr(
+                f"shiftleft(cast(1 AS bigint), "
+                f"cast(__p % {_BLOOM_WORD} AS int))"
+            ).alias("__m"),
         )
-        for r in rows:
-            out[_rel(r["__f"])][c]["words"][str(r["__w"])] = int(
-                r["__v"]
-            )
+        .groupBy("__f", "__c", "__w")
+        .agg(F.bit_or("__m").alias("__v"))
+        .collect()  # ≤ files · cols · bits/word rows — metadata-sized
+    )
+    for r in rows:
+        out[_rel(r["__f"])][r["__c"]]["words"][str(r["__w"])] = int(
+            r["__v"]
+        )
     return out
 
 
@@ -508,6 +527,11 @@ class VersionedTable:
             extra["bloom"] = _bloom_stats(
                 self.spark, os.path.join(self.root, data_dir),
                 bloom_cols, bits=bloom_bits, hashes=bloom_hashes,
+                # flat snapshots: the written files carry exactly
+                # df's schema — skip the inference job. partitionBy
+                # layouts keep inference (partition cols live in dir
+                # names, not footers).
+                schema=None if partition_by else df.schema,
             )
         return self._commit_entry(
             data_dir, op, max_retries, extra=extra or None
@@ -756,24 +780,37 @@ class VersionedTable:
 
     # -- read --------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, schema=None
+    ) -> DataFrame:
         """Snapshot-isolated read: resolves the (given or latest)
         version NOW; the returned DataFrame keeps reading that snapshot
         regardless of later commits. Partition-manifest versions
         (``partitioned_upsert``) resolve to one leaf-directory read per
         partition — a directory-listing-sized operation — re-attaching
-        the partition column from the manifest."""
+        the partition column from the manifest.
+
+        ``schema`` (optional StructType) skips parquet schema
+        inference — the footer-sampling job every schemaless
+        ``spark.read.parquet`` launches at plan time. The build path
+        passes the just-written DataFrame's schema (it IS the file
+        schema); external callers normally omit it. Mismatched hints
+        surface as nulls/analysis errors exactly as with any
+        user-supplied reader schema."""
         if version is None:
             version = self.latest_version()
             if version is None:
                 raise ValueError(f"{self.root}: no commits yet")
         entry = self._entry(version)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
         if "datas" in entry:
-            return self.spark.read.parquet(*[
+            return reader.parquet(*[
                 os.path.join(self.root, d) for d in entry["datas"]
             ])
         if "parts" not in entry:
-            return self.spark.read.parquet(
+            return reader.parquet(
                 os.path.join(self.root, entry["data"])
             )
         from pyspark.sql import functions as F
@@ -784,7 +821,7 @@ class VersionedTable:
             # directories resolve through ONE multi-path scan — a
             # driver-side listing, not an N-way union whose analysis
             # costs ~100 ms per leaf on wide manifests
-            return self.spark.read.parquet(*[
+            return reader.parquet(*[
                 os.path.join(self.root, d, f"{col}={v}")
                 for v, d in sorted(entry["parts"].items())
             ])
@@ -1344,13 +1381,24 @@ class VersionedTable:
             base_entry = (
                 self._entry(base_version) if base_version is not None else None
             )
-            vals = sorted(
-                str(r[0])
-                for r in updates.select(partition_col).distinct().collect()
-            )
             if overwrite:
+                # full-replace bootstrap: every value in `updates` ends
+                # up in this commit's dir, so the touched-value set can
+                # be LISTED from the written key=value dirs post-write
+                # instead of collected pre-write — the pre-write
+                # distinct() would execute the (possibly expensive)
+                # upstream plan a second time
                 merged = updates
                 prev_parts = {}
+                vals = None
+            else:
+                vals = sorted(
+                    str(r[0])
+                    for r in updates.select(partition_col)
+                    .distinct().collect()
+                )
+            if overwrite:
+                pass
             elif (
                 base_entry is not None
                 and base_entry.get("part_col") == partition_col
@@ -1429,6 +1477,16 @@ class VersionedTable:
             merged.write.mode("overwrite").partitionBy(partition_col).parquet(
                 os.path.join(self.root, data_dir)
             )
+            if vals is None:
+                # overwrite bootstrap: enumerate the values the write
+                # actually produced (safe because partition values are
+                # constrained to str()-stable simple scalars)
+                prefix = f"{partition_col}="
+                vals = sorted(
+                    d[len(prefix):]
+                    for d in os.listdir(os.path.join(self.root, data_dir))
+                    if d.startswith(prefix)
+                )
             parts = {**prev_parts, **{v: data_dir for v in vals}}
             extra = {
                 "parts": parts,
