@@ -4742,7 +4742,13 @@ def ivfpq_index_build(
     base = e.select(
         "vec_id", S._qlist(F.col("embedding")).alias("__qv")
     )
-    asg = S.assign_centroids_bcast(base, "vec_id", cents)
+    # BLAS argmin, not the broadcast fan-out: min(struct(...)) over an
+    # n*cells row stream is an ObjectHashAggregate that FALLS BACK TO
+    # SORT past ~128 keys/partition — at 2M vectors x 256 cells the
+    # sorter spilled ~0.5 TB (x1000 probe, r11). The Arrow matmul path
+    # is bit-identical (same integer distances, same (dist, label)
+    # tie-break) and keeps the stream at one row per vector.
+    asg = S.assign_centroids_blas(base, "vec_id", cents)
     resid = (
         asg.join(F.broadcast(cents), asg["cluster"] == cents["__cl"])
         .select(
@@ -4755,9 +4761,13 @@ def ivfpq_index_build(
         )
         .localCheckpoint(eager=True)  # checkpoint() on a real cluster
     )
+    # blockwise-BLAS training, not the grouped broadcast Lloyd: the
+    # grouped loop's min(struct) over an n*blocks*codes fan-out hits
+    # the same ObjectHashAggregate sort fallback as the coarse pass
+    # (result-identical either way — _pq_codebooks_blockwise docstring)
     cb = S.pq_codebooks(
         resid, "vec_id", "__rv", dim, blocks=blocks, codes=codes,
-        iters=1, assign_mode="broadcast",
+        iters=1, assign_mode="blas",
     )
     pq_codes = S.pq_encode(
         resid, "vec_id", "__rv", cb, dim, blocks=blocks
@@ -4800,7 +4810,8 @@ def ivfpq_index_append(
     base = new_e.select(
         "vec_id", S._qlist(F.col("embedding")).alias("__qv")
     )
-    asg = S.assign_centroids_bcast(base, "vec_id", cents)
+    # same BLAS-not-fanout treatment as ivfpq_index_build (bit-exact)
+    asg = S.assign_centroids_blas(base, "vec_id", cents)
     resid = (
         asg.join(F.broadcast(cents), asg["cluster"] == cents["__cl"])
         .select(
