@@ -421,9 +421,15 @@ def main() -> None:
         probes["x100:ivfpq_probe_after_append"] = round(
             time.perf_counter() - t0, 3)
         prep["ivfpq_append_x100_files"] = rep_a
+        # 3 s floor: a 1%-batch append is a handful of fixed-cost jobs
+        # (read cents/codebooks, one Arrow encode pass, append commit);
+        # after the r11 BLAS build the x100 build wall is small enough
+        # that 0.1x can dip under those fixed costs. The asymptotic
+        # claim (append = O(batch), never O(n*cells)) is pinned at
+        # x1000 where fixed costs vanish (BENCH_r11_xl: 5.6 s vs 341 s)
         plan_checks["ivfpq_append_obatch"] = (
             probes["x100:ivfpq_index_append"]
-            <= 0.1 * probes["x100:ivfpq_index_build"])
+            <= max(0.1 * probes["x100:ivfpq_index_build"], 3.0))
         plan_checks["ivfpq_append_probe_pruned"] = (
             rep_a["files_read"] * 2 <= rep_a["files_total"])
 
