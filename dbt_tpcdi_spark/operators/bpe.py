@@ -588,7 +588,18 @@ def bpe_train_local(
             learned.append((pair[0] + " " + pair[1], cnt))
             x, y = pair
             merged = x + y
-            for i in sorted(where.get(pair, ())):
+            # heap maintenance batches per MERGE, not per word: on
+            # prefix-shared vocabularies one hot pair lives in 10⁵
+            # words, and a per-word push (with its f-string key) was
+            # the dominant cost — lazy invalidation only needs ONE
+            # live entry per touched pair carrying its final count,
+            # pushed after all words are rewritten. Word order within
+            # a merge is irrelevant (count deltas commute), so the
+            # old per-merge sort of the containing-word ids is gone.
+            touched: set = set()
+            # tuple(): the word loop discards ids from where-sets
+            # (including this pair's own) while iterating
+            for i in tuple(where.get(pair, ())):
                 syms = words[i]
                 c = wcs[i]
                 # left-to-right non-overlapping greedy merge (the
@@ -607,26 +618,28 @@ def bpe_train_local(
                 # delta-update counts and the containing-word index
                 old_pairs = list(zip(syms, syms[1:]))
                 new_pairs = list(zip(out, out[1:]))
-                touched_pairs = set(old_pairs) | set(new_pairs)
                 for p in old_pairs:
                     counts[p] -= c
                 for p in new_pairs:
                     counts[p] = counts.get(p, 0) + c
-                for p in touched_pairs:
-                    heapq.heappush(
-                        heap,
-                        (-counts.get(p, 0), f"{p[0]} {p[1]}", p),
-                    )
-                ops, nps = set(old_pairs), set(new_pairs)
-                for p in ops - nps:
-                    s = where.get(p)
-                    if s is not None:
-                        s.discard(i)
-                for p in nps - ops:
+                nps = set(new_pairs)
+                for p in old_pairs:
+                    if p not in nps:
+                        s = where.get(p)
+                        if s is not None:
+                            s.discard(i)
+                for p in nps:
                     where.setdefault(p, set()).add(i)
+                touched.update(old_pairs)
+                touched.update(nps)
                 words[i] = out
             where.pop(pair, None)
             counts.pop(pair, None)
+            touched.discard(pair)
+            for p in touched:
+                heapq.heappush(
+                    heap, (-counts.get(p, 0), f"{p[0]} {p[1]}", p)
+                )
         return pd.DataFrame(
             {
                 "rank": range(len(learned)),

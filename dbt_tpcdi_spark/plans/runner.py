@@ -185,12 +185,24 @@ class Runner:
         warehouse_dir: str | None = None,
         materialize: str = "parquet",
         partition_spec: dict[str, list[str]] | None = None,
+        layout_files: int | None = None,
     ) -> None:
         """``partition_spec``: model → partition columns for the
         parquet write (e.g. {"fact_trade": ["sk_create_date"]}) — the
         100 TB layout (SCALE.md §1): date-partitioned facts give
         downstream scans partition pruning. Off by default: at bench
-        scale the file-count overhead outweighs the benefit."""
+        scale the file-count overhead outweighs the benefit.
+
+        ``layout_files``: explicit output-file count for every model's
+        range layout (overrides ``Layout.files``). The production
+        default (None) lets AQE size the layout shuffle by data
+        volume; at bench/fixture scale AQE correctly folds a tiny
+        range shuffle to ONE file, which makes pruning unobservable —
+        passing a small explicit count here keeps >1 file per layout
+        WITHOUT disabling AQE partition coalescing for the whole
+        build (the old treatment, which inflated every intermediate
+        shuffle of all 45 models: AQE ignores a repartitionByRange
+        only when it carries an explicit partition count)."""
         if materialize not in ("parquet", "lazy", "versioned"):
             raise ValueError(materialize)
         if materialize != "lazy" and not warehouse_dir:
@@ -200,6 +212,7 @@ class Runner:
         self.warehouse_dir = warehouse_dir
         self.materialize = materialize
         self.partition_spec = partition_spec or {}
+        self.layout_files = layout_files
 
     def run(
         self, targets: list[str] | None = None, parallelism: int = 1
@@ -330,7 +343,17 @@ class Runner:
         reference's dynamic tables keep Snowflake clustering across
         refreshes)."""
         m = all_models().get(name)
-        return m.layout if m else None
+        lay = m.layout if m else None
+        if (
+            lay is not None
+            and self.layout_files
+            and lay.range_by
+            and not lay.files
+        ):
+            import dataclasses
+
+            lay = dataclasses.replace(lay, files=self.layout_files)
+        return lay
 
     def table(self, name: str):
         """The model's ``VersionedTable`` (versioned mode only) — the

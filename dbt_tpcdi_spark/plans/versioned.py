@@ -1415,15 +1415,31 @@ class VersionedTable:
                         "batch to the manifest's type"
                     )
                 prev_parts = dict(base_entry["parts"])
-                existing = None
+                # ONE read per distinct data dir, not one per touched
+                # partition value: leaves of the same commit dir share
+                # a hive layout, so a basePath-anchored multi-path
+                # scan re-derives the partition column from the
+                # key=value dir names in a single analysis pass — and
+                # the batch's own schema doubles as the reader schema
+                # (leaf files carry exactly the non-partition fields),
+                # skipping the per-leaf inference job each merge paid
+                by_dir: dict[str, list[str]] = {}
                 for v in vals:
-                    if v not in prev_parts:
-                        continue
-                    leaf = self.spark.read.parquet(
-                        os.path.join(
-                            self.root, prev_parts[v], f"{partition_col}={v}"
-                        )
-                    ).withColumn(partition_col, F.lit(v).cast(dtype))
+                    if v in prev_parts:
+                        by_dir.setdefault(prev_parts[v], []).append(v)
+                existing = None
+                for data_dir_prev, vs in sorted(by_dir.items()):
+                    base_dir = os.path.join(self.root, data_dir_prev)
+                    leaf = (
+                        self.spark.read
+                        .schema(updates.schema)
+                        .option("basePath", base_dir)
+                        .parquet(*[
+                            os.path.join(
+                                base_dir, f"{partition_col}={v}")
+                            for v in sorted(vs)
+                        ])
+                    )
                     existing = (
                         leaf if existing is None else existing.unionByName(leaf)
                     )
