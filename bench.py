@@ -60,6 +60,14 @@ SPARK_GRAFT_BENCH_SCALE=0):
   incremental index maintenance economics — a 1% batch encoded
   against frozen codebooks must append in ≤0.1× the build wall, and
   the probe must stay cell-pruned after the compact fold.
+- ``dagbig:merge_refresh_small_delta`` / ``conebig:*`` (r11): the
+  steady-state 0.5%-delta SCD2 refresh. At 1M trades both merge and
+  rebuild are fixed-job-cost bound, so the walls are recorded
+  (median-of-3 each) with the ratio UNPINNED; the ≤0.5×-rebuild
+  ECONOMICS pin lives on the 4M-trade cone probe where data volume
+  dominates fixed costs. ``dag_build_big_versioned`` is pinned
+  ≤1.5× batch — commit overhead itself measures ~1.0× in isolated
+  A/Bs; the delta is the layout/bloom/bootstrap feature work.
 
 ``value`` stays the sum of the HEADLINE queries only, so rounds remain
 comparable on the same key; the probes report their own timings under
@@ -987,9 +995,17 @@ def main() -> None:
                     .groupBy("user_id", "sid")
                     .agg(F.sum("n").alias("n_events"))
                 )
-            t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            return round(time.perf_counter() - t0, 3)
+            # median-of-3: these walls are ~1-2 s, where the cold
+            # first execution flips a 1.5x skew-independence ratio
+            # (r11: single-shot salted_join_zipf trials measured
+            # [3.9, 1.8, 1.6] — the median is 1.2x its uniform twin,
+            # the cold shot 2.5x)
+            trials = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                trials.append(round(time.perf_counter() - t0, 3))
+            return sorted(trials)[1]
 
         zipf100 = benchdata.zipf_events(
             spark, n_rows=10_000_000).persist()
