@@ -33,11 +33,13 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-__all__ = ["mg_candidates", "mg_reduce", "mg_summary"]
+__all__ = ["mg_candidates", "mg_reduce", "mg_summary",
+           "qs_estimates", "qs_estimates_sql", "qs_sketch",
+           "qs_sketch_sql"]
 
 
 def mg_reduce(counts: dict[str, int], k: int) -> dict[str, int]:
@@ -209,3 +211,108 @@ def cm_estimate_sql(probes_sql: str, col: str, depth: int = CM_DEPTH,
         f"FROM __cmpr p LEFT JOIN __cmcells c USING (row, pos) "
         f"GROUP BY 1)"
     )
+
+
+# ---------------------------------------------------------------------------
+# bottom-k-by-hash quantile sketch (random-subset order statistics)
+
+#: sketch size / hash salt. k = 256 gives a DKW sup-norm bound of
+#: ~0.10 at 99% confidence — coarse but honest, and the sketch is 256
+#: rows whatever the table size.
+QS_K = 256
+QS_SALT = "qs-v1|"
+
+#: default probe quantiles (permille)
+QS_Q_PM = (100, 250, 500, 750, 900, 990)
+
+
+def qs_sketch(df: DataFrame, key_col: str, value_col: str,
+              k: int = QS_K, salt: str = QS_SALT) -> DataFrame:
+    """Bounded-size MERGEABLE quantile sketch: the k rows whose salted
+    60-bit key hashes are smallest, carried as ``(h, v)``. Because the
+    hash is uniform and key-determined, bottom-k-by-hash is a uniform
+    random k-subset of rows — order statistics over it estimate any
+    quantile with the DKW sup-norm guarantee — and it is mergeable
+    exactly like KMV: bottom-k of a union = bottom-k of concatenated
+    per-shard sketches, so shard sketches combine without revisiting
+    data (Spark's own approx_percentile summary cannot cross engines;
+    this one is integer-deterministic, so a SQL twin reproduces it bit
+    for bit).
+
+    Physical shape: ``orderBy(h, v).limit(k)`` planizes as
+    TakeOrderedAndProject — per-partition partial bottom-k, then one
+    k-row merge. No window, no full sort, one scan; ``v`` is the
+    tiebreak so the cut stays total-ordered even under
+    (astronomically unlikely) 60-bit hash collisions."""
+    from dbt_tpcdi_spark.operators.text import md5_60bit
+
+    th = df.select(
+        md5_60bit(
+            F.concat(F.lit(salt), F.col(key_col).cast("string"))
+        ).alias("h"),
+        F.col(value_col).alias("v"),
+    )
+    return th.orderBy("h", "v").limit(k)
+
+
+def qs_sketch_sql(source_sql: str, h_sql: str, v_sql: str,
+                  k: int = QS_K) -> str:
+    """DuckDB twin of ``qs_sketch``: CTE chain ending in ``__qssk``
+    with columns (h, v)."""
+    return f"""__qsth AS MATERIALIZED (
+        SELECT {h_sql} AS h, {v_sql} AS v FROM {source_sql}
+    ),
+    __qssk AS (
+        SELECT h, v FROM __qsth ORDER BY h, v LIMIT {k}
+    )"""
+
+
+def qs_estimates(sk: DataFrame, q_pms=QS_Q_PM) -> DataFrame:
+    """Quantile estimates from a ``qs_sketch`` result: for each target
+    q (permille) the sample order statistic at rank
+    ``max(1, ceil(q·m/1000))``, ordered by (v, h) for a total order
+    under value ties. Output ``(q_pm, est_v, n_sample)`` — all
+    integer, so the SQL twin is exact.
+
+    Shape: the ≤ k sketch rows collapse to ONE sorted array (the
+    bounded sorted-array idiom — no window, no join), and each probe
+    quantile indexes into it."""
+    one = sk.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("v"), F.col("h")))
+        ).alias("__a"),
+        F.count("*").cast("long").alias("n_sample"),
+    )
+    return one.select(
+        F.explode(
+            F.array(*[F.lit(int(q)) for q in q_pms])
+        ).alias("q_pm"),
+        "n_sample",
+        "__a",
+    ).select(
+        "q_pm",
+        F.expr(
+            "__a[cast(greatest(1, (q_pm * n_sample + 999) div 1000)"
+            " AS int) - 1].v"
+        ).alias("est_v"),
+        "n_sample",
+    )
+
+
+def qs_estimates_sql(q_pms=QS_Q_PM, k: int = QS_K) -> str:
+    """DuckDB twin of ``qs_estimates``: CTEs ending in ``__qsest``
+    (q_pm, est_v, n_sample); expects ``__qssk`` in scope."""
+    qlist = ", ".join(str(int(q)) for q in q_pms)
+    return f"""__qsm AS (SELECT count(*) AS m FROM __qssk),
+    __qsranked AS (
+        SELECT v, row_number() OVER (ORDER BY v, h) AS vr FROM __qssk
+    ),
+    __qstgt AS (
+        SELECT q.q_pm, m.m,
+               greatest(1, (q.q_pm * m.m + 999) // 1000) AS vr
+        FROM (SELECT unnest([{qlist}]) AS q_pm) q, __qsm m
+    ),
+    __qsest AS (
+        SELECT t.q_pm, r.v AS est_v, cast(t.m AS bigint) AS n_sample
+        FROM __qstgt t JOIN __qsranked r USING (vr)
+    )"""

@@ -31,6 +31,7 @@ from dbt_tpcdi_spark.operators import bpe as B
 from dbt_tpcdi_spark.operators import dedup as D
 from dbt_tpcdi_spark.operators import frequent as FQ
 from dbt_tpcdi_spark.operators import text as X
+from dbt_tpcdi_spark.operators import wordpiece as W
 from dbt_tpcdi_spark.queries import query
 from dbt_tpcdi_spark.sources.parquet import load_table
 from dbt_tpcdi_spark.sources.parquet import spread as _spread
@@ -1111,3 +1112,298 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("bpe_tokens", F.lit("")).alias("bpe_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus round-trip: the interchange format LLM corpora ship in
+
+
+@query(
+    "jsonl_scan",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    tags=["source-jsonl", "S1", "P2"],
+)
+def jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink round-trip gate (sources/jsonl.py): the
+    documents table is written as gzip'd JSONL shards (the layout
+    public LLM corpora — Pile/RedPajama/Dolma — actually publish),
+    three malformed lines are injected as an extra plain-text shard,
+    and the read-back must equal the parquet source of truth exactly
+    (JSON string escaping, long round-trip, codec handling, malformed-
+    line dropping all on the line). The oracle reads the parquet view
+    directly — same trust shape as ``bucketed_join_agg``'s write/read
+    gate. Scale rules proven here: schema DECLARED (no inference pass
+    — at 100 TB schema inference is a second full scan), malformed
+    lines dropped AT the scan (``DROPMALFORMED``), parallelism from
+    shard count (each .json.gz is one split)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from dbt_tpcdi_spark.sources import jsonl as J
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), f"jsonl_scan_{suffix}")
+    d = load_table(spark, sf_dir, "documents")
+    J.write_jsonl(d, root, compression="gzip", shards=4)
+    # an extra plain shard of garbage: a crawl always has broken lines
+    with open(os.path.join(root, "corrupt-extra.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": "unterminated\n')
+        fh.write("not json at all\n")
+        fh.write("\n")
+    return J.read_jsonl(spark, root, d.schema).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece: the third tokenizer family (greedy longest-match subwords)
+
+_WP_ORACLE = f"""
+    WITH RECURSIVE tk AS (
+        SELECT doc_id, {X.tokens_sql('text')} AS tk FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, i AS pos, tk[i] AS word
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+              FROM tk)
+    ),
+    wc AS (SELECT word, count(*) AS n FROM occ GROUP BY 1),
+    wpos AS (
+        SELECT word, n, unnest(range(1, length(word) + 1)) AS p
+        FROM wc
+    ),
+    sub AS (
+        SELECT substr(word, cast(p AS int), cast(l AS int)) AS form,
+               p > 1 AS cont, n
+        FROM (SELECT word, n, p,
+                     unnest(range(1, least({W.WP_MAX_PIECE},
+                                  length(word) - p + 1) + 1)) AS l
+              FROM wpos)
+    ),
+    vagg AS (SELECT form, cont, sum(n) AS wt FROM sub GROUP BY 1, 2),
+    chars AS (SELECT DISTINCT form, cont FROM vagg
+              WHERE length(form) = 1),
+    multi AS (
+        SELECT form, cont FROM (
+            SELECT form, cont,
+                   row_number() OVER (ORDER BY wt DESC, cont, form)
+                       AS rn
+            FROM vagg WHERE length(form) >= 2
+        ) WHERE rn <= {W.WP_TOPK}
+    ),
+    vocab AS (SELECT form, cont FROM chars
+              UNION ALL SELECT form, cont FROM multi),
+    best AS (
+        SELECT w.word, w.p AS pos, max(length(v.form)) AS bl
+        FROM wpos w JOIN vocab v
+          ON v.cont = (w.p > 1)
+         AND length(v.form) <= length(w.word) - w.p + 1
+         AND substr(w.word, cast(w.p AS int), length(v.form))
+             = v.form
+        GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT w.word, cast(1 AS bigint) AS k,
+               CASE WHEN b.bl IS NULL THEN '{W.WP_UNK}'
+                    ELSE substr(w.word, 1, b.bl) END AS piece,
+               CASE WHEN b.bl IS NULL THEN cast(2 AS bigint)
+                    ELSE 1 + b.bl END AS nxt
+        FROM wc w LEFT JOIN best b ON b.word = w.word AND b.pos = 1
+        UNION ALL
+        SELECT s.word, s.k + 1,
+               CASE WHEN b.bl IS NULL THEN '{W.WP_UNK}'
+                    ELSE '##' || substr(s.word, cast(s.nxt AS int),
+                                        b.bl) END,
+               CASE WHEN b.bl IS NULL THEN s.nxt + 1
+                    ELSE s.nxt + b.bl END
+        FROM seg s LEFT JOIN best b
+          ON b.word = s.word AND b.pos = s.nxt
+        WHERE s.nxt <= length(s.word)
+    ),
+    per_word AS (
+        SELECT word, string_agg(piece, ' ' ORDER BY k) AS wp,
+               cast(count(*) AS bigint) AS n_pieces,
+               cast(sum(CASE WHEN piece = '{W.WP_UNK}' THEN 1
+                             ELSE 0 END) AS bigint) AS n_unk
+        FROM seg GROUP BY 1
+    )
+    SELECT o.doc_id, cast(count(*) AS bigint) AS n_words,
+           cast(sum(p.n_pieces) AS bigint) AS n_pieces,
+           cast(sum(p.n_unk) AS bigint) AS n_unk,
+           md5(string_agg(p.wp, ' ' ORDER BY o.pos)) AS pieces_fp
+    FROM occ o JOIN per_word p USING (word)
+    GROUP BY 1
+    """
+
+
+@query(
+    "wordpiece_encode",
+    oracle=_WP_ORACLE,
+    tags=["llm-tokenize", "W3", "A1", "J1"],
+)
+def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece (BERT) greedy longest-match subword encoding of the
+    corpus against a corpus-derived vocabulary (operators/
+    wordpiece.py) — the tokenizer family BPE's merge chain doesn't
+    cover: segmentation needs no training-order state, just the piece
+    set, so the vocabulary is ONE weighted-substring top-K and
+    encoding is longest-match per position with ``##`` continuation
+    marks. Corpus-sized work stays declarative (posexplode, one
+    equi-join on word, per-doc aggregate); the greedy matcher runs
+    Arrow-batched over the DISTINCT-WORD table (vocabulary-sized —
+    Heaps' law — at any corpus size) with the bounded vocab broadcast.
+    The DuckDB twin re-derives the identical vocabulary and walks the
+    identical greedy segmentation as a recursive CTE over the
+    precomputed best-match table (greedy choice at (word, pos) is
+    path-independent, so the walk linearizes); per-doc piece sequences
+    are compared by md5 fingerprint in document order."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = _spread(d).select(
+        "doc_id",
+        F.posexplode(X.tokens(F.col("text"))).alias("pos", "word"),
+    )
+    wc = occ.groupBy("word").agg(F.count("*").alias("n"))
+    enc = W.wp_encode_words(wc, W.wp_vocab(wc))
+    return (
+        occ.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("pos"), F.col("wp"))
+                            )
+                        ),
+                        lambda s: s["wp"],
+                    ),
+                    " ",
+                )
+            ).alias("pieces_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (bottom-k-by-hash order statistics)
+
+_QS_H_SQL = X.md5_60bit_sql(
+    f"'{FQ.QS_SALT}' || cast(o_orderkey AS varchar)")
+_QS_V_SQL = "cast(floor(o_totalprice * 100 + 0.5) AS bigint)"
+#: DKW audit margin, integer form (see quantile_sketch docstring):
+#: tol² ≤ 53/(10m) + 2/m² inflates (ε + 1/m)² with ln(2/0.01) ≈ 53/10,
+#: so the pass condition 10·(D·m)² ≤ 5.3e6·n²·m + 2e7·n² is exact
+#: integer/decimal arithmetic — no cross-engine ln/sqrt anywhere.
+_QS_BOUND = ("{d} <= 0 OR 10 * ({d} * md) * ({d} * md) "
+             "<= 5300000 * nd * nd * md + 20000000 * nd * nd")
+_QS_WITHIN = (f"(({_QS_BOUND.format(d='dlo')}) "
+              f"AND ({_QS_BOUND.format(d='dhi')}))")
+
+
+def _qs_components(spark: SparkSession, sf_dir: str):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) AS bigint)")
+        .alias("v"),
+    )
+    sk = FQ.qs_sketch(o, "o_orderkey", "v")
+    return o, FQ.qs_estimates(sk)
+
+
+@query(
+    "quantile_sketch",
+    oracle=f"""
+    WITH {FQ.qs_sketch_sql('orders', _QS_H_SQL, _QS_V_SQL)},
+    {FQ.qs_estimates_sql()},
+    aud AS (
+        SELECT e.q_pm, e.est_v, e.n_sample,
+               sum(CASE WHEN t.v < e.est_v THEN 1 ELSE 0 END)
+                   AS cnt_lt,
+               sum(CASE WHEN t.v <= e.est_v THEN 1 ELSE 0 END)
+                   AS cnt_le,
+               count(*) AS n
+        FROM __qsest e, __qsth t
+        GROUP BY 1, 2, 3
+    ),
+    chk AS (
+        SELECT q_pm, est_v, n_sample,
+               cast(1000 * cnt_lt - q_pm * n AS decimal(38,0)) AS dlo,
+               cast(q_pm * n - 1000 * cnt_le AS decimal(38,0)) AS dhi,
+               cast(n AS decimal(38,0)) AS nd,
+               cast(n_sample AS decimal(38,0)) AS md
+        FROM aud
+    )
+    SELECT q_pm, est_v, n_sample, {_QS_WITHIN} AS within_dkw
+    FROM chk
+    """,
+    tags=["llm-sketch", "A1", "W3"],
+)
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/frequent.qs_sketch):
+    bottom-k rows BY SALTED KEY HASH are a uniform random k-subset, so
+    sample order statistics estimate any quantile with the DKW
+    sup-norm guarantee — and unlike ``approx_percentile`` (whose
+    GK summary bytes can't cross engines) every step is deterministic
+    integer math, so the DuckDB twin reproduces sketch AND estimates
+    bit for bit. Mergeability is KMV's: bottom-k of a union = bottom-k
+    of concatenated shard sketches, so a 100 TB run sketches shards
+    independently and combines 256-row results. The audit columns
+    recount the estimate's true rank from the full table (gate-only,
+    dropped at scale like KMV's audit) and pin the DKW bound with the
+    integer inequality in ``_QS_BOUND`` — no ln/sqrt floats anywhere.
+    ``within_dkw`` must be uniformly true: the gate fails loudly if
+    the sketch's accuracy contract breaks."""
+    o, est = _qs_components(spark, sf_dir)
+    aud = (
+        o.crossJoin(F.broadcast(est))
+        .groupBy("q_pm", "est_v", "n_sample")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("est_v"), 1).otherwise(0))
+            .alias("cnt_lt"),
+            F.sum(F.when(F.col("v") <= F.col("est_v"), 1).otherwise(0))
+            .alias("cnt_le"),
+            F.count("*").alias("n"),
+        )
+    )
+    chk = aud.select(
+        "q_pm",
+        "est_v",
+        "n_sample",
+        F.expr("cast(1000 * cnt_lt - q_pm * n AS decimal(38,0))")
+        .alias("dlo"),
+        F.expr("cast(q_pm * n - 1000 * cnt_le AS decimal(38,0))")
+        .alias("dhi"),
+        F.expr("cast(n AS decimal(38,0))").alias("nd"),
+        F.expr("cast(n_sample AS decimal(38,0))").alias("md"),
+    )
+    return chk.select(
+        "q_pm", "est_v", "n_sample",
+        F.expr(_QS_WITHIN).alias("within_dkw"),
+    )
+
+
+@query(
+    "quantile_sketch_serving",
+    oracle=f"""
+    WITH {FQ.qs_sketch_sql('orders', _QS_H_SQL, _QS_V_SQL)},
+    {FQ.qs_estimates_sql()}
+    SELECT q_pm, est_v, n_sample FROM __qsest
+    """,
+    tags=["llm-sketch", "A1", "W3"],
+)
+def quantile_sketch_serving(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """The sketch-only quantile SERVING plan: identical estimates to
+    ``quantile_sketch`` without the full-table rank audit — ONE scan
+    of orders, bounded windows (≤ B·k then ≤ k rows), one broadcast
+    join of the 6-row probe table. The audited twin stays the
+    accuracy gate; this is the plan a 100 TB run executes (plan
+    pinned single-scan in tests/test_plan_properties.py)."""
+    _, est = _qs_components(spark, sf_dir)
+    return est

@@ -511,3 +511,12 @@ def test_curation_approx_single_scored_execution(spark):
     exact = _plan(spark, "curation_pipeline")
     assert "percent_rank" in exact  # exact keeps rank semantics
     assert exact.count("Scan parquet") == 1, exact
+
+
+def test_quantile_sketch_serving_single_scan(spark):
+    """The serving plan reads orders ONCE (the audited twin's
+    full-table rank recount is gate-only): one parquet scan, no
+    shuffle join — the 6-row probe table joins broadcast."""
+    plan = _plan(spark, "quantile_sketch_serving")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan

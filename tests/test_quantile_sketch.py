@@ -1,0 +1,65 @@
+"""Quantile-sketch operator properties: mergeability (bottom-k of a
+union == bottom-k of concatenated shard sketches), bounded size, and
+estimate determinism. The accuracy contract (DKW bound) is pinned by
+the ``quantile_sketch`` oracle query's ``within_dkw`` audit column."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_tpcdi_spark.operators import frequent as FQ
+from tests.conftest import SF_SMOKE
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) AS bigint)")
+        .alias("v"),
+    )
+
+
+def test_sketch_is_mergeable(spark):
+    o = _orders(spark)
+    full = FQ.qs_sketch(o, "o_orderkey", "v")
+    shards = [
+        FQ.qs_sketch(o.filter(F.col("o_orderkey") % 3 == i),
+                     "o_orderkey", "v")
+        for i in range(3)
+    ]
+    merged_input = shards[0].unionByName(shards[1]).unionByName(
+        shards[2]
+    )
+    # bottom-k over the concatenated shard sketches == sketch of the
+    # union (the property that makes shard-at-a-time corpus passes
+    # combinable without revisiting data)
+    from pyspark.sql import Window
+
+    k = FQ.QS_K
+    direct = (
+        merged_input.withColumn(
+            "__rn", F.row_number().over(Window.orderBy("h"))
+        )
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    a = sorted((r["h"], r["v"]) for r in full.collect())
+    b = sorted((r["h"], r["v"]) for r in direct.collect())
+    assert a == b
+    assert len(a) <= k
+
+
+def test_sketch_size_bounded(spark):
+    o = _orders(spark)
+    assert FQ.qs_sketch(o, "o_orderkey", "v").count() == min(
+        FQ.QS_K, o.count()
+    )
+
+
+def test_estimates_monotone_in_q(spark):
+    est = FQ.qs_estimates(
+        FQ.qs_sketch(_orders(spark), "o_orderkey", "v")
+    ).orderBy("q_pm").collect()
+    vals = [r["est_v"] for r in est]
+    assert vals == sorted(vals)
+    assert len(est) == len(FQ.QS_Q_PM)
