@@ -31,6 +31,7 @@ from dbt_tpcdi_spark.operators import bpe as B
 from dbt_tpcdi_spark.operators import dedup as D
 from dbt_tpcdi_spark.operators import frequent as FQ
 from dbt_tpcdi_spark.operators import text as X
+from dbt_tpcdi_spark.operators import unigram as U
 from dbt_tpcdi_spark.operators import wordpiece as W
 from dbt_tpcdi_spark.queries import query
 from dbt_tpcdi_spark.sources.parquet import load_table
@@ -1121,7 +1122,7 @@ def bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "jsonl_scan",
     oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
-    tags=["source-jsonl", "S1", "P2"],
+    tags=["source-jsonl", "S1", "P2"], headline=True,
 )
 def jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source/sink round-trip gate (sources/jsonl.py): the
@@ -1241,7 +1242,7 @@ _WP_ORACLE = f"""
 @query(
     "wordpiece_encode",
     oracle=_WP_ORACLE,
-    tags=["llm-tokenize", "W3", "A1", "J1"],
+    tags=["llm-tokenize", "W3", "A1", "J1"], headline=True,
 )
 def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece (BERT) greedy longest-match subword encoding of the
@@ -1395,7 +1396,7 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     {FQ.qs_estimates_sql()}
     SELECT q_pm, est_v, n_sample FROM __qsest
     """,
-    tags=["llm-sketch", "A1", "W3"],
+    tags=["llm-sketch", "A1", "W3"], headline=True,
 )
 def quantile_sketch_serving(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -1407,3 +1408,134 @@ def quantile_sketch_serving(spark: SparkSession,
     pinned single-scan in tests/test_plan_properties.py)."""
     _, est = _qs_components(spark, sf_dir)
     return est
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (SentencePiece-init) Viterbi segmentation
+
+_UNI_PICK = ("list_max(list_transform(list_filter(c.cands, "
+             "x -> u.bests[u.j - x.l + 1] + x.sc = u.bests[u.j + 1]), "
+             "x -> x.l))")
+
+_UNI_ORACLE = f"""
+    WITH RECURSIVE tk AS (
+        SELECT doc_id, {X.tokens_sql('text')} AS tk FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, i AS pos, tk[i] AS word
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+              FROM tk)
+    ),
+    {U.uni_vocab_sql('SELECT word, count(*) AS n FROM occ GROUP BY 1')},
+    __untot AS (
+        SELECT {U.qlog2_sql('cast(sum(wt) AS bigint)')} AS qt
+        FROM __unvocab
+    ),
+    __unscore AS (
+        SELECT form, {U.qlog2_sql('wt')} - t.qt AS sc
+        FROM __unvocab, __untot t
+    ),
+    __uncand AS (
+        SELECT w.word, w.p AS pos,
+               list(struct_pack(l := length(v.form), sc := v.sc))
+                   AS cands
+        FROM (SELECT word, unnest(range(1, length(word) + 1)) AS p
+              FROM __unwc) w
+        JOIN __unscore v
+          ON length(v.form) <= w.p
+         AND substr(w.word,
+                    cast(w.p - length(v.form) + 1 AS int),
+                    length(v.form)) = v.form
+        GROUP BY 1, 2
+    ),
+    __undp AS (
+        SELECT word, 0 AS p, [cast(0 AS bigint)] AS bests FROM __unwc
+        UNION ALL
+        SELECT d.word, d.p + 1,
+               list_append(d.bests,
+                   list_max(list_transform(c.cands,
+                       x -> d.bests[d.p + 2 - x.l] + x.sc)))
+        FROM __undp d JOIN __uncand c
+          ON c.word = d.word AND c.pos = d.p + 1
+        WHERE d.p < length(d.word)
+    ),
+    __unfin AS (
+        SELECT word, bests FROM __undp WHERE p = length(word)
+    ),
+    __unwalk AS (
+        SELECT word, length(word) AS j, bests, '' AS acc,
+               cast(0 AS bigint) AS np
+        FROM __unfin
+        UNION ALL
+        SELECT u.word, u.j - {_UNI_PICK}, u.bests,
+               substr(u.word,
+                      cast(u.j - {_UNI_PICK} + 1 AS int),
+                      cast({_UNI_PICK} AS int))
+                 || CASE WHEN u.acc = '' THEN ''
+                         ELSE ' ' || u.acc END,
+               u.np + 1
+        FROM __unwalk u JOIN __uncand c
+          ON c.word = u.word AND c.pos = u.j
+        WHERE u.j > 0
+    ),
+    __unword AS (
+        SELECT word, acc AS pieces, np AS n_pieces,
+               bests[length(word) + 1] AS score
+        FROM __unwalk WHERE j = 0
+    )
+    SELECT o.doc_id, cast(count(*) AS bigint) AS n_words,
+           cast(sum(p.n_pieces) AS bigint) AS n_pieces,
+           cast(sum(p.score) AS bigint) AS score,
+           md5(string_agg(p.pieces, ' ' ORDER BY o.pos)) AS pieces_fp
+    FROM occ o JOIN __unword p USING (word)
+    GROUP BY 1
+    """
+
+
+@query(
+    "unigram_encode",
+    oracle=_UNI_ORACLE,
+    tags=["llm-tokenize", "W3", "A1", "J1"],
+    headline=True,
+)
+def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-init) Viterbi segmentation of the
+    corpus (operators/unigram.py) — the DP tokenizer family next to
+    BPE's merge chain and WordPiece's greedy matcher: each word takes
+    the MAX-SCORE segmentation under count-derived piece scores, with
+    libm-free integer qlog2 scoring so the DuckDB twin reproduces
+    every DP cell bit for bit (the twin runs the identical Viterbi as
+    a recursive CTE carrying the best-score list, then replays the
+    identical longest-piece-on-tie backtrace). Corpus-sized work stays
+    declarative; the DP is Arrow-batched over the distinct-word table
+    with the bounded scored vocabulary broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = _spread(d).select(
+        "doc_id",
+        F.posexplode(X.tokens(F.col("text"))).alias("pos", "word"),
+    )
+    wc = occ.groupBy("word").agg(F.count("*").alias("n"))
+    enc = U.uni_encode_words(wc, U.uni_vocab(wc))
+    return (
+        occ.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("score").cast("long").alias("score"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("pos"),
+                                         F.col("pieces"))
+                            )
+                        ),
+                        lambda s: s["pieces"],
+                    ),
+                    " ",
+                )
+            ).alias("pieces_fp"),
+        )
+    )
