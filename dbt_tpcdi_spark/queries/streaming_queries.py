@@ -830,3 +830,72 @@ def streaming_dag_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             _STREAM_DAG_CACHE[key] = checks
     return local_df(spark, 
         _STREAM_DAG_CACHE[key], "check_name string, ok boolean")
+
+
+# ---------------------------------------------------------------------------
+# streaming quantile sketch (bottom-k ON the stream)
+
+
+@query(
+    "streaming_quantile_sketch",
+    oracle=None,  # replaced below: shared with the batch serving plan
+    tags=["§2.9-streaming", "§2.10-stateful", "llm-sketch"],
+)
+def streaming_quantile_sketch(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Quantile sketch maintained ON the stream: order rows hash-route
+    to 8 stateful bottom-k groups (applyInPandasWithState, ≤ 256
+    (h, v) pairs each — state is 2 048 rows however long the stream
+    runs); the drained bucket sketches union into the global bottom-k
+    and feed the SAME estimate derivation as the batch operator.
+    Because bottom-k is order- and batching-insensitive, the streamed
+    sketch is BIT-IDENTICAL to the batch one — so this query gates
+    against the identical SQL oracle as ``quantile_sketch_serving``,
+    the strongest batch/stream parity statement in the registry (not
+    'close', equal)."""
+    from dbt_tpcdi_spark.operators import frequent as FQ
+    from dbt_tpcdi_spark.operators.text import md5_60bit
+    from dbt_tpcdi_spark.streaming.ops import (
+        run_to_memory,
+        stream_orders,
+        streaming_qs_sketch,
+    )
+
+    o = stream_orders(spark, sf_dir)
+    rows = o.select(
+        md5_60bit(
+            F.concat(F.lit(FQ.QS_SALT),
+                     F.col("o_orderkey").cast("string"))
+        ).alias("h"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) AS bigint)")
+        .alias("v"),
+    )
+    out = streaming_qs_sketch(rows)
+    run_to_memory(out, "q_streaming_qs", output_mode="update")
+    sink = spark.table("q_streaming_qs")
+    last = (
+        sink.groupBy("bucket")
+        .agg(F.max("seq").alias("__last"))
+        .select(F.col("bucket").alias("__b"), "__last")
+    )
+    cand = sink.join(
+        last,
+        (F.col("bucket") == F.col("__b"))
+        & (F.col("seq") == F.col("__last")),
+    ).select("h", "v")
+    sk = cand.orderBy("h", "v").limit(FQ.QS_K)
+    return FQ.qs_estimates(sk)
+
+
+def _install_streaming_qs_oracle() -> None:
+    from dbt_tpcdi_spark.queries import REGISTRY
+    from dbt_tpcdi_spark.queries import corpus as _corpus  # noqa: F401
+    # (import registers quantile_sketch_serving when this module is
+    # loaded standalone; all_queries() imports corpus first anyway)
+
+    REGISTRY["streaming_quantile_sketch"].oracle = (
+        REGISTRY["quantile_sketch_serving"].oracle
+    )
+
+
+_install_streaming_qs_oracle()

@@ -488,3 +488,92 @@ def stream_append_versioned(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# streaming bottom-k quantile sketch (operators/frequent.qs_sketch on
+# an unbounded stream)
+
+_QS_STATE_SCHEMA = "hs array<bigint>, vs array<bigint>, seq bigint"
+_QS_OUT_SCHEMA = "bucket int, seq bigint, h bigint, v bigint"
+
+QS_STREAM_BUCKETS = 8
+
+
+def _qs_update(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-bucket streaming bottom-k: merge the micro-batch's (h, v)
+    rows into the k smallest seen so far — state per bucket is O(k)
+    forever. Bottom-k is a commutative/idempotent-under-union summary,
+    so the result is independent of micro-batch boundaries and arrival
+    order; ``seq`` lets the reader keep only each bucket's final
+    emission."""
+    from dbt_tpcdi_spark.operators.frequent import QS_K
+
+    pairs: list[tuple[int, int]] = []
+    seq = 0
+    if state.exists:
+        hs, vs, seq = state.get
+        pairs = list(zip(hs, vs))
+    for pdf in batches:
+        pairs.extend(
+            zip((int(x) for x in pdf["h"]),
+                (int(x) for x in pdf["v"]))
+        )
+        pairs.sort()
+        del pairs[QS_K:]
+    seq = int(seq) + 1
+    state.update(
+        ([h for h, _ in pairs], [v for _, v in pairs], seq)
+    )
+    yield pd.DataFrame(
+        {
+            "bucket": [key[0]] * len(pairs),
+            "seq": [seq] * len(pairs),
+            "h": [h for h, _ in pairs],
+            "v": [v for _, v in pairs],
+        }
+    )
+
+
+def streaming_qs_sketch(rows: DataFrame) -> DataFrame:
+    """Streaming quantile sketch: (h, v) rows hash-route to
+    ``QS_STREAM_BUCKETS`` stateful groups each holding its bottom-k
+    (applyInPandasWithState) — total state buckets·k rows no matter
+    how long the stream runs. Per-bucket bottom-k is prefix-closed
+    under the global hash order, so the union of drained bucket
+    sketches provably contains the global bottom-k; the caller takes
+    ``orderBy(h, v).limit(k)`` over it and gets the IDENTICAL sketch
+    (hence identical estimates) as the batch operator — which is why
+    the streaming query gates against the same SQL oracle."""
+    routed = rows.withColumn(
+        "bucket", (F.col("h") % QS_STREAM_BUCKETS).cast("int")
+    )
+    return routed.groupBy("bucket").applyInPandasWithState(
+        _qs_update,
+        outputStructType=_QS_OUT_SCHEMA,
+        stateStructType=_QS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders as a file stream (schema pinned — streaming sources
+    never infer)."""
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ])
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
