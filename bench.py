@@ -198,7 +198,13 @@ def main() -> None:
                        "contamination_check", "mixture_sample",
                        "pagerank_parts", "semdedup", "semdedup_ivf",
                        "pq_ann_topk", "kmeans_assign_ivf",
-                       "curation_pipeline_full", "funnel_conversion")
+                       "curation_pipeline_full", "funnel_conversion",
+                       # r11: tokenizer family + sketch serving — all
+                       # linear by design (vocabulary-sized DP tables,
+                       # bounded bottom-k), pinned here so the claim
+                       # is measured, not asserted
+                       "wordpiece_encode", "unigram_encode",
+                       "quantile_sketch_serving")
         for name in x10_queries:
             t0 = time.perf_counter()
             df = all_queries()[name].build(spark, x10_dir)
@@ -315,7 +321,14 @@ def main() -> None:
                     t100 <= 20.0 * max(t10, 0.5)
                 )
 
-        for name in ("kmeans_assign_ivf", "pq_ann_topk"):
+        # tokenizers join the x100 rung (r11): both read only
+        # documents, and their imperative step runs over the
+        # DISTINCT-WORD table — so x100 growth must track the corpus
+        # joins (linear), not the DP. (Replication keeps the
+        # vocabulary constant, which is exactly Heaps'-law reality:
+        # 100x corpus != 100x vocabulary.)
+        for name in ("kmeans_assign_ivf", "pq_ann_topk",
+                     "wordpiece_encode", "unigram_encode"):
             t0 = time.perf_counter()
             df = all_queries()[name].build(spark, x100_dir)
             bw = time.perf_counter() - t0
