@@ -316,3 +316,105 @@ def qs_estimates_sql(q_pms=QS_Q_PM, k: int = QS_K) -> str:
         SELECT t.q_pm, r.v AS est_v, cast(t.m AS bigint) AS n_sample
         FROM __qstgt t JOIN __qsranked r USING (vr)
     )"""
+
+
+def qs_sketch_grouped(df: DataFrame, group_col: str, key_col: str,
+                      value_col: str, k: int = QS_K,
+                      salt: str = QS_SALT) -> DataFrame:
+    """Per-group bottom-k quantile sketch ``(group, h, v)``: the
+    grouped form of ``qs_sketch`` — one k-row uniform sample per
+    group, kept with a PARTITIONED window (group-parallel; never a
+    single-task global sort), mergeable per group exactly like the
+    global sketch. This is the shape per-source corpus statistics
+    (length/quality distributions on a dataset card) actually need at
+    100 TB: N groups × k rows of state, one shuffle on the group
+    key."""
+    from dbt_tpcdi_spark.operators.text import md5_60bit
+
+    th = df.select(
+        F.col(group_col).alias("g"),
+        md5_60bit(
+            F.concat(F.lit(salt), F.col(key_col).cast("string"))
+        ).alias("h"),
+        F.col(value_col).alias("v"),
+    )
+    return (
+        th.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy("h", "v")
+            ),
+        )
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def qs_sketch_grouped_sql(source_sql: str, g_sql: str, h_sql: str,
+                          v_sql: str, k: int = QS_K) -> str:
+    """DuckDB twin of ``qs_sketch_grouped``: CTEs ending in
+    ``__qsgsk`` (g, h, v)."""
+    return f"""__qsgth AS MATERIALIZED (
+        SELECT {g_sql} AS g, {h_sql} AS h, {v_sql} AS v
+        FROM {source_sql}
+    ),
+    __qsgsk AS (
+        SELECT g, h, v FROM (
+            SELECT g, h, v, row_number() OVER (
+                PARTITION BY g ORDER BY h, v) AS rn
+            FROM __qsgth
+        ) WHERE rn <= {k}
+    )"""
+
+
+def qs_estimates_grouped(sk: DataFrame, q_pms=QS_Q_PM) -> DataFrame:
+    """Per-group quantile estimates from a grouped sketch: the
+    bounded sorted-array idiom per group — one aggregate, then each
+    probe quantile indexes the group's ≤ k-element array. Output
+    ``(g, q_pm, est_v, n_sample)``."""
+    one = sk.groupBy("g").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("v"), F.col("h")))
+        ).alias("__a"),
+        F.count("*").cast("long").alias("n_sample"),
+    )
+    return one.select(
+        "g",
+        F.explode(
+            F.array(*[F.lit(int(q)) for q in q_pms])
+        ).alias("q_pm"),
+        "n_sample",
+        "__a",
+    ).select(
+        "g",
+        "q_pm",
+        F.expr(
+            "__a[cast(greatest(1, (q_pm * n_sample + 999) div 1000)"
+            " AS int) - 1].v"
+        ).alias("est_v"),
+        "n_sample",
+    )
+
+
+def qs_estimates_grouped_sql(q_pms=QS_Q_PM) -> str:
+    """DuckDB twin of ``qs_estimates_grouped``: CTEs ending in
+    ``__qsgest`` (g, q_pm, est_v, n_sample); expects ``__qsgsk``."""
+    qlist = ", ".join(str(int(q)) for q in q_pms)
+    return f"""__qsgm AS (
+        SELECT g, count(*) AS m FROM __qsgsk GROUP BY 1
+    ),
+    __qsgranked AS (
+        SELECT g, v, row_number() OVER (
+            PARTITION BY g ORDER BY v, h) AS vr
+        FROM __qsgsk
+    ),
+    __qsgtgt AS (
+        SELECT m.g, q.q_pm, m.m,
+               greatest(1, (q.q_pm * m.m + 999) // 1000) AS vr
+        FROM __qsgm m, (SELECT unnest([{qlist}]) AS q_pm) q
+    ),
+    __qsgest AS (
+        SELECT t.g, t.q_pm, r.v AS est_v,
+               cast(t.m AS bigint) AS n_sample
+        FROM __qsgtgt t JOIN __qsgranked r USING (g, vr)
+    )"""

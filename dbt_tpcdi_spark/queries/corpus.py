@@ -1298,11 +1298,12 @@ _QS_H_SQL = X.md5_60bit_sql(
     f"'{FQ.QS_SALT}' || cast(o_orderkey AS varchar)")
 _QS_V_SQL = "cast(floor(o_totalprice * 100 + 0.5) AS bigint)"
 #: DKW audit margin, integer form (see quantile_sketch docstring):
-#: tol² ≤ 53/(10m) + 2/m² inflates (ε + 1/m)² with ln(2/0.01) ≈ 53/10,
-#: so the pass condition 10·(D·m)² ≤ 5.3e6·n²·m + 2e7·n² is exact
-#: integer/decimal arithmetic — no cross-engine ln/sqrt anywhere.
+#: with ε² = ln(2/0.01)/(2m) ≈ 2.65/m, the inflated margin
+#: (ε + 1/m)² ≤ 2ε² + 2/m² ≤ 5.3/m + 2/m² bounds err = D/(1000·n),
+#: and err² ≤ 5.3/m + 2/m² ⟺ 10·(D·m)² ≤ 5.3e7·n²·m + 2e7·n² — exact
+#: integer/decimal arithmetic, no cross-engine ln/sqrt anywhere.
 _QS_BOUND = ("{d} <= 0 OR 10 * ({d} * md) * ({d} * md) "
-             "<= 5300000 * nd * nd * md + 20000000 * nd * nd")
+             "<= 53000000 * nd * nd * md + 20000000 * nd * nd")
 _QS_WITHIN = (f"(({_QS_BOUND.format(d='dlo')}) "
               f"AND ({_QS_BOUND.format(d='dhi')}))")
 
@@ -1539,3 +1540,225 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pieces_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse top-k selection (greedy submodular maximization)
+
+_MMR_K = 8
+
+
+def _mmr_oracle(k: int = _MMR_K) -> str:
+    """Unrolled k-step greedy MMR in DuckDB: step N's candidate scores
+    exclude and penalize against the union of steps 1..N−1 — the same
+    greedy the Spark loop runs, re-derived independently."""
+    from dbt_tpcdi_spark.operators.similarity import qdot_sql
+
+    rel = qdot_sql("e.embedding", "q.qv")
+    sim = qdot_sql("b.embedding", "s.embedding")
+    parts = [
+        f"""q AS (SELECT embedding AS qv FROM embeddings
+                  WHERE vec_id = 0),
+    base AS MATERIALIZED (
+        SELECT e.vec_id, e.embedding, {rel} AS rel
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    sel1 AS (
+        SELECT vec_id, cast(1 AS bigint) AS step,
+               cast(2 * rel AS bigint) AS score
+        FROM base ORDER BY 2 * rel DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for n in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{i}" for i in range(1, n)
+        )
+        parts.append(
+            f"""pick{n} AS (
+        SELECT b.vec_id,
+               cast(2 * b.rel - max({sim}) AS bigint) AS score
+        FROM base b JOIN embeddings s
+          ON s.vec_id IN ({prev})
+        WHERE b.vec_id NOT IN ({prev})
+        GROUP BY b.vec_id, b.rel
+    ),
+    sel{n} AS (
+        SELECT vec_id, cast({n} AS bigint) AS step, score
+        FROM pick{n} ORDER BY score DESC, vec_id LIMIT 1
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT step, vec_id, score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+@query(
+    "mmr_select",
+    oracle=_mmr_oracle(),
+    tags=["llm-sampling", "llm-ann-brute", "A1", "O1"],
+)
+def mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    1998) — greedy submodular selection: each step takes the candidate
+    maximizing ``2·rel(x) − max_{s∈S} sim(x, s)`` (λ = ½ in integer
+    form; rel/sim are the exact quantized dot products the ANN surface
+    uses), the selection shape training-data curation uses to pick
+    exemplars that are relevant AND non-redundant — what plain top-k
+    (``ann_topk``) cannot express because its objective ignores the
+    selected set.
+
+    Greedy is inherently sequential in k: the Spark side runs k
+    bounded driver rounds (house rule: driver work is O(k) ids, like
+    Lloyd/BPE), each ONE distributed argmax — a scan of the persisted
+    (vec, rel) base joined against the ≤ k-row broadcast selected set,
+    argmax via TakeOrdered(1). At 100 TB that is k scans, no pairwise
+    candidate×candidate work anywhere. The DuckDB twin re-derives the
+    full greedy as an unrolled k-step CTE chain."""
+    from dbt_tpcdi_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    base = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            S.qdot(F.col("embedding"), F.col("qv")).alias("rel"),
+        )
+        .persist()
+    )
+    try:
+        chosen: list[tuple[int, int, int]] = []  # (step, id, score)
+        for step in range(1, _MMR_K + 1):
+            ids = [c[1] for c in chosen]
+            cand = base.filter(~F.col("vec_id").isin(ids)) if ids \
+                else base
+            if ids:
+                sel = e.filter(F.col("vec_id").isin(ids)).select(
+                    F.col("embedding").alias("sv")
+                )
+                scored = (
+                    cand.crossJoin(F.broadcast(sel))
+                    .groupBy("vec_id", "rel")
+                    .agg(
+                        F.max(
+                            S.qdot(F.col("embedding"), F.col("sv"))
+                        ).alias("__ms")
+                    )
+                    .select(
+                        "vec_id",
+                        (2 * F.col("rel") - F.col("__ms"))
+                        .cast("long").alias("score"),
+                    )
+                )
+            else:
+                scored = cand.select(
+                    "vec_id",
+                    (2 * F.col("rel")).cast("long").alias("score"),
+                )
+            top = scored.orderBy(
+                F.desc("score"), F.asc("vec_id")
+            ).limit(1).collect()[0]
+            chosen.append((step, int(top["vec_id"]),
+                           int(top["score"])))
+    finally:
+        base.unpersist()
+    return local_df(
+        spark, chosen, "step bigint, vec_id bigint, score bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped quantile sketch: per-source length distributions
+
+_QSG_K = 64  # per-group sketch rows: small enough that sf0.1 (250
+#              docs/source) actually exercises the sampling branch;
+#              the smaller SFs' groups are sub-k (sketch == group,
+#              estimates exact) — both branches live under one gate
+_QSG_H_SQL = X.md5_60bit_sql(
+    f"'{FQ.QS_SALT}' || cast(doc_id AS varchar)")
+
+
+@query(
+    "grouped_quantile_sketch",
+    oracle=f"""
+    WITH {FQ.qs_sketch_grouped_sql('documents', 'source', _QSG_H_SQL,
+                                   'cast(n_chars AS bigint)',
+                                   k=_QSG_K)},
+    {FQ.qs_estimates_grouped_sql()},
+    aud AS (
+        SELECT e.g, e.q_pm, e.est_v, e.n_sample,
+               sum(CASE WHEN cast(d.n_chars AS bigint) < e.est_v
+                        THEN 1 ELSE 0 END) AS cnt_lt,
+               sum(CASE WHEN cast(d.n_chars AS bigint) <= e.est_v
+                        THEN 1 ELSE 0 END) AS cnt_le,
+               count(*) AS n
+        FROM __qsgest e JOIN documents d ON d.source = e.g
+        GROUP BY 1, 2, 3, 4
+    ),
+    chk AS (
+        SELECT g, q_pm, est_v, n_sample,
+               cast(1000 * cnt_lt - q_pm * n AS decimal(38,0)) AS dlo,
+               cast(q_pm * n - 1000 * cnt_le AS decimal(38,0)) AS dhi,
+               cast(n AS decimal(38,0)) AS nd,
+               cast(n_sample AS decimal(38,0)) AS md
+        FROM aud
+    )
+    SELECT g AS source, q_pm, est_v, n_sample,
+           {_QS_WITHIN} AS within_dkw
+    FROM chk
+    """,
+    tags=["llm-sketch", "A1", "W3", "J1"],
+)
+def grouped_quantile_sketch(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles from GROUPED bottom-k
+    sketches (operators/frequent.qs_sketch_grouped) — the dataset-card
+    distribution panel at sketch cost: one partitioned window keeps a
+    k-row uniform sample per source (N groups × k rows of state,
+    group-parallel — never a global sort), per-group order statistics
+    estimate the quantiles, and the same integer-form DKW bound as
+    ``quantile_sketch`` audits every (source, q) cell. k = {k} is
+    deliberately small so the large test SF exercises the SAMPLING
+    branch while small SFs pin the exhaustive (sketch == group)
+    branch under the identical gate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.expr("cast(n_chars AS bigint)").alias("len"),
+    )
+    sk = FQ.qs_sketch_grouped(d, "source", "doc_id", "len", k=_QSG_K)
+    est = FQ.qs_estimates_grouped(sk)
+    aud = (
+        d.join(F.broadcast(est), d["source"] == est["g"])
+        .groupBy("g", "q_pm", "est_v", "n_sample")
+        .agg(
+            F.sum(F.when(F.col("len") < F.col("est_v"), 1)
+                  .otherwise(0)).alias("cnt_lt"),
+            F.sum(F.when(F.col("len") <= F.col("est_v"), 1)
+                  .otherwise(0)).alias("cnt_le"),
+            F.count("*").alias("n"),
+        )
+    )
+    chk = aud.select(
+        "g", "q_pm", "est_v", "n_sample",
+        F.expr("cast(1000 * cnt_lt - q_pm * n AS decimal(38,0))")
+        .alias("dlo"),
+        F.expr("cast(q_pm * n - 1000 * cnt_le AS decimal(38,0))")
+        .alias("dhi"),
+        F.expr("cast(n AS decimal(38,0))").alias("nd"),
+        F.expr("cast(n_sample AS decimal(38,0))").alias("md"),
+    )
+    return chk.select(
+        F.col("g").alias("source"), "q_pm", "est_v", "n_sample",
+        F.expr(_QS_WITHIN).alias("within_dkw"),
+    )
+
+
+grouped_quantile_sketch.__doc__ = grouped_quantile_sketch.__doc__ \
+    .replace("{k}", str(_QSG_K))

@@ -63,3 +63,25 @@ def test_estimates_monotone_in_q(spark):
     vals = [r["est_v"] for r in est]
     assert vals == sorted(vals)
     assert len(est) == len(FQ.QS_Q_PM)
+
+
+def test_grouped_sketch_sampling_branch_at_sf01(spark, duck):
+    """sf0.1 has 250 docs/source > k=64, so the grouped sketch's
+    SAMPLING branch runs (smaller SFs are exhaustive); the oracle
+    compare at sf0.1 plus the within_dkw audit pin it."""
+    from tests.conftest import assert_matches_oracle
+    from dbt_tpcdi_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.1"
+    q = all_queries()["grouped_quantile_sketch"]
+    df = q.build(spark, sf)
+    rows = df.collect()
+    assert rows and all(r["within_dkw"] for r in rows)
+    assert all(r["n_sample"] == 64 for r in rows)  # truly sampled
+    con = duck.cursor()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    assert_matches_oracle(df, con, q.oracle,
+                          "grouped_quantile_sketch@sf0.1")
