@@ -1762,3 +1762,31 @@ def grouped_quantile_sketch(spark: SparkSession,
 
 grouped_quantile_sketch.__doc__ = grouped_quantile_sketch.__doc__ \
     .replace("{k}", str(_QSG_K))
+
+
+@query(
+    "orc_scan",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    tags=["source-orc", "S1", "P2"],
+)
+def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip gate — the remaining columnar
+    interchange format next to parquet (sources/parquet.py), JSONL
+    (sources/jsonl.py), typed delimited, fixed-width FINWIRE, and XML:
+    documents write as zlib ORC and must read back equal to the
+    parquet source of truth. ORC scans get the same Catalyst
+    treatment as parquet (column pruning, predicate pushdown into
+    stripe/row-group min-max — ``spark.sql.orc.filterPushdown``
+    defaults true in Spark 4), so at 100 TB the choice between them is
+    an ecosystem question, not a plan-quality one."""
+    import hashlib
+    import os
+    import tempfile
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"orc_scan_{suffix}")
+    d = load_table(spark, sf_dir, "documents")
+    d.write.mode("overwrite").option("compression", "zlib").orc(root)
+    return spark.read.schema(d.schema).orc(root).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
