@@ -14,7 +14,7 @@ cross-engine determinism rules (queries/__init__.py docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_tpcdi_spark.functions.scalar import (
@@ -1789,4 +1789,95 @@ def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.write.mode("overwrite").option("compression", "zlib").orc(root)
     return spark.read.schema(d.schema).orc(root).select(
         "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source token-budget sampling ("give me ~B tokens per source")
+
+_TB_BUDGET = 800  # tokens per source: truncates every source at all
+#                   test SFs (each source carries ~2.3k tokens at
+#                   sf0.001 and more above), so the budget edge is
+#                   always exercised
+_TB_SALT = "tokbudget:"
+
+
+@query(
+    "token_budget_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               cast({X.token_count_sql('text')} AS bigint) AS w_tokens,
+               md5('{_TB_SALT}' || cast(doc_id AS varchar)) AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, w_tokens,
+               cast(sum(w_tokens) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS bigint) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, source, w_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_TB_BUDGET}
+    """,
+    tags=["llm-mixture-cap", "llm-sampling", "W3", "A1"],
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-budget sampling — the mixture step sized in
+    tokens, not documents (a UniMax cap counts docs;
+    training budgets are tokens): keep each source's hash-order prefix
+    whose running token total stays ≤ B. Deterministic
+    (md5-order + integer token counts), so identical across engines,
+    reruns, and cluster sizes.
+
+    Scale shape — same two-pass bound as ``source_cap_sample_twopass``:
+    pass 1 aggregates per-source token totals (metadata, broadcast
+    back) and keeps only rows whose 20-bit md5-prefix bucket falls
+    under a threshold sized to admit ~4·B token mass; bucket order is
+    the string order's numeric prefix, so the survivor set is
+    PREFIX-CLOSED under the full (h, doc_id) order and survivor
+    running totals EQUAL whole-source running totals — the exact
+    cumulative window then runs on O(B)-token survivor sets at ANY
+    source size. Undercoverage (prefilter admitting < B tokens of a
+    non-exhausted source) would shrink the output and fail the oracle
+    gate — never silently approximate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        X.token_count(F.col("text")).cast("long").alias("w_tokens"),
+    )
+    totals = d.groupBy("source").agg(
+        F.sum("w_tokens").alias("__W")
+    )
+    bits = 1 << 20
+    h = F.md5(
+        F.concat(F.lit(_TB_SALT), F.col("doc_id").cast("string"))
+    )
+    bucket = F.conv(F.substring(h, 1, 5), 16, 10).cast("long")
+    survivors = (
+        d.join(F.broadcast(totals), "source")
+        .filter(
+            bucket
+            < F.least(
+                F.lit(bits).cast("long"),
+                F.expr(f"({4 * _TB_BUDGET * bits} + __W - 1)"
+                       " div __W"),
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        survivors.select(
+            "doc_id",
+            "source",
+            "w_tokens",
+            F.sum("w_tokens").over(w).cast("long")
+            .alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= _TB_BUDGET)
     )

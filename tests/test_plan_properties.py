@@ -520,3 +520,50 @@ def test_quantile_sketch_serving_single_scan(spark):
     plan = _plan(spark, "quantile_sketch_serving")
     assert plan.count("Scan parquet") == 1, plan
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
+
+
+def test_token_budget_prefilter_prunes_and_stays_exact(spark):
+    """At sf0.1 each source carries ~20k tokens vs budget 800: the
+    bucket prefilter must shrink the window input, and the output must
+    equal the whole-source cumulative rule (the no-prefilter twin)."""
+    sf = "/root/testdata/sf0.1"
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators import text as X
+    from dbt_tpcdi_spark.queries.corpus import _TB_BUDGET, _TB_SALT
+    from dbt_tpcdi_spark.sources.parquet import load_table
+
+    two = all_queries()["token_budget_sample"].build(spark, sf)
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source",
+        X.token_count(F.col("text")).cast("long").alias("w_tokens"),
+    )
+    h = F.md5(
+        F.concat(F.lit(_TB_SALT), F.col("doc_id").cast("string"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exact = d.select(
+        "doc_id", "source", "w_tokens",
+        F.sum("w_tokens").over(w).cast("long").alias("cum_tokens"),
+    ).filter(F.col("cum_tokens") <= _TB_BUDGET)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, two.collect())
+    )
+    # the prefilter is structurally part of the query plan: count the
+    # window's input via the survivor predicate re-derivation
+    totals = d.groupBy("source").agg(F.sum("w_tokens").alias("__W"))
+    bits = 1 << 20
+    bucket = F.conv(F.substring(h, 1, 5), 16, 10).cast("long")
+    surv = d.join(F.broadcast(totals), "source").filter(
+        bucket < F.least(
+            F.lit(bits).cast("long"),
+            F.expr(f"({4 * _TB_BUDGET * bits} + __W - 1) div __W"),
+        )
+    )
+    n_total, n_surv = d.count(), surv.count()
+    assert n_surv < n_total / 2, (n_surv, n_total)
