@@ -899,3 +899,57 @@ def _install_streaming_qs_oracle() -> None:
 
 
 _install_streaming_qs_oracle()
+
+
+# ---------------------------------------------------------------------------
+# streaming JSONL ingestion (the corpus-landing path as a stream)
+
+
+@query(
+    "streaming_jsonl_ingest",
+    oracle="""
+    SELECT source, cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_chars) AS bigint) AS chars_total
+    FROM documents GROUP BY 1
+    """,
+    tags=["§2.9-streaming", "source-jsonl", "A1"],
+)
+def streaming_jsonl_ingest(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """JSONL landing as a STREAM — how a crawler's shard drops
+    actually enter the pipeline: documents are written as gzip JSONL
+    shards plus an injected garbage shard (same fixture as
+    ``jsonl_scan``), then ingested with ``readStream.json`` under a
+    declared schema, DROPMALFORMED, and ``maxFilesPerTrigger=2`` so
+    the run exercises MULTIPLE micro-batches, and aggregated per
+    source in complete mode. The oracle is the batch truth from the
+    parquet table — scan-level schema declaration and malformed-line
+    tolerance carry over to streaming unchanged because they are scan
+    options, not query logic."""
+    import hashlib
+    import os
+    import tempfile
+
+    from dbt_tpcdi_spark.sources import jsonl as J
+    from dbt_tpcdi_spark.sources.parquet import load_table
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), f"jsonl_stream_{suffix}")
+    d = load_table(spark, sf_dir, "documents")
+    J.write_jsonl(d, root, compression="gzip", shards=6)
+    with open(os.path.join(root, "corrupt-extra.json"), "w") as fh:
+        fh.write('{"doc_id": 7, "text": "unterminated\n')
+        fh.write("not json\n")
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("mode", "DROPMALFORMED")
+        .option("maxFilesPerTrigger", "2")
+        .json(root)
+    )
+    agg = stream.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+    run_to_memory(agg, "q_streaming_jsonl")
+    return spark.table("q_streaming_jsonl")
