@@ -38,7 +38,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 __all__ = ["mg_candidates", "mg_reduce", "mg_summary",
-           "qs_estimates", "qs_estimates_sql", "qs_sketch",
+           "qs_estimates", "qs_estimates_grouped",
+           "qs_estimates_grouped_sql", "qs_estimates_sql",
+           "qs_sketch", "qs_sketch_grouped", "qs_sketch_grouped_sql",
            "qs_sketch_sql"]
 
 
@@ -276,13 +278,15 @@ def qs_estimates(sk: DataFrame, q_pms=QS_Q_PM) -> DataFrame:
 
     Shape: the ≤ k sketch rows collapse to ONE sorted array (the
     bounded sorted-array idiom — no window, no join), and each probe
-    quantile indexes into it."""
+    quantile indexes into it. An EMPTY sketch yields zero rows (the
+    grand aggregate's n_sample = 0 row is filtered), matching the SQL
+    twin's empty join."""
     one = sk.agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("v"), F.col("h")))
         ).alias("__a"),
         F.count("*").cast("long").alias("n_sample"),
-    )
+    ).filter(F.col("n_sample") > 0)
     return one.select(
         F.explode(
             F.array(*[F.lit(int(q)) for q in q_pms])

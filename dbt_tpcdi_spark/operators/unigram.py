@@ -59,10 +59,14 @@ def qlog2(c: int) -> int:
 
 def qlog2_sql(c: str) -> str:
     """DuckDB twin of ``qlog2`` — pure integer ops (bin() length for
-    bit length, shift for the power of two, floor division)."""
-    bl = f"(length(bin({c})) - 1)"
+    bit length, shift for the power of two, floor division). The
+    argument is cast to BIGINT before scaling: DuckDB multiplies INT32
+    literals in INT32, so ``1024 * c`` overflows at c ≥ 2^21 otherwise
+    (found by the hypothesis parity test)."""
+    big = f"cast({c} AS BIGINT)"
+    bl = f"(length(bin({big})) - 1)"
     return (
-        f"({UNI_LOG_Q} * {bl} + ({UNI_LOG_Q} * ({c})) "
+        f"({UNI_LOG_Q} * {bl} + ({UNI_LOG_Q} * {big}) "
         f"// (1::BIGINT << {bl}) - {UNI_LOG_Q})"
     )
 
@@ -170,6 +174,14 @@ def uni_encode_words(words: DataFrame, vocab: DataFrame) -> DataFrame:
                         if b is neg or cand > b:
                             b = cand
                     best[j] = b
+                if best[n] is neg:
+                    # never loop silently: an uncovered character
+                    # makes the word unsegmentable under this vocab
+                    raise ValueError(
+                        f"unigram vocab does not cover word {w!r}; "
+                        "include all single characters (uni_vocab "
+                        "does) or pre-filter the corpus"
+                    )
                 # backtrace, longest piece on score ties
                 pieces: list[str] = []
                 j = n

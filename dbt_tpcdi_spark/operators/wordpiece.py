@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -46,13 +46,10 @@ def wp_vocab(word_counts: DataFrame, topk: int = WP_TOPK,
     global top-``topk`` by (weight DESC, cont, form) — a total order,
     so the cut is deterministic cross-engine. The candidate table is
     distinct-words × O(len·max_len) rows — vocabulary-sized, so the
-    top-K runs TWO-LEVEL (per-bucket window keeps ≤ topk rows, then a
-    global window over ≤ buckets·topk) — per-bucket top-K is
-    prefix-closed under the global (weight DESC, cont, form) order, so
-    the union provably contains the global top-K and the single-task
-    final sort never sees more than buckets·topk rows no matter how
-    large the piece-candidate table grows (same structure as the KMV
-    bottom-k)."""
+    top-K is ``orderBy().limit()`` — TakeOrderedAndProject:
+    per-partition partial top-k, then one k-row merge; no global
+    window, no full sort, however large the piece-candidate table
+    grows (the same shape as ``uni_vocab``)."""
     subs = word_counts.select(
         F.explode(
             F.expr(
@@ -67,26 +64,10 @@ def wp_vocab(word_counts: DataFrame, topk: int = WP_TOPK,
     ).select("s.form", "s.cont", "n")
     agg = subs.groupBy("form", "cont").agg(F.sum("n").alias("__w"))
     chars = agg.filter(F.length("form") == 1).select("form", "cont")
-    order = [F.desc("__w"), F.asc("cont"), F.asc("form")]
-    buckets = 16
-    cand = (
-        agg.filter(F.length("form") >= 2)
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(
-                    F.crc32(F.col("form")) % buckets
-                ).orderBy(*order)
-            ),
-        )
-        .filter(F.col("__rn") <= topk)
-        .drop("__rn")
-    )
     multi = (
-        cand.withColumn(
-            "__rn", F.row_number().over(Window.orderBy(*order))
-        )
-        .filter(F.col("__rn") <= topk)
+        agg.filter(F.length("form") >= 2)
+        .orderBy(F.desc("__w"), F.asc("cont"), F.asc("form"))
+        .limit(topk)
         .select("form", "cont")
     )
     return chars.unionByName(multi)

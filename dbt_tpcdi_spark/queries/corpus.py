@@ -1308,12 +1308,19 @@ _QS_WITHIN = (f"(({_QS_BOUND.format(d='dlo')}) "
               f"AND ({_QS_BOUND.format(d='dhi')}))")
 
 
-def _qs_components(spark: SparkSession, sf_dir: str):
-    o = load_table(spark, sf_dir, "orders").select(
+def qs_orders_values(o: DataFrame) -> DataFrame:
+    """(o_orderkey, v) projection shared by the batch sketch, its
+    audit, AND the streaming variant — one definition (matching
+    ``_QS_V_SQL``) so the batch/stream bit-parity gate cannot drift
+    when the value expression changes."""
+    return o.select(
         "o_orderkey",
-        F.expr("cast(floor(o_totalprice * 100 + 0.5) AS bigint)")
-        .alias("v"),
+        F.expr(f"{_QS_V_SQL}").alias("v"),
     )
+
+
+def _qs_components(spark: SparkSession, sf_dir: str):
+    o = qs_orders_values(load_table(spark, sf_dir, "orders"))
     sk = FQ.qs_sketch(o, "o_orderkey", "v")
     return o, FQ.qs_estimates(sk)
 

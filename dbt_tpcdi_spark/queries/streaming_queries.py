@@ -855,20 +855,22 @@ def streaming_quantile_sketch(spark: SparkSession,
     'close', equal)."""
     from dbt_tpcdi_spark.operators import frequent as FQ
     from dbt_tpcdi_spark.operators.text import md5_60bit
+    from dbt_tpcdi_spark.queries.corpus import qs_orders_values
     from dbt_tpcdi_spark.streaming.ops import (
         run_to_memory,
         stream_orders,
         streaming_qs_sketch,
     )
 
-    o = stream_orders(spark, sf_dir)
-    rows = o.select(
+    # the SAME value projection as the batch sketch (one definition —
+    # drift would break the shared-oracle parity gate loudly but
+    # confusingly) plus the sketch's salted key hash
+    rows = qs_orders_values(stream_orders(spark, sf_dir)).select(
         md5_60bit(
             F.concat(F.lit(FQ.QS_SALT),
                      F.col("o_orderkey").cast("string"))
         ).alias("h"),
-        F.expr("cast(floor(o_totalprice * 100 + 0.5) AS bigint)")
-        .alias("v"),
+        "v",
     )
     out = streaming_qs_sketch(rows)
     run_to_memory(out, "q_streaming_qs", output_mode="update")

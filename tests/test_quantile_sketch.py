@@ -65,10 +65,14 @@ def test_estimates_monotone_in_q(spark):
     assert len(est) == len(FQ.QS_Q_PM)
 
 
-def test_grouped_sketch_sampling_branch_at_sf01(spark, duck):
+def test_grouped_sketch_sampling_branch_at_sf01(spark):
     """sf0.1 has 250 docs/source > k=64, so the grouped sketch's
     SAMPLING branch runs (smaller SFs are exhaustive); the oracle
-    compare at sf0.1 plus the within_dkw audit pin it."""
+    compare at sf0.1 plus the within_dkw audit pin it. Uses a FRESH
+    DuckDB connection — registering an sf0.1 view on the shared
+    session fixture would poison every later sf0.001 oracle test."""
+    import duckdb
+
     from tests.conftest import assert_matches_oracle
     from dbt_tpcdi_spark.queries import all_queries
 
@@ -78,10 +82,13 @@ def test_grouped_sketch_sampling_branch_at_sf01(spark, duck):
     rows = df.collect()
     assert rows and all(r["within_dkw"] for r in rows)
     assert all(r["n_sample"] == 64 for r in rows)  # truly sampled
-    con = duck.cursor()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{sf}/documents.parquet')"
-    )
-    assert_matches_oracle(df, con, q.oracle,
-                          "grouped_quantile_sketch@sf0.1")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        assert_matches_oracle(df, con, q.oracle,
+                              "grouped_quantile_sketch@sf0.1")
+    finally:
+        con.close()

@@ -96,3 +96,24 @@ def test_tie_rule_prefers_longest_final_piece(spark):
     r = U.uni_encode_words(wdf, vdf).collect()[0]
     assert r["pieces"] == "aa aa"
     assert r["n_pieces"] == 2
+
+
+def test_qlog2_sql_twin_parity_hypothesis():
+    """Property: qlog2 (Python) == qlog2_sql (DuckDB) for ANY c ≥ 1 —
+    the cross-engine contract every unigram DP cell rests on."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=1, max_value=2**52))
+    def check(c):
+        got = con.execute(
+            f"SELECT {U.qlog2_sql(str(c))}"
+        ).fetchone()[0]
+        assert got == U.qlog2(c), c
+
+    check()
+    con.close()
