@@ -1265,7 +1265,13 @@ def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(X.tokens(F.col("text"))).alias("pos", "word"),
     )
-    wc = occ.groupBy("word").agg(F.count("*").alias("n"))
+    # the word table is vocabulary-sized (Heaps' law) but has THREE
+    # consumers (vocab derivation, vocab collect, encode) — checkpoint
+    # it so the corpus tokenize runs once for them, not once each
+    # (same one-fewer-full-scan move as heavy_hitters)
+    wc = occ.groupBy("word").agg(
+        F.count("*").alias("n")
+    ).localCheckpoint(eager=True)
     enc = W.wp_encode_words(wc, W.wp_vocab(wc))
     return (
         occ.join(enc, "word")
@@ -1522,7 +1528,11 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(X.tokens(F.col("text"))).alias("pos", "word"),
     )
-    wc = occ.groupBy("word").agg(F.count("*").alias("n"))
+    # vocabulary-sized, three consumers: checkpoint (see
+    # wordpiece_encode)
+    wc = occ.groupBy("word").agg(
+        F.count("*").alias("n")
+    ).localCheckpoint(eager=True)
     enc = U.uni_encode_words(wc, U.uni_vocab(wc))
     return (
         occ.join(enc, "word")

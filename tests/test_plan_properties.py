@@ -567,3 +567,17 @@ def test_token_budget_prefilter_prunes_and_stays_exact(spark):
     )
     n_total, n_surv = d.count(), surv.count()
     assert n_surv < n_total / 2, (n_surv, n_total)
+
+
+@pytest.mark.parametrize("name", ["wordpiece_encode", "unigram_encode"])
+def test_tokenizer_corpus_scans_bounded(spark, name):
+    """The word table is checkpointed, so the corpus is tokenized at
+    most twice per query (word-count pass + doc-reassembly pass) —
+    without the checkpoint each of the three word-table consumers
+    replayed the scan. Encode output joins broadcast; never a
+    corpus-shuffling SortMergeJoin."""
+    df = all_queries()[name].build(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
