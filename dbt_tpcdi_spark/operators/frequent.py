@@ -332,7 +332,18 @@ def qs_sketch_grouped(df: DataFrame, group_col: str, key_col: str,
     global sketch. This is the shape per-source corpus statistics
     (length/quality distributions on a dataset card) actually need at
     100 TB: N groups × k rows of state, one shuffle on the group
-    key."""
+    key.
+
+    The per-group window never sorts a whole group: rows first pass a
+    20-bit hash-PREFIX filter sized to admit ~4·k rows per group
+    (per-group counts are a metadata aggregate, broadcast back). The
+    prefix bucket is monotone in ``h``, so the survivor set is
+    PREFIX-CLOSED under the (h, v) window order and survivor ranks
+    equal whole-group ranks — exact, with the window input O(k) per
+    group at ANY group size (the same two-pass bound as
+    ``token_budget_sample``). Undercoverage (admitting < k rows of a
+    larger group) would shrink the sketch and fail the oracle gate —
+    never silently approximate."""
     from dbt_tpcdi_spark.operators.text import md5_60bit
 
     th = df.select(
@@ -342,8 +353,21 @@ def qs_sketch_grouped(df: DataFrame, group_col: str, key_col: str,
         ).alias("h"),
         F.col(value_col).alias("v"),
     )
+    counts = th.groupBy("g").agg(F.count("*").alias("__n"))
+    bits = 1 << 20
+    survivors = (
+        th.join(F.broadcast(counts), "g")
+        .filter(
+            F.shiftright(F.col("h"), 40)
+            < F.least(
+                F.lit(bits).cast("long"),
+                F.expr(f"({4 * k * bits} + __n - 1) div __n"),
+            )
+        )
+        .drop("__n")
+    )
     return (
-        th.withColumn(
+        survivors.withColumn(
             "__rn",
             F.row_number().over(
                 Window.partitionBy("g").orderBy("h", "v")

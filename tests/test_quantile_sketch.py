@@ -92,3 +92,50 @@ def test_grouped_sketch_sampling_branch_at_sf01(spark):
                               "grouped_quantile_sketch@sf0.1")
     finally:
         con.close()
+
+
+def test_grouped_sketch_prefilter_prunes_and_stays_exact(spark):
+    """On a group large enough to trigger the 20-bit hash prefilter
+    (5000 rows vs k=64 → ~5% admitted), the sketch must equal the
+    no-prefilter whole-group bottom-k and the survivor set must be
+    a real reduction."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators.text import md5_60bit
+
+    df = spark.range(5000).select(
+        F.lit("g0").alias("src"),
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 1000).alias("val"),
+    )
+    sk = FQ.qs_sketch_grouped(df, "src", "k", "val", k=64)
+    got = sorted(map(tuple, sk.collect()))
+    th = df.select(
+        F.lit("g0").alias("g"),
+        md5_60bit(
+            F.concat(F.lit(FQ.QS_SALT), F.col("k").cast("string"))
+        ).alias("h"),
+        F.col("val").alias("v"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            th.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("g").orderBy("h", "v")
+                ),
+            )
+            .filter(F.col("__rn") <= 64)
+            .drop("__rn")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 64
+    # the prefilter is active: ~4*64/5000 of the group survives
+    thr = (4 * 64 * (1 << 20) + 4999) // 5000
+    n_surv = th.filter(
+        F.shiftright(F.col("h"), 40) < thr
+    ).count()
+    assert 64 <= n_surv < 1000, n_surv
