@@ -130,6 +130,21 @@ SHOWCASE = {
                           "+ ONE label join; split is a projection",
     "bucketed_join_agg": "both scans 'Bucketed: true'; SortMergeJoin "
                          "with no Exchange and no per-task Sort",
+    "quantile_sketch_serving": "ONE scan; bottom-k via "
+                               "TakeOrderedAndProject; estimates from "
+                               "one sorted-array row — no window, no "
+                               "shuffle join",
+    "wordpiece_encode": "word table checkpointed (corpus tokenized "
+                        "twice, not per-consumer); encode output "
+                        "broadcasts back; vocab top-K is "
+                        "TakeOrderedAndProject",
+    "unigram_encode": "same shape as wordpiece_encode — Viterbi DP "
+                      "is Arrow-batched over the checkpointed word "
+                      "table; no SortMergeJoin",
+    "token_budget_sample": "per-source totals broadcast; prefix-"
+                           "closed 20-bit bucket prefilter before "
+                           "the cumulative window — window input "
+                           "O(B) tokens per source",
 }
 
 
