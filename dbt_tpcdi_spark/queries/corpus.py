@@ -1161,7 +1161,12 @@ def jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # WordPiece: the third tokenizer family (greedy longest-match subwords)
 
-_WP_ORACLE = f"""
+def _wp_oracle(vocab_wc: str = "wc", extra_ctes: str = "") -> str:
+    """WordPiece oracle generator: ``vocab_wc`` names the (word, n)
+    CTE the VOCABULARY derives from (``wc`` = the full corpus;
+    inject a filtered CTE via ``extra_ctes`` for base-trained
+    variants); matching/segmentation always runs over ALL words."""
+    return f"""
     WITH RECURSIVE tk AS (
         SELECT doc_id, {X.tokens_sql('text')} AS tk FROM documents
     ),
@@ -1171,8 +1176,13 @@ _WP_ORACLE = f"""
               FROM tk)
     ),
     wc AS (SELECT word, count(*) AS n FROM occ GROUP BY 1),
-    wpos AS (
+    {extra_ctes}
+    wposv AS (
         SELECT word, n, unnest(range(1, length(word) + 1)) AS p
+        FROM {vocab_wc}
+    ),
+    wpos AS (
+        SELECT word, unnest(range(1, length(word) + 1)) AS p
         FROM wc
     ),
     sub AS (
@@ -1181,7 +1191,7 @@ _WP_ORACLE = f"""
         FROM (SELECT word, n, p,
                      unnest(range(1, least({W.WP_MAX_PIECE},
                                   length(word) - p + 1) + 1)) AS l
-              FROM wpos)
+              FROM wposv)
     ),
     vagg AS (SELECT form, cont, sum(n) AS wt FROM sub GROUP BY 1, 2),
     chars AS (SELECT DISTINCT form, cont FROM vagg
@@ -1241,7 +1251,7 @@ _WP_ORACLE = f"""
 
 @query(
     "wordpiece_encode",
-    oracle=_WP_ORACLE,
+    oracle=_wp_oracle(),
     tags=["llm-tokenize", "W3", "A1", "J1"], headline=True,
 )
 def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1897,4 +1907,88 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_tokens"),
         )
         .filter(F.col("cum_tokens") <= _TB_BUDGET)
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer as a PERSISTED artifact, applied without retraining
+
+_WPP_SALT = "wpinc:"
+_WPP_MOD = 5  # docs with md5 bucket != 0 (~80%) train the vocab
+
+
+@query(
+    "wordpiece_encode_persisted",
+    oracle=_wp_oracle(
+        vocab_wc="wcb",
+        extra_ctes=f"""wcb AS (
+        SELECT word, count(*) AS n FROM occ
+        WHERE {md5_mod_sql('doc_id', _WPP_MOD, _WPP_SALT)} <> 0
+        GROUP BY 1
+    ),""",
+    ),
+    tags=["llm-tokenize", "S11", "W3", "A1"],
+)
+def wordpiece_encode_persisted(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The tokenizer as a PRODUCTION ARTIFACT: the WordPiece vocab is
+    trained on the BASE corpus (the ~80% of docs in md5 buckets ≠ 0),
+    committed to a VersionedTable, read back from the commit log, and
+    applied to the WHOLE corpus — including the held-out "newly
+    landed" 20% the vocabulary never saw. This is how tokenizers
+    actually operate at 100 TB: trained once, versioned, applied to
+    every new batch without retraining (retraining would change every
+    historical token id). The oracle re-derives the base-trained
+    vocabulary and encodes all documents with it, so the artifact
+    round-trip (commit → snapshot read → broadcast) is value-gated,
+    not just exercised."""
+    import hashlib
+    import os
+    import tempfile
+
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = _spread(d).select(
+        "doc_id",
+        F.posexplode(X.tokens(F.col("text"))).alias("pos", "word"),
+    )
+    wc_all = occ.groupBy("word").agg(
+        F.count("*").alias("n")
+    ).localCheckpoint(eager=True)
+    wc_base = (
+        occ.filter(
+            md5_mod(F.col("doc_id"), _WPP_MOD, _WPP_SALT) != 0
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), f"wpvocab_{suffix}")
+    vt = VersionedTable(spark, root)
+    vt.commit(W.wp_vocab(wc_base), op="train")
+    vocab_stored = vt.read()
+    enc = W.wp_encode_words(wc_all, vocab_stored)
+    return (
+        occ.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("n_unk").cast("long").alias("n_unk"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("pos"), F.col("wp"))
+                            )
+                        ),
+                        lambda s: s["wp"],
+                    ),
+                    " ",
+                )
+            ).alias("pieces_fp"),
+        )
     )
