@@ -1161,13 +1161,9 @@ def jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # WordPiece: the third tokenizer family (greedy longest-match subwords)
 
-def _wp_oracle(vocab_wc: str = "wc", extra_ctes: str = "") -> str:
-    """WordPiece oracle generator: ``vocab_wc`` names the (word, n)
-    CTE the VOCABULARY derives from (``wc`` = the full corpus;
-    inject a filtered CTE via ``extra_ctes`` for base-trained
-    variants); matching/segmentation always runs over ALL words."""
-    return f"""
-    WITH RECURSIVE tk AS (
+#: shared tokenization base for every tokenizer oracle: documents →
+#: token list → (doc_id, pos, word) occurrences → weighted word table
+_TOK_BASE_CTES = f"""tk AS (
         SELECT doc_id, {X.tokens_sql('text')} AS tk FROM documents
     ),
     occ AS (
@@ -1175,8 +1171,17 @@ def _wp_oracle(vocab_wc: str = "wc", extra_ctes: str = "") -> str:
         FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
               FROM tk)
     ),
-    wc AS (SELECT word, count(*) AS n FROM occ GROUP BY 1),
-    {extra_ctes}
+    wc AS (SELECT word, count(*) AS n FROM occ GROUP BY 1)"""
+
+
+def _wp_chain_ctes(vocab_wc: str = "wc", extra_ctes: str = "") -> str:
+    """WordPiece CTE chain (vocab derivation → greedy walk →
+    ``per_word``), expecting ``_TOK_BASE_CTES`` in scope. ``vocab_wc``
+    names the (word, n) CTE the VOCABULARY derives from (``wc`` = the
+    full corpus; inject a filtered CTE via ``extra_ctes`` for
+    base-trained variants); matching/segmentation always runs over
+    ALL words."""
+    return f"""{extra_ctes}
     wposv AS (
         SELECT word, n, unnest(range(1, length(word) + 1)) AS p
         FROM {vocab_wc}
@@ -1239,7 +1244,13 @@ def _wp_oracle(vocab_wc: str = "wc", extra_ctes: str = "") -> str:
                cast(sum(CASE WHEN piece = '{W.WP_UNK}' THEN 1
                              ELSE 0 END) AS bigint) AS n_unk
         FROM seg GROUP BY 1
-    )
+    )"""
+
+
+def _wp_oracle(vocab_wc: str = "wc", extra_ctes: str = "") -> str:
+    return f"""
+    WITH RECURSIVE {_TOK_BASE_CTES},
+    {_wp_chain_ctes(vocab_wc, extra_ctes)}
     SELECT o.doc_id, cast(count(*) AS bigint) AS n_words,
            cast(sum(p.n_pieces) AS bigint) AS n_pieces,
            cast(sum(p.n_unk) AS bigint) AS n_unk,
@@ -1441,16 +1452,9 @@ _UNI_PICK = ("list_max(list_transform(list_filter(c.cands, "
              "x -> u.bests[u.j - x.l + 1] + x.sc = u.bests[u.j + 1]), "
              "x -> x.l))")
 
-_UNI_ORACLE = f"""
-    WITH RECURSIVE tk AS (
-        SELECT doc_id, {X.tokens_sql('text')} AS tk FROM documents
-    ),
-    occ AS (
-        SELECT doc_id, i AS pos, tk[i] AS word
-        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
-              FROM tk)
-    ),
-    {U.uni_vocab_sql('SELECT word, count(*) AS n FROM occ GROUP BY 1')},
+#: unigram CTE chain (vocab scores → Viterbi DP → backtrace →
+#: ``__unword``), expecting ``_TOK_BASE_CTES`` in scope
+_UNI_CHAIN_CTES = f"""{U.uni_vocab_sql('SELECT word, n FROM wc')},
     __untot AS (
         SELECT {U.qlog2_sql('cast(sum(wt) AS bigint)')} AS qt
         FROM __unvocab
@@ -1506,7 +1510,11 @@ _UNI_ORACLE = f"""
         SELECT word, acc AS pieces, np AS n_pieces,
                bests[length(word) + 1] AS score
         FROM __unwalk WHERE j = 0
-    )
+    )"""
+
+_UNI_ORACLE = f"""
+    WITH RECURSIVE {_TOK_BASE_CTES},
+    {_UNI_CHAIN_CTES}
     SELECT o.doc_id, cast(count(*) AS bigint) AS n_words,
            cast(sum(p.n_pieces) AS bigint) AS n_pieces,
            cast(sum(p.score) AS bigint) AS score,
@@ -1991,4 +1999,88 @@ def wordpiece_encode_persisted(spark: SparkSession,
                 )
             ).alias("pieces_fp"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer family comparison from ONE shared tokenization
+
+
+@query(
+    "tokenizer_family_stats",
+    oracle=f"""
+    WITH RECURSIVE {_TOK_BASE_CTES},
+    {_wp_chain_ctes()},
+    {_UNI_CHAIN_CTES},
+    tot AS (SELECT cast(sum(n) AS bigint) AS n_words FROM wc)
+    SELECT family, n_words, n_pieces,
+           cast((1000 * n_pieces) // n_words AS bigint)
+               AS fertility_pm
+    FROM (
+        SELECT 'whitespace' AS family, t.n_words,
+               t.n_words AS n_pieces
+        FROM tot t
+        UNION ALL
+        SELECT 'wordpiece', t.n_words,
+               cast(sum(w.n * p.n_pieces) AS bigint)
+        FROM per_word p JOIN wc w USING (word), tot t
+        GROUP BY t.n_words
+        UNION ALL
+        SELECT 'unigram', t.n_words,
+               cast(sum(w.n * p.n_pieces) AS bigint)
+        FROM __unword p JOIN wc w USING (word), tot t
+        GROUP BY t.n_words
+    )
+    """,
+    tags=["llm-tokenize", "A1", "SET"],
+)
+def tokenizer_family_stats(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Corpus fertility (pieces per 1000 words) for the three
+    tokenizer families side by side — whitespace baseline, WordPiece
+    greedy, unigram-LM Viterbi — from ONE shared tokenization: the
+    comparison a pipeline runs before committing to a tokenizer,
+    since fertility directly scales training cost. Both subword
+    families segment the SAME checkpointed word table (one corpus
+    tokenize for all three rows); per-family totals are
+    occurrence-weighted (Σ count(word)·pieces(word)). The oracle
+    splices the WordPiece and unigram CTE chains onto the shared base
+    and re-derives all three rows independently."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = _spread(d).select(
+        "doc_id",
+        F.posexplode(X.tokens(F.col("text"))).alias("pos", "word"),
+    )
+    wc = occ.groupBy("word").agg(
+        F.count("*").alias("n")
+    ).localCheckpoint(eager=True)
+    tot = wc.agg(F.sum("n").cast("long").alias("n_words"))
+
+    def fam(name: str, enc: DataFrame) -> DataFrame:
+        return (
+            enc.join(wc, "word")
+            .agg(
+                F.sum(F.col("n") * F.col("n_pieces")).cast("long")
+                .alias("n_pieces")
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(F.lit(name).alias("family"), "n_words",
+                    "n_pieces")
+        )
+
+    ws = tot.select(
+        F.lit("whitespace").alias("family"), "n_words",
+        F.col("n_words").alias("n_pieces"),
+    )
+    out = (
+        ws.unionByName(
+            fam("wordpiece", W.wp_encode_words(wc, W.wp_vocab(wc)))
+        ).unionByName(
+            fam("unigram", U.uni_encode_words(wc, U.uni_vocab(wc)))
+        )
+    )
+    return out.select(
+        "family", "n_words", "n_pieces",
+        F.expr("cast((1000 * n_pieces) div n_words AS bigint)")
+        .alias("fertility_pm"),
     )

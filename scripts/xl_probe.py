@@ -81,6 +81,13 @@ def main() -> None:
                   lambda d: qs["kmeans_assign_ivf"].build(spark, d))
     timed_median3("pq_ann_topk",
                   lambda d: qs["pq_ann_topk"].build(spark, d))
+    # tokenizer family at the decade rungs (r11): the DP/matcher runs
+    # over the distinct-word table (constant under replication — which
+    # is Heaps'-law reality), so growth must track the corpus joins
+    timed_median3("wordpiece_encode",
+                  lambda d: qs["wordpiece_encode"].build(spark, d))
+    timed_median3("unigram_encode",
+                  lambda d: qs["unigram_encode"].build(spark, d))
 
     # two-level SemDedup at constant cell size (~2000 vectors/cell)
     def _sharded(d: str):
