@@ -1314,8 +1314,17 @@ def main() -> None:
         dm_plan = _big_plan("daily_market")
         probes["dagbig:daily_market_rebuild"] = round(
             time.perf_counter() - t0, 3)
+        # r12: the default W4 plan is the SKEW-SAFE two-block
+        # decomposition, whose construction legitimately joins (offset
+        # broadcast + suffix fetch on rn−364, visible as __rn_r). The
+        # J8 regression this gate catches is the reference-shaped
+        # calendar self-join: add_months() in a join condition, a
+        # nested-loop/cartesian node, or the loss of __rn_r lineage.
         plan_checks["dagbig_daily_market_window_not_self_join"] = (
-            "Window" in dm_plan and "Join" not in dm_plan)
+            "Window" in dm_plan and "__rn_r" in dm_plan
+            and "add_months" not in dm_plan
+            and "BroadcastNestedLoopJoin" not in dm_plan
+            and "CartesianProduct" not in dm_plan)
         for name in ("fact_market_history", "fact_trade"):
             t0 = time.perf_counter()
             plan = _big_plan(name)
@@ -1754,52 +1763,50 @@ def main() -> None:
         finally:
             for kk, vv in saved_sd.items():
                 spark.conf.set(kk, vv)
-        # per-key 52-week window under skew. The DEFAULT O(n) block
-        # plan still serializes a hot key into one task (row_number +
-        # lag run per key) — its skewed wall is recorded honest and
-        # unpinned (calendar-bounded in real TPC-DI). The r11
-        # skew_safe plan (two-phase numbering + suffix equi-join, no
-        # per-key pass) is what a skewed corpus would use, and THAT
-        # one is pinned within 1.5x of the uniform default.
+        # per-key 52-week window under skew. Since r12 (VERDICT r11
+        # item 2) the DEFAULT sliding_extremes_blocks plan IS the
+        # skew-safe one (two-phase numbering + suffix equi-join, no
+        # per-key pass), so THE PIN sits on default args: the SAME
+        # plan on the skewed corpus vs the uniform twin must hold
+        # ≤1.5x — skew resilience without asking. The explicit
+        # opt-out (skew_safe=False: per-key row_number + lag, cheaper
+        # for calendar-bounded keys) is recorded honest and unpinned.
         from dbt_tpcdi_spark.operators.windows import (
             sliding_extremes_blocks,
         )
 
-        def _win52(dm_path: str, skew_safe: bool = False):
+        def _win52(dm_path: str, **kw):
             dmh = spark.read.parquet(dm_path).select(
                 "dm_s_symb", "dm_date", "dm_low", "dm_high")
             return sliding_extremes_blocks(
                 dmh, "dm_s_symb", "dm_date",
                 [("lo52", FB.col("dm_low"), "min"),
                  ("hi52", FB.col("dm_high"), "max")],
-                364, skew_safe=skew_safe,
+                364, **kw,
             ).select("dm_s_symb", "dm_date", "lo52", "hi52")
 
+        # the default plan shape is new to the session: its first sink
+        # pays whole-stage codegen compile, so record one cold wall
+        # honestly and pin on the warm (steady-state) runs
+        _timed(probes, "skew_dag:window_skewed_cold", _win52(skew_dir))
+        spark.catalog.clearCache()
         _timed(probes, "skew_dag:window_uniform",
                _win52(os.path.join(wh_big, "daily_market")))
+        spark.catalog.clearCache()
         _timed(probes, "skew_dag:window_skewed", _win52(skew_dir))
-        # the skew-safe plan shape is new to the session, so its first
-        # sink pays ~4s of whole-stage codegen compile; record the
-        # cold wall honestly and measure the warm (steady-state) ones.
-        # THE PIN is like-for-like: the SAME skew-safe plan on the
-        # skewed corpus vs on the uniform twin — skew resilience means
-        # a 30%-hot-key corpus degrades the plan ≤1.5x, which the
-        # default block plan (per-key row_number + lag) cannot claim
-        # (its skewed/uniform ratio is recorded above, unpinned and
-        # calendar-bounded in real TPC-DI).
-        _timed(probes, "skew_dag:window_skewed_safe_cold",
-               _win52(skew_dir, skew_safe=True))
         spark.catalog.clearCache()
-        _timed(probes, "skew_dag:window_uniform_safe",
+        _timed(probes, "skew_dag:window_uniform_perkey",
                _win52(os.path.join(wh_big, "daily_market"),
-                      skew_safe=True))
-        spark.catalog.clearCache()
-        _timed(probes, "skew_dag:window_skewed_safe",
-               _win52(skew_dir, skew_safe=True))
-        spark.catalog.clearCache()
+                      skew_safe=False))
+        _timed(probes, "skew_dag:window_skewed_perkey",
+               _win52(skew_dir, skew_safe=False))
+        plan_checks["skew_dag_window_default_within_1_5x_uniform"] = (
+            probes["skew_dag:window_skewed"]
+            <= 1.5 * max(probes["skew_dag:window_uniform"], 0.5))
+        # same measurement under its r11 name so round-over-round
+        # BENCH comparisons stay line-for-line
         plan_checks["skew_dag_window_safe_within_1_5x_uniform"] = (
-            probes["skew_dag:window_skewed_safe"]
-            <= 1.5 * max(probes["skew_dag:window_uniform_safe"], 0.5))
+            plan_checks["skew_dag_window_default_within_1_5x_uniform"])
 
     total = round(sum(times.values()), 3)
     single_shot = {n: v[0] for n, v in headline_trials.items()}

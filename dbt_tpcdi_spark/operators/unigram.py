@@ -193,6 +193,14 @@ def uni_encode_words(words: DataFrame, vocab: DataFrame) -> DataFrame:
                                 and best[j - ln] + s == best[j]):
                             pick = ln
                             break
+                    if pick == 0:
+                        # mirror the forward pass's explicit failure: a
+                        # broken DP invariant must raise, never spin on
+                        # `j -= 0` forever
+                        raise ValueError(
+                            f"unigram backtrace stuck at {w!r}[:{j}]: "
+                            "no piece length reproduces best[j]"
+                        )
                     pieces.append(w[j - pick:j])
                     j -= pick
                 pieces.reverse()

@@ -87,7 +87,7 @@ def sliding_extremes_blocks(
     order: str,
     cols: list[tuple],
     preceding: int,
-    skew_safe: bool = False,
+    skew_safe: bool = True,
 ) -> DataFrame:
     """O(n) trailing-frame min/max — the two-block prefix/suffix
     decomposition of ``ROWS BETWEEN preceding PRECEDING AND CURRENT
@@ -112,11 +112,15 @@ def sliding_extremes_blocks(
     Exactness: both plans reduce the same frame multiset with the same
     lexicographic comparator, so results are identical, ties included.
 
-    ``skew_safe=True`` (r11) removes the remaining per-key serial
-    passes for HOT keys: the default plan's row_number and suffix-lag
-    both run inside ``Window.partitionBy(key)``, so one key holding a
-    large share of the rows becomes one long task even though the
-    per-row work is O(1). The skew-safe plan:
+    ``skew_safe=True`` — the DEFAULT since r12 (VERDICT r11 item 2:
+    a 30%-hot-key corpus degraded the per-key plan 2.2× while the
+    safe plan holds ≤1.5×; at 100 TB nobody audits key histograms
+    before every window, so the resilient plan must be the one you
+    get without asking) — removes the per-key serial passes for HOT
+    keys: the per-key plan's row_number and suffix-lag both run
+    inside ``Window.partitionBy(key)``, so one key holding a large
+    share of the rows becomes one long task even though the per-row
+    work is O(1). The skew-safe plan:
 
     1. numbers rows with the two-phase range-partition trick (the
        chunked-sessionize construction): ``repartitionByRange(key,
@@ -130,10 +134,10 @@ def sliding_extremes_blocks(
        preceding) instead of ``lag().over(key)`` — unique join keys,
        perfectly spread.
 
-    Identical results; costs two extra shuffles, so the default stays
-    the cheaper plan for key-bounded data (TPC-DI symbols are
-    calendar-bounded) and ``skew_safe`` is the explicit knob for
-    corpora where one key can dominate.
+    Identical results; costs two extra shuffles, so ``skew_safe=
+    False`` remains the explicit opt-out for provably key-bounded
+    data (TPC-DI symbols are calendar-bounded: ≤365·years rows/key)
+    where the cheaper two-window plan is safe by construction.
     """
     keys = [key] if isinstance(key, str) else list(key)
     n = preceding + 1

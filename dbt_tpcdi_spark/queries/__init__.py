@@ -37,6 +37,25 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def fixture_root(sf_dir: str, prefix: str) -> str:
+    """Per-PROCESS temp directory for queries that materialize a
+    fixture (JSONL/ORC shards, persisted vocab tables) before reading
+    it back. Keyed by (prefix, sf_dir, pid): two concurrent harness
+    processes at the same SF must not overwrite each other's fixture
+    while the other's lazy DataFrame still reads it, and persisted
+    VersionedTable fixtures must not accrue commits at a shared root
+    across runs. Within ONE process the path is stable, so repeated
+    builds of the same query (bench trials) still reuse/overwrite
+    their own fixture rather than leaking a new dir per call."""
+    import hashlib
+    import os
+    import tempfile
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{suffix}_p{os.getpid()}")
+
+
 def query(name: str, oracle: str | None, tags: list[str], headline: bool = False):
     """Decorator registering a (spark, sf_dir) -> DataFrame builder."""
 

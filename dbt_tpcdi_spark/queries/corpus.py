@@ -1137,15 +1137,12 @@ def jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at 100 TB schema inference is a second full scan), malformed
     lines dropped AT the scan (``DROPMALFORMED``), parallelism from
     shard count (each .json.gz is one split)."""
-    import hashlib
     import os
-    import tempfile
 
+    from dbt_tpcdi_spark.queries import fixture_root
     from dbt_tpcdi_spark.sources import jsonl as J
 
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(
-        tempfile.gettempdir(), f"jsonl_scan_{suffix}")
+    root = fixture_root(sf_dir, "jsonl_scan")
     d = load_table(spark, sf_dir, "documents")
     J.write_jsonl(d, root, compression="gzip", shards=4)
     # an extra plain shard of garbage: a crawl always has broken lines
@@ -1814,12 +1811,9 @@ def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripe/row-group min-max — ``spark.sql.orc.filterPushdown``
     defaults true in Spark 4), so at 100 TB the choice between them is
     an ecosystem question, not a plan-quality one."""
-    import hashlib
-    import os
-    import tempfile
+    from dbt_tpcdi_spark.queries import fixture_root
 
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"orc_scan_{suffix}")
+    root = fixture_root(sf_dir, "orc_scan")
     d = load_table(spark, sf_dir, "documents")
     d.write.mode("overwrite").option("compression", "zlib").orc(root)
     return spark.read.schema(d.schema).orc(root).select(
@@ -1896,8 +1890,12 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket
             < F.least(
                 F.lit(bits).cast("long"),
+                # greatest(__W, 1): a source whose every text is whitespace
+                # has __W = 0; `div 0` yields NULL and the filter would drop
+                # all of its docs, while the oracle keeps them (cum 0 <= B).
+                # With divisor 1 the threshold saturates at `bits` (keep all).
                 F.expr(f"({4 * _TB_BUDGET * bits} + __W - 1)"
-                       " div __W"),
+                       " div greatest(__W, 1L)"),
             )
         )
     )
@@ -1950,11 +1948,8 @@ def wordpiece_encode_persisted(spark: SparkSession,
     vocabulary and encodes all documents with it, so the artifact
     round-trip (commit → snapshot read → broadcast) is value-gated,
     not just exercised."""
-    import hashlib
-    import os
-    import tempfile
-
     from dbt_tpcdi_spark.plans.versioned import VersionedTable
+    from dbt_tpcdi_spark.queries import fixture_root
 
     d = load_table(spark, sf_dir, "documents")
     occ = _spread(d).select(
@@ -1971,9 +1966,7 @@ def wordpiece_encode_persisted(spark: SparkSession,
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(
-        tempfile.gettempdir(), f"wpvocab_{suffix}")
+    root = fixture_root(sf_dir, "wpvocab")
     vt = VersionedTable(spark, root)
     vt.commit(W.wp_vocab(wc_base), op="train")
     vocab_stored = vt.read()

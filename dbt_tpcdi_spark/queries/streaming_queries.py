@@ -928,16 +928,13 @@ def streaming_jsonl_ingest(spark: SparkSession,
     parquet table — scan-level schema declaration and malformed-line
     tolerance carry over to streaming unchanged because they are scan
     options, not query logic."""
-    import hashlib
     import os
-    import tempfile
 
+    from dbt_tpcdi_spark.queries import fixture_root
     from dbt_tpcdi_spark.sources import jsonl as J
     from dbt_tpcdi_spark.sources.parquet import load_table
 
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(
-        tempfile.gettempdir(), f"jsonl_stream_{suffix}")
+    root = fixture_root(sf_dir, "jsonl_stream")
     d = load_table(spark, sf_dir, "documents")
     J.write_jsonl(d, root, compression="gzip", shards=6)
     with open(os.path.join(root, "corrupt-extra.json"), "w") as fh:

@@ -477,11 +477,12 @@ def test_sliding_extremes_blocks_equals_naive_frame(spark):
         blk = sliding_extremes_blocks(
             df, "k", "i",
             [("lo", lo_st, "min"), ("hi", hi_st, "max")], prec,
+            skew_safe=False,
         ).select("k", "i", "lo", "hi")
         assert naive.exceptAll(blk).isEmpty()
         assert blk.exceptAll(naive).isEmpty()
-        # the hot-key-parallel plan (r11, VERDICT item 4) must be
-        # row-identical too — same frames, no per-key serial pass
+        # the hot-key-parallel plan (r11; the DEFAULT since r12) must
+        # be row-identical too — same frames, no per-key serial pass
         safe = sliding_extremes_blocks(
             df, "k", "i",
             [("lo", lo_st, "min"), ("hi", hi_st, "max")], prec,

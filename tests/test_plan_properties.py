@@ -468,20 +468,30 @@ def test_kmv_serving_plan_has_no_shuffle_join(spark):
         "source_a", "source_b", "k_eff", "kmv_jaccard_pm"]
 
 
-def test_rolling_extremes_blocks_one_exchange_no_join(spark):
-    """The O(n) two-block sliding-extremes plan (r10): the rn/prefix/
-    suffix/lag window passes all partition on the same entity key, so
-    ONE hash exchange feeds them (local sorts only differ) — and the
-    argmax-date recovery stays join-free (the J8 self-join stays
-    collapsed)."""
+def test_rolling_extremes_default_skew_safe_shape(spark):
+    """The DEFAULT rolling-extremes plan (r12: skew_safe became the
+    default, VERDICT r11 item 2) is the two-block decomposition with
+    hot-key-parallel evaluation. Pinned properties:
+
+    - the ONLY joins are the construction's own equi-joins (offset
+      broadcast + suffix fetch on ``rn − preceding``, visible as
+      ``__rn_r``) — a J8 frame-rescan self-join regression would show
+      up as a value-equality join WITHOUT ``__rn_r`` lineage, a
+      BroadcastNestedLoopJoin, or a CartesianProduct;
+    - no Window partitions by the bare entity key (no per-key serial
+      task under a hot key);
+    - the windowed subtree is cached and BOTH suffix-join sides read
+      the cache (2 InMemoryTableScans) — the range+window pipeline
+      executes once, not once per side."""
     plan = _plan(spark, "rolling_extremes")
-    # join-free means JOIN-FREE: any join node here (SortMergeJoin,
-    # ShuffledHashJoin, BroadcastHashJoin, CartesianProduct) is the
-    # J8 self-join regression this gate exists to catch
-    assert "Join" not in plan, plan
-    # daily pre-agg + the shared window key: at most 2 hash exchanges
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
-    assert "Window" in plan
+    assert "__rn_r" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("InMemoryTableScan") == 2, plan
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "__pid" in ln or "__blk" in ln, ln
 
 
 def test_curation_approx_single_scored_execution(spark):

@@ -235,3 +235,64 @@ def test_streaming_funnel_out_of_order_repair(spark, tmp_path):
     assert by_user[1] == (100, 900, 1500)
     assert by_user[2][0] == 500 and by_user[2][1] == 800
     assert pd.isna(by_user[2][2])  # purchase outside the gap
+
+
+def test_streaming_qs_sketch_multibatch_merges_state(spark, tmp_path):
+    """Drive streaming_qs_sketch across MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over 3 parquet shards) so _qs_update's
+    state-merge branch (state.exists, seq > 1) actually runs, and
+    assert the drained sketch is bit-identical to the batch bottom-k
+    over the same rows — the batching-insensitivity claim, exercised
+    rather than asserted."""
+    from dbt_tpcdi_spark.operators import frequent as FQ
+    from dbt_tpcdi_spark.operators.text import md5_60bit
+    from dbt_tpcdi_spark.queries.corpus import qs_orders_values
+    from dbt_tpcdi_spark.streaming.ops import streaming_qs_sketch
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    src = str(tmp_path / "orders_shards")
+    orders.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey bigint, o_custkey bigint, "
+            "o_orderstatus string, o_totalprice double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    rows = qs_orders_values(stream).select(
+        md5_60bit(
+            F.concat(F.lit(FQ.QS_SALT),
+                     F.col("o_orderkey").cast("string"))
+        ).alias("h"),
+        "v",
+    )
+    out = streaming_qs_sketch(rows)
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName("qs_multibatch").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    sink = spark.table("qs_multibatch")
+
+    # the state-merge branch ran: some bucket was updated more than once
+    assert sink.agg(F.max("seq")).first()[0] >= 2
+
+    last = (
+        sink.groupBy("bucket").agg(F.max("seq").alias("__last"))
+        .withColumnRenamed("bucket", "__b")
+    )
+    streamed = (
+        sink.join(last, (F.col("bucket") == F.col("__b"))
+                  & (F.col("seq") == F.col("__last")))
+        .select("h", "v").orderBy("h", "v").limit(FQ.QS_K)
+    )
+    batch = FQ.qs_sketch(
+        qs_orders_values(load_table(spark, SF_SMOKE, "orders")),
+        "o_orderkey", "v",
+    )
+    s_rows = [tuple(r) for r in streamed.collect()]
+    b_rows = [tuple(r) for r in batch.orderBy("h", "v").collect()]
+    assert s_rows == b_rows
