@@ -4718,11 +4718,21 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVFPQ_NPROBE = 4
 _IVFPQ_IDX_CACHE: dict = {}
+#: quantizer-training sample for the PERSISTED index build (VERDICT
+#: r11 item 1): the same deterministic md5 hash-sample contract as
+#: ``pq_ann_sampled`` — FAISS trains its coarse/PQ quantizers on a
+#: bounded sample, never the full corpus; the full corpus is still
+#: assigned + encoded in one pass each. ``train_frac=None`` restores
+#: full-corpus training (the pre-r12 behavior; only the non-persisted
+#: ``ivfpq_ann_topk`` rung still uses it, via its own frame path).
+_IVFPQ_TRAIN_FRAC = 0.25
+_IVFPQ_TRAIN_SALT = "ivfpqtrain"
 
 
 def ivfpq_index_build(
     e: DataFrame, root: str, cells: int, blocks: int, codes: int,
     dim: int = 64, files: int = 8,
+    train_frac: float | None = _IVFPQ_TRAIN_FRAC,
 ) -> dict:
     """Materialize the IVFADC index as VERSIONED TABLES (the
     incremental_dedup index pattern): ``cents`` (≤cells rows),
@@ -4730,15 +4740,26 @@ def ivfpq_index_build(
     one (vec_id, cell, block, code) row per vector·block, range-
     clustered on ``cell`` with footer stats + Bloom bitmaps so a
     serve-time probe reads ONLY the probed cells' files
-    (``read_where_in``). Build cost is the same Θ(n·cells) coarse
-    pass + grouped one-pass Lloyd as ``ivfpq_ann_topk``; at 100 TB
+    (``read_where_in``). Quantizer TRAINING (coarse seeds + residual
+    codebooks) runs on the deterministic ``train_frac`` hash-sample
+    by default (r12): sampled training is the production economics —
+    it cuts the Lloyd pass from O(n) to O(sample) while assignment
+    and encode stay one full-corpus pass each (they are the index's
+    payload and cannot be sampled) — and the md5 predicate keeps the
+    SQL twin on the identical training set bit-for-bit. At 100 TB
     the build amortizes over every query served from the persisted
     index, which is the only reason IVF indexes exist. Returns the
     three table handles."""
     from dbt_tpcdi_spark.plans.versioned import VersionedTable
 
     spark = e.sparkSession
-    cents = S.seed_centroid_table(e, "vec_id", "embedding", cells)
+    train = e
+    if train_frac is not None:
+        train = e.filter(
+            hash_sample(F.col("vec_id"), train_frac,
+                        salt=_IVFPQ_TRAIN_SALT)
+        )
+    cents = S.seed_centroid_table(train, "vec_id", "embedding", cells)
     base = e.select(
         "vec_id", S._qlist(F.col("embedding")).alias("__qv")
     )
@@ -4764,9 +4785,18 @@ def ivfpq_index_build(
     # blockwise-BLAS training, not the grouped broadcast Lloyd: the
     # grouped loop's min(struct) over an n*blocks*codes fan-out hits
     # the same ObjectHashAggregate sort fallback as the coarse pass
-    # (result-identical either way — _pq_codebooks_blockwise docstring)
+    # (result-identical either way — _pq_codebooks_blockwise docstring).
+    # Codebooks train on the SAMPLE's residuals (the residual table is
+    # already checkpointed for the full corpus — the encode pass needs
+    # it — so the training subset is a free filter, not a second pass)
+    resid_train = resid
+    if train_frac is not None:
+        resid_train = resid.filter(
+            hash_sample(F.col("vec_id"), train_frac,
+                        salt=_IVFPQ_TRAIN_SALT)
+        )
     cb = S.pq_codebooks(
-        resid, "vec_id", "__rv", dim, blocks=blocks, codes=codes,
+        resid_train, "vec_id", "__rv", dim, blocks=blocks, codes=codes,
         iters=1, assign_mode="blas",
     )
     pq_codes = S.pq_encode(
@@ -4911,8 +4941,11 @@ def ivfpq_serve_topk(
         "embeddings", "vec_id", "embedding", dim=64,
         cells=_IVFPQ_CELLS, blocks=8, codes=_IVFPQ_CODES, iters=1,
         refine=_IVFPQ_REFINE, k=10, nprobe=_IVFPQ_NPROBE,
+        train_where=hash_sample_sql(
+            "vec_id", _IVFPQ_TRAIN_FRAC, salt=_IVFPQ_TRAIN_SALT),
     ),
-    tags=["llm-ann-pq", "llm-ann-ivf", "S11", "iterative"],
+    tags=["llm-ann-pq", "llm-ann-ivf", "S11", "iterative",
+          "llm-sampling"],
 )
 def ivfpq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ served from a PERSISTED versioned index — the production
@@ -4921,7 +4954,11 @@ def ivfpq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     restorable, compactable like any warehouse table), and each query
     probes its ``nprobe`` nearest cells through a Bloom/stats-pruned
     ``read_where_in`` on the cell id — unprobed cells' files are
-    never read. The twin re-derives the identical index in SQL and
+    never read. Quantizers train on the deterministic 25% hash-sample
+    (r12 — the ``pq_ann_sampled`` economics applied to the persisted
+    build; at the x1000 probe this cut the build wall while probe and
+    append are untouched). The twin re-derives the identical index in
+    SQL — seeds and codebooks under the SAME sample predicate — and
     restricts ADC to the same probe set (dist asc, cell asc). Index
     build is memoized per (sf_dir, session) — the serve path is what
     this query times after the first call."""
@@ -4947,9 +4984,15 @@ def ivfpq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embeddings", "vec_id", "embedding", dim=64,
         cells=_IVFPQ_CELLS, blocks=8, codes=_IVFPQ_CODES, iters=1,
         refine=_IVFPQ_REFINE, k=10, nprobe=_IVFPQ_NPROBE,
-        train_where="vec_id % 3 <> 0",
+        train_where=(
+            "(vec_id % 3 <> 0) AND ("
+            + hash_sample_sql(
+                "vec_id", _IVFPQ_TRAIN_FRAC, salt=_IVFPQ_TRAIN_SALT)
+            + ")"
+        ),
     ),
-    tags=["llm-ann-pq", "llm-ann-ivf", "S11", "iterative"],
+    tags=["llm-ann-pq", "llm-ann-ivf", "S11", "iterative",
+          "llm-sampling"],
 )
 def ivfpq_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental-maintenance lifecycle end-to-end: build the
@@ -4959,8 +5002,9 @@ def ivfpq_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ``compact(range_by=["cell"])`` (which restores the cell
     range-cluster + stats + Bloom skipping), then serve top-k over
     the full corpus through the cell-pruned read. The twin trains
-    seeds/codebooks under the same ``vec_id % 3 <> 0`` predicate and
-    encodes/ADCs the full corpus — exactly the append semantics —
+    seeds/codebooks under the same ``vec_id % 3 <> 0 AND
+    hash-sample`` predicate (base corpus ∩ the r12 training sample)
+    and encodes/ADCs the full corpus — exactly the append semantics —
     so a drifted append path (re-trained codebooks, dropped batch,
     wrong residual cell) hash-mismatches."""
     import tempfile
