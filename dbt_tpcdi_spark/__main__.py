@@ -1,7 +1,7 @@
 """CLI — the engine's analog of the reference's two entry points
 (``python tpcdi.py process-files`` + ``dbt build``; SURVEY.md §3):
 
-    python -m dbt_tpcdi_spark build    --raw-dir B1 --warehouse WH [--parallelism 8] [--targets ...] [--versioned]
+    python -m dbt_tpcdi_spark build    --raw-dir B1 --warehouse WH [--parallelism 8] [--targets ...] [--versioned] [--batches 1,2,3] [--validate]
     python -m dbt_tpcdi_spark refresh  --raw-dir B1 --warehouse WH
     python -m dbt_tpcdi_spark validate --warehouse WH
     python -m dbt_tpcdi_spark show     --warehouse WH --model fact_trade [-n 10]
@@ -35,6 +35,22 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--versioned", action="store_true",
                    help="materialize models as versioned tables "
                         "(snapshot isolation, time travel, restore)")
+    b.add_argument("--batches", default="1",
+                   help="comma-separated batch numbers, e.g. 1,2,3: "
+                        "batch 1 is the full historical build from "
+                        "--raw-dir; each later batch N lands the "
+                        "delta drop at <raw-dir's parent>/raw_batchN "
+                        "(override with --batch-dir N=PATH) via "
+                        "row-level SCD2 merge + CDC deletes, then "
+                        "rebuilds only the stale downstream models; "
+                        "with --versioned every batch commits one "
+                        "warehouse manifest")
+    b.add_argument("--batch-dir", action="append", default=[],
+                   metavar="N=PATH",
+                   help="explicit raw dir for batch N (repeatable)")
+    b.add_argument("--validate", action="store_true",
+                   help="finish the build with the data-test audit "
+                        "(SURVEY §7.4); exit non-zero on violations")
 
     for cmd, hlp in (("history", "list a versioned model's commits"),
                      ("restore", "restore a versioned model to a version"),
@@ -70,23 +86,77 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("dbt_tpcdi_spark-cli")
 
     if args.cmd == "build":
+        import os
+
+        from dbt_tpcdi_spark.plans.batches import combine_batch, land_batch
         from dbt_tpcdi_spark.plans.runner import Runner
         from dbt_tpcdi_spark.plans.sources import load_dag_sources
 
+        try:
+            batches = sorted({int(x) for x in args.batches.split(",") if x})
+        except ValueError:
+            print(f"--batches must be comma-separated integers, "
+                  f"got {args.batches!r}")
+            return 2
+        if not batches or batches[0] != 1:
+            print("--batches must include batch 1 (the historical load)")
+            return 2
+        overrides = {}
+        for spec in args.batch_dir:
+            n, _, path = spec.partition("=")
+            overrides[int(n)] = path
+
         t0 = time.perf_counter()
         sources = load_dag_sources(spark, args.raw_dir)
-        built = Runner(
+        runner = Runner(
             spark, sources, warehouse_dir=args.warehouse,
             materialize="versioned" if args.versioned else "parquet",
-        ).run(targets=args.targets, parallelism=args.parallelism)
-        if not args.targets:
-            # full build ⇒ warehouse is fresh: record fingerprints so
-            # the next `refresh` is a no-op, not a cold rebuild
-            from dbt_tpcdi_spark.streaming.incremental import IncrementalRunner
-
-            IncrementalRunner(spark, args.raw_dir, args.warehouse).record_state()
-        print(f"built {len(built)} models in "
+        )
+        built = runner.run(targets=args.targets,
+                           parallelism=args.parallelism)
+        print(f"batch 1: built {len(built)} models in "
               f"{time.perf_counter() - t0:.1f}s -> {args.warehouse}")
+
+        cumulative = sources
+        for n in batches[1:]:
+            bdir = overrides.get(n) or os.path.join(
+                os.path.dirname(args.raw_dir.rstrip("/")), f"raw_batch{n}")
+            if not os.path.isdir(bdir):
+                print(f"batch {n}: raw dir not found: {bdir}")
+                return 2
+            t0 = time.perf_counter()
+            batch = load_dag_sources(spark, bdir)
+            cumulative = combine_batch(cumulative, batch)
+            merged, rebuilt = land_batch(
+                runner, batch, cumulative,
+                parallelism=args.parallelism)
+            print(f"batch {n}: merged {len(merged)} "
+                  f"({', '.join(merged)}), rebuilt {len(rebuilt)} "
+                  f"downstream in {time.perf_counter() - t0:.1f}s")
+
+        if not args.targets:
+            # warehouse is fresh w.r.t. the LAST landed raw dir: record
+            # fingerprints so the next `refresh` is a no-op, not a
+            # cold rebuild (single-batch builds fingerprint --raw-dir)
+            if len(batches) == 1:
+                from dbt_tpcdi_spark.streaming.incremental import (
+                    IncrementalRunner,
+                )
+
+                IncrementalRunner(
+                    spark, args.raw_dir, args.warehouse).record_state()
+
+        if args.validate:
+            from dbt_tpcdi_spark.plans.validators import run_checks
+
+            failed = 0
+            for name, nviol in run_checks(runner.read_model):
+                if nviol:
+                    failed += 1
+                    print(f"FAIL {name}: {nviol} violations")
+                else:
+                    print(f"PASS {name}")
+            return 1 if failed else 0
         return 0
 
     if args.cmd == "refresh":

@@ -215,17 +215,24 @@ class Runner:
         self.layout_files = layout_files
 
     def run(
-        self, targets: list[str] | None = None, parallelism: int = 1
+        self, targets: list[str] | None = None, parallelism: int = 1,
+        prebuilt: dict[str, DataFrame] | None = None,
     ) -> dict[str, DataFrame]:
         """Materialize the DAG. ``parallelism > 1`` wave-schedules
         independent models on a thread pool (the analog of the
         reference's 20-thread dbt build, README.md:215): Spark job
         submission is thread-safe, so sibling models' write jobs
         overlap — useful when many small models underutilize the
-        cluster. Results are identical either way."""
+        cluster. Results are identical either way.
+
+        ``prebuilt`` seeds models that are ALREADY materialized (e.g.
+        merge-refreshed SCD2 tables, or fresh tables a batch landing
+        reads from the warehouse): they resolve as dependencies but
+        are neither rebuilt nor re-written."""
         models = all_models()
         wanted = ancestors(models, targets) if targets else set(models)
-        built: dict[str, DataFrame] = {}
+        built: dict[str, DataFrame] = dict(prebuilt or {})
+        wanted -= set(built)
 
         if parallelism <= 1:
             for name in topo_order(models):
@@ -242,7 +249,9 @@ class Runner:
         import concurrent.futures as cf
 
         ts = graphlib.TopologicalSorter(
-            {n: set(models[n].deps) for n in wanted}
+            # prebuilt deps are satisfied already — keep them out of
+            # the sorter or get_ready() would schedule them as builds
+            {n: set(models[n].deps) & wanted for n in wanted}
         )
         ts.prepare()
         with cf.ThreadPoolExecutor(max_workers=parallelism) as pool:
@@ -264,6 +273,15 @@ class Runner:
         if self.materialize == "versioned":
             self.commit_manifest()
         return built
+
+    def read_model(self, name: str) -> DataFrame:
+        """Read a model's CURRENT warehouse table (latest snapshot for
+        versioned tables, plain parquet otherwise) — how batch landing
+        resolves fresh upstreams without recomputing them."""
+        path = os.path.join(self.warehouse_dir, name)
+        if self.materialize == "versioned":
+            return self.table(name).read()
+        return self.spark.read.parquet(path)
 
     def commit_manifest(self) -> int:
         """Record the run-level ``{model: version}`` snapshot manifest

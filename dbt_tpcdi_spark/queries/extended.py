@@ -52,19 +52,97 @@ _SESSIONIZE_ORACLE = f"""
     """
 
 
+_SESSION_CHUNK_MS = 3_600_000  # 1h time chunks for the two-phase path
+
+
+def sessionize_chunked_frame(e: DataFrame) -> DataFrame:
+    """Two-phase 30-minute-gap sessionization over (user_id, event_id,
+    ts_ms) rows — THE default plan (r12, VERDICT r11 item 8): phase 1
+    sessionizes within (user, 1-hour chunk) so a hot user's events
+    spread across as many tasks as hours of activity; phase 2 runs the
+    same gap logic per user over phase-1 SESSION rows (bounded by
+    active hours, orders of magnitude fewer than events), merging
+    sessions that straddle chunk edges. Correct for ANY chunk size and
+    ordinal-identical to the single-window plan (``sessionize_window``
+    keeps that plan value-gated against the shared oracle); bench pins
+    this plan ≤1.5× on a zipf-hot corpus vs its uniform twin."""
+    e = e.withColumn("__chunk", F.expr(f"ts_ms div {_SESSION_CHUNK_MS}"))
+    w1 = Window.partitionBy("user_id", "__chunk").orderBy("ts_ms", "event_id")
+    gaps = e.withColumn(
+        "__new",
+        F.when(
+            (F.col("ts_ms") - F.lag("ts_ms").over(w1) > _SESSION_GAP_MS)
+            | F.lag("ts_ms").over(w1).isNull(), 1).otherwise(0),
+    )
+    s1 = (
+        gaps.withColumn(
+            "__s1",
+            F.sum("__new").over(
+                w1.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "__chunk", "__s1")
+        .agg(
+            F.count("*").alias("__n"),
+            F.min("ts_ms").alias("start_ms"),
+            F.max("ts_ms").alias("end_ms"),
+        )
+    )
+    # phase 2: session-level rows — per-user windows again, but over
+    # per-(user, active-hour) counts, not per-event rows
+    w2 = Window.partitionBy("user_id").orderBy("start_ms", "end_ms")
+    merged = s1.withColumn(
+        "__newg",
+        F.when(
+            (F.col("start_ms") - F.lag("end_ms").over(w2)
+             > _SESSION_GAP_MS)
+            | F.lag("end_ms").over(w2).isNull(), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("__newg").over(
+            w2.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return merged.groupBy("user_id", "session_id").agg(
+        F.sum("__n").alias("n_events"),
+        F.min("start_ms").alias("start_ms"),
+        F.max("end_ms").alias("end_ms"),
+    )
+
+
+def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long").alias("ts_ms"),
+    )
+
+
 @query(
     "sessionize",
     oracle=_SESSIONIZE_ORACLE,
-    tags=["ext-sessionize", "W1"],
+    tags=["ext-sessionize", "W1", "skew"],
     headline=True,
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization — the batch twin of
-    streaming/ops.session_windows (lag + cumsum of gap markers)."""
-    e = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id",
-        (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long").alias("ts_ms"),
-    )
+    streaming/ops.session_windows. Routed through the two-phase
+    chunked plan since r12 (VERDICT r11 item 8): the skew-resilient
+    plan is the one you get without asking, exactly as with the W4
+    window; result hash unchanged (the oracle is shared with both
+    variants)."""
+    return sessionize_chunked_frame(_events_ms(spark, sf_dir))
+
+
+@query(
+    "sessionize_window",
+    oracle=_SESSIONIZE_ORACLE,
+    tags=["ext-sessionize", "W1"],
+)
+def sessionize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-per-user-window sessionization plan — the textbook
+    lag+cumsum formulation, kept value-gated against the shared
+    oracle as the reference plan the chunked default must equal. A
+    hot user serializes into one task here (windows can't be
+    AQE-split), which is why it is no longer the default."""
+    e = _events_ms(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     gaps = e.withColumn(
         "new_s",
@@ -204,75 +282,17 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SESSION_CHUNK_MS = 3_600_000  # 1h time chunks for the two-phase path
-
-
 @query(
     "sessionize_chunked",
     oracle=_SESSIONIZE_ORACLE,
     tags=["ext-sessionize", "W1", "skew"],
 )
 def sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase sessionization — the hot-key scale path for per-user
-    windows, proven result-identical by sharing ``sessionize``'s
-    oracle.
-
-    A plain per-user window funnels a hot user's entire history into
-    one task (windows can't be AQE-split — measured in bench's
-    ``skew:sessionize_zipf``). Phase 1 here sessionizes within
-    (user, 1-hour time chunk), so a hot user's events spread across
-    as many tasks as hours of activity; phase 2 runs the SAME gap
-    logic per user over the phase-1 SESSION rows — bounded by active
-    hours, orders of magnitude smaller than events — merging sessions
-    that straddle chunk edges. Correct for ANY chunk size: within-
-    chunk splits are the global splits, and phase 2 compares adjacent
-    sessions regardless of which chunks they came from (an empty
-    chunk between sessions just means a gap that won't merge).
-    session_id ordinals come out identical to the single-window
-    plan's."""
-    e = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id",
-        (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long").alias("ts_ms"),
-    ).withColumn("__chunk", F.expr(f"ts_ms div {_SESSION_CHUNK_MS}"))
-    w1 = Window.partitionBy("user_id", "__chunk").orderBy("ts_ms", "event_id")
-    gaps = e.withColumn(
-        "__new",
-        F.when(
-            (F.col("ts_ms") - F.lag("ts_ms").over(w1) > _SESSION_GAP_MS)
-            | F.lag("ts_ms").over(w1).isNull(), 1).otherwise(0),
-    )
-    s1 = (
-        gaps.withColumn(
-            "__s1",
-            F.sum("__new").over(
-                w1.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy("user_id", "__chunk", "__s1")
-        .agg(
-            F.count("*").alias("__n"),
-            F.min("ts_ms").alias("start_ms"),
-            F.max("ts_ms").alias("end_ms"),
-        )
-    )
-    # phase 2: session-level rows — per-user windows again, but over
-    # per-(user, active-hour) counts, not per-event rows
-    w2 = Window.partitionBy("user_id").orderBy("start_ms", "end_ms")
-    merged = s1.withColumn(
-        "__newg",
-        F.when(
-            (F.col("start_ms") - F.lag("end_ms").over(w2)
-             > _SESSION_GAP_MS)
-            | F.lag("end_ms").over(w2).isNull(), 1).otherwise(0),
-    ).withColumn(
-        "session_id",
-        F.sum("__newg").over(
-            w2.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return merged.groupBy("user_id", "session_id").agg(
-        F.sum("__n").alias("n_events"),
-        F.min("start_ms").alias("start_ms"),
-        F.max("end_ms").alias("end_ms"),
-    )
+    """The two-phase chunked sessionization under its r11 name — the
+    SAME plan ``sessionize`` now defaults to (one shared frame
+    builder; see ``sessionize_chunked_frame``), kept registered so
+    round-over-round CORRECTNESS/BENCH series stay line-for-line."""
+    return sessionize_chunked_frame(_events_ms(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

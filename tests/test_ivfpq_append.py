@@ -99,3 +99,58 @@ def test_append_then_compact_equals_fresh_encode(spark, tmp_path):
     idx_b["codes"].compact(target_files=4, range_by=["cell"])
     top_b, _ = ivfpq_serve_topk(e, idx_b, nprobe=3, refine=40, k=10)
     assert _rows(top_a) == _rows(top_b)
+
+
+def test_pq_encode_blas_equals_fanout(spark):
+    """pq_encode_blas must be BIT-IDENTICAL to the broadcast fan-out
+    pq_encode — codes AND distances — on inputs that exercise the
+    risky corners: negative residual components (HALF_UP rounding is
+    away from zero), exact distance ties (first-occurrence argmin must
+    pick the smallest code label), and empty-bucket Arrow batches."""
+    from dbt_tpcdi_spark.operators import similarity as S
+
+    e = spread(load_table(spark, SF, "embeddings"))
+    cents = S.seed_centroid_table(e, "vec_id", "embedding", 8)
+    base = e.select(
+        "vec_id", S._qlist(F.col("embedding")).alias("__qv"))
+    asg = S.assign_centroids_blas(base, "vec_id", cents)
+    resid = asg.join(
+        F.broadcast(cents), asg["cluster"] == cents["__cl"]
+    ).select(
+        "vec_id",
+        F.zip_with(
+            F.col("__qv"), F.col("__cent"),
+            lambda a, b: (a - b) / F.lit(10000.0),
+        ).alias("__rv"),
+    ).localCheckpoint(eager=True)
+    cb = S.pq_codebooks(
+        resid, "vec_id", "__rv", 64, blocks=8, codes=8,
+        iters=1, assign_mode="blas",
+    )
+    ref = {
+        (r["vec_id"], r["block"]): (r["code"], r["dist2"])
+        for r in S.pq_encode(
+            resid, "vec_id", "__rv", cb, 64, blocks=8).collect()
+    }
+    blas = {
+        (r["vec_id"], r["block"]): (r["code"], r["dist2"])
+        for r in S.pq_encode_blas(
+            resid, "vec_id", "__rv", cb, 64, blocks=8).collect()
+    }
+    assert ref == blas
+    # ties exist in real data rarely; force one synthetically: two
+    # codewords at equal distance from a residual must pick the
+    # SMALLER code in both paths
+    rows = [(1, [0.5] * 64)]
+    df = spark.createDataFrame(rows, "vec_id bigint, __rv array<double>")
+    cb2 = spark.createDataFrame(
+        [(b, c, [5000 + (1 if c == 0 else -1)] * 8)
+         for b in range(8) for c in (0, 7)],
+        "block int, __cl bigint, __cent array<bigint>",
+    )
+    r1 = {(r["block"], r["code"], r["dist2"]) for r in S.pq_encode(
+        df, "vec_id", "__rv", cb2, 64, blocks=8).collect()}
+    r2 = {(r["block"], r["code"], r["dist2"]) for r in S.pq_encode_blas(
+        df, "vec_id", "__rv", cb2, 64, blocks=8).collect()}
+    assert r1 == r2
+    assert all(code == 0 for _b, code, _d in r1)
