@@ -135,16 +135,21 @@ def main(argv: list[str] | None = None) -> int:
                   f"downstream in {time.perf_counter() - t0:.1f}s")
 
         if not args.targets:
-            # warehouse is fresh w.r.t. the LAST landed raw dir: record
-            # fingerprints so the next `refresh` is a no-op, not a
-            # cold rebuild (single-batch builds fingerprint --raw-dir)
-            if len(batches) == 1:
-                from dbt_tpcdi_spark.streaming.incremental import (
-                    IncrementalRunner,
-                )
+            from dbt_tpcdi_spark.streaming.incremental import (
+                IncrementalRunner,
+            )
 
-                IncrementalRunner(
-                    spark, args.raw_dir, args.warehouse).record_state()
+            inc = IncrementalRunner(spark, args.raw_dir, args.warehouse)
+            if len(batches) == 1:
+                # warehouse is fresh w.r.t. --raw-dir: record
+                # fingerprints so the next `refresh` is a no-op, not
+                # a cold rebuild
+                inc.record_state()
+            else:
+                # merged-batch warehouses must not be single-raw-dir
+                # refreshed (it would drop the merged rows) — mark
+                # them so `refresh` refuses with guidance
+                inc.mark_batches_landed(batches)
 
         if args.validate:
             from dbt_tpcdi_spark.plans.validators import run_checks
@@ -163,9 +168,13 @@ def main(argv: list[str] | None = None) -> int:
         from dbt_tpcdi_spark.streaming.incremental import IncrementalRunner
 
         t0 = time.perf_counter()
-        status = IncrementalRunner(
-            spark, args.raw_dir, args.warehouse
-        ).refresh()
+        try:
+            status = IncrementalRunner(
+                spark, args.raw_dir, args.warehouse
+            ).refresh()
+        except ValueError as exc:  # merged-batch warehouse guard
+            print(exc)
+            return 2
         refreshed = sorted(k for k, v in status.items() if v == "refreshed")
         print(f"refreshed {len(refreshed)}/{len(status)} models in "
               f"{time.perf_counter() - t0:.1f}s"

@@ -101,11 +101,31 @@ class IncrementalRunner:
         refresh() is a no-op instead of a cold rebuild."""
         self._save_state(self.compute_fingerprints())
 
+    def mark_batches_landed(self, batches: list[int]) -> None:
+        """Record that this warehouse carries MERGED delta batches
+        beyond Batch1. ``refresh()`` then refuses to run: its
+        staleness model fingerprints ONE raw dir, so a fingerprint
+        miss would rebuild models from the Batch1 feeds alone and
+        silently drop the landed batches. Multi-batch warehouses
+        advance through ``build --batches`` (or ``Runner.
+        merge_refresh`` directly)."""
+        state = self.compute_fingerprints()
+        state["__batches__"] = ",".join(str(b) for b in batches)
+        self._save_state(state)
+
     def refresh(self) -> dict[str, str]:
         """Bring every model up to date; returns name → 'refreshed' |
         'fresh'."""
         models = all_models()
         prev = self._load_state()
+        if "__batches__" in prev:
+            raise ValueError(
+                f"warehouse {self.warehouse_dir} carries merged delta "
+                f"batches ({prev['__batches__']}); single-raw-dir "
+                "refresh would rebuild stale models from the Batch1 "
+                "feeds alone and drop the merged rows. Land further "
+                "deltas with `build --batches ...` instead."
+            )
         fps = self.compute_fingerprints()
 
         sources_loaded: dict[str, DataFrame] | None = None

@@ -274,3 +274,22 @@ def test_versioned_merge_refresh_delete_emits_cdf_tombstones(spark, tmp_path):
     dels = feed.filter(F.col("_change_type") == "delete")
     assert dels.count() == n_purged
     assert _rows(dels.drop("_change_type")) == _rows(purged)
+
+
+def test_refresh_refuses_multibatch_warehouse(spark, tmp_path):
+    """A warehouse that has landed merged delta batches must not be
+    single-raw-dir refreshed: the staleness model fingerprints ONE raw
+    dir, so a rebuild would come from the Batch1 feeds alone and drop
+    the merged rows. mark_batches_landed + the refresh guard close
+    that footgun loudly."""
+    import pytest
+
+    from dbt_tpcdi_spark.streaming.incremental import IncrementalRunner
+    from dbt_tpcdi_spark.tpcdi.fixtures import generate
+
+    root = generate(tmp_path / "fx")
+    inc = IncrementalRunner(spark, str(root / "raw"),
+                            str(tmp_path / "wh"))
+    inc.mark_batches_landed([1, 2, 3])
+    with pytest.raises(ValueError, match="merged delta batches"):
+        inc.refresh()
