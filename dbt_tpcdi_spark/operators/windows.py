@@ -193,9 +193,35 @@ def _sliding_extremes_skew_safe(
     # plus the cumulative count of the key's earlier slices is the
     # global rank. The slice-offset table is |key slices| rows
     # (≈ keys + partitions), aggregated distributively.
-    part = df.repartitionByRange(*keys, order).withColumn(
-        "__pid", F.spark_partition_id()
+    # __tb tiebreak inside the range key: RangePartitioner cannot
+    # split rows that compare equal, so duplicate (key, order) runs —
+    # legal input for timing probes even though the EXACTNESS contract
+    # requires unique pairs — land atomically in one partition
+    # (measured 457k-vs-168k row imbalance → ~2× straggler wall on
+    # the 30%-hot probe corpus). A unique trailing column restores
+    # splittability; for contract-valid data (no ties) the boundaries
+    # are unchanged. monotonically_increasing_id is deterministic
+    # given the input split, and `part` is persisted (below), so one
+    # value set feeds every consumer.
+    part = (
+        df.withColumn("__tb", F.monotonically_increasing_id())
+        .repartitionByRange(*keys, order, "__tb")
+        .drop("__tb")
+        .withColumn("__pid", F.spark_partition_id())
     )
+    # ONE execution of the range partitioning, structurally: `part`
+    # feeds BOTH the offsets aggregate and the main path, and
+    # repartitionByRange samples its boundaries per-execution (the
+    # sample seed derives from the physical RDD id), so two
+    # executions may disagree on __pid — offsets computed against one
+    # split joined to rows carrying the other yields WRONG global row
+    # numbers (caught by bench's dagbig_fact_market_history_rows_exact
+    # at the 5M-row probe; small inputs hid it behind AQE stage
+    # reuse). persist() pins the split; blocks are MEMORY_AND_DISK
+    # (spill, not drop) and the ContextCleaner releases them with the
+    # result — checkpoint() instead on a real multi-executor cluster,
+    # where executor loss could force a recompute.
+    part = part.persist()
     w_loc = Window.partitionBy(*keys, "__pid").orderBy(F.col(order).asc())
     part = part.withColumn("__lrn", F.row_number().over(w_loc))
     w_off = (

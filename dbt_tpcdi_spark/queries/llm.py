@@ -1388,7 +1388,10 @@ def _pq_adc_frame(
         iters=1, assign_mode="broadcast",
     )  # pq_codebooks persists the codebook itself (and releases the
     # per-block training tables) — no second persist here
-    pq_codes = S.pq_encode(e, "vec_id", "embedding", cb, dim, blocks=blocks)
+    # BLAS encode (r12): bit-identical to the fan-out plan, without
+    # the n*blocks*codes row stream (pq_encode_blas docstring)
+    pq_codes = S.pq_encode_blas(
+        e, "vec_id", "embedding", cb, dim, blocks=blocks)
     qsub = S.pq_query_subvectors(
         e.orderBy("vec_id").limit(1), "embedding", dim, blocks=blocks
     )
@@ -1587,7 +1590,7 @@ def ivfpq_ann_topk_frame(
         resid, "vec_id", "__rv", dim, blocks=blocks, codes=codes,
         iters=1, assign_mode="broadcast",
     )
-    pq_codes = S.pq_encode(
+    pq_codes = S.pq_encode_blas(
         resid, "vec_id", "__rv", cb, dim, blocks=blocks
     ).join(resid.select("vec_id", "cell"), "vec_id")
     # the query's residual w.r.t. EVERY cell → (cell, block, code) → d

@@ -480,14 +480,20 @@ def test_rolling_extremes_default_skew_safe_shape(spark):
       BroadcastNestedLoopJoin, or a CartesianProduct;
     - no Window partitions by the bare entity key (no per-key serial
       task under a hot key);
-    - the windowed subtree is cached and BOTH suffix-join sides read
-      the cache (2 InMemoryTableScans) — the range+window pipeline
-      executes once, not once per side."""
+    - the construction's shared subtrees are CACHED: the
+      range-partitioned `part` feeds both the offsets aggregate and
+      the main path from one execution (repartitionByRange samples
+      boundaries per-execution — two executions can disagree on
+      __pid, which corrupted global row numbers at the 5M-row dagbig
+      probe until r12 pinned it), and the windowed `out` feeds both
+      suffix-join sides. Multiple InMemoryTableScans prove the
+      cache-backed single-execution structure."""
     plan = _plan(spark, "rolling_extremes")
     assert "__rn_r" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("InMemoryTableScan") == 2, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "InMemoryRelation" in plan, plan
     win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
     assert win_lines, plan
     for ln in win_lines:
