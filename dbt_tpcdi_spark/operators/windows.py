@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def forward_fill(
@@ -187,41 +188,50 @@ def _sliding_extremes_skew_safe(
     (see its docstring, ``skew_safe=True``)."""
     n = preceding + 1
     base_cols = df.columns
-    # 1. global per-key row numbers WITHOUT a per-key window: range
-    # partitioning on (key, order) keeps rows of one key contiguous
-    # ACROSS partitions, so a local rank per (key, partition) slice
-    # plus the cumulative count of the key's earlier slices is the
-    # global rank. The slice-offset table is |key slices| rows
-    # (≈ keys + partitions), aggregated distributively.
-    # __tb tiebreak inside the range key: RangePartitioner cannot
-    # split rows that compare equal, so duplicate (key, order) runs —
-    # legal input for timing probes even though the EXACTNESS contract
-    # requires unique pairs — land atomically in one partition
-    # (measured 457k-vs-168k row imbalance → ~2× straggler wall on
-    # the 30%-hot probe corpus). A unique trailing column restores
-    # splittability; for contract-valid data (no ties) the boundaries
-    # are unchanged. monotonically_increasing_id is deterministic
-    # given the input split, and `part` is persisted (below), so one
-    # value set feeds every consumer.
-    part = (
-        df.withColumn("__tb", F.monotonically_increasing_id())
-        .repartitionByRange(*keys, order, "__tb")
-        .drop("__tb")
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    # ONE execution of the range partitioning, structurally: `part`
-    # feeds BOTH the offsets aggregate and the main path, and
-    # repartitionByRange samples its boundaries per-execution (the
-    # sample seed derives from the physical RDD id), so two
-    # executions may disagree on __pid — offsets computed against one
-    # split joined to rows carrying the other yields WRONG global row
-    # numbers (caught by bench's dagbig_fact_market_history_rows_exact
-    # at the 5M-row probe; small inputs hid it behind AQE stage
-    # reuse). persist() pins the split; blocks are MEMORY_AND_DISK
-    # (spill, not drop) and the ContextCleaner releases them with the
-    # result — checkpoint() instead on a real multi-executor cluster,
-    # where executor loss could force a recompute.
-    part = part.persist()
+    # 1. global per-key row numbers WITHOUT a per-key window. Two
+    # constructions, picked by the order column's type:
+    #
+    # (a) VALUE CHUNKS (dates and integers — every order column in
+    # the repo): __chk = order div n over the value domain, a PURE
+    # monotone function of the row, so both consumers of `part` (the
+    # offsets aggregate and the main path) compute identical chunks
+    # with no shared physical state — no range shuffle, no sampling,
+    # no persist. The contract (unique (key, order) pairs) bounds a
+    # (key, chunk) group at ~n rows, so the local rank window is
+    # hot-key-parallel by construction; per-key chunk offsets cumulate
+    # over rows/n chunk-count rows (the hot key's serial pass is over
+    # CHUNK COUNTS, not rows).
+    #
+    # (b) RANGE PARTITIONS (fallback for other order types):
+    # repartitionByRange(key, order, tiebreak) + spark_partition_id.
+    # The split is SAMPLED per-execution (seed derives from the
+    # physical RDD id), so the shared subtree must be persist()ed —
+    # offsets computed against one split joined to rows carrying
+    # another yields WRONG row numbers (caught by bench's
+    # dagbig_fact_market_history_rows_exact at the 5M-row probe; tiny
+    # inputs hid it behind AQE stage reuse). The __tb tiebreak keeps
+    # duplicate (key, order) runs splittable (RangePartitioner cannot
+    # split ties; measured 457k-vs-168k partition imbalance on the
+    # tie-heavy probe corpus). checkpoint() instead of persist() on a
+    # real multi-executor cluster, where executor loss could force a
+    # recompute.
+    dt = df.schema[order].dataType
+    if isinstance(dt, T.DateType):
+        chunk = F.expr(f"datediff({order}, date'1970-01-01') div {n}")
+    elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                         T.LongType)):
+        chunk = F.expr(f"cast({order} AS bigint) div {n}")
+    else:
+        chunk = None
+    if chunk is not None:
+        part = df.withColumn("__pid", chunk.cast("long"))
+    else:
+        part = (
+            df.withColumn("__tb", F.monotonically_increasing_id())
+            .repartitionByRange(*keys, order, "__tb")
+            .drop("__tb")
+            .withColumn("__pid", F.spark_partition_id())
+        ).persist()
     w_loc = Window.partitionBy(*keys, "__pid").orderBy(F.col(order).asc())
     part = part.withColumn("__lrn", F.row_number().over(w_loc))
     w_off = (
@@ -237,7 +247,14 @@ def _sliding_extremes_skew_safe(
         )
         .drop("__cnt")
     )
-    out = part.join(F.broadcast(offsets), [*keys, "__pid"]).withColumn(
+    # value-chunk offsets can reach rows/n entries on a huge corpus —
+    # no broadcast hint there (AQE broadcasts under threshold anyway);
+    # the pid fallback's offsets are ≈ keys + partitions rows
+    if chunk is not None:
+        out = part.join(offsets, [*keys, "__pid"])
+    else:
+        out = part.join(F.broadcast(offsets), [*keys, "__pid"])
+    out = out.withColumn(
         "__rn", (F.col("__off") + F.col("__lrn")).cast("int")
     )
     out = out.withColumn("__blk", F.expr(f"(__rn - 1) div {n}"))

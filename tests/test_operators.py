@@ -512,3 +512,44 @@ def test_sliding_extremes_skew_safe_no_per_key_window(spark):
     for ln in win_lines:
         assert "__pid" in ln or "__blk" in ln, ln
     assert "Join" in plan  # the suffix fetch is the equi-join
+
+
+def test_sliding_extremes_chunk_and_fallback_paths(spark):
+    """The skew-safe numbering has two constructions (r12): VALUE
+    chunks for date/integer orders (pure-function chunk ids — no
+    range shuffle, no persist) and the sampled-range-partition
+    fallback for other types. Both must equal the naive frame exactly,
+    including NEGATIVE order values (div truncates toward zero, so
+    chunks near 0 merge up to 2n-1 values — bounded, and order stays
+    monotone)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from dbt_tpcdi_spark.operators.windows import sliding_extremes_blocks
+
+    random.seed(7)
+    rows = []
+    for k in range(4):
+        vals = sorted(random.sample(range(-40, 40), 25))
+        rows += [(k, i, float(random.randint(1, 5))) for i in vals]
+    for order_type, cast in (("int", int), ("double", float)):
+        df = spark.createDataFrame(
+            [(k, cast(i), v) for k, i, v in rows],
+            f"k int, i {order_type}, v double")
+        w = (Window.partitionBy("k").orderBy(F.col("i").asc())
+             .rowsBetween(-6, 0))
+        naive = df.select(
+            "k", "i", F.min("v").over(w).alias("lo"))
+        got = sliding_extremes_blocks(
+            df, "k", "i", [("lo", F.col("v"), "min")], 6,
+        ).select("k", "i", "lo")
+        assert naive.exceptAll(got).isEmpty(), order_type
+        assert got.exceptAll(naive).isEmpty(), order_type
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        if order_type == "int":
+            # value-chunk path: no range shuffle anywhere
+            assert "rangepartitioning" not in plan, plan
+        else:
+            # fallback path: sampled range partitioning + persist
+            assert "rangepartitioning" in plan, plan
