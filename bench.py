@@ -81,6 +81,7 @@ import json
 import os
 import sys
 import time
+import uuid as _uuid
 
 
 def _timed(times: dict[str, float], name: str, df) -> None:
@@ -351,6 +352,96 @@ def main() -> None:
                 "CartesianProduct" not in plan)
             _subq(name)
 
+        # r12 additions: epoch replication (zero-shuffle projection),
+        # no-split next-fit packing (one hash shuffle + linear per-shard
+        # Arrow pass), and the runtime-Bloom-pruned join. The first two
+        # ride the x10/x100 decade with the standard subquadratic pin;
+        # the bloom gate self-asserts injection (bloom_filter_agg in
+        # the optimized plan) — the check records that it held at x10.
+        for name in ("epoch_mix_sample", "pack_bins"):
+            for tag, d_dir in (("x10", x10_dir), ("x100", x100_dir)):
+                df = all_queries()[name].build(spark, d_dir)
+                trials = {}
+                for t in range(3):
+                    _timed(trials, f"t{t}", df)
+                prep[f"{tag}_{name}_trials"] = list(trials.values())
+                probes[f"{tag}:{name}"] = sorted(trials.values())[1]
+                df.collect()
+                plan = (df._jdf.queryExecution().executedPlan()
+                        .toString())
+                plan_checks[f"{tag}_{name}_no_cartesian"] = (
+                    "CartesianProduct" not in plan)
+            _subq(name)
+        try:
+            t0 = time.perf_counter()
+            all_queries()["bloom_prune_join"].build(spark, x10_dir)
+            probes["x10:bloom_prune_join"] = round(
+                time.perf_counter() - t0, 3)
+            plan_checks["x10_bloom_runtime_filter_injected"] = True
+        except AssertionError:
+            plan_checks["x10_bloom_runtime_filter_injected"] = False
+
+        # ...and the filter's VALUE, measured not asserted: total
+        # shuffle bytes of the same SMJ with the runtime filter on vs
+        # off. URGENT selects ~20% of orders, so the pruned fact side
+        # should shuffle well under half the bytes.
+        def _shuffle_bytes(df) -> int:
+            df.collect()
+            top = df._jdf.queryExecution().executedPlan()
+            node = (top.executedPlan()
+                    if top.nodeName().startswith("AdaptiveSparkPlan")
+                    else top)
+            total = 0
+
+            def w(n):
+                nonlocal total
+                it = n.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "shuffleBytesWritten":
+                        total += kv._2().value()
+                ch = n.children()
+                for i in range(ch.size()):
+                    w(ch.apply(i))
+                if n.nodeName().endswith("QueryStage"):
+                    w(n.plan())
+
+            w(node)
+            return total
+
+        def _bloom_join():
+            bli = spark.read.parquet(
+                os.path.join(x10_dir, "lineitem.parquet")
+            ).select("l_orderkey", "l_returnflag", "l_extendedprice")
+            bo = spark.read.parquet(
+                os.path.join(x10_dir, "orders.parquet")
+            ).filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ).select("o_orderkey")
+            return (
+                bli.join(bo, bli["l_orderkey"] == bo["o_orderkey"])
+                .groupBy("l_returnflag")
+                .agg(F.count("*").alias("n_items"))
+            )
+
+        from dbt_tpcdi_spark.queries.extended import _BLOOM_CONFS
+
+        saved_bloom = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+        try:
+            for k, v in _BLOOM_CONFS.items():
+                spark.conf.set(k, v)
+            with_bloom = _shuffle_bytes(_bloom_join())
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter"
+                ".applicationSideScanSizeThreshold", "10GB")
+            without = _shuffle_bytes(_bloom_join())
+        finally:
+            for k, v in saved_bloom.items():
+                spark.conf.set(k, v)
+        prep["x10_bloom_shuffle_bytes"] = [with_bloom, without]
+        plan_checks["x10_bloom_shuffle_halved"] = (
+            with_bloom * 2 < without)
+
         # sample-trained PQ at x100 (the pq_ann_sampled path with the
         # fraction sized to the rung): codebooks fit on a 2.5%
         # deterministic hash-sample (~5k of 200k vectors), full-corpus
@@ -386,8 +477,6 @@ def main() -> None:
         # fraction of build wall, and the cell read must be pruned
         # (files_read < files_total via the codes table's Bloom +
         # range stats)
-        import uuid as _uuid
-
         from dbt_tpcdi_spark.queries.llm import (
             ivfpq_index_build,
             ivfpq_serve_topk,
@@ -521,8 +610,6 @@ def main() -> None:
         # stats, then a 15%-of-domain window on the SECOND dim must
         # read at most half the files — quantifying the data-skipping
         # claim versioned_skipping/zorder_skipping gate for exactness
-        import uuid as _uuid
-
         from dbt_tpcdi_spark.operators.layout import (
             zorder_repartition_normalized,
         )

@@ -801,6 +801,99 @@ def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# runtime Bloom-filter semi-join pruning: Catalyst's InjectRuntimeFilter
+# builds a Bloom filter from the SELECTIVE side of a shuffle join and
+# pushes might_contain onto the big side's scan — the 100-TB big-big
+# join technique (neither side broadcastable, but the filtered dim
+# keys prune most fact rows BEFORE the shuffle).
+
+
+_BLOOM_CONFS = {
+    # the rule's guards are sized for a real cluster; on test-scale
+    # parquet the application side never reaches 10 GB, so open them
+    # (the PLAN is what's under test — thresholds only gate when the
+    # rewrite fires, never what it computes)
+    "spark.sql.optimizer.runtime.bloomFilter"
+    ".applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+        "64MB",
+    # force the shuffle join the filter exists to serve
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query(
+    "bloom_prune_join",
+    oracle=f"""
+    SELECT l.l_returnflag, count(*) AS n_items,
+           cast(round(sum(cast(l.l_extendedprice AS {MONEY})), 2)
+                AS double) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+    tags=["runtime-filter", "J1", "A1"],
+)
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter pruned fact⨝dim join: lineitem joined to
+    the URGENT slice of orders with broadcast disabled — the shape
+    where Catalyst's InjectRuntimeFilter aggregates a Bloom filter
+    over the filtered orders keys and applies might_contain to
+    lineitem BEFORE its shuffle, so ~80 % of fact rows (at this
+    selectivity) never cross the wire. The gate ASSERTS the rewrite
+    fired (bloom_filter_agg in the optimized plan) and executes under
+    it; correctness never depends on the filter — false positives are
+    removed by the exact join, which is why the oracle is the plain
+    join. The confs are set only while this plan is optimized and
+    executed, then restored.
+
+    Scale: this is the canonical 100-TB plan for selective big-big
+    joins — filter creation is one map-side-combined aggregate over
+    the (small, post-filter) creation side, application is a
+    projection-stage predicate, and the saved work is the fact-side
+    shuffle. The metadata-sized result is materialized inside the
+    conf scope (pca_fit convention)."""
+    from dbt_tpcdi_spark.session import local_df
+
+    saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice"
+        )
+        o = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_items"),
+                money_sum(F.col("l_extendedprice"), "revenue"),
+            )
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, (
+            "InjectRuntimeFilter did not fire — runtime bloom join "
+            "pruning is the point of this gate"
+        )
+        rows = [
+            (r["l_returnflag"], r["n_items"], r["revenue"])
+            for r in j.collect()
+        ]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return local_df(
+        spark, rows,
+        "l_returnflag string, n_items bigint, revenue double",
+    )
+
+
+# ---------------------------------------------------------------------------
 # data profiling — per-column stats in ONE scan (expand + stack),
 # the table-health sibling of plans/validators.py
 

@@ -15,9 +15,13 @@ from pyspark.sql import functions as F
 from dbt_tpcdi_spark.functions.scalar import (
     hash_sample,
     hash_sample_sql,
+    md5_mod,
+    md5_mod_sql,
     round4,
     round4_sql,
     stratified_sample_sql,
+    weighted_keep,
+    weighted_keep_sql,
 )
 from dbt_tpcdi_spark.operators import bpe as B
 from dbt_tpcdi_spark.operators import dedup as D
@@ -1209,6 +1213,117 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (start - F.floor(start / _PACK_BUDGET) * _PACK_BUDGET)
         .cast("bigint")
         .alias("seq_offset"),
+    )
+
+
+_BIN_CAP = 128
+_BIN_SALT = "pack-bins-v1|"
+_BIN_BUCKETS = 4
+
+
+@query(
+    "pack_bins",
+    oracle=f"""
+    WITH RECURSIVE sized AS (
+        SELECT lang || '-' ||
+                   cast({md5_mod_sql('doc_id', _BIN_BUCKETS, _BIN_SALT)}
+                        AS varchar) AS shard,
+               doc_id,
+               cast({X.token_count_sql('text')} AS bigint) AS n_tokens,
+               md5('{_BIN_SALT}' || cast(doc_id AS varchar)) AS ord
+        FROM documents
+        WHERE {X.token_count_sql('text')} BETWEEN 1 AND {_BIN_CAP}
+    ),
+    ranked AS (
+        SELECT shard, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY ord, doc_id) AS rn
+        FROM sized
+    ),
+    packed AS (
+        SELECT shard, rn, doc_id, n_tokens,
+               cast(0 AS bigint) AS bin_id, cast(0 AS bigint) AS bin_offset
+        FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+               CASE WHEN p.bin_offset + p.n_tokens + r.n_tokens
+                         <= {_BIN_CAP}
+                    THEN p.bin_id ELSE p.bin_id + 1 END,
+               CASE WHEN p.bin_offset + p.n_tokens + r.n_tokens
+                         <= {_BIN_CAP}
+                    THEN p.bin_offset + p.n_tokens
+                    ELSE cast(0 AS bigint) END
+        FROM packed p JOIN ranked r
+          ON r.shard = p.shard AND r.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, n_tokens, bin_id, bin_offset FROM packed
+    """,
+    tags=["llm-packing", "§2.10-udf"],
+    headline=True,
+)
+def pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split sequence packing (the SFT/instruction-tuning contract
+    where an example must NOT straddle two training sequences, unlike
+    ``pack_sequences``' concat-and-cut): docs are routed to
+    lang × {_BIN_BUCKETS} hash shards, ordered deterministically
+    (salted md5), and packed next-fit — a doc opens a new bin when the
+    current one can't hold it whole; docs longer than the {_BIN_CAP}
+    token cap are dropped (they can never pack). Output is each doc's
+    (bin, offset) placement.
+
+    Next-fit is sequential by nature (each placement depends on the
+    running fill), so the per-shard scan runs as ONE Arrow-batched
+    applyInPandas pass — the imperative-seam policy of
+    wordpiece/unigram applied to packing. Scale: parallelism = shard
+    count and bins never cross shards by construction, so at 100 TB
+    you raise _BIN_BUCKETS until a shard fits a task (the sessionize
+    chunking argument); everything corpus-sized before the seam is a
+    projection + one hash-partition shuffle. The DuckDB oracle walks
+    the identical placement as a recursive CTE."""
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang",
+        "doc_id",
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    ).filter(
+        (F.col("n_tokens") >= 1) & (F.col("n_tokens") <= _BIN_CAP)
+    ).select(
+        F.concat(
+            F.col("lang"), F.lit("-"),
+            md5_mod(F.col("doc_id"), _BIN_BUCKETS, _BIN_SALT)
+            .cast("string"),
+        ).alias("shard"),
+        "doc_id",
+        "n_tokens",
+        F.md5(
+            F.concat(F.lit(_BIN_SALT), F.col("doc_id").cast("string"))
+        ).alias("ord"),
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(["ord", "doc_id"], kind="mergesort")
+        toks = pdf["n_tokens"].to_numpy()
+        bins = np.empty(len(toks), dtype=np.int64)
+        offs = np.empty(len(toks), dtype=np.int64)
+        fill = 0
+        b = 0
+        for i, n in enumerate(toks):
+            if i and fill + n > _BIN_CAP:
+                b += 1
+                fill = 0
+            bins[i] = b
+            offs[i] = fill
+            fill += int(n)
+        return pdf.assign(bin_id=bins, bin_offset=offs)[
+            ["shard", "doc_id", "n_tokens", "bin_id", "bin_offset"]
+        ]
+
+    return sized.groupBy("shard").applyInPandas(
+        _pack,
+        "shard string, doc_id long, n_tokens long, "
+        "bin_id long, bin_offset long",
     )
 
 
@@ -2904,6 +3019,88 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(ks), "source").filter(
         F.col("samp_rank") <= F.col("k")
     ).select("doc_id", "source", "samp_rank")
+
+
+_EPOCH_SALT = "epoch-mix-v1|"
+#: epoch schedules are quarter-epoch granular: a source's schedule is
+#: u/4 epochs for u ∈ 1..10 (0.25x .. 2.5x), standing in for a
+#: configured {source: epochs} table exactly as mixture_sample's
+#: weights do.
+_EPOCH_DENOM = 4
+_EPOCH_MAX = 3  # ceil(max u / denom): widest schedule above
+
+
+@query(
+    "epoch_mix_sample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               cast((try_cast(substr(source, 4) AS int) % 10) + 1
+                    AS bigint) AS u
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, source,
+               u // {_EPOCH_DENOM}
+               + (CASE WHEN {weighted_keep_sql(
+                   'doc_id', f'(u % {_EPOCH_DENOM})', str(_EPOCH_DENOM),
+                   1, _EPOCH_SALT)}
+                  THEN 1 ELSE 0 END) AS n_copies
+        FROM w
+    )
+    SELECT doc_id, source,
+           cast(unnest(range(1, n_copies + 1)) AS bigint) AS epoch
+    FROM k
+    """,
+    tags=["llm-mixture-sampling", "P6"],
+    headline=True,
+)
+def epoch_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch data mixing (the Llama/DoReMi-style schedule where
+    high-value sources repeat for >1 epoch and low-value ones are
+    subsampled below 1): each source's quarter-epoch factor u/4 yields
+    ⌊u/4⌋ full deterministic copies of every doc plus one extra
+    partial epoch holding a u%4 / 4 hash-selected subset — so 2.5
+    epochs means epochs 1-2 complete and epoch 3 a reproducible half.
+    This is REPLICATION, which no subsampler (mixture_sample,
+    temperature_mixture) can express.
+
+    Scale: the whole operator is a zero-shuffle projection — the epoch
+    fan-out is explode(sequence ≤ {_EPOCH_MAX}) in the scan stage and
+    the partial-epoch membership is the ``weighted_keep`` integer
+    predicate (h·4 < (u%4)·2²⁴), so at 100 TB the N-epoch corpus is
+    never materialized; downstream consumers see it as a view and the
+    replication cost is paid inside whatever shuffle THEY do next.
+    Partitioning-independent and engine-portable by the same md5
+    argument as every sampler here."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = d.withColumn(
+        "u",
+        ((F.expr("try_cast(substring(source, 4) AS int)") % 10) + 1)
+        .cast("bigint"),
+    )
+    keep = weighted_keep(
+        F.col("doc_id"), F.col("u") % _EPOCH_DENOM, F.lit(_EPOCH_DENOM),
+        1, _EPOCH_SALT,
+    )
+    k = w.withColumn(
+        "n_copies",
+        F.expr(f"u div {_EPOCH_DENOM}")
+        + F.when(keep, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return k.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(
+                F.sequence(
+                    F.lit(1).cast("bigint"),
+                    F.lit(_EPOCH_MAX).cast("bigint"),
+                ),
+                lambda e: e <= F.col("n_copies"),
+            )
+        ).alias("epoch"),
+    )
 
 
 _SEMDEDUP_THRESHOLD = 0.4

@@ -345,6 +345,29 @@ def finwire_fin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_spark(df, NORM_SPECS["finwire_fin"][2])
 
 
+@query("finwire_pyds", oracle=_finwire_oracle("CMP", "finwire_company"),
+       tags=["S2", "S4", "custom-source"])
+def finwire_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FINWIRE drop through the Spark 4 Python DataSource API
+    (``sources/pyds.py``): a registered ``finwire`` format with
+    partition-per-file planning replaces ``spark.read.text``, then the
+    IDENTICAL prefix-parse/demux/bronze plan runs on top — so the gate
+    proves the custom-source seam is a drop-in for the native scan.
+    Same oracle as ``finwire_cmp`` (DuckDB re-slices the raw lines
+    independently)."""
+    from dbt_tpcdi_spark.sources.pyds import register_finwire_source
+
+    register_finwire_source(spark)
+    root = _fixture_root()
+    lines = spark.read.format("finwire").load(
+        str(root / "raw" / "FINWIRE2017Q1")
+    )
+    df = _bronze(
+        "finwire_company", parse_finwire(prefix_parse(lines), "CMP")
+    )
+    return _normalize_spark(df, NORM_SPECS["finwire_cmp"][2])
+
+
 @query("xml_customer_mgmt", oracle=_xml_oracle(),
        tags=["S5", "S6", "F-string"])
 def xml_customer_mgmt(spark: SparkSession, sf_dir: str) -> DataFrame:

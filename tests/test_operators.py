@@ -553,3 +553,51 @@ def test_sliding_extremes_chunk_and_fallback_paths(spark):
         else:
             # fallback path: sampled range partitioning + persist
             assert "rangepartitioning" in plan, plan
+
+
+def test_pack_bins_invariants(spark):
+    """Next-fit placement invariants beyond the oracle hash: no bin
+    overflows the cap, offsets within a bin are contiguous (each doc
+    starts where the previous ended), and every kept doc fits."""
+    from dbt_tpcdi_spark.queries.llm import _BIN_CAP, pack_bins
+    from tests.conftest import SF_SMOKE
+
+    rows = pack_bins(spark, SF_SMOKE).collect()
+    assert rows, "packing produced no rows"
+    by_bin: dict = {}
+    for r in rows:
+        assert 1 <= r["n_tokens"] <= _BIN_CAP
+        assert r["bin_offset"] + r["n_tokens"] <= _BIN_CAP
+        by_bin.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    multi = 0
+    for docs in by_bin.values():
+        docs.sort(key=lambda r: r["bin_offset"])
+        assert docs[0]["bin_offset"] == 0
+        for a, b in zip(docs, docs[1:]):
+            assert b["bin_offset"] == a["bin_offset"] + a["n_tokens"]
+        multi += len(docs) > 1
+    assert multi > 0, "cap so tight nothing ever packed together"
+
+
+def test_epoch_mix_copy_counts(spark):
+    """Every doc appears exactly n_copies times with epochs 1..n_copies,
+    n_copies = ⌊u/4⌋ (+1 iff the hash keep fired) — and at least one
+    source exercises each of the 0/1/2-full-epoch regimes."""
+    from collections import Counter
+
+    from dbt_tpcdi_spark.queries.llm import epoch_mix_sample
+    from tests.conftest import SF_SMOKE
+
+    rows = epoch_mix_sample(spark, SF_SMOKE).collect()
+    per_doc = Counter()
+    epochs: dict = {}
+    for r in rows:
+        per_doc[(r["doc_id"], r["source"])] += 1
+        epochs.setdefault((r["doc_id"], r["source"]), set()).add(r["epoch"])
+    fulls = set()
+    for (doc, src), n in per_doc.items():
+        u = (int(src[3:]) % 10) + 1
+        assert n in (u // 4, u // 4 + 1)
+        assert epochs[(doc, src)] == set(range(1, n + 1))
+        fulls.add(u // 4)
+    assert fulls == {0, 1, 2}
