@@ -208,7 +208,8 @@ def _dag_oracle(
             + _normalize_sql(target, *NORM_SPECS[gate]))
 
 
-def _finwire_slice_sql(rec_type: str) -> str:
+def _finwire_slice_sql(rec_type: str, raw_lines: list[str] | None = None
+                       ) -> str:
     """Independent DuckDB rendering of the S3 fixed-width slice: 1-based
     substr windows from the layout (the reference's data contract,
     tpcdi.py:458-535), trim + blank→NULL + try-casts like the loader."""
@@ -222,17 +223,21 @@ def _finwire_slice_sql(rec_type: str) -> str:
         elif f.dtype == "double":
             e = f"try_cast({e} AS double)"
         cols.append(f'{e} AS "{f.name}"')
-    lines = ",\n".join(f"({_sqllit(ln)})" for ln in finwire_raw_lines())
+    if raw_lines is None:
+        raw_lines = finwire_raw_lines()
+    lines = ",\n".join(f"({_sqllit(ln)})" for ln in raw_lines)
     return (
         f"SELECT {', '.join(cols)} FROM (VALUES\n{lines}\n) t(line)\n"
         f"WHERE substr(line, 16, 3) = '{rec_type}'"
     )
 
 
-def _finwire_oracle(rec_type: str, bronze_model: str) -> str:
+def _finwire_oracle(rec_type: str, bronze_model: str,
+                    raw_lines: list[str] | None = None) -> str:
     gate = f"finwire_{rec_type.lower()}"
     return (
-        f'WITH "src_{rec_type.lower()}" AS ({_finwire_slice_sql(rec_type)}),\n'
+        f'WITH "src_{rec_type.lower()}" AS '
+        f'({_finwire_slice_sql(rec_type, raw_lines)}),\n'
         f'"{bronze_model}" AS ({ORACLE_MODELS[bronze_model]})\n'
         + _normalize_sql(bronze_model, *NORM_SPECS[gate])
     )
@@ -366,6 +371,82 @@ def finwire_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "finwire_company", parse_finwire(prefix_parse(lines), "CMP")
     )
     return _normalize_spark(df, NORM_SPECS["finwire_cmp"][2])
+
+
+def _all_batch_finwire_lines() -> list[str]:
+    from dbt_tpcdi_spark.tpcdi.fixtures import (
+        FINWIRE_SETS,
+        FINWIRE_SETS2,
+        FINWIRE_SETS3,
+    )
+
+    return (finwire_raw_lines(FINWIRE_SETS)
+            + finwire_raw_lines(FINWIRE_SETS2)
+            + finwire_raw_lines(FINWIRE_SETS3))
+
+
+@query("finwire_pyds_stream",
+       oracle=_finwire_oracle("CMP", "finwire_company",
+                              _all_batch_finwire_lines()),
+       tags=["S2", "S4", "custom-source", "§2.9-streaming"])
+def finwire_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource as a STREAM: the three quarterly
+    FINWIRE drops (Batch1/2/3 fixtures) land in a watched directory and
+    ``spark.readStream.format("finwire")`` tails it — one drop per
+    micro-batch (the reader advances its checkpointable file-index
+    offset by at most one file per trigger, and ``readBetweenOffsets``
+    replays any committed range deterministically for exactly-once
+    recovery). The identical prefix-parse/demux/bronze plan runs ON the
+    stream; the oracle re-slices the union of all three drops' raw
+    lines, so a dropped batch, a re-read file, or a demux difference
+    hash-mismatches."""
+    import json
+    import shutil
+    import tempfile
+    import time
+
+    from dbt_tpcdi_spark.sources.pyds import register_finwire_source
+
+    register_finwire_source(spark)
+    root = _fixture_root()
+    stage = tempfile.mkdtemp(prefix="finwire_stream_")
+    for src in ("raw/FINWIRE2017Q1", "raw_batch2/FINWIRE2019Q1",
+                "raw_batch3/FINWIRE2019Q2"):
+        shutil.copy(str(root / src), stage)
+    lines = spark.readStream.format("finwire").load(f"{stage}/FINWIRE*")
+    df = _bronze(
+        "finwire_company", parse_finwire(prefix_parse(lines), "CMP")
+    )
+    out = _normalize_spark(df, NORM_SPECS["finwire_cmp"][2])
+    # the one-file-per-trigger offset pacing is the point, so drive
+    # with the default microbatch trigger (availableNow would fall
+    # back to single-batch on a simple stream reader) and stop once
+    # the committed end offset has walked all three drops
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("q_finwire_pyds_stream").start()
+    )
+    try:
+        import ast
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            eo = p["sources"][0]["endOffset"] if p else None
+            if isinstance(eo, str):
+                try:
+                    eo = json.loads(eo)
+                except ValueError:
+                    eo = ast.literal_eval(eo)
+            if isinstance(eo, dict) and eo.get("index") == 3:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("stream never reached drop 3")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table("q_finwire_pyds_stream")
 
 
 @query("xml_customer_mgmt", oracle=_xml_oracle(),

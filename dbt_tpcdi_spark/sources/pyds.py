@@ -26,7 +26,12 @@ import os
 from collections.abc import Iterator
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _FinwireFilePartition(InputPartition):
@@ -64,9 +69,60 @@ class FinwireReader(DataSourceReader):
                 yield (line.rstrip("\n"),)
 
 
+class FinwireStreamReader(SimpleDataSourceStreamReader):
+    """FINWIRE drops as a stream: the offset is an index into the
+    glob's SORTED file list, and each micro-batch advances it by AT
+    MOST ONE file — so a quarterly drop landing in the watched
+    directory becomes exactly one batch, offsets are checkpointable
+    dicts, and ``readBetweenOffsets`` replays any committed range
+    deterministically (the exactly-once recovery contract). New files
+    must sort after processed ones (drop names are period-stamped —
+    FINWIRE2017Q1 < FINWIRE2019Q1 — exactly like real feeds)."""
+
+    def __init__(self, options: dict) -> None:
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("finwire stream source requires a path")
+
+    def _files(self) -> list[str]:
+        return sorted(
+            p for p in glob.glob(self._path) if os.path.isfile(p)
+        )
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def _read_file(self, path: str) -> list[tuple]:
+        # materialized, not a generator: the engine's prefetch cache
+        # copy.copy()s the returned records for replay
+        with open(path, encoding="utf-8") as f:
+            return [(line.rstrip("\n"),) for line in f]
+
+    def read(self, start: dict) -> tuple:
+        files = self._files()
+        i = start["index"]
+        if i >= len(files):
+            # no-advance contract: the engine probes this with next()
+            # (so: an iterator), while ADVANCING reads are cached and
+            # copy.copy()d for replay (so: a list). Hence the split.
+            return iter(()), start
+        return self._read_file(files[i]), {"index": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        files = self._files()
+        out: list[tuple] = []
+        for i in range(start["index"], end["index"]):
+            out.extend(self._read_file(files[i]))
+        return out
+
+    def commit(self, end: dict) -> None:
+        pass  # files are immutable drops; nothing to release
+
+
 class FinwireDataSource(DataSource):
     """``spark.read.format("finwire").load(path_or_glob)`` → one
-    ``line`` column, partitioned per file."""
+    ``line`` column, partitioned per file; ``spark.readStream`` on the
+    same format tails the directory one drop per micro-batch."""
 
     @classmethod
     def name(cls) -> str:
@@ -77,6 +133,9 @@ class FinwireDataSource(DataSource):
 
     def reader(self, schema) -> FinwireReader:
         return FinwireReader(self.options)
+
+    def simpleStreamReader(self, schema) -> FinwireStreamReader:
+        return FinwireStreamReader(self.options)
 
 
 _REGISTERED: set[str] = set()

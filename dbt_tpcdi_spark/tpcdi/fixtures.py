@@ -705,6 +705,19 @@ FINWIRE_SETS = (
     ("FIN", FIN_LAYOUT, FIN_RECORDS),
 )
 
+#: the Batch2/Batch3 quarterly drops (written by ``generate`` to
+#: raw_batch2/FINWIRE2019Q1 and raw_batch3/FINWIRE2019Q2)
+FINWIRE_SETS2 = (
+    ("CMP", CMP_LAYOUT, CMP_RECORDS2),
+    ("SEC", SEC_LAYOUT, SEC_RECORDS2),
+    ("FIN", FIN_LAYOUT, FIN_RECORDS2),
+)
+FINWIRE_SETS3 = (
+    ("CMP", CMP_LAYOUT, CMP_RECORDS3),
+    ("SEC", SEC_LAYOUT, SEC_RECORDS3),
+    ("FIN", FIN_LAYOUT, FIN_RECORDS3),
+)
+
 
 def delimited_tables() -> dict[str, tuple[str, list]]:
     """source name -> (raw file name, rows)."""
@@ -777,11 +790,8 @@ def generate(target: str | Path) -> Path:
     write_delimited(raw2 / "Trade.txt", TRADE2, "|")
     write_delimited(raw2 / "TradeHistory.txt", TRADE_HISTORY2, "|")
     write_delimited(raw2 / "TradeDeletes.txt", TRADE_DELETES2, "|")
-    (raw2 / "FINWIRE2019Q1").write_text("\n".join(finwire_raw_lines((
-        ("CMP", CMP_LAYOUT, CMP_RECORDS2),
-        ("SEC", SEC_LAYOUT, SEC_RECORDS2),
-        ("FIN", FIN_LAYOUT, FIN_RECORDS2),
-    ))) + "\n")
+    (raw2 / "FINWIRE2019Q1").write_text(
+        "\n".join(finwire_raw_lines(FINWIRE_SETS2)) + "\n")
     (raw2 / "CustomerMgmt.xml").write_text(render_customer_mgmt_xml(ACTIONS2))
 
     # Batch3 delta drop (second increment — merges must compose)
@@ -790,10 +800,7 @@ def generate(target: str | Path) -> Path:
     write_delimited(raw3 / "Trade.txt", TRADE3, "|")
     write_delimited(raw3 / "TradeHistory.txt", TRADE_HISTORY3, "|")
     write_delimited(raw3 / "TradeDeletes.txt", TRADE_DELETES3, "|")
-    (raw3 / "FINWIRE2019Q2").write_text("\n".join(finwire_raw_lines((
-        ("CMP", CMP_LAYOUT, CMP_RECORDS3),
-        ("SEC", SEC_LAYOUT, SEC_RECORDS3),
-        ("FIN", FIN_LAYOUT, FIN_RECORDS3),
-    ))) + "\n")
+    (raw3 / "FINWIRE2019Q2").write_text(
+        "\n".join(finwire_raw_lines(FINWIRE_SETS3)) + "\n")
     (raw3 / "CustomerMgmt.xml").write_text(render_customer_mgmt_xml(ACTIONS3))
     return target

@@ -145,6 +145,15 @@ SHOWCASE = {
                            "closed 20-bit bucket prefilter before "
                            "the cumulative window — window input "
                            "O(B) tokens per source",
+    "epoch_mix_sample": "zero Exchange: epoch fan-out is a Generate "
+                        "(explode) directly above the file scan; "
+                        "partial-epoch keep is a scan-stage predicate",
+    "pack_bins": "ONE hash-partition Exchange to co-locate shards, "
+                 "then FlatMapGroupsInPandas — the only imperative "
+                 "seam; everything upstream is a codegen'd projection",
+    "finwire_pyds": "PythonDataSource scan (partition-per-file) "
+                    "feeding the standard prefix-parse projection — "
+                    "the custom-source seam is plan-visible",
 }
 
 

@@ -597,3 +597,56 @@ def test_tokenizer_corpus_scans_bounded(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 2, plan
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_epoch_mix_zero_shuffle(spark):
+    """Epoch replication must stay a scan-stage projection: explode
+    directly above the file scan, no Exchange anywhere."""
+    plan = _plan(spark, "epoch_mix_sample")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # the explode fan-out
+    assert "BatchScan" in plan or "FileScan" in plan
+
+
+def test_pack_bins_one_exchange_one_arrow_seam(spark):
+    """No-split packing: exactly one hash-partition shuffle (shard
+    co-location) feeding the single Arrow group pass — and nothing
+    Python upstream of it."""
+    plan = _plan(spark, "pack_bins")
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prune_join_injects_runtime_filter(spark):
+    """The gate's own assert is the pin: building it must not raise —
+    InjectRuntimeFilter fired with the confs the query scopes."""
+    df = all_queries()["bloom_prune_join"].build(spark, SF_SMOKE)
+    assert df.count() > 0
+    # confs restored after the build
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold"
+    ) != "0"
+
+
+def test_finwire_pyds_partition_per_file(spark):
+    """The Python DataSource plans one input partition per file of the
+    drop (here: 1 file -> 1 partition) and the scan node is the
+    python-source seam."""
+    from dbt_tpcdi_spark.sources.pyds import (
+        FinwireReader,
+        register_finwire_source,
+    )
+    from dbt_tpcdi_spark.queries.tpcdi_gate import _fixture_root
+
+    root = _fixture_root()
+    reader = FinwireReader({"path": str(root / "raw" / "FINWIRE*")})
+    parts = reader.partitions()
+    assert len(parts) == 1  # one quarterly file in the fixture drop
+    register_finwire_source(spark)
+    df = spark.read.format("finwire").load(
+        str(root / "raw" / "FINWIRE2017Q1"))
+    assert df.rdd.getNumPartitions() == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonDataSource" in plan or "BatchScan" in plan, plan

@@ -142,3 +142,30 @@ def test_spread_is_metadata_only_for_file_scans(spark):
     assert _size_conf(spark, "spark.x.test.size", 0) == 1024**3
     assert _size_conf(spark, "spark.x.test.absent", 7) == 7
     spark.conf.unset("spark.x.test.size")
+
+
+def test_finwire_stream_reader_offsets_and_replay(tmp_path):
+    """One drop per read() call, stable no-advance tail, and
+    readBetweenOffsets replays any committed range byte-identically
+    (the exactly-once recovery contract)."""
+    from dbt_tpcdi_spark.sources.pyds import FinwireStreamReader
+
+    for i, body in enumerate(("a1\na2\n", "b1\n", "c1\nc2\nc3\n")):
+        (tmp_path / f"FINWIRE200{i}Q1").write_text(body)
+    r = FinwireStreamReader({"path": str(tmp_path / "FINWIRE*")})
+    off = r.initialOffset()
+    assert off == {"index": 0}
+    seen = []
+    for expected in (2, 1, 3):
+        rows, off2 = r.read(off)
+        rows = list(rows)
+        assert len(rows) == expected
+        assert off2["index"] == off["index"] + 1
+        seen.extend(rows)
+        off = off2
+    rows, off3 = r.read(off)
+    assert list(rows) == [] and off3 == off  # no-advance tail
+    # deterministic replay of the full committed range
+    assert list(r.readBetweenOffsets({"index": 0}, {"index": 3})) == seen
+    # ...and of a partial range (restart mid-stream)
+    assert list(r.readBetweenOffsets({"index": 1}, {"index": 2})) == [("b1",)]
