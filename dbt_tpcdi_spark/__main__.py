@@ -79,11 +79,58 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--model", required=True)
     s.add_argument("-n", type=int, default=10)
 
+    q = sub.add_parser(
+        "query",
+        help="run any registered analytics query against a data dir")
+    q.add_argument("--name", help="query name (see --list)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="directory of the parquet tables")
+    q.add_argument("-n", type=int, default=20, help="rows to print")
+    q.add_argument("--list", action="store_true",
+                   help="list registered query names and exit")
+    q.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan instead "
+                        "of rows")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "query" and args.list:
+        # no Spark needed to list
+        from dbt_tpcdi_spark.queries import all_queries
+
+        for name, qq in sorted(all_queries().items()):
+            print(f"{name}\t{','.join(qq.tags)}")
+        return 0
 
     from dbt_tpcdi_spark.session import get_spark
 
     spark = get_spark("dbt_tpcdi_spark-cli")
+
+    if args.cmd == "query":
+        from dbt_tpcdi_spark.queries import all_queries
+
+        reg = all_queries()
+        if not args.name:
+            print("query: --name or --list is required")
+            return 2
+        if args.name not in reg:
+            print(f"unknown query {args.name!r} "
+                  f"({len(reg)} registered; see --list)")
+            return 2
+        t0 = time.perf_counter()
+        df = reg[args.name].build(spark, args.sf_dir)
+        if args.explain:
+            print(df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"))
+            return 0
+        rows = df.limit(args.n).collect()
+        # stdout stays machine-friendly: TSV header + rows
+        print("\t".join(df.columns))
+        for r in rows:
+            print("\t".join("" if v is None else str(v) for v in r))
+        print(f"-- {len(rows)} row(s) shown in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        return 0
 
     if args.cmd == "build":
         import os
