@@ -31,7 +31,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--raw-dir", required=True)
     b.add_argument("--warehouse", required=True)
     b.add_argument("--parallelism", type=int, default=8)
-    b.add_argument("--targets", nargs="*", default=None)
+    b.add_argument("--targets", nargs="*", default=None,
+                   help="models to build (ancestors always included, "
+                        "like dbt's +model); dbt-style 'model+' also "
+                        "pulls every downstream descendant")
     b.add_argument("--versioned", action="store_true",
                    help="materialize models as versioned tables "
                         "(snapshot isolation, time travel, restore)")
@@ -79,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--model", required=True)
     s.add_argument("-n", type=int, default=10)
 
+    ln = sub.add_parser(
+        "lineage",
+        help="print a model's upstream/downstream DAG (dbt docs analog)")
+    ln.add_argument("--model", default=None,
+                    help="omit to print the whole DAG in build order")
+
     q = sub.add_parser(
         "query",
         help="run any registered analytics query against a data dir")
@@ -93,6 +102,42 @@ def main(argv: list[str] | None = None) -> int:
                         "of rows")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "lineage":
+        # pure-registry walk: no Spark startup
+        import graphlib
+
+        from dbt_tpcdi_spark.plans.registry import all_models
+
+        models = all_models()
+        if args.model is None:
+            order = graphlib.TopologicalSorter(
+                {n: set(m.deps) for n, m in models.items()}
+            ).static_order()
+            for n in order:
+                m = models[n]
+                up = ", ".join(m.deps) if m.deps else "-"
+                src = ", ".join(m.sources) if m.sources else "-"
+                print(f"{m.layer}\t{n}\tdeps: {up}\tsources: {src}")
+            return 0
+        if args.model not in models:
+            print(f"unknown model {args.model!r} "
+                  f"({len(models)} registered)")
+            return 2
+        from dbt_tpcdi_spark.plans.runner import ancestors
+
+        ups = sorted(ancestors(models, [args.model]) - {args.model})
+        downs = sorted(
+            n for n in models
+            if args.model in ancestors(models, [n]) and n != args.model
+        )
+        m = models[args.model]
+        print(f"model: {args.model} (layer {m.layer})")
+        print(f"sources: {', '.join(m.sources) if m.sources else '-'}")
+        print(f"upstream ({len(ups)}): {', '.join(ups) if ups else '-'}")
+        print(f"downstream ({len(downs)}): "
+              f"{', '.join(downs) if downs else '-'}")
+        return 0
 
     if args.cmd == "query" and args.list:
         # no Spark needed to list
@@ -153,13 +198,33 @@ def main(argv: list[str] | None = None) -> int:
             n, _, path = spec.partition("=")
             overrides[int(n)] = path
 
+        targets = args.targets
+        if targets:
+            from dbt_tpcdi_spark.plans.registry import all_models
+            from dbt_tpcdi_spark.plans.runner import ancestors
+
+            models = all_models()
+            expanded: set[str] = set()
+            for t in targets:
+                name = t.strip("+")
+                if name not in models:
+                    print(f"unknown model {name!r} in --targets")
+                    return 2
+                expanded.add(name)
+                if t.endswith("+"):  # dbt 'model+': descendants too
+                    expanded.update(
+                        n for n in models
+                        if name in ancestors(models, [n])
+                    )
+            targets = sorted(expanded)
+
         t0 = time.perf_counter()
         sources = load_dag_sources(spark, args.raw_dir)
         runner = Runner(
             spark, sources, warehouse_dir=args.warehouse,
             materialize="versioned" if args.versioned else "parquet",
         )
-        built = runner.run(targets=args.targets,
+        built = runner.run(targets=targets,
                            parallelism=args.parallelism)
         print(f"batch 1: built {len(built)} models in "
               f"{time.perf_counter() - t0:.1f}s -> {args.warehouse}")

@@ -88,6 +88,13 @@ def main() -> None:
                   lambda d: qs["wordpiece_encode"].build(spark, d))
     timed_median3("unigram_encode",
                   lambda d: qs["unigram_encode"].build(spark, d))
+    # r12: epoch replication (zero-shuffle projection) and no-split
+    # next-fit packing (one hash shuffle + per-shard Arrow scan —
+    # shards hold ~250k rows at x1000, the fits-a-task contract)
+    timed_median3("epoch_mix_sample",
+                  lambda d: qs["epoch_mix_sample"].build(spark, d))
+    timed_median3("pack_bins",
+                  lambda d: qs["pack_bins"].build(spark, d))
 
     # two-level SemDedup at constant cell size (~2000 vectors/cell)
     def _sharded(d: str):
