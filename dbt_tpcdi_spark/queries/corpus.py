@@ -2308,3 +2308,111 @@ def tokenizer_family_stats(spark: SparkSession,
         F.expr("cast((1000 * n_pieces) div n_words AS bigint)")
         .alias("fertility_pm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training export: the final-mile artifact a pretraining run consumes —
+# tokenize → pack → shard → versioned write, with a manifest derived
+# from the COMMITTED table (round-trip, not from the in-flight frame).
+
+_EXPORT_SHARDS = 8
+_EXPORT_SALT = "train-export-v1|"
+
+
+@query(
+    "training_export",
+    oracle=f"""
+    WITH sized AS (
+        SELECT lang, doc_id,
+               cast({X.token_count_sql('text')} AS bigint) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT lang, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sized
+    ),
+    packed AS (
+        SELECT lang, doc_id, n_tokens,
+               cast(floor((cum_tokens - n_tokens) / 2048) AS bigint)
+                   AS seq_id
+        FROM cum
+    ),
+    sh AS (
+        SELECT *,
+               {md5_mod_sql(
+                   "(lang || '-' || cast(seq_id AS varchar))",
+                   _EXPORT_SHARDS, _EXPORT_SALT)} AS shard
+        FROM packed
+    )
+    SELECT cast(shard AS bigint) AS shard,
+           count(*) AS n_docs,
+           cast(count(DISTINCT lang || '-' || cast(seq_id AS varchar))
+                AS bigint) AS n_seqs,
+           cast(sum(n_tokens) AS bigint) AS n_tokens
+    FROM sh GROUP BY 1
+    """,
+    tags=["llm-packing", "S9", "A1"],
+)
+def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus export — the deliverable a
+    pretraining job actually reads: documents are token-counted,
+    packed into 2048-token sequences per language shard
+    (``pack_sequences``' concat-and-cut plan), routed to
+    {_EXPORT_SHARDS} output shards by md5 of the SEQUENCE key (every
+    doc of a training sequence lands in the same shard — a sequence
+    is never split across output files), and committed to a
+    ``VersionedTable``. The returned manifest (per-shard docs /
+    sequences / tokens) is aggregated from the COMMITTED table read
+    back, so the gate verifies the round-trip, not the in-flight
+    DataFrame; the oracle re-derives the same manifest from the raw
+    documents alone.
+
+    Scale: one keyed window per language shard (pack), a projection
+    (shard routing), one repartition-by-shard write (the output-file
+    balance knob — `shard_plan` is the sizing twin), and a
+    map-side-combined manifest aggregate. Export versioning is free
+    here: re-running commits a new snapshot, consumers pin a version,
+    time travel audits past drops."""
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+    from dbt_tpcdi_spark.queries import fixture_root
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang", "doc_id",
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = sized.select(
+        "lang", "doc_id", "n_tokens",
+        F.floor(start / 2048).cast("bigint").alias("seq_id"),
+    )
+    routed = packed.withColumn(
+        "shard",
+        md5_mod(
+            F.concat(F.col("lang"), F.lit("-"),
+                     F.col("seq_id").cast("string")),
+            _EXPORT_SHARDS, _EXPORT_SALT,
+        ).cast("bigint"),
+    )
+    vt = VersionedTable(
+        spark, fixture_root(sf_dir, "training_export") + "/corpus_v"
+    )
+    vt.commit(routed.repartition(_EXPORT_SHARDS, "shard"), op="export")
+    return (
+        vt.read()
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(
+                F.concat(F.col("lang"), F.lit("-"),
+                         F.col("seq_id").cast("string"))
+            ).alias("n_seqs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
