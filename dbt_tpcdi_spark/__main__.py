@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
         sp = sub.add_parser(cmd, help=hlp)
         sp.add_argument("--warehouse", required=True)
         sp.add_argument("--model", required=True)
+        if cmd == "history":
+            sp.add_argument("--diff", metavar="A:B", default=None,
+                            help="print the change data feed between "
+                                 "versions A and B (insert/delete "
+                                 "counts + sample rows)")
         if cmd == "restore":
             sp.add_argument("--version", type=int, required=True)
         if cmd == "vacuum":
@@ -330,6 +335,24 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         vt = VersionedTable(spark, path)
         if args.cmd == "history":
+            if args.diff:
+                a, _, b = args.diff.partition(":")
+                try:
+                    va, vb = int(a), int(b)
+                except ValueError:
+                    print(f"--diff must be A:B version ints, "
+                          f"got {args.diff!r}")
+                    return 2
+                feed = vt.changes(va, vb)
+                from pyspark.sql import functions as F
+
+                for r in (feed.groupBy("_change_type").count()
+                          .orderBy("_change_type").collect()):
+                    print(f"{r['_change_type']}\t{r['count']}")
+                for r in feed.orderBy(F.col("_change_type")).limit(10) \
+                        .collect():
+                    print("\t".join(str(v) for v in r))
+                return 0
             for e in vt.versions():
                 ts = time.strftime("%Y-%m-%d %H:%M:%S",
                                    time.gmtime(e["committed_at"]))
