@@ -132,6 +132,89 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "assemble_sessions",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+        FROM events
+    ),
+    gaps AS (
+        SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER w > {_SESSION_GAP_MS}
+                       OR lag(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    sess AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms,
+                                   event_id ROWS UNBOUNDED PRECEDING)
+                      AS session_id
+        FROM gaps
+    )
+    SELECT user_id, cast(session_id AS bigint) AS session_id,
+           count(*) AS n_turns,
+           md5(string_agg(
+               cast(event_id AS varchar) || ':' || event_type, '|'
+               ORDER BY ts_ms, event_id)) AS thread_fp
+    FROM sess GROUP BY 1, 2
+    """,
+    tags=["ext-sessionize", "llm-assembly", "A1"],
+)
+def assemble_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thread assembly — the step that turns event/message logs into
+    ordered multi-turn training documents (chat transcripts, agent
+    traces): each 30-minute session's events are concatenated IN TIME
+    ORDER into one string (fingerprinted here so the oracle can
+    hash-compare the exact assembled content, separators and all).
+    The ordered aggregation shape is the new operator: collect_list
+    is order-nondeterministic under parallel merge, so the rows are
+    collected as (ts_ms, event_id, payload) structs and sorted INSIDE
+    the array (``array_sort`` on the struct's natural order) before
+    joining — deterministic on any partitioning, no per-key window
+    needed for the assembly itself.
+
+    Scale: one hash shuffle to co-locate (user, session); the sort is
+    per-array (session-sized, the unit that must fit anyway — a
+    transcript you cannot hold is one you cannot train on)."""
+    e = _events_ms(spark, sf_dir).join(
+        _t(spark, sf_dir, "events").select("event_id", "event_type"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gaps = e.withColumn(
+        "new_s",
+        F.when(
+            (F.col("ts_ms") - F.lag("ts_ms").over(w) > _SESSION_GAP_MS)
+            | F.lag("ts_ms").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint"),
+    )
+    turn = F.struct("ts_ms", "event_id", "event_type")
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(turn)),
+                        lambda t: F.concat(
+                            t["event_id"].cast("string"),
+                            F.lit(":"), t["event_type"],
+                        ),
+                    ),
+                    "|",
+                )
+            ).alias("thread_fp"),
+        )
+    )
+
+
+@query(
     "sessionize_window",
     oracle=_SESSIONIZE_ORACLE,
     tags=["ext-sessionize", "W1"],
