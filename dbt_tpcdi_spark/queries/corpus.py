@@ -2416,3 +2416,177 @@ def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted BM25 index: the LEXICAL sibling of the persisted IVFPQ
+# lifecycle — build a term-partitioned inverted index once, serve
+# arbitrary bag-of-words queries from Bloom-pruned term files, land
+# new documents through O(batch) appends with additive stats.
+
+_BM25_IDX_FILES = 8
+_BM25_IDX_SALT = "bm25-idx-base|"
+_BM25_BASE_FRAC = 0.9
+
+
+def bm25_index_build(d, root: str) -> dict:
+    """Materialize the inverted index as versioned tables: ``postings``
+    (w, doc_id, tf) hash-clustered on the TERM with per-file Bloom
+    bitmaps (a query term's rows live in one file; every other file
+    proves the term absent and is skipped), ``doclens`` (doc_id, dl),
+    and ``stats`` — (n, t) rows that are DELTAS by contract, so the
+    serve path sums them and appends stay additive (BM25's global
+    state is trivially mergeable; this is what makes incremental
+    lexical indexing O(batch))."""
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+    spark = d.sparkSession
+    toks = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("w")
+    )
+    postings = toks.groupBy("w", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    doclens = d.select(
+        "doc_id", X.token_count(F.col("text")).cast("long").alias("dl")
+    )
+    stats = doclens.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("t"),
+    )
+    t_post = VersionedTable(spark, f"{root}/postings")
+    t_post.commit(
+        postings.repartition(_BM25_IDX_FILES, "w"), bloom_cols=["w"]
+    )
+    t_dl = VersionedTable(spark, f"{root}/doclens")
+    t_dl.commit(doclens)
+    t_st = VersionedTable(spark, f"{root}/stats")
+    t_st.commit(stats)
+    return {"post": t_post, "dl": t_dl, "stats": t_st}
+
+
+def bm25_index_append(idx: dict, new_d) -> dict:
+    """FAISS-add for text: tokenize ONLY the new docs, append their
+    postings (inheriting the term Bloom layout at O(batch) cost),
+    their doclens, and a stats DELTA row. No retokenization of the
+    base corpus, no global rebuild; document frequencies need no
+    stored state at all — they are recomputed exactly from the pruned
+    postings at serve time, so they are always consistent with
+    whatever snapshot a reader pins."""
+    toks = new_d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("w")
+    )
+    idx["post"].append(
+        toks.groupBy("w", "doc_id").agg(
+            F.count("*").cast("long").alias("tf")
+        )
+    )
+    doclens = new_d.select(
+        "doc_id", X.token_count(F.col("text")).cast("long").alias("dl")
+    )
+    idx["dl"].append(doclens)
+    idx["stats"].append(
+        doclens.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("dl").cast("long").alias("t"),
+        )
+    )
+    return idx
+
+
+def bm25_index_topk(idx: dict, terms: list[str], k: int = 10):
+    """Serve a bag-of-words query from the persisted index: the
+    postings read is Bloom-pruned to the probed terms' files
+    (``read_where_in`` — the assert pins that pruning actually bit),
+    document frequencies come from the pruned rows, (n, t) from the
+    summed stats deltas, and the quantized-integer BM25 formula is
+    identical row-for-row to the from-scratch ``bm25_topk`` oracle.
+    Returns (topk DataFrame, prune report)."""
+    post, rep = idx["post"].read_where_in("w", terms)
+    dl = idx["dl"].read()
+    st = idx["stats"].read().agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("t"),
+    )
+    dfreq = post.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        post.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .withColumn("__adl", F.expr("(100 * t) div n"))
+        .withColumn(
+            "__idf",
+            F.expr(f"({X.BM25_RQ} * (2 * n - 2 * df + 1)) "
+                   f"div (2 * df + 1)"),
+        )
+        .withColumn(
+            "__tfn",
+            F.expr(f"({X.BM25_TFQ} * 44 * __adl * tf) div "
+                   f"(20 * __adl * tf + 6 * __adl + 1800 * dl)"),
+        )
+    )
+    topk = (
+        scored.groupBy("doc_id")
+        .agg(F.sum(F.expr("__idf * __tfn")).cast("bigint")
+             .alias("score_q"))
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    return topk, rep
+
+
+_BM25_IDX_TERMS = ["hash", "join", "spark"]  # = llm._BM25_TERMS
+
+
+@query(
+    "bm25_index_persisted",
+    oracle=X.bm25_topk_sql("documents", "doc_id", _BM25_IDX_TERMS),
+    tags=["llm-retrieval-bm25", "S9", "versioned"],
+)
+def bm25_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the persisted inverted index over the whole corpus, then
+    serve the standard 3-term query FROM THE INDEX — same oracle as
+    the from-scratch ``bm25_topk``, so the persisted round-trip
+    (postings + doclens + mergeable stats) must reproduce the exact
+    quantized ranking. The serve-side read must also PRUNE: with the
+    term-hash layout a 3-term query touches at most 3 of the
+    {_BM25_IDX_FILES} postings files."""
+    from dbt_tpcdi_spark.queries import fixture_root
+
+    root = fixture_root(sf_dir, "bm25_idx") + "/full"
+    d = load_table(spark, sf_dir, "documents")
+    idx = bm25_index_build(d, root)
+    topk, rep = bm25_index_topk(idx, _BM25_IDX_TERMS)
+    assert rep["files_read"] < rep["files_total"], rep
+    return topk
+
+
+@query(
+    "bm25_index_append",
+    oracle=X.bm25_topk_sql("documents", "doc_id", _BM25_IDX_TERMS),
+    tags=["llm-retrieval-bm25", "S9", "versioned", "incremental"],
+)
+def bm25_index_append_query(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Incremental lexical indexing end-to-end: build the index on a
+    deterministic 90% base split, land the remaining 10% through the
+    O(batch) append path, and serve — the oracle is the from-scratch
+    BM25 over the FULL corpus, so the composed (build + append) index
+    must equal a total rebuild exactly: postings union, additive
+    (n, t) deltas, and serve-time document frequencies all on the
+    line."""
+    from dbt_tpcdi_spark.queries import fixture_root
+
+    root = fixture_root(sf_dir, "bm25_idx") + "/split"
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(
+        hash_sample(F.col("doc_id"), _BM25_BASE_FRAC, _BM25_IDX_SALT)
+    )
+    delta = d.filter(
+        ~hash_sample(F.col("doc_id"), _BM25_BASE_FRAC, _BM25_IDX_SALT)
+    )
+    idx = bm25_index_build(base, root)
+    bm25_index_append(idx, delta)
+    topk, rep = bm25_index_topk(idx, _BM25_IDX_TERMS)
+    assert rep["files_read"] < rep["files_total"], rep
+    return topk
