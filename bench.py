@@ -381,6 +381,51 @@ def main() -> None:
         except AssertionError:
             plan_checks["x10_bloom_runtime_filter_injected"] = False
 
+        # r12: persisted BM25 index economics at x10 (the lexical
+        # ivfpq): build on 90%, O(batch) append of the rest, serve
+        # Bloom-pruned. Pins: append well under build (it only
+        # tokenizes the delta), serve reads a strict subset of the
+        # postings files.
+        from dbt_tpcdi_spark.functions.scalar import (
+            hash_sample as _hs,
+        )
+        from dbt_tpcdi_spark.queries.corpus import (
+            _BM25_BASE_FRAC,
+            _BM25_IDX_SALT,
+            _BM25_IDX_TERMS,
+            bm25_index_append,
+            bm25_index_build,
+            bm25_index_topk,
+        )
+
+        bmroot = os.path.join("/tmp", "spark_graft_bench",
+                              f"bm25idx_{_uuid.uuid4().hex[:8]}")
+        bdocs = spark.read.parquet(
+            os.path.join(x10_dir, "documents.parquet"))
+        bbase = bdocs.filter(
+            _hs(F.col("doc_id"), _BM25_BASE_FRAC, _BM25_IDX_SALT))
+        bdelta = bdocs.filter(
+            ~_hs(F.col("doc_id"), _BM25_BASE_FRAC, _BM25_IDX_SALT))
+        t0 = time.perf_counter()
+        bidx = bm25_index_build(bbase, bmroot)
+        probes["x10:bm25_index_build"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        bm25_index_append(bidx, bdelta)
+        probes["x10:bm25_index_append"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        btop, brep = bm25_index_topk(bidx, _BM25_IDX_TERMS)
+        btop.collect()
+        probes["x10:bm25_index_serve"] = round(
+            time.perf_counter() - t0, 3)
+        prep["x10_bm25_prune"] = brep
+        plan_checks["bm25_x10_serve_pruned"] = (
+            brep["files_read"] < brep["files_total"])
+        plan_checks["bm25_x10_append_cheaper_than_build"] = (
+            probes["x10:bm25_index_append"]
+            <= 0.6 * probes["x10:bm25_index_build"])
+
         # ...and the filter's VALUE, measured not asserted: total
         # shuffle bytes of the same SMJ with the runtime filter on vs
         # off. URGENT selects ~20% of orders, so the pruned fact side
