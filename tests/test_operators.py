@@ -601,3 +601,38 @@ def test_epoch_mix_copy_counts(spark):
         assert epochs[(doc, src)] == set(range(1, n + 1))
         fulls.add(u // 4)
     assert fulls == {0, 1, 2}
+
+
+def test_bm25_index_compact_preserves_ranking_and_pruning(spark, tmp_path):
+    """Maintenance on the lexical index: after two append batches the
+    postings span base + 2 batch dirs; range-compacting on the term
+    must (a) leave the served ranking bit-identical and (b) RESTORE
+    term-file pruning (appends put every term in each batch file, so
+    compaction is what keeps reads narrow)."""
+    from dbt_tpcdi_spark.functions.scalar import md5_mod
+    from dbt_tpcdi_spark.queries.corpus import (
+        _BM25_IDX_TERMS,
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_topk,
+    )
+    from dbt_tpcdi_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    part = md5_mod(F.col("doc_id"), 3, "bm25compact")
+    idx = bm25_index_build(d.filter(part == 0), str(tmp_path / "idx"))
+    bm25_index_append(idx, d.filter(part == 1))
+    bm25_index_append(idx, d.filter(part == 2))
+    before, rep_before = bm25_index_topk(idx, _BM25_IDX_TERMS)
+    before_rows = [(r["doc_id"], r["score_q"]) for r in before.collect()]
+
+    idx["post"].compact(target_files=8, range_by=["w"])
+    after, rep_after = bm25_index_topk(idx, _BM25_IDX_TERMS)
+    after_rows = [(r["doc_id"], r["score_q"]) for r in after.collect()]
+
+    assert after_rows == before_rows
+    assert rep_after["files_read"] < rep_after["files_total"]
+    # compaction narrowed the read back to the probed terms' files
+    assert rep_after["files_read"] <= rep_before["files_read"]
