@@ -410,6 +410,7 @@ def main() -> None:
         bidx = bm25_index_build(bbase, bmroot)
         probes["x10:bm25_index_build"] = round(
             time.perf_counter() - t0, 3)
+        pre_entry = bidx["post"]._entry(bidx["post"].latest_version())
         t0 = time.perf_counter()
         bm25_index_append(bidx, bdelta)
         probes["x10:bm25_index_append"] = round(
@@ -422,9 +423,21 @@ def main() -> None:
         prep["x10_bm25_prune"] = brep
         plan_checks["bm25_x10_serve_pruned"] = (
             brep["files_read"] < brep["files_total"])
-        plan_checks["bm25_x10_append_cheaper_than_build"] = (
+        # the O(batch) claim, checked STRUCTURALLY (ADVICE r12: the
+        # old <=0.6x wall ratio was a timing pin that host contention
+        # could flip with no code change): the append commit must
+        # carry every base data directory forward UNTOUCHED and add
+        # exactly one delta directory — i.e. it rewrote nothing. The
+        # wall ratio stays visible in prep, unpinned.
+        post_entry = bidx["post"]._entry(bidx["post"].latest_version())
+        pre_datas = set(pre_entry.get("datas", []))
+        post_datas = set(post_entry.get("datas", []))
+        plan_checks["bm25_x10_append_only_delta_dir"] = (
+            pre_datas <= post_datas
+            and len(post_datas - pre_datas) == 1)
+        prep["x10_bm25_append_build_ratio"] = round(
             probes["x10:bm25_index_append"]
-            <= 0.6 * probes["x10:bm25_index_build"])
+            / max(probes["x10:bm25_index_build"], 1e-9), 3)
 
         # ...and the filter's VALUE, measured not asserted: total
         # shuffle bytes of the same SMJ with the runtime filter on vs

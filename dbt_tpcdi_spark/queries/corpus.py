@@ -2472,7 +2472,17 @@ def bm25_index_append(idx: dict, new_d) -> dict:
     base corpus, no global rebuild; document frequencies need no
     stored state at all — they are recomputed exactly from the pruned
     postings at serve time, so they are always consistent with
-    whatever snapshot a reader pins."""
+    whatever snapshot a reader pins.
+
+    PRECONDITION: ``new_d``'s doc_ids must be DISJOINT from every
+    previously indexed batch. This is an append-only contract (new
+    documents landing), not an upsert: re-appending an indexed doc_id
+    would duplicate its (w, doc_id) postings rows, inflating serve-time
+    df and double-counting tf — silently diverging from a rebuild.
+    Callers landing revisions must route through a rebuild (or delete
+    + append once the storage layer's CDF delete is in the path);
+    ``tests/test_corpus_queries.py`` pins the divergence so the
+    contract is checked, not just stated."""
     toks = new_d.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("w")
     )

@@ -404,49 +404,60 @@ def finwire_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
     import time
+    import uuid
 
     from dbt_tpcdi_spark.sources.pyds import register_finwire_source
 
     register_finwire_source(spark)
     root = _fixture_root()
     stage = tempfile.mkdtemp(prefix="finwire_stream_")
-    for src in ("raw/FINWIRE2017Q1", "raw_batch2/FINWIRE2019Q1",
-                "raw_batch3/FINWIRE2019Q2"):
-        shutil.copy(str(root / src), stage)
-    lines = spark.readStream.format("finwire").load(f"{stage}/FINWIRE*")
-    df = _bronze(
-        "finwire_company", parse_finwire(prefix_parse(lines), "CMP")
-    )
-    out = _normalize_spark(df, NORM_SPECS["finwire_cmp"][2])
-    # the one-file-per-trigger offset pacing is the point, so drive
-    # with the default microbatch trigger (availableNow would fall
-    # back to single-batch on a simple stream reader) and stop once
-    # the committed end offset has walked all three drops
-    q = (
-        out.writeStream.outputMode("append").format("memory")
-        .queryName("q_finwire_pyds_stream").start()
-    )
+    # per-run sink name: a fixed queryName would silently REPLACE the
+    # previous run's memory table in the same session (and two
+    # concurrent builds would race on it)
+    sink = f"q_finwire_pyds_stream_{uuid.uuid4().hex[:8]}"
     try:
-        import ast
+        for src in ("raw/FINWIRE2017Q1", "raw_batch2/FINWIRE2019Q1",
+                    "raw_batch3/FINWIRE2019Q2"):
+            shutil.copy(str(root / src), stage)
+        lines = spark.readStream.format("finwire").load(
+            f"{stage}/FINWIRE*")
+        df = _bronze(
+            "finwire_company", parse_finwire(prefix_parse(lines), "CMP")
+        )
+        out = _normalize_spark(df, NORM_SPECS["finwire_cmp"][2])
+        # the one-file-per-trigger offset pacing is the point, so drive
+        # with the default microbatch trigger (availableNow would fall
+        # back to single-batch on a simple stream reader) and stop once
+        # the committed end offset has walked all three drops
+        q = (
+            out.writeStream.outputMode("append").format("memory")
+            .queryName(sink).start()
+        )
+        try:
+            import ast
 
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            p = q.lastProgress
-            eo = p["sources"][0]["endOffset"] if p else None
-            if isinstance(eo, str):
-                try:
-                    eo = json.loads(eo)
-                except ValueError:
-                    eo = ast.literal_eval(eo)
-            if isinstance(eo, dict) and eo.get("index") == 3:
-                break
-            time.sleep(0.2)
-        else:
-            raise TimeoutError("stream never reached drop 3")
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                p = q.lastProgress
+                eo = p["sources"][0]["endOffset"] if p else None
+                if isinstance(eo, str):
+                    try:
+                        eo = json.loads(eo)
+                    except ValueError:
+                        eo = ast.literal_eval(eo)
+                if isinstance(eo, dict) and eo.get("index") == 3:
+                    break
+                time.sleep(0.2)
+            else:
+                raise TimeoutError("stream never reached drop 3")
+        finally:
+            q.stop()
+            q.awaitTermination()
+        # the memory sink holds the rows; the staging files are no
+        # longer referenced once the query has stopped
+        return spark.table(sink)
     finally:
-        q.stop()
-        q.awaitTermination()
-    return spark.table("q_finwire_pyds_stream")
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @query("xml_customer_mgmt", oracle=_xml_oracle(),

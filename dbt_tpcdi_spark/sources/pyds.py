@@ -77,7 +77,11 @@ class FinwireStreamReader(SimpleDataSourceStreamReader):
     dicts, and ``readBetweenOffsets`` replays any committed range
     deterministically (the exactly-once recovery contract). New files
     must sort after processed ones (drop names are period-stamped —
-    FINWIRE2017Q1 < FINWIRE2019Q1 — exactly like real feeds)."""
+    FINWIRE2017Q1 < FINWIRE2019Q1 — exactly like real feeds); the
+    offset also records the LAST-SERVED basename, and every read
+    re-checks it against the current glob — a removed file or a new
+    file sorting before an unprocessed one turns silent mis-replay
+    into a loud error instead of re-serving the wrong lines."""
 
     def __init__(self, options: dict) -> None:
         self._path = options.get("path")
@@ -98,18 +102,39 @@ class FinwireStreamReader(SimpleDataSourceStreamReader):
         with open(path, encoding="utf-8") as f:
             return [(line.rstrip("\n"),) for line in f]
 
+    @staticmethod
+    def _check_stable(files: list[str], off: dict) -> None:
+        """The sorted-glob index is only a valid offset while the
+        prefix it was minted against is unchanged: files[index-1]
+        must still be the file the offset says was served last."""
+        i = off.get("index", 0)
+        name = off.get("name")
+        if i > 0 and name is not None:
+            if i > len(files) or os.path.basename(files[i - 1]) != name:
+                have = (os.path.basename(files[i - 1])
+                        if i <= len(files) else "<missing>")
+                raise RuntimeError(
+                    f"finwire stream offset {off} no longer matches the "
+                    f"directory: expected files[{i - 1}] = {name!r}, "
+                    f"found {have!r} — a file was removed or a new file "
+                    f"sorted before an unprocessed one"
+                )
+
     def read(self, start: dict) -> tuple:
         files = self._files()
+        self._check_stable(files, start)
         i = start["index"]
         if i >= len(files):
             # no-advance contract: the engine probes this with next()
             # (so: an iterator), while ADVANCING reads are cached and
             # copy.copy()d for replay (so: a list). Hence the split.
             return iter(()), start
-        return self._read_file(files[i]), {"index": i + 1}
+        return self._read_file(files[i]), {
+            "index": i + 1, "name": os.path.basename(files[i])}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
         files = self._files()
+        self._check_stable(files, end)
         out: list[tuple] = []
         for i in range(start["index"], end["index"]):
             out.extend(self._read_file(files[i]))

@@ -636,3 +636,39 @@ def test_bm25_index_compact_preserves_ranking_and_pruning(spark, tmp_path):
     assert rep_after["files_read"] < rep_after["files_total"]
     # compaction narrowed the read back to the probed terms' files
     assert rep_after["files_read"] <= rep_before["files_read"]
+
+
+def test_bm25_index_append_requires_disjoint_doc_ids(spark, tmp_path):
+    """Pin the append-only contract (ADVICE r12): bm25_index_append is
+    NOT an upsert — re-appending already-indexed doc_ids duplicates
+    their (w, doc_id) postings rows (doubling tf and inflating
+    serve-time df), so the index diverges from a rebuild. This test
+    makes the failure mode concrete so a future caller who violates
+    the documented precondition has a red pin, not a silent skew."""
+    from dbt_tpcdi_spark.queries.corpus import (
+        _BM25_IDX_TERMS,
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_topk,
+    )
+    from dbt_tpcdi_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    clean = bm25_index_build(d, str(tmp_path / "clean"))
+    clean_rows = [
+        (r["doc_id"], r["score_q"])
+        for r in bm25_index_topk(clean, _BM25_IDX_TERMS)[0].collect()
+    ]
+
+    dup = bm25_index_build(d, str(tmp_path / "dup"))
+    n_post = dup["post"].read().count()
+    bm25_index_append(dup, d)  # violates the disjointness precondition
+    # every posting row is now duplicated ...
+    assert dup["post"].read().count() == 2 * n_post
+    # ... and the served scores diverge from the clean rebuild
+    dup_rows = [
+        (r["doc_id"], r["score_q"])
+        for r in bm25_index_topk(dup, _BM25_IDX_TERMS)[0].collect()
+    ]
+    assert [s for _, s in dup_rows] != [s for _, s in clean_rows]

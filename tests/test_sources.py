@@ -169,3 +169,41 @@ def test_finwire_stream_reader_offsets_and_replay(tmp_path):
     assert list(r.readBetweenOffsets({"index": 0}, {"index": 3})) == seen
     # ...and of a partial range (restart mid-stream)
     assert list(r.readBetweenOffsets({"index": 1}, {"index": 2})) == [("b1",)]
+
+
+def test_finwire_stream_reader_detects_glob_instability(tmp_path):
+    """ADVICE r12: offsets are indices into the sorted glob, so the
+    reader stamps the last-served basename into each offset and RAISES
+    if the file at index-1 no longer matches — a removed file or a new
+    file sorting before an unprocessed one must be a loud error, never
+    a silent mis-replay of the wrong lines."""
+    import pytest
+
+    from dbt_tpcdi_spark.sources.pyds import FinwireStreamReader
+
+    for i, body in enumerate(("a1\n", "b1\n", "c1\n")):
+        (tmp_path / f"FINWIRE200{i}Q1").write_text(body)
+    r = FinwireStreamReader({"path": str(tmp_path / "FINWIRE*")})
+    rows, off1 = r.read(r.initialOffset())
+    assert list(rows) == [("a1",)]
+    assert off1 == {"index": 1, "name": "FINWIRE2000Q1"}
+
+    # a new file that sorts BEFORE the committed prefix shifts every
+    # index — the next read must refuse rather than re-serve
+    (tmp_path / "FINWIRE1999Q4").write_text("z1\n")
+    with pytest.raises(RuntimeError, match="no longer matches"):
+        r.read(off1)
+    with pytest.raises(RuntimeError, match="no longer matches"):
+        r.readBetweenOffsets({"index": 0}, off1)
+    (tmp_path / "FINWIRE1999Q4").unlink()
+
+    # files appended AFTER the committed prefix keep working
+    (tmp_path / "FINWIRE2003Q1").write_text("d1\n")
+    rows, off2 = r.read(off1)
+    assert list(rows) == [("b1",)]
+    assert off2 == {"index": 2, "name": "FINWIRE2001Q1"}
+
+    # removing the just-served file is equally loud
+    (tmp_path / "FINWIRE2001Q1").unlink()
+    with pytest.raises(RuntimeError, match="no longer matches"):
+        r.read(off2)
