@@ -439,6 +439,119 @@ def main() -> None:
             probes["x10:bm25_index_append"]
             / max(probes["x10:bm25_index_build"], 1e-9), 3)
 
+        # r13 (VERDICT r12 item 3): the BM25 index lifecycle at x100
+        # with the postings layout SCALED to the corpus (files is a
+        # build parameter now — 32 here vs 8 at x10, the same
+        # grow-with-data schedule the IVFPQ cells follow). Rungs
+        # mirror the IVFPQ x100 lifecycle: build → Bloom-pruned serve
+        # → O(batch) append (structural) → compact restores pruning.
+        # The flatness pin: a 3-term probe reads ~3 term files whose
+        # size is held constant-ish by the scaled layout, so serve
+        # wall must stay within a small factor of the x10 serve, not
+        # the 10x the corpus grew.
+        bmroot100 = os.path.join("/tmp", "spark_graft_bench",
+                                 f"bm25idx100_{_uuid.uuid4().hex[:8]}")
+        bdocs100 = spark.read.parquet(
+            os.path.join(x100_dir, "documents.parquet"))
+        bbase100 = bdocs100.filter(
+            _hs(F.col("doc_id"), _BM25_BASE_FRAC, _BM25_IDX_SALT))
+        bdelta100 = bdocs100.filter(
+            ~_hs(F.col("doc_id"), _BM25_BASE_FRAC, _BM25_IDX_SALT))
+        t0 = time.perf_counter()
+        bidx100 = bm25_index_build(bbase100, bmroot100, files=32)
+        probes["x100:bm25_index_build"] = round(
+            time.perf_counter() - t0, 3)
+        pre100 = bidx100["post"]._entry(
+            bidx100["post"].latest_version())
+        t0 = time.perf_counter()
+        bm25_index_append(bidx100, bdelta100)
+        probes["x100:bm25_index_append"] = round(
+            time.perf_counter() - t0, 3)
+        post100 = bidx100["post"]._entry(
+            bidx100["post"].latest_version())
+        plan_checks["bm25_x100_append_only_delta_dir"] = (
+            set(pre100.get("datas", []))
+            <= set(post100.get("datas", []))
+            and len(set(post100.get("datas", []))
+                    - set(pre100.get("datas", []))) == 1)
+        prep["x100_bm25_append_build_ratio"] = round(
+            probes["x100:bm25_index_append"]
+            / max(probes["x100:bm25_index_build"], 1e-9), 3)
+        t0 = time.perf_counter()
+        btop100, brep100 = bm25_index_topk(bidx100, _BM25_IDX_TERMS)
+        btop100.collect()
+        probes["x100:bm25_index_serve"] = round(
+            time.perf_counter() - t0, 3)
+        prep["x100_bm25_prune"] = brep100
+        plan_checks["bm25_x100_serve_pruned"] = (
+            brep100["files_read"] * 2 <= brep100["files_total"])
+        # serve-wall flatness across the decade (5x envelope on a 10x
+        # corpus, with a 0.5 s floor against fixed-cost jitter)
+        plan_checks["bm25_x100_serve_flat_vs_x10"] = (
+            probes["x100:bm25_index_serve"]
+            <= 5.0 * max(probes["x10:bm25_index_serve"], 0.5))
+        t0 = time.perf_counter()
+        bidx100["post"].compact(target_files=32, range_by=["w"])
+        probes["x100:bm25_index_compact"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        btop100c, brep100c = bm25_index_topk(bidx100, _BM25_IDX_TERMS)
+        btop100c.collect()
+        probes["x100:bm25_serve_after_compact"] = round(
+            time.perf_counter() - t0, 3)
+        prep["x100_bm25_prune_after_compact"] = brep100c
+        plan_checks["bm25_x100_compact_restores_pruning"] = (
+            brep100c["files_read"] * 2 <= brep100c["files_total"]
+            and brep100c["files_read"] <= brep100["files_read"])
+
+        # r13 (VERDICT r12 item 1): the training-export pack plan under
+        # language skew. A real pretraining corpus is ~half one
+        # language; the export is THE deliverable artifact, so its
+        # default path must be skew-independent. Two twins of the x100
+        # documents (500k docs): HOT collapses ~55% of docs into one
+        # language, UNIFORM spreads the same rows over 10 languages —
+        # the full default pipeline (chunked pack cumsum -> shard route
+        # -> versioned commit -> manifest re-read) runs on each,
+        # median-of-3, pinned within 1.5x.
+        from dbt_tpcdi_spark.queries.corpus import training_export_frame
+
+        xdocs = spark.read.parquet(
+            os.path.join(x100_dir, "documents.parquet"))
+        exp_twins = {
+            "hotlang": xdocs.withColumn(
+                "lang",
+                F.when(F.col("doc_id") % 100 < 55, F.lit("hot"))
+                .otherwise(F.concat(F.lit("l"),
+                                    (F.col("doc_id") % 10)
+                                    .cast("string")))),
+            "uniform": xdocs.withColumn(
+                "lang", F.concat(F.lit("l"), (F.col("doc_id") % 10)
+                                 .cast("string"))),
+        }
+        # one untimed warmup: the first export pipeline in a session
+        # pays ~3-5x in codegen/JIT + commit-path class loading
+        # (measured: whichever twin runs first looks 1.5-2.7x slower
+        # with zero code difference), which would swamp the skew signal
+        training_export_frame(
+            exp_twins["uniform"],
+            os.path.join("/tmp", "spark_graft_bench",
+                         f"export_warm_{_uuid.uuid4().hex[:8]}"),
+        ).collect()
+        for twin, td in exp_twins.items():
+            trials = []
+            for t in range(3):
+                eroot = os.path.join(
+                    "/tmp", "spark_graft_bench",
+                    f"export_{twin}_{_uuid.uuid4().hex[:8]}")
+                t0 = time.perf_counter()
+                training_export_frame(td, eroot).collect()
+                trials.append(round(time.perf_counter() - t0, 3))
+            prep[f"x100_export_{twin}_trials"] = trials
+            probes[f"x100:export_{twin}"] = sorted(trials)[1]
+        plan_checks["export_x100_hotlang_within_1_5x_uniform"] = (
+            probes["x100:export_hotlang"]
+            <= 1.5 * max(probes["x100:export_uniform"], 0.5))
+
         # ...and the filter's VALUE, measured not asserted: total
         # shuffle bytes of the same SMJ with the runtime filter on vs
         # off. URGENT selects ~20% of orders, so the pruned fact side
@@ -1140,6 +1253,21 @@ def main() -> None:
                 zd = benchdata.zipf_dim(spark)
                 df = (events.join(zd, "k")
                       .groupBy("grp").agg(F.sum("v").alias("s")))
+            elif op == "assemble":
+                # r13 (VERDICT r12 item 2): thread assembly's session
+                # derivation on the chunked event-level plan — the
+                # SHARED default-path builder, with a synthesized
+                # event_type payload
+                from dbt_tpcdi_spark.queries.extended import (
+                    assemble_sessions_frame,
+                )
+
+                ev = events.select(
+                    F.col("k").alias("user_id"),
+                    F.col("row_id").alias("event_id"), "ts_ms",
+                    F.concat(F.lit("t"), (F.col("row_id") % 5)
+                             .cast("string")).alias("event_type"))
+                df = assemble_sessions_frame(ev)
             else:  # chunked or plain sessionize
                 # the SHARED default-plan builder (r12: sessionize
                 # routes through the chunked plan, so this pin sits on
@@ -1207,6 +1335,10 @@ def main() -> None:
             zipf100, "sessionize")
         probes["skew_x100:sessionize_chunked_uniform"] = _skew_wall(
             unif100, "sessionize")
+        probes["skew_x100:assemble_chunked_zipf"] = _skew_wall(
+            zipf100, "assemble")
+        probes["skew_x100:assemble_chunked_uniform"] = _skew_wall(
+            unif100, "assemble")
         # each mitigation's cost must be skew-INDEPENDENT (within
         # 1.5x of itself on the uniform twin); the AQE-split plain
         # join must also land within 1.5x of the uniform plain join
@@ -1222,6 +1354,10 @@ def main() -> None:
             probes["skew_x100:sessionize_chunked_zipf"]
             <= 1.5 * max(
                 probes["skew_x100:sessionize_chunked_uniform"], 0.5))
+        plan_checks["skew_x100_assemble_within_1_5x_uniform"] = (
+            probes["skew_x100:assemble_chunked_zipf"]
+            <= 1.5 * max(
+                probes["skew_x100:assemble_chunked_uniform"], 0.5))
         zipf100.unpersist()
         unif100.unpersist()
 

@@ -362,6 +362,71 @@ def rolling_extreme_with_date(
     )
 
 
+def chunked_running_sum(
+    df: DataFrame,
+    keys: list[str],
+    order: str,
+    value_col: str,
+    out_col: str,
+    chunk: int = 4096,
+) -> DataFrame:
+    """Hot-key-parallel per-key INCLUSIVE running sum — semantically
+    ``sum(value) OVER (PARTITION BY keys ORDER BY order ROWS UNBOUNDED
+    PRECEDING)``, evaluated with the two-phase value-chunk
+    construction shared with ``_sliding_extremes_skew_safe`` /
+    ``sessionize_chunked_frame`` so a key holding half the table never
+    serializes into one window task (VERDICT r12 item 1: the
+    training-export pack window).
+
+    Contract: ``order`` is an integral column UNIQUE within its key
+    (doc ids, event ids — every caller in the repo), so the value
+    chunk ``order div chunk`` is a pure monotone function of the row
+    that bounds each (key, chunk) group at ≤ ``chunk`` rows — the
+    local cumulative window is hot-key-parallel by construction.
+
+    Phase 1: local running sum within (keys, chunk). Phase 2: per-
+    (keys, chunk) totals cumulate into exclusive chunk offsets with a
+    per-key window over CHUNK-COUNT rows (the hot key's serial pass
+    shrinks by the chunk factor), joined back on (keys, chunk). The
+    offsets table can reach rows/chunk entries on a huge corpus, so no
+    broadcast hint — AQE broadcasts it when it is small."""
+    dt = df.schema[order].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+        raise ValueError(
+            f"chunked_running_sum: order column {order!r} must be "
+            f"integral, got {dt}"
+        )
+    part = df.withColumn(
+        "__rs_chk", F.expr(f"cast({order} AS bigint) div {chunk}")
+    )
+    w_loc = (
+        Window.partitionBy(*keys, "__rs_chk")
+        .orderBy(F.col(order).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part = part.withColumn("__rs_loc", F.sum(value_col).over(w_loc))
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__rs_chk").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        part.groupBy(*keys, "__rs_chk")
+        .agg(F.sum(value_col).alias("__rs_tot"))
+        .withColumn(
+            "__rs_off",
+            F.coalesce(F.sum("__rs_tot").over(w_off), F.lit(0)),
+        )
+        .drop("__rs_tot")
+    )
+    return (
+        part.join(offsets, [*keys, "__rs_chk"])
+        .withColumn(out_col, F.col("__rs_off") + F.col("__rs_loc"))
+        .drop("__rs_chk", "__rs_loc", "__rs_off")
+    )
+
+
 def trailing_agg_excluding_current(
     df: DataFrame,
     key: str | list[str],

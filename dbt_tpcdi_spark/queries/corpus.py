@@ -2317,6 +2317,59 @@ def tokenizer_family_stats(spark: SparkSession,
 
 _EXPORT_SHARDS = 8
 _EXPORT_SALT = "train-export-v1|"
+#: value-chunk width for the skew-safe pack cumsum — doc_ids are
+#: unique, so each (lang, chunk) window task holds ≤ this many rows
+#: no matter how hot the language
+_EXPORT_PACK_CHUNK = 4096
+
+
+def training_export_frame(
+    d: DataFrame, root: str, shards: int = _EXPORT_SHARDS
+) -> DataFrame:
+    """The full export pipeline on any (doc_id, lang, text) frame —
+    shared by the ``training_export`` gate and the hot-language bench
+    pin so the skew probe measures EXACTLY the default path. Packs
+    with ``chunked_running_sum`` (see ``training_export``), commits to
+    a VersionedTable at ``root``, and returns the per-shard manifest
+    aggregated from the COMMITTED table."""
+    from dbt_tpcdi_spark.operators.windows import chunked_running_sum
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+    sized = d.select(
+        "lang", "doc_id",
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    cum = chunked_running_sum(
+        sized, ["lang"], "doc_id", "n_tokens", "__cum",
+        chunk=_EXPORT_PACK_CHUNK,
+    )
+    packed = cum.select(
+        "lang", "doc_id", "n_tokens",
+        F.floor((F.col("__cum") - F.col("n_tokens")) / 2048)
+        .cast("bigint").alias("seq_id"),
+    )
+    routed = packed.withColumn(
+        "shard",
+        md5_mod(
+            F.concat(F.col("lang"), F.lit("-"),
+                     F.col("seq_id").cast("string")),
+            shards, _EXPORT_SALT,
+        ).cast("bigint"),
+    )
+    vt = VersionedTable(d.sparkSession, root)
+    vt.commit(routed.repartition(shards, "shard"), op="export")
+    return (
+        vt.read()
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(
+                F.concat(F.col("lang"), F.lit("-"),
+                         F.col("seq_id").cast("string"))
+            ).alias("n_seqs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
 
 
 @query(
@@ -2358,63 +2411,36 @@ _EXPORT_SALT = "train-export-v1|"
 def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus export — the deliverable a
     pretraining job actually reads: documents are token-counted,
-    packed into 2048-token sequences per language shard
-    (``pack_sequences``' concat-and-cut plan), routed to
-    {_EXPORT_SHARDS} output shards by md5 of the SEQUENCE key (every
-    doc of a training sequence lands in the same shard — a sequence
-    is never split across output files), and committed to a
-    ``VersionedTable``. The returned manifest (per-shard docs /
-    sequences / tokens) is aggregated from the COMMITTED table read
-    back, so the gate verifies the round-trip, not the in-flight
-    DataFrame; the oracle re-derives the same manifest from the raw
-    documents alone.
+    packed into 2048-token sequences per language (``pack_sequences``'
+    concat-and-cut plan), routed to {_EXPORT_SHARDS} output shards by
+    md5 of the SEQUENCE key (every doc of a training sequence lands in
+    the same shard — a sequence is never split across output files),
+    and committed to a ``VersionedTable``. The returned manifest
+    (per-shard docs / sequences / tokens) is aggregated from the
+    COMMITTED table read back, so the gate verifies the round-trip,
+    not the in-flight DataFrame; the oracle re-derives the same
+    manifest from the raw documents alone.
 
-    Scale: one keyed window per language shard (pack), a projection
-    (shard routing), one repartition-by-shard write (the output-file
-    balance knob — `shard_plan` is the sizing twin), and a
-    map-side-combined manifest aggregate. Export versioning is free
-    here: re-running commits a new snapshot, consumers pin a version,
-    time travel audits past drops."""
-    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+    Scale (r13, VERDICT r12 item 1): the pack cumsum runs through
+    ``chunked_running_sum`` — the two-phase value-chunk plan — NOT a
+    ``Window.partitionBy(lang)``: a real pretraining corpus is ~half
+    one language, and the per-lang window would serialize the dominant
+    language's final-mile export into ONE task at 100 TB. With doc_id
+    value chunks every pack task is bounded at {_EXPORT_PACK_CHUNK}
+    rows regardless of language skew (the per-lang serial pass is over
+    chunk COUNTS); the hot-language bench pin
+    (``export_x100_hotlang_within_1_5x_uniform``) holds this on the
+    default path. Then: a projection (shard routing), one
+    repartition-by-shard write (the output-file balance knob —
+    `shard_plan` is the sizing twin), and a map-side-combined manifest
+    aggregate. Export versioning is free here: re-running commits a
+    new snapshot, consumers pin a version, time travel audits past
+    drops."""
     from dbt_tpcdi_spark.queries import fixture_root
 
     d = load_table(spark, sf_dir, "documents")
-    sized = d.select(
-        "lang", "doc_id",
-        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    packed = sized.select(
-        "lang", "doc_id", "n_tokens",
-        F.floor(start / 2048).cast("bigint").alias("seq_id"),
-    )
-    routed = packed.withColumn(
-        "shard",
-        md5_mod(
-            F.concat(F.col("lang"), F.lit("-"),
-                     F.col("seq_id").cast("string")),
-            _EXPORT_SHARDS, _EXPORT_SALT,
-        ).cast("bigint"),
-    )
-    vt = VersionedTable(
-        spark, fixture_root(sf_dir, "training_export") + "/corpus_v"
-    )
-    vt.commit(routed.repartition(_EXPORT_SHARDS, "shard"), op="export")
-    return (
-        vt.read()
-        .groupBy("shard")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.countDistinct(
-                F.concat(F.col("lang"), F.lit("-"),
-                         F.col("seq_id").cast("string"))
-            ).alias("n_seqs"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        )
+    return training_export_frame(
+        d, fixture_root(sf_dir, "training_export") + "/corpus_v"
     )
 
 
@@ -2429,7 +2455,8 @@ _BM25_IDX_SALT = "bm25-idx-base|"
 _BM25_BASE_FRAC = 0.9
 
 
-def bm25_index_build(d, root: str) -> dict:
+def bm25_index_build(d, root: str,
+                     files: int = _BM25_IDX_FILES) -> dict:
     """Materialize the inverted index as versioned tables: ``postings``
     (w, doc_id, tf) hash-clustered on the TERM with per-file Bloom
     bitmaps (a query term's rows live in one file; every other file
@@ -2437,7 +2464,15 @@ def bm25_index_build(d, root: str) -> dict:
     and ``stats`` — (n, t) rows that are DELTAS by contract, so the
     serve path sums them and appends stay additive (BM25's global
     state is trivially mergeable; this is what makes incremental
-    lexical indexing O(batch))."""
+    lexical indexing O(batch)).
+
+    ``files`` is the postings-partition count — a BUILD parameter
+    (r13, VERDICT r12 item 3), not a constant: like the IVFPQ cell
+    schedule, the term-file count must grow with the corpus so each
+    postings file stays executor-sized and a k-term probe keeps
+    reading ~k files of constant-ish size. The bench x100 rung builds
+    with ``files`` scaled 4× and pins serve-wall flatness; at 100 TB
+    size it as corpus_tokens / target_file_rows."""
     from dbt_tpcdi_spark.plans.versioned import VersionedTable
 
     spark = d.sparkSession
@@ -2456,7 +2491,7 @@ def bm25_index_build(d, root: str) -> dict:
     )
     t_post = VersionedTable(spark, f"{root}/postings")
     t_post.commit(
-        postings.repartition(_BM25_IDX_FILES, "w"), bloom_cols=["w"]
+        postings.repartition(files, "w"), bloom_cols=["w"]
     )
     t_dl = VersionedTable(spark, f"{root}/doclens")
     t_dl.commit(doclens)

@@ -55,6 +55,47 @@ _SESSIONIZE_ORACLE = f"""
 _SESSION_CHUNK_MS = 3_600_000  # 1h time chunks for the two-phase path
 
 
+def _session_phase1(e: DataFrame) -> DataFrame:
+    """Phase 1 of the chunked sessionization (shared by the aggregate
+    and event-labeling consumers so the gap logic cannot drift):
+    label every event with its (1-hour ``__chunk``, within-chunk
+    session ``__s1``) — all windows partition by (user, chunk), so a
+    hot user's events spread across as many tasks as hours of
+    activity."""
+    e = e.withColumn("__chunk", F.expr(f"ts_ms div {_SESSION_CHUNK_MS}"))
+    w1 = Window.partitionBy("user_id", "__chunk").orderBy("ts_ms", "event_id")
+    gaps = e.withColumn(
+        "__new",
+        F.when(
+            (F.col("ts_ms") - F.lag("ts_ms").over(w1) > _SESSION_GAP_MS)
+            | F.lag("ts_ms").over(w1).isNull(), 1).otherwise(0),
+    )
+    return gaps.withColumn(
+        "__s1",
+        F.sum("__new").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__new")
+
+
+def _session_merge(bounds: DataFrame) -> DataFrame:
+    """Phase 2: run the same gap logic per user over phase-1 SESSION
+    rows (user_id, __chunk, __s1, start_ms, end_ms, +carried aggs) —
+    bounded by active hours, orders of magnitude fewer than events —
+    merging sessions that straddle chunk edges; appends the global
+    ``session_id``."""
+    w2 = Window.partitionBy("user_id").orderBy("start_ms", "end_ms")
+    return bounds.withColumn(
+        "__newg",
+        F.when(
+            (F.col("start_ms") - F.lag("end_ms").over(w2)
+             > _SESSION_GAP_MS)
+            | F.lag("end_ms").over(w2).isNull(), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("__newg").over(
+            w2.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__newg")
+
+
 def sessionize_chunked_frame(e: DataFrame) -> DataFrame:
     """Two-phase 30-minute-gap sessionization over (user_id, event_id,
     ts_ms) rows — THE default plan (r12, VERDICT r11 item 8): phase 1
@@ -66,45 +107,39 @@ def sessionize_chunked_frame(e: DataFrame) -> DataFrame:
     ordinal-identical to the single-window plan (``sessionize_window``
     keeps that plan value-gated against the shared oracle); bench pins
     this plan ≤1.5× on a zipf-hot corpus vs its uniform twin."""
-    e = e.withColumn("__chunk", F.expr(f"ts_ms div {_SESSION_CHUNK_MS}"))
-    w1 = Window.partitionBy("user_id", "__chunk").orderBy("ts_ms", "event_id")
-    gaps = e.withColumn(
-        "__new",
-        F.when(
-            (F.col("ts_ms") - F.lag("ts_ms").over(w1) > _SESSION_GAP_MS)
-            | F.lag("ts_ms").over(w1).isNull(), 1).otherwise(0),
+    s1 = _session_phase1(e).groupBy("user_id", "__chunk", "__s1").agg(
+        F.count("*").alias("__n"),
+        F.min("ts_ms").alias("start_ms"),
+        F.max("ts_ms").alias("end_ms"),
     )
-    s1 = (
-        gaps.withColumn(
-            "__s1",
-            F.sum("__new").over(
-                w1.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy("user_id", "__chunk", "__s1")
-        .agg(
-            F.count("*").alias("__n"),
-            F.min("ts_ms").alias("start_ms"),
-            F.max("ts_ms").alias("end_ms"),
-        )
-    )
-    # phase 2: session-level rows — per-user windows again, but over
-    # per-(user, active-hour) counts, not per-event rows
-    w2 = Window.partitionBy("user_id").orderBy("start_ms", "end_ms")
-    merged = s1.withColumn(
-        "__newg",
-        F.when(
-            (F.col("start_ms") - F.lag("end_ms").over(w2)
-             > _SESSION_GAP_MS)
-            | F.lag("end_ms").over(w2).isNull(), 1).otherwise(0),
-    ).withColumn(
-        "session_id",
-        F.sum("__newg").over(
-            w2.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    merged = _session_merge(s1)
     return merged.groupBy("user_id", "session_id").agg(
         F.sum("__n").alias("n_events"),
         F.min("start_ms").alias("start_ms"),
         F.max("end_ms").alias("end_ms"),
+    )
+
+
+def sessionize_chunked_events(e: DataFrame) -> DataFrame:
+    """EVENT-LEVEL chunked sessionization (r13, VERDICT r12 item 2):
+    returns ``e`` + a global ``session_id`` without ever running a
+    per-user event-level window. Phase 1 labels events with (chunk,
+    local session), phase 2 derives the (user, chunk, __s1) →
+    session_id mapping over session-count rows, and an equi-join on
+    (user, chunk, __s1) carries the global id back to the events —
+    the join key includes the chunk, so a hot user (bot/service
+    account) stays spread. Consumers: ``assemble_sessions`` (thread
+    assembly) and anything else needing per-event session tags."""
+    labeled = _session_phase1(e)
+    bounds = labeled.groupBy("user_id", "__chunk", "__s1").agg(
+        F.min("ts_ms").alias("start_ms"),
+        F.max("ts_ms").alias("end_ms"),
+    )
+    mapping = _session_merge(bounds).select(
+        "user_id", "__chunk", "__s1", "session_id")
+    return (
+        labeled.join(mapping, ["user_id", "__chunk", "__s1"])
+        .drop("__chunk", "__s1")
     )
 
 
@@ -158,41 +193,18 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=["ext-sessionize", "llm-assembly", "A1"],
 )
-def assemble_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thread assembly — the step that turns event/message logs into
-    ordered multi-turn training documents (chat transcripts, agent
-    traces): each 30-minute session's events are concatenated IN TIME
-    ORDER into one string (fingerprinted here so the oracle can
-    hash-compare the exact assembled content, separators and all).
-    The ordered aggregation shape is the new operator: collect_list
-    is order-nondeterministic under parallel merge, so the rows are
-    collected as (ts_ms, event_id, payload) structs and sorted INSIDE
-    the array (``array_sort`` on the struct's natural order) before
-    joining — deterministic on any partitioning, no per-key window
-    needed for the assembly itself.
+def _assemble_sessions_query(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    return assemble_sessions(spark, sf_dir)
 
-    Scale: one hash shuffle to co-locate (user, session); the sort is
-    per-array (session-sized, the unit that must fit anyway — a
-    transcript you cannot hold is one you cannot train on)."""
-    e = _events_ms(spark, sf_dir).join(
-        _t(spark, sf_dir, "events").select("event_id", "event_type"),
-        "event_id",
-    )
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    gaps = e.withColumn(
-        "new_s",
-        F.when(
-            (F.col("ts_ms") - F.lag("ts_ms").over(w) > _SESSION_GAP_MS)
-            | F.lag("ts_ms").over(w).isNull(),
-            1,
-        ).otherwise(0),
-    )
-    sess = gaps.withColumn(
-        "session_id",
-        F.sum("new_s").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ).cast("bigint"),
-    )
+
+def assemble_sessions_frame(e: DataFrame) -> DataFrame:
+    """Thread assembly over (user_id, event_id, event_type, ts_ms)
+    rows — shared by the ``assemble_sessions`` gate and the bench
+    hot-user pin so the skew probe measures exactly the default
+    plan."""
+    sess = sessionize_chunked_events(e).withColumn(
+        "session_id", F.col("session_id").cast("bigint"))
     turn = F.struct("ts_ms", "event_id", "event_type")
     return (
         sess.groupBy("user_id", "session_id")
@@ -212,6 +224,38 @@ def assemble_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("thread_fp"),
         )
     )
+
+
+def assemble_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thread assembly — the step that turns event/message logs into
+    ordered multi-turn training documents (chat transcripts, agent
+    traces): each 30-minute session's events are concatenated IN TIME
+    ORDER into one string (fingerprinted here so the oracle can
+    hash-compare the exact assembled content, separators and all).
+    The ordered aggregation shape is the operator: collect_list
+    is order-nondeterministic under parallel merge, so the rows are
+    collected as (ts_ms, event_id, payload) structs and sorted INSIDE
+    the array (``array_sort`` on the struct's natural order) before
+    joining — deterministic on any partitioning, no per-key window
+    needed for the assembly itself.
+
+    Session derivation routes through the CHUNKED event-level plan
+    (r13, VERDICT r12 item 2: the per-user lag+cumsum window this
+    query used was exactly the plan ``sessionize`` demoted — a
+    bot/service account in an event log is the classic hot key);
+    ``sessionize_chunked_events`` keeps every window keyed by (user,
+    hour-chunk) and joins the global session id back on a
+    chunk-spread key.
+
+    Scale: the chunked derivation's bounded windows + one hash
+    shuffle to co-locate (user, session) for assembly; the sort is
+    per-array (session-sized, the unit that must fit anyway — a
+    transcript you cannot hold is one you cannot train on)."""
+    e = _events_ms(spark, sf_dir).join(
+        _t(spark, sf_dir, "events").select("event_id", "event_type"),
+        "event_id",
+    )
+    return assemble_sessions_frame(e)
 
 
 @query(

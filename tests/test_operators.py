@@ -555,6 +555,46 @@ def test_sliding_extremes_chunk_and_fallback_paths(spark):
             assert "rangepartitioning" in plan, plan
 
 
+def test_chunked_running_sum_equals_window_and_stays_parallel(spark):
+    """The two-phase value-chunk running sum (r13, the training-export
+    pack plan) must equal the textbook per-key cumulative window
+    exactly — including a hot key holding most rows, sparse/negative
+    order values, and zero values — and its plan must never window on
+    the bare key alone."""
+    import random
+
+    from pyspark.sql import Window
+
+    from dbt_tpcdi_spark.operators.windows import chunked_running_sum
+
+    random.seed(13)
+    rows = []
+    # hot key 0 holds ~80% of rows; ids sparse and negative-capable
+    ids = random.sample(range(-500, 4000), 400)
+    for i, o in enumerate(ids):
+        k = 0 if i % 5 else f"k{i % 3}"
+        rows.append((str(k), o, random.randint(0, 9)))
+    df = spark.createDataFrame(rows, "k string, o int, v long")
+    w = (Window.partitionBy("k").orderBy("o")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    naive = df.select("k", "o", F.sum("v").over(w).alias("c"))
+    got = chunked_running_sum(df, ["k"], "o", "v", "c", chunk=32)
+    assert naive.exceptAll(got.select("k", "o", "c")).isEmpty()
+    assert got.select("k", "o", "c").exceptAll(naive).isEmpty()
+    # plan shape: every local window rides (k, chunk); the only
+    # bare-key window is the chunk-offset cumulation (chunk-count rows)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert any("__rs_chk" in ln for ln in win_lines), plan
+    # non-integral order column refuses loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="integral"):
+        chunked_running_sum(
+            df.withColumn("o", F.col("o").cast("double")),
+            ["k"], "o", "v", "c")
+
+
 def test_pack_bins_invariants(spark):
     """Next-fit placement invariants beyond the oracle hash: no bin
     overflows the cap, offsets within a bin are contiguous (each doc
