@@ -5274,6 +5274,99 @@ def ivfpq_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# embedding inference (r13, VERDICT r12 item 4): vectors COMPUTED from
+# text inside the engine, through the Arrow seam a real model would
+# use — then composed straight into the persisted-index lifecycle.
+
+from dbt_tpcdi_spark.operators import embed as E  # noqa: E402
+
+
+@query(
+    "embed_inference",
+    oracle=f"""
+    WITH __etoks AS (
+        SELECT doc_id, unnest({X.tokens_sql('text')}) AS w
+        FROM documents
+    ),
+    __eagg AS (
+        SELECT doc_id,
+               {md5_mod_sql('w', E.EMBED_DIM, E._DIM_SALT)} AS dim,
+               sum(CASE WHEN {md5_mod_sql('w', 2, E._SIGN_SALT)} = 0
+                   THEN 1 ELSE -1 END) AS val
+        FROM __etoks GROUP BY 1, 2
+    ),
+    __egrid AS (
+        SELECT d.doc_id, g.dim
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range({E.EMBED_DIM})) AS dim) g
+    )
+    SELECT gr.doc_id, cast(gr.dim AS bigint) AS dim,
+           cast(coalesce(a.val, 0) AS bigint) AS val
+    FROM __egrid gr
+    LEFT JOIN __eagg a ON gr.doc_id = a.doc_id AND gr.dim = a.dim
+    """,
+    tags=["llm-embed", "§2.10-udf", "A1"],
+)
+def embed_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-inference stage in isolation, value-gated per
+    dimension: ``embed_hashed_projection`` encodes every document
+    through the Arrow ``mapInPandas`` seam, and the result is
+    exploded to (doc_id, dim, val) rows so the oracle — which
+    re-derives the hashed ±1 projection entirely in SQL — checks
+    every cell of every vector, not just a fingerprint. The Python
+    md5 in the encoder, the Spark md5 expression, and the DuckDB md5
+    agree bit-for-bit (functions.scalar.md5_mod's contract), which is
+    what makes a deterministic inference seam testable."""
+    d = load_table(spark, sf_dir, "documents")
+    e = E.embed_hashed_projection(d)
+    return e.select(
+        "doc_id",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "doc_id", F.col("dim").cast("bigint").alias("dim"),
+        F.col("val").cast("bigint").alias("val"),
+    )
+
+
+@query(
+    "embed_ivfpq_ann",
+    oracle=S.ivfpq_adc_topk_sql(
+        E.embed_oracle_subquery(), "vec_id", "embedding",
+        dim=E.EMBED_DIM, cells=8, blocks=8, codes=16, iters=1,
+        refine=50, k=10, nprobe=4,
+    ),
+    tags=["llm-embed", "llm-ann-pq", "llm-ann-ivf", "S11",
+          "iterative"],
+)
+def embed_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production path: documents → Arrow-batched
+    embedding inference (``embed_hashed_projection``) → persisted
+    IVFPQ index build → cell-pruned serve. Until r13 every ANN gate
+    read vectors from testdata; this one computes them as a pipeline
+    stage, so the oracle (the full IVFADC SQL chain over the
+    SQL-re-derived embeddings) would catch a drifted encoder, a
+    mis-batched Arrow pass, or an index built on the wrong vectors —
+    any break anywhere in the composition.
+
+    Scale: the encode stage is a narrow map (no shuffle); everything
+    downstream is the ivfpq_ann_persisted machinery unchanged."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    e = E.embed_hashed_projection(d).withColumnRenamed(
+        "doc_id", "vec_id")
+    root = tempfile.mkdtemp(prefix="embed_ivfpq_")
+    idx = ivfpq_index_build(
+        e, root, cells=8, blocks=8, codes=16, dim=E.EMBED_DIM,
+        train_frac=None,
+    )
+    top, _rep = ivfpq_serve_topk(
+        e, idx, nprobe=4, refine=50, k=10, dim=E.EMBED_DIM, blocks=8,
+    )
+    return top
+
+
+# ---------------------------------------------------------------------------
 # scalar-quantization (SQ8) ANN rung
 
 

@@ -686,3 +686,43 @@ def test_assign_ivf_blas_bit_identical_and_fallback(spark):
         if k == 3:
             assert any(not v[2] for v in a.values()), \
                 "k=3 produced no fallback rows — vacuous"
+
+
+def test_embed_hashed_projection_seam(spark):
+    """The inference seam's contracts: deterministic output independent
+    of partitioning, the exact ±1 hashed projection per token, zero
+    vector for empty/whitespace text, and fixed width on every row."""
+    from dbt_tpcdi_spark.operators.embed import (
+        EMBED_DIM,
+        _DIM_SALT,
+        _SIGN_SALT,
+        _md5_mod,
+        embed_hashed_projection,
+    )
+
+    rows = [
+        (1, "Alpha beta  alpha"),
+        (2, ""),
+        (3, "   "),
+        (4, None),
+        (5, "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["embedding"]
+           for r in embed_hashed_projection(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert all(len(v) == EMBED_DIM for v in out.values())
+    # empty / whitespace / NULL text → the zero vector
+    for k in (2, 3, 4):
+        assert out[k] == [0.0] * EMBED_DIM
+    # hand-derive doc 1: lowercased whitespace tokens, ±1 per token
+    expect = [0.0] * EMBED_DIM
+    for w in ("alpha", "beta", "alpha"):
+        d = _md5_mod(w, EMBED_DIM, _DIM_SALT)
+        expect[d] += 1 if _md5_mod(w, 2, _SIGN_SALT) == 0 else -1
+    assert out[1] == expect
+    # partitioning-independence: 1 partition vs many, same vectors
+    out1 = {r["doc_id"]: r["embedding"]
+            for r in embed_hashed_projection(
+                df.repartition(7)).collect()}
+    assert out1 == out
