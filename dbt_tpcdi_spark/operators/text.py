@@ -830,8 +830,19 @@ def lm_fluency(
 
     Output: (id, n_bigrams, fluency_q) — higher = more in-distribution.
     """
+    return lm_fluency_score(
+        df, lm_fluency_stats(df, text_col), id_col, text_col
+    )
+
+
+def lm_fluency_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The trainable MODEL of lm_fluency: (``__g`` bigram, ``__q``
+    quantized probability) rows derived from a training corpus —
+    vocabulary-bounded metadata, committable to a ``VersionedTable``
+    (the persisted-filter lifecycle, r13) and applicable to unseen
+    documents with ``lm_fluency_score``."""
     bigrams = df.select(
-        F.col(id_col), F.explode(ngram_list(F.col(text_col), 2)).alias("__g")
+        F.explode(ngram_list(F.col(text_col), 2)).alias("__g")
     )
     c2 = bigrams.groupBy("__g").agg(F.count("*").alias("__c2"))
     c1 = (
@@ -839,10 +850,24 @@ def lm_fluency(
         .groupBy("__w")
         .agg(F.count("*").alias("__c1"))
     )
-    stats = c2.withColumn(
+    return c2.withColumn(
         "__w", F.substring_index(F.col("__g"), " ", 1)
     ).join(c1, "__w").select(
         "__g", F.expr(f"({LM_Q} * __c2) div __c1").alias("__q")
+    )
+
+
+def lm_fluency_score(
+    df: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under a (possibly snapshot-read) bigram stats
+    table — bigrams the model never saw contribute nothing, exactly
+    as in the self-trained path where they cannot occur."""
+    bigrams = df.select(
+        F.col(id_col), F.explode(ngram_list(F.col(text_col), 2)).alias("__g")
     )
     per_doc = (
         bigrams.join(stats, "__g")
@@ -866,18 +891,30 @@ def lm_fluency(
 
 
 def lm_fluency_sql(
-    from_table: str, id_col: str, text_col: str = "text"
+    from_table: str,
+    id_col: str,
+    text_col: str = "text",
+    train_where: str | None = None,
 ) -> str:
+    """DuckDB twin; ``train_where`` restricts the bigram/unigram
+    STATS to a training subset (the persisted-artifact lifecycle's
+    twin — scoring still covers every document, and bigrams the
+    training set never produced score nothing on both sides)."""
     grams = ngram_list_sql(text_col, 2)
     toks = tokens_sql(text_col)
+    tw = f"WHERE {train_where}" if train_where else ""
     return f"""
     WITH bigrams AS (
         SELECT {id_col}, unnest({grams}) AS g FROM {from_table}
     ),
-    c2 AS (SELECT g, count(*) AS c2 FROM bigrams GROUP BY 1),
+    c2 AS (
+        SELECT g, count(*) AS c2 FROM (
+            SELECT unnest({grams}) AS g FROM {from_table} {tw}
+        ) GROUP BY 1
+    ),
     c1 AS (
         SELECT w, count(*) AS c1 FROM (
-            SELECT unnest({toks}) AS w FROM {from_table}
+            SELECT unnest({toks}) AS w FROM {from_table} {tw}
         ) GROUP BY 1
     ),
     stats AS (
