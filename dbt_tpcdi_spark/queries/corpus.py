@@ -2445,6 +2445,142 @@ def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dataloader-order contract on the export (r13, VERDICT r12 item 6):
+# the shards a pretraining job reads need a SPECIFIED, seeded,
+# deterministic global consumption order — and a resume point that is
+# an offset into that order, so a job can restart mid-epoch and read
+# exactly the sequences it has not consumed.
+
+_ORDER_SEED = "dl-order-v1|"
+
+
+def export_order_frame(export_rows: DataFrame) -> DataFrame:
+    """Derive the global dataloader order over an export table's rows
+    (lang, doc_id, n_tokens, seq_id, shard): sequences are totally
+    ordered by ``md5(seed‖lang-seq_id)`` (seeded shuffle — the
+    standard dataloader epoch permutation, reproducible on any
+    cluster) with (lang, seq_id) as the tiebreak, and ``ord_rank``
+    materializes that order as 1..n_seqs.
+
+    Scale: the rank is computed with the two-phase trick on the md5
+    PREFIX (first two hex digits → 256 uniform buckets): local
+    row_number per bucket + cumulated bucket offsets — no global
+    single-task sort, no skew possible (md5 prefixes are uniform by
+    construction). Output is one row per SEQUENCE with its shard and
+    sizes; hash-stable under any input partitioning because every
+    ordering key is a pure function of the row."""
+    seqs = (
+        export_rows.groupBy("lang", "seq_id", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "__h",
+            F.md5(F.concat(F.lit(_ORDER_SEED), F.col("lang"),
+                           F.lit("-"),
+                           F.col("seq_id").cast("string"))),
+        )
+        .withColumn(
+            "__b",
+            F.conv(F.substring("__h", 1, 2), 16, 10).cast("long"),
+        )
+    )
+    w_loc = Window.partitionBy("__b").orderBy("__h", "lang", "seq_id")
+    ranked = seqs.withColumn("__lrn", F.row_number().over(w_loc))
+    w_off = (
+        Window.orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        seqs.groupBy("__b").agg(F.count("*").alias("__cnt"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+        )
+        .drop("__cnt")
+    )  # ≤256 rows — the only global window runs over bucket counts
+    return (
+        ranked.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "ord_rank", (F.col("__off") + F.col("__lrn")).cast("bigint")
+        )
+        .drop("__h", "__b", "__lrn", "__off")
+    )
+
+
+def export_order_read(vt, from_rank: int = 0) -> DataFrame:
+    """RESUMABLE read of a committed export: sequences with
+    ``ord_rank > from_rank`` in consumption order — restart a
+    training job mid-epoch by passing the last completed rank. The
+    rank is re-derived from the snapshot (pure functions of the
+    rows), so it is identical on every read, every partitioning,
+    every cluster size."""
+    return (
+        export_order_frame(vt.read())
+        .filter(F.col("ord_rank") > from_rank)
+    )
+
+
+@query(
+    "export_dataloader_order",
+    oracle=f"""
+    WITH sized AS (
+        SELECT lang, doc_id,
+               cast({X.token_count_sql('text')} AS bigint) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT lang, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sized
+    ),
+    packed AS (
+        SELECT lang, doc_id, n_tokens,
+               cast(floor((cum_tokens - n_tokens) / 2048) AS bigint)
+                   AS seq_id
+        FROM cum
+    ),
+    seqs AS (
+        SELECT lang, seq_id,
+               cast({md5_mod_sql(
+                   "(lang || '-' || cast(seq_id AS varchar))",
+                   _EXPORT_SHARDS, _EXPORT_SALT)} AS bigint) AS shard,
+               count(*) AS n_docs,
+               cast(sum(n_tokens) AS bigint) AS n_tokens,
+               md5('{_ORDER_SEED}' || lang || '-'
+                   || cast(seq_id AS varchar)) AS h
+        FROM packed GROUP BY 1, 2
+    )
+    SELECT cast(row_number() OVER (ORDER BY h, lang, seq_id)
+                AS bigint) AS ord_rank,
+           lang, seq_id, shard, n_docs, n_tokens
+    FROM seqs
+    """,
+    tags=["llm-packing", "S11", "W5", "versioned"],
+)
+def export_dataloader_order(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """The export's consumption-order contract, value-gated: run the
+    full export (commit to a VersionedTable), then derive the seeded
+    global dataloader order from the COMMITTED snapshot. The oracle
+    re-derives pack, shard routing, AND the md5-shuffled rank from
+    the raw documents with a plain global ``row_number`` — so the
+    two-phase bucketed rank must agree with the textbook global sort
+    on every sequence, proving the order is a pure function of the
+    data (hash-stable across partitionings and clusters, the
+    restartability precondition)."""
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+    from dbt_tpcdi_spark.queries import fixture_root
+
+    root = fixture_root(sf_dir, "train_order") + "/corpus_v"
+    d = load_table(spark, sf_dir, "documents")
+    training_export_frame(d, root)
+    vt = VersionedTable(spark, root)
+    return export_order_frame(vt.read())
+
+
+# ---------------------------------------------------------------------------
 # persisted BM25 index: the LEXICAL sibling of the persisted IVFPQ
 # lifecycle — build a term-partitioned inverted index once, serve
 # arbitrary bag-of-words queries from Bloom-pruned term files, land

@@ -68,3 +68,42 @@ def test_containment_is_directional(spark):
         ).collect()
     }
     assert rows == {(1, 2): 1.0}
+
+
+def test_export_order_resume_equality_and_stability(spark, tmp_path):
+    """The dataloader-order contract (r13): resuming from rank K reads
+    EXACTLY the sequences after K in the global order, and the order
+    is a pure function of the data — identical under any partitioning
+    of the snapshot read."""
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+    from dbt_tpcdi_spark.queries.corpus import (
+        export_order_frame,
+        export_order_read,
+        training_export_frame,
+    )
+    from dbt_tpcdi_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    root = str(tmp_path / "corpus_v")
+    d = load_table(spark, SF_SMOKE, "documents")
+    training_export_frame(d, root)
+    vt = VersionedTable(spark, root)
+
+    def rows(df):
+        return sorted(
+            (r["ord_rank"], r["lang"], r["seq_id"], r["shard"],
+             r["n_docs"], r["n_tokens"])
+            for r in df.collect()
+        )
+
+    full = rows(export_order_read(vt, 0))
+    # ord_rank is a dense 1..n permutation
+    n = len(full)
+    assert [r[0] for r in full] == list(range(1, n + 1))
+    k = n // 3
+    resumed = rows(export_order_read(vt, k))
+    assert resumed == [r for r in full if r[0] > k]
+    # hash-stability across partitionings: wildly repartitioned input,
+    # identical order assignment on every row
+    reparted = rows(export_order_frame(vt.read().repartition(13)))
+    assert reparted == full
