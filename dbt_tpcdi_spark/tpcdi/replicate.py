@@ -57,9 +57,10 @@ def _by(co_name_or_cik: str, rep: int) -> str:
     return f"{co_name_or_cik} R{rep}"
 
 
-def _shift_actions(rep: int) -> list:
+def _shift_actions(rep: int, actions=None) -> list:
     out = []
-    for verb, ts, cust, acct in FX.ACTIONS:
+    for verb, ts, cust, acct in (FX.ACTIONS if actions is None
+                                 else actions):
         cust = copy.deepcopy(cust)
         if cust is not None and "c_id" in cust:
             cust["c_id"] += rep * C_SHIFT
@@ -67,6 +68,26 @@ def _shift_actions(rep: int) -> list:
         if acct is not None and "ca_id" in acct:
             acct["ca_id"] += rep * CA_SHIFT
         out.append((verb, ts, cust, acct))
+    return out
+
+
+def _shift_finwire_records(rec_type: str, records: list,
+                           rep: int) -> list:
+    """Key-shift one FINWIRE record list by type (the same shifts
+    ``_shift_finwire`` applies to the Batch1 sets)."""
+    out = []
+    for pts, f in records:
+        f = dict(f)
+        if rec_type == "CMP":
+            f["cik"] = _cik(f["cik"], rep)
+            if rep:
+                f["company_name"] = f"{f['company_name']} R{rep}"
+        elif rec_type == "SEC":
+            f["symbol"] = _sym(f["symbol"], rep)
+            f["co_name_or_cik"] = _by(f["co_name_or_cik"], rep)
+        else:  # FIN
+            f["co_name_or_cik"] = _by(f["co_name_or_cik"], rep)
+        out.append((pts, f))
     return out
 
 
@@ -182,3 +203,57 @@ def replicate_raw(target: str | Path, copies: int = 10) -> Path:
     )
     marker.touch()
     return raw
+
+
+def replicate_batches(target: str | Path, copies: int = 10) -> Path:
+    """Write raw_batch2/ + raw_batch3/ delta trees equal to ``copies``
+    key-shifted fixture Batch2/Batch3 worlds — coherent with the
+    ``replicate_raw`` tree of the same ``copies`` (every shifted
+    trade/account/symbol/CIK the deltas reference exists in the
+    replicated Batch1 world), so the one-command CLI
+    (``build --batches 1,2,3``) can be exercised at the ×N scale
+    points. Idempotent via a marker file; returns the target dir."""
+    target = Path(target)
+    marker = target / f"_BATCHES_COMPLETE_x{copies}"
+    if marker.exists():
+        return target
+    for stale in target.glob("_BATCHES_COMPLETE_x*"):
+        stale.unlink()
+    specs = (
+        ("raw_batch2", FX.TRADE2, FX.TRADE_HISTORY2,
+         FX.TRADE_DELETES2, FX.FINWIRE_SETS2, FX.ACTIONS2,
+         "FINWIRE2019Q1"),
+        ("raw_batch3", FX.TRADE3, FX.TRADE_HISTORY3,
+         FX.TRADE_DELETES3, FX.FINWIRE_SETS3, FX.ACTIONS3,
+         "FINWIRE2019Q2"),
+    )
+    for dirname, trade, th, dels, fsets, actions, fw_name in specs:
+        d = target / dirname
+        d.mkdir(parents=True, exist_ok=True)
+        trades: list = []
+        ths: list = []
+        delss: list = []
+        fin_lines: list[str] = []
+        acts: list = []
+        for rep in range(copies):
+            trades += [
+                (t + rep * T_SHIFT, dts, st, tt, cash,
+                 _sym(sym, rep), qty, bid, ca + rep * CA_SHIFT, *rest)
+                for t, dts, st, tt, cash, sym, qty, bid, ca, *rest
+                in trade
+            ]
+            ths += [(t + rep * T_SHIFT, dts, st) for t, dts, st in th]
+            delss += [(t + rep * T_SHIFT,) for (t,) in dels]
+            fin_lines += FX.finwire_raw_lines(tuple(
+                (rt, lay, _shift_finwire_records(rt, recs, rep))
+                for rt, lay, recs in fsets
+            ))
+            acts += _shift_actions(rep, actions)
+        FX.write_delimited(d / "Trade.txt", trades, "|")
+        FX.write_delimited(d / "TradeHistory.txt", ths, "|")
+        FX.write_delimited(d / "TradeDeletes.txt", delss, "|")
+        (d / fw_name).write_text("\n".join(fin_lines) + "\n")
+        (d / "CustomerMgmt.xml").write_text(
+            FX.render_customer_mgmt_xml(acts))
+    marker.touch()
+    return target
