@@ -192,6 +192,73 @@ def main() -> None:
     checks["x1000_ivfpq_append_probe_pruned"] = (
         rep2["files_read"] * 2 <= rep2["files_total"])
 
+    # persisted BM25 index at x1000 (r13, VERDICT r12 item 3): the
+    # lexical lifecycle at 5M docs with the postings layout scaled to
+    # the corpus (files=64 — the same grow-with-data schedule as the
+    # IVFPQ cells; 8 at x10, 32 at x100). Economics pins mirror the
+    # IVFPQ x1000 rungs: Bloom-pruned serve well under build, O(batch)
+    # append (structural: base dirs carried forward + one delta dir),
+    # compact restores narrow pruning.
+    from dbt_tpcdi_spark.queries.corpus import (
+        _BM25_BASE_FRAC,
+        _BM25_IDX_SALT,
+        _BM25_IDX_TERMS,
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    bdocs = spark.read.parquet(
+        os.path.join(dirs["x1000"], "documents.parquet"))
+    bbase = bdocs.filter(
+        hash_sample(F.col("doc_id"), _BM25_BASE_FRAC, _BM25_IDX_SALT))
+    bdelta = bdocs.filter(
+        ~hash_sample(F.col("doc_id"), _BM25_BASE_FRAC, _BM25_IDX_SALT))
+    bmroot = os.path.join(
+        "/tmp", "spark_graft_bench", f"bm25_xl_{_uuid.uuid4().hex[:8]}")
+    t0 = time.perf_counter()
+    bidx = bm25_index_build(bbase, bmroot, files=64)
+    probes["x1000:bm25_index_build"] = round(time.perf_counter() - t0, 3)
+    pre_entry = bidx["post"]._entry(bidx["post"].latest_version())
+    t0 = time.perf_counter()
+    bm25_index_append(bidx, bdelta)
+    probes["x1000:bm25_index_append"] = round(time.perf_counter() - t0, 3)
+    post_entry = bidx["post"]._entry(bidx["post"].latest_version())
+    pre_d, post_d = (set(pre_entry.get("datas", [])),
+                     set(post_entry.get("datas", [])))
+    checks["x1000_bm25_append_only_delta_dir"] = (
+        pre_d <= post_d and len(post_d - pre_d) == 1)
+    t0 = time.perf_counter()
+    btop, brep = bm25_index_topk(bidx, _BM25_IDX_TERMS)
+    btop.collect()
+    probes["x1000:bm25_index_serve"] = round(time.perf_counter() - t0, 3)
+    prep["x1000_bm25_prune"] = brep
+    checks["x1000_bm25_serve_pruned"] = (
+        brep["files_read"] * 2 <= brep["files_total"])
+    checks["x1000_bm25_serve_fast"] = (
+        probes["x1000:bm25_index_serve"]
+        <= 0.5 * probes["x1000:bm25_index_build"])
+    t0 = time.perf_counter()
+    bidx["post"].compact(target_files=64, range_by=["w"])
+    probes["x1000:bm25_index_compact"] = round(
+        time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    btop2, brep2 = bm25_index_topk(bidx, _BM25_IDX_TERMS)
+    btop2.collect()
+    probes["x1000:bm25_serve_after_compact"] = round(
+        time.perf_counter() - t0, 3)
+    prep["x1000_bm25_prune_after_compact"] = brep2
+    checks["x1000_bm25_compact_restores_pruning"] = (
+        brep2["files_read"] * 2 <= brep2["files_total"]
+        and brep2["files_read"] <= brep["files_read"])
+
+    # embedding inference at the decade rungs (r13): the Arrow encoder
+    # is a narrow map whose cost is O(tokens) with a bounded token
+    # memo (replication keeps the vocabulary constant — Heaps'-law
+    # reality), so growth must be ~linear in the corpus
+    timed_median3("embed_inference",
+                  lambda d: qs["embed_inference"].build(spark, d))
+
     payload = json.dumps(out)
     print(payload)
     with open(os.path.join(REPO, f"BENCH_{rnd}_xl.json"), "w") as f:
