@@ -2464,11 +2464,12 @@ def export_order_frame(export_rows: DataFrame) -> DataFrame:
 
     Scale: the rank is computed with the two-phase trick on the md5
     PREFIX (first two hex digits → 256 uniform buckets): local
-    row_number per bucket + cumulated bucket offsets — no global
-    single-task sort, no skew possible (md5 prefixes are uniform by
-    construction). Output is one row per SEQUENCE with its shard and
-    sizes; hash-stable under any input partitioning because every
-    ordering key is a pure function of the row."""
+    row_number per bucket + bucket offsets from a bounded
+    metadata×metadata triangle join — no global single-task sort, no
+    partitionless window anywhere, no skew possible (md5 prefixes are
+    uniform by construction). Output is one row per SEQUENCE with its
+    shard and sizes; hash-stable under any input partitioning because
+    every ordering key is a pure function of the row."""
     seqs = (
         export_rows.groupBy("lang", "seq_id", "shard")
         .agg(
@@ -2488,17 +2489,18 @@ def export_order_frame(export_rows: DataFrame) -> DataFrame:
     )
     w_loc = Window.partitionBy("__b").orderBy("__h", "lang", "seq_id")
     ranked = seqs.withColumn("__lrn", F.row_number().over(w_loc))
-    w_off = (
-        Window.orderBy(F.col("__b").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # bucket offsets WITHOUT any partitionless window (banned
+    # repo-wide): a triangle join over the ≤256-row bucket-count
+    # table — metadata x metadata, broadcast, bounded at 256² pairs
+    counts = seqs.groupBy("__b").agg(F.count("*").alias("__cnt"))
+    c1 = counts.select(F.col("__b"))
+    c2 = counts.select(F.col("__b").alias("__b2"),
+                       F.col("__cnt").alias("__cnt2"))
     offsets = (
-        seqs.groupBy("__b").agg(F.count("*").alias("__cnt"))
-        .withColumn(
-            "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
-        )
-        .drop("__cnt")
-    )  # ≤256 rows — the only global window runs over bucket counts
+        c1.join(F.broadcast(c2), F.col("__b2") < F.col("__b"), "left")
+        .groupBy("__b")
+        .agg(F.coalesce(F.sum("__cnt2"), F.lit(0)).alias("__off"))
+    )
     return (
         ranked.join(F.broadcast(offsets), "__b")
         .withColumn(
