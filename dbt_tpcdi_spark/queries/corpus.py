@@ -2635,7 +2635,7 @@ def bm25_index_build(d, root: str,
     t_dl.commit(doclens)
     t_st = VersionedTable(spark, f"{root}/stats")
     t_st.commit(stats)
-    return {"post": t_post, "dl": t_dl, "stats": t_st}
+    return {"post": t_post, "dl": t_dl, "stats": t_st, "root": root}
 
 
 def bm25_index_append(idx: dict, new_d) -> dict:
@@ -2677,16 +2677,57 @@ def bm25_index_append(idx: dict, new_d) -> dict:
     return idx
 
 
+def bm25_index_delete(idx: dict, del_docs) -> dict:
+    """The takedown/GDPR path — the third index-maintenance verb
+    (r13): logically delete documents at O(batch) cost via TOMBSTONES,
+    no postings rewrite. ``del_docs`` (a frame with ``doc_id``) lands
+    as an appended tombstone table, and the (n, t) global stats get a
+    NEGATIVE delta row derived from the deleted docs' indexed doclens
+    — the mergeable-deltas contract absorbs deletion for free. Serve
+    anti-joins tombstones on the PRUNED postings/doclens and
+    recomputes document frequencies after, so the ranking equals a
+    from-scratch rebuild on the remaining corpus exactly (the gate's
+    oracle). PRECONDITION (mirror of the append contract): doc_ids
+    must be currently indexed and not already deleted — a double
+    delete would double-subtract the stats. Tombstones survive
+    ``compact`` on the postings (compaction folds files, not
+    logical state); a periodic purge rewrite is the maintenance story
+    at high delete fractions."""
+    from dbt_tpcdi_spark.plans.versioned import VersionedTable
+
+    spark = idx["dl"].spark
+    dels = del_docs.select("doc_id").distinct()
+    gone = idx["dl"].read().join(dels, "doc_id", "left_semi")
+    neg = gone.agg(
+        (-F.count("*")).cast("long").alias("n"),
+        (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("t"),
+    )
+    if "dels" in idx:
+        idx["dels"].append(dels)
+    else:
+        t_dels = VersionedTable(spark, f"{idx['root']}/dels")
+        t_dels.commit(dels)
+        idx["dels"] = t_dels
+    idx["stats"].append(neg)
+    return idx
+
+
 def bm25_index_topk(idx: dict, terms: list[str], k: int = 10):
     """Serve a bag-of-words query from the persisted index: the
     postings read is Bloom-pruned to the probed terms' files
     (``read_where_in`` — the assert pins that pruning actually bit),
-    document frequencies come from the pruned rows, (n, t) from the
-    summed stats deltas, and the quantized-integer BM25 formula is
-    identical row-for-row to the from-scratch ``bm25_topk`` oracle.
-    Returns (topk DataFrame, prune report)."""
+    tombstoned docs are anti-joined out of the pruned rows, document
+    frequencies come from the surviving rows, (n, t) from the summed
+    stats deltas (deletion's negative deltas included), and the
+    quantized-integer BM25 formula is identical row-for-row to the
+    from-scratch ``bm25_topk`` oracle. Returns (topk DataFrame,
+    prune report)."""
     post, rep = idx["post"].read_where_in("w", terms)
     dl = idx["dl"].read()
+    if "dels" in idx:
+        tomb = idx["dels"].read().select("doc_id")
+        post = post.join(tomb, "doc_id", "left_anti")
+        dl = dl.join(tomb, "doc_id", "left_anti")
     st = idx["stats"].read().agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("t").cast("long").alias("t"),
@@ -2770,6 +2811,40 @@ def bm25_index_append_query(spark: SparkSession,
     )
     idx = bm25_index_build(base, root)
     bm25_index_append(idx, delta)
+    topk, rep = bm25_index_topk(idx, _BM25_IDX_TERMS)
+    assert rep["files_read"] < rep["files_total"], rep
+    return topk
+
+
+@query(
+    "bm25_index_delete",
+    oracle=X.bm25_topk_sql(
+        f"""(SELECT * FROM documents
+             WHERE {hash_sample_sql('doc_id', _BM25_BASE_FRAC,
+                                    _BM25_IDX_SALT)})""",
+        "doc_id", _BM25_IDX_TERMS,
+    ),
+    tags=["llm-retrieval-bm25", "S9", "versioned", "incremental"],
+)
+def bm25_index_delete_query(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """The takedown lifecycle end-to-end: index the FULL corpus, then
+    logically delete a deterministic 10% (tombstones + negative stats
+    deltas — O(batch), no postings rewrite) and serve. The oracle is
+    the from-scratch BM25 over ONLY the remaining 90%, so the
+    tombstone anti-join, the post-delete document frequencies, and
+    the negative (n, t) deltas must compose to exactly the index a
+    rebuild-without-the-deleted-docs would produce — the contract a
+    GDPR erasure pipeline needs. Reads stay term-file-pruned."""
+    from dbt_tpcdi_spark.queries import fixture_root
+
+    root = fixture_root(sf_dir, "bm25_idx") + "/del"
+    d = load_table(spark, sf_dir, "documents")
+    idx = bm25_index_build(d, root)
+    dels = d.filter(
+        ~hash_sample(F.col("doc_id"), _BM25_BASE_FRAC, _BM25_IDX_SALT)
+    ).select("doc_id")
+    bm25_index_delete(idx, dels)
     topk, rep = bm25_index_topk(idx, _BM25_IDX_TERMS)
     assert rep["files_read"] < rep["files_total"], rep
     return topk

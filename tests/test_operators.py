@@ -712,3 +712,39 @@ def test_bm25_index_append_requires_disjoint_doc_ids(spark, tmp_path):
         for r in bm25_index_topk(dup, _BM25_IDX_TERMS)[0].collect()
     ]
     assert [s for _, s in dup_rows] != [s for _, s in clean_rows]
+
+
+def test_bm25_index_delete_tombstones_survive_compact(spark, tmp_path):
+    """The takedown path's maintenance interplay: tombstoned docs stay
+    deleted after the postings table is range-compacted (compaction
+    folds files, never logical state), and the served ranking equals a
+    from-scratch build on the surviving docs."""
+    from dbt_tpcdi_spark.functions.scalar import md5_mod
+    from dbt_tpcdi_spark.queries.corpus import (
+        _BM25_IDX_TERMS,
+        bm25_index_build,
+        bm25_index_delete,
+        bm25_index_topk,
+    )
+    from dbt_tpcdi_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    part = md5_mod(F.col("doc_id"), 4, "bm25del")
+    idx = bm25_index_build(d, str(tmp_path / "full"))
+    bm25_index_delete(idx, d.filter(part == 0).select("doc_id"))
+    want = [
+        (r["doc_id"], r["score_q"])
+        for r in bm25_index_topk(
+            bm25_index_build(d.filter(part != 0),
+                             str(tmp_path / "rest")),
+            _BM25_IDX_TERMS)[0].collect()
+    ]
+    got = [(r["doc_id"], r["score_q"])
+           for r in bm25_index_topk(idx, _BM25_IDX_TERMS)[0].collect()]
+    assert got == want
+    idx["post"].compact(target_files=8, range_by=["w"])
+    after = [(r["doc_id"], r["score_q"])
+             for r in bm25_index_topk(idx, _BM25_IDX_TERMS)[0].collect()]
+    assert after == want
