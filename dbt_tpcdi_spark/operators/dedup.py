@@ -144,9 +144,12 @@ def lsh_candidate_pairs(
     ``(band, hash)`` rows and the self-join keys on both — the same
     multiset of pairs as a union of per-band joins (band equality
     partitions the match space), but the signature projection is
-    computed twice (left/right) instead of 2×LSH_BANDS times, and one
-    shuffle replaces LSH_BANDS."""
-    buckets = bucket_members(sigs, id_col)
+    computed ONCE: ``buckets`` (id, band, h — a few dozen bytes/row)
+    is persisted, so the shingle + 16-permutation minhash projection
+    feeding it runs a single pass instead of once per self-join side
+    (r13, guide §5: cache the narrow proxy that two consumers share,
+    never the text). Released via ``release_lsh_caches``."""
+    buckets = bucket_members(sigs, id_col).persist()
     left, right = buckets.alias("l"), buckets.alias("r")
     pairs = left.join(
         right,
@@ -156,7 +159,9 @@ def lsh_candidate_pairs(
     ).select(
         F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
     )
-    return pairs.distinct() if distinct else pairs
+    pairs = pairs.distinct() if distinct else pairs
+    pairs._lsh_caches = [buckets]
+    return pairs
 
 
 #: 5 md5 hex chars = 20-bit numeric prefix for the hot-bucket prefilter
@@ -513,9 +518,14 @@ def with_token_masks(
         F.col(id_col), *blocks, shingles(F.col(text_col)).alias("__sh")
     ).withColumn("__n", F.size("__sh"))
     toks = base.select(F.explode("__sh").alias("__tok")).distinct()
+    # vocabulary-sized (distinct tokens), consumed by BOTH the eager
+    # bucket-count collect and the broadcast vocab build: persist so
+    # the corpus-wide explode+distinct behind it runs once, not once
+    # per consumer (r13, guide §5 — the cached row is a token string,
+    # never document text). Released via release_lsh_caches.
     bucketed = toks.withColumn(
         "__b", F.pmod(F.xxhash64("__tok"), F.lit(VOCAB_BUCKETS))
-    )
+    ).persist()
     counts = dict(
         bucketed.groupBy("__b").count().collect()  # metadata-sized: ≤B rows
     )
@@ -542,7 +552,7 @@ def with_token_masks(
         .groupBy(F.col(id_col), *blocks, F.col("__n"), F.col("__chunk"))
         .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), __bit))").alias("__mask"))
     )
-    return chunked.groupBy(F.col(id_col), *blocks, F.col("__n")).agg(
+    out = chunked.groupBy(F.col(id_col), *blocks, F.col("__n")).agg(
         F.map_from_entries(
             F.collect_list(F.struct("__chunk", "__mask"))
         ).alias("__cm")
@@ -556,6 +566,8 @@ def with_token_masks(
             ),
         ),
     ).drop("__cm")
+    out._lsh_caches = [bucketed]
+    return out
 
 
 def masked_intersection(a_masks: Column, b_masks: Column) -> Column:
@@ -589,9 +601,15 @@ def jaccard_pairs_bitset(
 
     One driver-side metadata action computes the vocab size (needed to
     densify mask arrays); the vocabulary itself is broadcast.
+
+    ``dense`` (id, block, n, vocab/63 longs — no text) is persisted so
+    the shingle/vocab-join/bit-pack pipeline behind it runs once, not
+    once per self-join side (r13, guide §5/§8: the pairwise decision
+    runs on a cached lightweight proxy). Released via
+    ``release_lsh_caches``.
     """
     dense = with_token_masks(df, id_col, text_col,
-                             [block_col] if block_col else [])
+                             [block_col] if block_col else []).persist()
     blocks = [block_col] if block_col else []
     a, b = dense.alias("a"), dense.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -604,7 +622,7 @@ def jaccard_pairs_bitset(
     cond = cond & (ratio >= threshold)
     inter = masked_intersection(F.col("a.__masks"), F.col("b.__masks"))
     jac = inter / (F.col("a.__n") + F.col("b.__n") - inter)
-    return (
+    out = (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -613,6 +631,8 @@ def jaccard_pairs_bitset(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    out._lsh_caches = list(getattr(dense, "_lsh_caches", [])) + [dense]
+    return out
 
 
 def jaccard_pairs_sql(

@@ -712,6 +712,7 @@ def contamination_scores(
     id_col: str,
     text_col: str = "text",
     n: int = CONTAMINATION_NGRAM,
+    ids_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document n-gram overlap against an evaluation corpus — the
     decontamination pass every training pipeline runs before a model
@@ -746,9 +747,14 @@ def contamination_scores(
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_matched"),
         )
     )
+    # ids_df (r13): join-back id list from a plain column-pruned scan —
+    # avoids re-deriving df's (possibly repartitioned/filtered-wide)
+    # lineage just to enumerate ids; the aggregated per-doc side is
+    # hash-join hinted (both sides already hash-partitioned on the id,
+    # the sort-merge sorts are pure overhead)
+    ids = (ids_df if ids_df is not None else df).select(id_col)
     return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
+        ids.join(per_doc.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
@@ -1176,6 +1182,7 @@ def dsir_scores(
     id_col: str,
     is_target: Column,
     text_col: str = "text",
+    ids_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance score: how much more likely the
     doc's hashed n-gram features are under the TARGET distribution
@@ -1196,6 +1203,16 @@ def dsir_scores(
     shuffle is the final per-doc re-aggregation on ``id_col``.
 
     Output: (id, n_feats, dsir_q); docs with no features score 0.
+
+    r13 (guide §5/§8): ``feats`` — (id, bool, int bucket), no text —
+    is persisted: the bucket-stats fold AND the per-doc scoring pass
+    both consume it, so the explode+md5-bucket pipeline runs once
+    instead of once per consumer. ``ids_df`` (optional) supplies the
+    join-back id list from a plain column-pruned scan so the final
+    left join does not re-derive (or re-shuffle) the feature lineage;
+    the aggregated per-doc side is hash-join hinted — both sides
+    arrive hash-partitioned on the id, so the sort-merge sort passes
+    are pure overhead. Caches release via release_lsh_caches.
     """
     feats = df.select(
         F.col(id_col),
@@ -1203,7 +1220,7 @@ def dsir_scores(
         F.explode(
             F.concat(tokens(F.col(text_col)), ngram_list(F.col(text_col), 2))
         ).alias("__g"),
-    ).select(id_col, "__t", _dsir_bucket(F.col("__g")).alias("__b"))
+    ).select(id_col, "__t", _dsir_bucket(F.col("__g")).alias("__b")).persist()
     stats = feats.groupBy("__b").agg(
         F.count("*").alias("__q"),
         F.sum(F.col("__t").cast("long")).alias("__p"),
@@ -1225,15 +1242,17 @@ def dsir_scores(
             F.expr("sum(__r) div count(*)").alias("dsir_q"),
         )
     )
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
+    ids = (ids_df if ids_df is not None else df).select(id_col)
+    out = (
+        ids.join(per_doc.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
             F.coalesce("dsir_q", F.lit(0)).cast("bigint").alias("dsir_q"),
         )
     )
+    out._lsh_caches = [feats]
+    return out
 
 
 def dsir_scores_sql(
@@ -1454,6 +1473,7 @@ def bm25_topk(
     terms: list[str],
     text_col: str = "text",
     k: int = 10,
+    n_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-words query by quantized BM25.
 
@@ -1479,7 +1499,14 @@ def bm25_topk(
             for i, t in enumerate(terms)
         ],
     )
-    n = df.agg(F.count("*").cast("long").alias("__n"))
+    # n_df (r13): the corpus count comes from a plain scan when the
+    # caller passes one — df is typically round-robin repartitioned
+    # for the tokenize stage, and counting THROUGH that repartition
+    # pays a full (empty-schema) exchange of every row; the bare scan
+    # count is parquet-footer metadata work (guide §2.4)
+    n = (n_df if n_df is not None else df).agg(
+        F.count("*").cast("long").alias("__n")
+    )
     stats = per_doc.agg(
         F.sum("__dl").cast("long").alias("__t"),
         *[

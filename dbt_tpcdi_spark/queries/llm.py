@@ -248,7 +248,10 @@ def ngram_jaccard_capped_frame(d: DataFrame, cap: int) -> DataFrame:
     out = D.jaccard_pairs_bitset(
         capped, "doc_id", "text", block_col="lang", threshold=0.8
     )
-    out._lsh_caches = list(getattr(kept, "_lsh_caches", []))
+    out._lsh_caches = (
+        list(getattr(out, "_lsh_caches", []))
+        + list(getattr(kept, "_lsh_caches", []))
+    )
     return out
 
 
@@ -327,7 +330,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows first shrinks both verification joins and removes the output
     # distinct entirely
     cand = D.lsh_candidate_pairs(sigs, "doc_id", distinct=True)
-    masks = D.with_token_masks(d, "doc_id", "text", [])
+    # masks (doc_id, __n, vocab/63 longs — no text) verify BOTH sides
+    # of every candidate pair: persist so the shingle/bit-pack
+    # pipeline runs once, not once per join side (r13, guide §5/§8)
+    masks = D.with_token_masks(d, "doc_id", "text", []).persist()
     a = masks.alias("sa")
     b = masks.alias("sb")
     j = (
@@ -336,12 +342,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = D.masked_intersection(F.col("sa.__masks"), F.col("sb.__masks"))
     union = F.col("sa.__n") + F.col("sb.__n") - inter
-    return (
+    out = (
         j.select(
             "id_a", "id_b", round4(inter / union).alias("jaccard")
         )
         .filter(F.col("jaccard") >= 0.8)
     )
+    out._lsh_caches = (
+        list(getattr(cand, "_lsh_caches", []))
+        + list(getattr(masks, "_lsh_caches", []))
+        + [masks]
+    )
+    return out
 
 
 # boilerplate tail appended to every document for the hot-bucket
@@ -1938,7 +1950,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are computed once per row BEFORE the join (only the dot product is
     per-pair); duplicates from multi-band collisions are dropped after
     the selective cosine filter."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", S.quantize_vec(F.col("embedding")).alias("qe")
     )
     banded = (
@@ -1961,7 +1973,9 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bb"),
         )
         .select("vec_id", "qe", "n2", "bb.band", "bb.bucket")
-    )
+    ).persist()
+    # persisted (r13, guide §5): both self-join sides consume banded,
+    # so the quantize + per-band sign-bucket projection runs once
     a, b = banded.alias("a"), banded.alias("b")
     qcos = round4(
         S.rawdot(F.col("a.qe"), F.col("b.qe"))
@@ -1970,7 +1984,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt(F.col("b.n2").cast("double"))
         )
     )
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -1985,6 +1999,8 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qcos") >= _NEARDUP_THRESHOLD)
         .distinct()
     )
+    out._lsh_caches = [banded]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2012,11 +2028,14 @@ _QUERY_VEC = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
 )
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-10 by quantized dot against the vec_id=0 query
-    vector (broadcast 1-row cross join — no collect)."""
+    vector (broadcast 1-row cross join — no collect). The corpus side
+    is ``_spread`` (r13): a single-file local scan otherwise computes
+    every dot product on one core — at real scale the gate makes the
+    repartition a no-op; the 1-row query branch reads the bare scan."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     scored = (
-        e.filter(F.col("vec_id") != 0)
+        _spread(e.filter(F.col("vec_id") != 0))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id", "label", S.qdot(F.col("embedding"), F.col("qv")).alias("qdot")
@@ -2798,7 +2817,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eval_df = d.filter(is_eval)
     train = d.filter(~is_eval)
-    return X.contamination_scores(train, eval_df, "doc_id")
+    return X.contamination_scores(
+        train, eval_df, "doc_id",
+        ids_df=load_table(spark, sf_dir, "documents").filter(~is_eval),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3512,7 +3534,10 @@ def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens filter to query terms before any shuffle; document
     frequencies broadcast; top-10 is TakeOrderedAndProject."""
     d = _spread(load_table(spark, sf_dir, "documents"))
-    return X.bm25_topk(d, "doc_id", _BM25_TERMS)
+    return X.bm25_topk(
+        d, "doc_id", _BM25_TERMS,
+        n_df=load_table(spark, sf_dir, "documents"),
+    )
 
 
 @query(
@@ -3530,7 +3555,10 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregation. Selection on the score composes with the existing
     quantile/hash-sample gates."""
     d = _spread(load_table(spark, sf_dir, "documents"))
-    return X.dsir_scores(d, "doc_id", F.col("lang") == "en")
+    return X.dsir_scores(
+        d, "doc_id", F.col("lang") == "en",
+        ids_df=load_table(spark, sf_dir, "documents"),
+    )
 
 
 _CURATION_ORACLE = f"""
@@ -3817,9 +3845,15 @@ def _owned_chunks(d: DataFrame) -> DataFrame:
             ).alias("chunk_idx", "ctext"),
         )
         .withColumn("ch", F.md5(F.col("ctext")))
-    )
+    ).persist()
+    # r13 (guide §5): chunks feeds BOTH owner resolution and the
+    # ownership join — persisted, the scan+tokenize+posexplode+md5
+    # pass runs once instead of twice. Callers propagate the cache
+    # handle via _lsh_caches / release_lsh_caches.
     owner = chunks.groupBy("ch").agg(F.min("doc_id").alias("keep_doc"))
-    return chunks.join(owner, "ch")
+    out = chunks.join(owner, "ch")
+    out._lsh_caches = [chunks]
+    return out
 
 
 def _reassembled_kept_text():
@@ -3879,11 +3913,13 @@ def passage_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise work anywhere; linear in corpus tokens."""
     owned = _owned_chunks(_spread(load_table(spark, sf_dir, "documents")))
     kept = F.col("keep_doc") == F.col("doc_id")
-    return owned.groupBy("doc_id").agg(
+    out = owned.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"),
         F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
         F.md5(_reassembled_kept_text()).alias("new_text_md5"),
     )
+    out._lsh_caches = list(getattr(owned, "_lsh_caches", []))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -4697,13 +4733,26 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = d.select("doc_id", "lang", "source").join(ex, "doc_id")
     # classifier gate, trained on the REWRITTEN corpus (shared builder
-    # with nb_lang_classify — one implementation, two oracles)
+    # with nb_lang_classify — one implementation, two oracles).
+    # r13 (guide §5/§8): ``toks`` — (doc_id, lang, w), no text — is
+    # persisted: the NB train (vocab stats) and score branches BOTH
+    # fold it, so the excision+reassembly+tokenize subtree above runs
+    # once instead of once per consumer; no extra exchange is added
+    # (both consumers aggregate the cache exactly as they aggregated
+    # the lineage before).
     toks = docs.select(
         "doc_id", "lang", F.explode(X.tokens(F.col("new_text"))).alias("w")
-    )
+    ).persist()
     pred = _nb_predictions(toks)
+    # metadata join-back from the RAW scan, not the rewritten docs:
+    # pred's doc_ids ⊆ docs-with-tokens ⊆ docs, so d ⋈ pred ≡
+    # docs ⋈ pred on (doc_id, lang, source) — and the raw scan is a
+    # column-pruned parquet read while docs would re-run excision
+    # (guide §8: decide on small rows, never re-derive the heavy side)
     kept = (
-        docs.join(pred, "doc_id")
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source")
+        .join(pred, "doc_id")
         .filter(F.col("predicted") == F.col("lang"))
         .select("doc_id", "lang", "source")
     )
@@ -4721,10 +4770,12 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hash_sample(F.col("doc_id"), 0.95, salt=_SPLIT_SALT), "val")
         .otherwise("test")
     )
-    return capped.groupBy(split.alias("split"), "lang").agg(
+    out = capped.groupBy(split.alias("split"), "lang").agg(
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("first_doc"),
     )
+    out._lsh_caches = list(getattr(owned, "_lsh_caches", [])) + [toks]
+    return out
 
 
 # ---------------------------------------------------------------------------
