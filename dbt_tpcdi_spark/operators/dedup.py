@@ -144,12 +144,13 @@ def lsh_candidate_pairs(
     ``(band, hash)`` rows and the self-join keys on both — the same
     multiset of pairs as a union of per-band joins (band equality
     partitions the match space), but the signature projection is
-    computed ONCE: ``buckets`` (id, band, h — a few dozen bytes/row)
-    is persisted, so the shingle + 16-permutation minhash projection
-    feeding it runs a single pass instead of once per self-join side
-    (r13, guide §5: cache the narrow proxy that two consumers share,
-    never the text). Released via ``release_lsh_caches``."""
-    buckets = bucket_members(sigs, id_col).persist()
+    computed twice (left/right) instead of 2×LSH_BANDS times, and one
+    shuffle replaces LSH_BANDS. (r13 note: do NOT persist ``buckets``
+    here — both self-join sides require the identical (band, h)
+    exchange, so AQE's ReusedExchange already executes the projection
+    once; a cache only adds a fill barrier. Verified in the executed
+    plan.)"""
+    buckets = bucket_members(sigs, id_col)
     left, right = buckets.alias("l"), buckets.alias("r")
     pairs = left.join(
         right,
@@ -159,9 +160,7 @@ def lsh_candidate_pairs(
     ).select(
         F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
     )
-    pairs = pairs.distinct() if distinct else pairs
-    pairs._lsh_caches = [buckets]
-    return pairs
+    return pairs.distinct() if distinct else pairs
 
 
 #: 5 md5 hex chars = 20-bit numeric prefix for the hot-bucket prefilter
@@ -518,14 +517,9 @@ def with_token_masks(
         F.col(id_col), *blocks, shingles(F.col(text_col)).alias("__sh")
     ).withColumn("__n", F.size("__sh"))
     toks = base.select(F.explode("__sh").alias("__tok")).distinct()
-    # vocabulary-sized (distinct tokens), consumed by BOTH the eager
-    # bucket-count collect and the broadcast vocab build: persist so
-    # the corpus-wide explode+distinct behind it runs once, not once
-    # per consumer (r13, guide §5 — the cached row is a token string,
-    # never document text). Released via release_lsh_caches.
     bucketed = toks.withColumn(
         "__b", F.pmod(F.xxhash64("__tok"), F.lit(VOCAB_BUCKETS))
-    ).persist()
+    )
     counts = dict(
         bucketed.groupBy("__b").count().collect()  # metadata-sized: ≤B rows
     )
@@ -566,7 +560,6 @@ def with_token_masks(
             ),
         ),
     ).drop("__cm")
-    out._lsh_caches = [bucketed]
     return out
 
 
@@ -602,14 +595,14 @@ def jaccard_pairs_bitset(
     One driver-side metadata action computes the vocab size (needed to
     densify mask arrays); the vocabulary itself is broadcast.
 
-    ``dense`` (id, block, n, vocab/63 longs — no text) is persisted so
-    the shingle/vocab-join/bit-pack pipeline behind it runs once, not
-    once per self-join side (r13, guide §5/§8: the pairwise decision
-    runs on a cached lightweight proxy). Released via
-    ``release_lsh_caches``.
+    (r13 note: do NOT persist ``dense`` — the self-join keys both
+    sides on the block column, so both sides require the identical
+    exchange and AQE's ReusedExchange already runs the mask-build
+    pipeline once; a cache only adds a fill barrier. Verified in the
+    executed plan: the second side reads a ReusedExchange.)
     """
     dense = with_token_masks(df, id_col, text_col,
-                             [block_col] if block_col else []).persist()
+                             [block_col] if block_col else [])
     blocks = [block_col] if block_col else []
     a, b = dense.alias("a"), dense.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -622,7 +615,7 @@ def jaccard_pairs_bitset(
     cond = cond & (ratio >= threshold)
     inter = masked_intersection(F.col("a.__masks"), F.col("b.__masks"))
     jac = inter / (F.col("a.__n") + F.col("b.__n") - inter)
-    out = (
+    return (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -631,8 +624,6 @@ def jaccard_pairs_bitset(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    out._lsh_caches = list(getattr(dense, "_lsh_caches", [])) + [dense]
-    return out
 
 
 def jaccard_pairs_sql(

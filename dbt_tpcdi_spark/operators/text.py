@@ -1204,15 +1204,15 @@ def dsir_scores(
 
     Output: (id, n_feats, dsir_q); docs with no features score 0.
 
-    r13 (guide §5/§8): ``feats`` — (id, bool, int bucket), no text —
-    is persisted: the bucket-stats fold AND the per-doc scoring pass
-    both consume it, so the explode+md5-bucket pipeline runs once
-    instead of once per consumer. ``ids_df`` (optional) supplies the
-    join-back id list from a plain column-pruned scan so the final
-    left join does not re-derive (or re-shuffle) the feature lineage;
-    the aggregated per-doc side is hash-join hinted — both sides
-    arrive hash-partitioned on the id, so the sort-merge sort passes
-    are pure overhead. Caches release via release_lsh_caches.
+    r13: ``ids_df`` (optional) supplies the join-back id list from a
+    plain column-pruned scan so the final left join does not re-derive
+    (or re-shuffle) the feature lineage; the aggregated per-doc side
+    is hash-join hinted — both sides arrive hash-partitioned on the
+    id, so the sort-merge sort passes are pure overhead. (The feats
+    stream is deliberately NOT persisted: its two consumers fold it
+    behind different exchanges, but the re-derivation is a cheap
+    projection pass that runs in independent parallel stages — a
+    cache-fill barrier measured slower at sf0.1.)
     """
     feats = df.select(
         F.col(id_col),
@@ -1220,7 +1220,7 @@ def dsir_scores(
         F.explode(
             F.concat(tokens(F.col(text_col)), ngram_list(F.col(text_col), 2))
         ).alias("__g"),
-    ).select(id_col, "__t", _dsir_bucket(F.col("__g")).alias("__b")).persist()
+    ).select(id_col, "__t", _dsir_bucket(F.col("__g")).alias("__b"))
     stats = feats.groupBy("__b").agg(
         F.count("*").alias("__q"),
         F.sum(F.col("__t").cast("long")).alias("__p"),
@@ -1243,7 +1243,7 @@ def dsir_scores(
         )
     )
     ids = (ids_df if ids_df is not None else df).select(id_col)
-    out = (
+    return (
         ids.join(per_doc.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
@@ -1251,8 +1251,6 @@ def dsir_scores(
             F.coalesce("dsir_q", F.lit(0)).cast("bigint").alias("dsir_q"),
         )
     )
-    out._lsh_caches = [feats]
-    return out
 
 
 def dsir_scores_sql(

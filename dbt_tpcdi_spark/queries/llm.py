@@ -330,10 +330,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows first shrinks both verification joins and removes the output
     # distinct entirely
     cand = D.lsh_candidate_pairs(sigs, "doc_id", distinct=True)
-    # masks (doc_id, __n, vocab/63 longs — no text) verify BOTH sides
-    # of every candidate pair: persist so the shingle/bit-pack
-    # pipeline runs once, not once per join side (r13, guide §5/§8)
-    masks = D.with_token_masks(d, "doc_id", "text", []).persist()
+    # (r13 note: masks is deliberately NOT persisted — both
+    # verification sides broadcast the same masks subtree and AQE's
+    # ReusedExchange shares the single BroadcastExchange, so the
+    # bit-pack pipeline already runs once; verified in the executed
+    # plan)
+    masks = D.with_token_masks(d, "doc_id", "text", [])
     a = masks.alias("sa")
     b = masks.alias("sb")
     j = (
@@ -342,18 +344,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = D.masked_intersection(F.col("sa.__masks"), F.col("sb.__masks"))
     union = F.col("sa.__n") + F.col("sb.__n") - inter
-    out = (
+    return (
         j.select(
             "id_a", "id_b", round4(inter / union).alias("jaccard")
         )
         .filter(F.col("jaccard") >= 0.8)
     )
-    out._lsh_caches = (
-        list(getattr(cand, "_lsh_caches", []))
-        + list(getattr(masks, "_lsh_caches", []))
-        + [masks]
-    )
-    return out
 
 
 # boilerplate tail appended to every document for the hot-bucket
@@ -1973,9 +1969,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bb"),
         )
         .select("vec_id", "qe", "n2", "bb.band", "bb.bucket")
-    ).persist()
-    # persisted (r13, guide §5): both self-join sides consume banded,
-    # so the quantize + per-band sign-bucket projection runs once
+    )
     a, b = banded.alias("a"), banded.alias("b")
     qcos = round4(
         S.rawdot(F.col("a.qe"), F.col("b.qe"))
@@ -1999,7 +1993,6 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qcos") >= _NEARDUP_THRESHOLD)
         .distinct()
     )
-    out._lsh_caches = [banded]
     return out
 
 
