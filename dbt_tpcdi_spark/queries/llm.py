@@ -3782,9 +3782,32 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = lambda r: F.coalesce(  # noqa: E731
         F.expr(f"{_RRF_SCALE} div ({_RRF_K} + {r})"), F.lit(0)
     )
+    # r13 (guide §2.4): the fusion used to be a FULL OUTER sort-merge
+    # join of the two rank lists — two exchanges plus two sorts over
+    # ≤2·_RRF_CAND rows. A union + max-aggregate produces the identical
+    # (doc_id, lex_rank, sem_rank) table (each doc appears at most once
+    # per list, so max over the padded union IS the outer join) in ONE
+    # tiny exchange with no sorts.
+    fused = (
+        lex.select(
+            "doc_id", "lex_rank",
+            F.lit(None).cast("long").alias("sem_rank"),
+        )
+        .unionByName(
+            sem.select(
+                "doc_id",
+                F.lit(None).cast("long").alias("lex_rank"),
+                "sem_rank",
+            )
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("lex_rank").alias("lex_rank"),
+            F.max("sem_rank").alias("sem_rank"),
+        )
+    )
     return (
-        lex.join(sem, "doc_id", "full_outer")
-        .select(
+        fused.select(
             "doc_id",
             "lex_rank",
             "sem_rank",

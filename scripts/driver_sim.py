@@ -100,6 +100,11 @@ def main() -> int:
             results[name] = {"match": False,
                              "err": f"{type(ex).__name__}: {str(ex)[:150]}"}
             fails.append(name)
+        finally:
+            # queries that persist shared intermediates (tracked via
+            # _lsh_caches) would otherwise accumulate storage across a
+            # 220-query sweep
+            spark.catalog.clearCache()
     wall = round(time.perf_counter() - t0, 1)
     print(f"\nTOTAL: {len(qs)} queries, {len(fails)} failures in "
           f"{wall:.0f}s: {fails}")
