@@ -459,8 +459,12 @@ def main() -> None:
         # exactly one delta directory — i.e. it rewrote nothing. The
         # wall ratio stays visible in prep, unpinned.
         post_entry = bidx["post"]._entry(bidx["post"].latest_version())
-        pre_datas = set(pre_entry.get("datas", []))
-        post_datas = set(post_entry.get("datas", []))
+        # r13 fix: a fresh build's commit stores a single 'data' key —
+        # 'datas' only appears once a second dir lands (the same
+        # fallback VersionedTable.append itself uses); without it the
+        # pre-set read as empty and the ==1 delta could never hold
+        pre_datas = set(pre_entry.get("datas") or [pre_entry["data"]])
+        post_datas = set(post_entry.get("datas") or [post_entry["data"]])
         plan_checks["bm25_x10_append_only_delta_dir"] = (
             pre_datas <= post_datas
             and len(post_datas - pre_datas) == 1)
@@ -498,11 +502,11 @@ def main() -> None:
             time.perf_counter() - t0, 3)
         post100 = bidx100["post"]._entry(
             bidx100["post"].latest_version())
+        pre100_datas = set(pre100.get("datas") or [pre100["data"]])
+        post100_datas = set(post100.get("datas") or [post100["data"]])
         plan_checks["bm25_x100_append_only_delta_dir"] = (
-            set(pre100.get("datas", []))
-            <= set(post100.get("datas", []))
-            and len(set(post100.get("datas", []))
-                    - set(pre100.get("datas", []))) == 1)
+            pre100_datas <= post100_datas
+            and len(post100_datas - pre100_datas) == 1)
         prep["x100_bm25_append_build_ratio"] = round(
             probes["x100:bm25_index_append"]
             / max(probes["x100:bm25_index_build"], 1e-9), 3)
