@@ -98,9 +98,14 @@ import uuid as _uuid
 
 
 def _timed(times: dict[str, float], name: str, df) -> None:
+    # label the jobs of every timed sink (guide §1.3) so event-log /
+    # UI stages map back to the probe that ran them
+    sc = df.sparkSession.sparkContext
+    sc.setJobDescription(f"bench:{name}")
     t0 = time.perf_counter()
     df.write.mode("overwrite").format("noop").save()
     times[name] = round(time.perf_counter() - t0, 3)
+    sc.setJobDescription(None)
 
 
 #: build-phase wall per query, recorded when ≥ 0.5 s. The headline
@@ -2177,11 +2182,29 @@ def main() -> None:
         # honestly and pin on the warm (steady-state) runs
         _timed(probes, "skew_dag:window_skewed_cold", _win52(skew_dir))
         spark.catalog.clearCache()
-        _timed(probes, "skew_dag:window_uniform",
-               _win52(os.path.join(wh_big, "daily_market")))
-        spark.catalog.clearCache()
-        _timed(probes, "skew_dag:window_skewed", _win52(skew_dir))
-        spark.catalog.clearCache()
+        # r13 (measurement fix, declared in OPTIMIZATION_r13.md): the
+        # warm walls were SINGLE measurements and the pin is a ratio of
+        # two of them — the r9 verdict already showed single-shot walls
+        # drift 1.2-1.6x with zero code change, and in full-bench runs
+        # the skewed wall alone drifted to 1.6-2.6x its own cold run
+        # (13.8-21.7 s vs 8.4 s) while passing in isolation (6.6 s).
+        # Same treatment the headline queries got in r9: three trials,
+        # pin on medians; INTERLEAVED (u,s),(u,s),(u,s) so both sides
+        # of the ratio see the same session conditions. All trials are
+        # recorded in prep; the old single-shot keys keep their
+        # round-over-round meaning as the medians.
+        win_trials: dict[str, list[float]] = {"u": [], "s": []}
+        for _t in range(3):
+            tr: dict[str, float] = {}
+            _timed(tr, "u", _win52(os.path.join(wh_big, "daily_market")))
+            spark.catalog.clearCache()
+            _timed(tr, "s", _win52(skew_dir))
+            spark.catalog.clearCache()
+            win_trials["u"].append(tr["u"])
+            win_trials["s"].append(tr["s"])
+        prep["skew_dag_window_trials"] = win_trials
+        probes["skew_dag:window_uniform"] = sorted(win_trials["u"])[1]
+        probes["skew_dag:window_skewed"] = sorted(win_trials["s"])[1]
         _timed(probes, "skew_dag:window_uniform_perkey",
                _win52(os.path.join(wh_big, "daily_market"),
                       skew_safe=False))
