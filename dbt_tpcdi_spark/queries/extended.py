@@ -120,7 +120,8 @@ def sessionize_chunked_frame(e: DataFrame) -> DataFrame:
     )
 
 
-def sessionize_chunked_events(e: DataFrame) -> DataFrame:
+def sessionize_chunked_events(e: DataFrame,
+                              keep_chunk: bool = False) -> DataFrame:
     """EVENT-LEVEL chunked sessionization (r13, VERDICT r12 item 2):
     returns ``e`` + a global ``session_id`` without ever running a
     per-user event-level window. Phase 1 labels events with (chunk,
@@ -129,7 +130,10 @@ def sessionize_chunked_events(e: DataFrame) -> DataFrame:
     (user, chunk, __s1) carries the global id back to the events —
     the join key includes the chunk, so a hot user (bot/service
     account) stays spread. Consumers: ``assemble_sessions`` (thread
-    assembly) and anything else needing per-event session tags."""
+    assembly) and anything else needing per-event session tags.
+
+    ``keep_chunk=True`` retains the ``__chunk`` label so a downstream
+    aggregation can stay chunk-parallel (the two-phase assembly)."""
     labeled = _session_phase1(e)
     bounds = labeled.groupBy("user_id", "__chunk", "__s1").agg(
         F.min("ts_ms").alias("start_ms"),
@@ -137,10 +141,8 @@ def sessionize_chunked_events(e: DataFrame) -> DataFrame:
     )
     mapping = _session_merge(bounds).select(
         "user_id", "__chunk", "__s1", "session_id")
-    return (
-        labeled.join(mapping, ["user_id", "__chunk", "__s1"])
-        .drop("__chunk", "__s1")
-    )
+    out = labeled.join(mapping, ["user_id", "__chunk", "__s1"])
+    return out.drop("__s1") if keep_chunk else out.drop("__chunk", "__s1")
 
 
 def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,23 +203,48 @@ def _assemble_sessions_query(spark: SparkSession,
 def assemble_sessions_frame(e: DataFrame) -> DataFrame:
     """Thread assembly over (user_id, event_id, event_type, ts_ms)
     rows — shared by the ``assemble_sessions`` gate and the bench
-    hot-user pin so the skew probe measures exactly the default
-    plan."""
-    sess = sessionize_chunked_events(e).withColumn(
+    hot-user pin so the skew probe measures exactly the default plan.
+
+    TWO-PHASE assembly (r13): a mega-session (a bot's whole day in one
+    thread) used to funnel every event into ONE task's collect_list +
+    array_sort. Phase A sorts and concatenates per (user, session,
+    1-hour ``__chunk``) — the hot key spreads over its active hours,
+    and each array is chunk-bounded. Phase B orders the per-chunk
+    SEGMENT STRINGS (rows bounded by active hours, not events) and
+    fingerprints their join. Equivalent by construction: chunk time
+    ranges are disjoint and every event's chunk is a monotone function
+    of ts_ms, so segments concatenated in chunk order reproduce the
+    exact global (ts_ms, event_id) order — same bytes, same
+    separators (every segment is non-empty), same md5. The per-event
+    bytes also shrink before the session shuffle: structs collapse to
+    one string per chunk (guide §2.3, shuffle fewer bytes)."""
+    sess = sessionize_chunked_events(e, keep_chunk=True).withColumn(
         "session_id", F.col("session_id").cast("bigint"))
     turn = F.struct("ts_ms", "event_id", "event_type")
+    seg = sess.groupBy("user_id", "session_id", "__chunk").agg(
+        F.count("*").alias("__n"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(turn)),
+                lambda t: F.concat(
+                    t["event_id"].cast("string"),
+                    F.lit(":"), t["event_type"],
+                ),
+            ),
+            "|",
+        ).alias("__seg"),
+    )
     return (
-        sess.groupBy("user_id", "session_id")
+        seg.groupBy("user_id", "session_id")
         .agg(
-            F.count("*").alias("n_turns"),
+            F.sum("__n").alias("n_turns"),
             F.md5(
                 F.array_join(
                     F.transform(
-                        F.array_sort(F.collect_list(turn)),
-                        lambda t: F.concat(
-                            t["event_id"].cast("string"),
-                            F.lit(":"), t["event_type"],
+                        F.array_sort(
+                            F.collect_list(F.struct("__chunk", "__seg"))
                         ),
+                        lambda s: s["__seg"],
                     ),
                     "|",
                 )

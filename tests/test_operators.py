@@ -748,3 +748,55 @@ def test_bm25_index_delete_tombstones_survive_compact(spark, tmp_path):
     after = [(r["doc_id"], r["score_q"])
              for r in bm25_index_topk(idx, _BM25_IDX_TERMS)[0].collect()]
     assert after == want
+
+
+def test_assemble_sessions_two_phase_equals_single_array(spark):
+    """The r13 two-phase thread assembly (per-chunk sorted segments →
+    chunk-ordered segment concat) must be byte-identical to the naive
+    single collect_list + array_sort formulation — including sessions
+    that straddle chunk edges, ties on ts_ms at a chunk boundary, and
+    single-event sessions."""
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.queries.extended import (
+        _SESSION_CHUNK_MS,
+        assemble_sessions_frame,
+        sessionize_chunked_events,
+    )
+
+    c = _SESSION_CHUNK_MS
+    rows = [
+        # user 1: ONE session straddling three 1-hour chunks — every
+        # gap is 25 min (< the 30-min cutoff), with a tie on ts_ms
+        (1, 10, 3_000_000, "a"), (1, 11, 4_500_000, "b"),
+        (1, 12, 4_500_000, "c"), (1, 13, 6_000_000, "d"),
+        (1, 14, 7_500_000, "e"), (1, 15, 9_000_000, "f"),
+        # user 1: later second session (gap >> 30 min)
+        (1, 16, 30_000_000, "g"),
+        # user 2: single-event session exactly on a chunk boundary
+        (2, 20, c, "h"),
+        # user 2: two events same chunk, reversed insert order
+        (2, 22, 5 * c + 2_000, "j"), (2, 21, 5 * c + 1_000, "i"),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_ms long, event_type string"
+    ).repartition(7)
+
+    def single_array(ev):
+        sess = sessionize_chunked_events(ev).withColumn(
+            "session_id", F.col("session_id").cast("bigint"))
+        turn = F.struct("ts_ms", "event_id", "event_type")
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count("*").alias("n_turns"),
+            F.md5(F.array_join(F.transform(
+                F.array_sort(F.collect_list(turn)),
+                lambda t: F.concat(t["event_id"].cast("string"),
+                                   F.lit(":"), t["event_type"]),
+            ), "|")).alias("thread_fp"),
+        )
+
+    want = sorted(map(tuple, single_array(e).collect()))
+    got = sorted(map(tuple, assemble_sessions_frame(e).collect()))
+    assert got == want
+    # the straddling session really is one thread of 6 turns
+    assert (1, 1, 6) in {t[:3] for t in got}
