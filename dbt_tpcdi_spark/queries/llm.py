@@ -342,7 +342,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(a, cand["id_a"] == F.col("sa.doc_id"))
         .join(b, cand["id_b"] == F.col("sb.doc_id"))
     )
-    inter = D.masked_intersection(F.col("sa.__masks"), F.col("sb.__masks"))
+    inter = D.masked_intersection(
+        F.col("sa.__masks"), F.col("sb.__masks"),
+        nchunks=getattr(masks, "_mask_nchunks", None),
+    )
     union = F.col("sa.__n") + F.col("sb.__n") - inter
     return (
         j.select(

@@ -800,3 +800,47 @@ def test_assemble_sessions_two_phase_equals_single_array(spark):
     assert got == want
     # the straddling session really is one thread of 6 turns
     assert (1, 1, 6) in {t[:3] for t in got}
+
+
+def test_masked_intersection_unrolled_equals_hof(spark):
+    """The r13 unrolled masked_intersection (plan-time nchunks) must
+    equal the higher-order zip_with/aggregate form for every width —
+    single-chunk, multi-chunk, empty-overlap — and the dense builder
+    must expose the width it sized the arrays with."""
+    from pyspark.sql import functions as F
+
+    from dbt_tpcdi_spark.operators.dedup import (
+        _MASK_UNROLL_MAX,
+        masked_intersection,
+        with_token_masks,
+    )
+
+    rows = [
+        ([1, 0, 5], [3, 0, 4]),          # overlap in chunks 1 and 3
+        ([0, 0, 0], [7, 7, 7]),          # empty left
+        ([-1, -1, -1], [-1, -1, -1]),    # all 64 bits set, 3 chunks
+        ([2, 4, 8], [1, 2, 4]),          # disjoint bits
+    ]
+    df = spark.createDataFrame(rows, "a array<long>, b array<long>")
+    got = df.select(
+        masked_intersection(F.col("a"), F.col("b"), nchunks=3).alias("u"),
+        masked_intersection(F.col("a"), F.col("b")).alias("h"),
+    ).collect()
+    assert all(r["u"] == r["h"] for r in got)
+    # all-ones across 3 chunks is 3×64 shared bits
+    assert got[2]["u"] == 192
+    # widths beyond the unroll bound fall back to the HOF form (same
+    # Column semantics; just assert it still evaluates correctly)
+    wide = spark.createDataFrame(
+        [([1] * (_MASK_UNROLL_MAX + 1), [1] * (_MASK_UNROLL_MAX + 1))],
+        "a array<long>, b array<long>",
+    ).select(masked_intersection(
+        F.col("a"), F.col("b"), nchunks=_MASK_UNROLL_MAX + 1).alias("x"))
+    assert wide.first()["x"] == _MASK_UNROLL_MAX + 1
+    # the dense builder rides the width on the frame
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    dense = with_token_masks(d, "doc_id", "text", [])
+    assert isinstance(dense._mask_nchunks, int) and dense._mask_nchunks >= 1
