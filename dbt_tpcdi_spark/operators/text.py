@@ -568,6 +568,62 @@ def _top_ngram_frac(text_col: str, n: int) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+# SINGLE-EVALUATION building blocks (r11; hoisted to module level in
+# r14 so repetition_predicate shares them verbatim): the naive
+# per-feature expression list re-derives tokens ~8x and each n-gram
+# array 3x per row (CollapseProject inlines aliases, and the when/size
+# guards defeat codegen subexpression elimination across features —
+# measured 2.6 s vs 0.6 s on the sf0.1 pass). Binding the token array
+# as a higher-order-function lambda variable forces exactly one
+# evaluation: transform() over a one-element array makes `tk` a bound
+# reference, not a re-derivable subtree; the n-gram arrays get the
+# same treatment one level down.
+def _once(expr: Column, fn) -> Column:
+    return F.transform(F.array(expr), fn)[0]
+
+
+def _top_frac(tk: Column, n: int) -> Column:
+    grams = F.when(F.size(tk) >= n, _ngrams_linear(tk, n)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return _once(
+        grams,
+        lambda gr: F.when(
+            F.size(gr) > 0,
+            round4(_max_multiplicity(gr) / F.size(gr)),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def _dup_frac(arr: Column) -> Column:
+    n = F.size(arr)
+    return F.when(
+        n > 0, round4((n - F.size(F.array_distinct(arr))) / n)
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_predicate(c: Column) -> Column:
+    """``is_repetitive`` as ONE self-contained predicate — for FILTER
+    sites (r14). Filtering on the ``is_repetitive`` COLUMN of
+    ``repetition_features`` lets Catalyst's pushdown substitute the
+    column references: the pushed predicate rebuilds the full feature
+    struct once per threshold (tokens and both gram arrays evaluated
+    2×, measured in the executed curation plans). This form evaluates
+    lines, tokens and each gram array exactly once per row — same
+    round4 arithmetic, same thresholds, same OR, so the boolean is
+    identical to ``repetition_features().is_repetitive`` (pinned by a
+    test)."""
+    lines_bad = _once(
+        F.split(c, "\n"), lambda a: _dup_frac(a) > DUP_LINE_FRAC_MAX
+    )
+    grams_bad = _once(
+        tokens(c),
+        lambda tk: (_top_frac(tk, 2) > TOP_2GRAM_FRAC_MAX)
+        | (_top_frac(tk, 3) > TOP_3GRAM_FRAC_MAX),
+    )
+    return lines_bad | grams_bad
+
+
 def repetition_features(
     df: DataFrame, id_col: str, text_col: str = "text",
     keep: tuple[str, ...] = (),
@@ -595,37 +651,6 @@ def repetition_features(
     curation-pipeline shape).
     """
     c = F.col(text_col)
-
-    # SINGLE-EVALUATION plan (r11): the naive per-feature expression
-    # list re-derives tokens ~8x and each n-gram array 3x per row
-    # (CollapseProject inlines aliases, and the when/size guards defeat
-    # codegen subexpression elimination across features — measured
-    # 2.6 s vs 0.6 s on the sf0.1 pass). Binding the token array as a
-    # higher-order-function lambda variable forces exactly one
-    # evaluation: transform() over a one-element array makes `tk` a
-    # bound reference, not a re-derivable subtree; the n-gram arrays
-    # get the same treatment one level down.
-    def _once(expr: Column, fn) -> Column:
-        return F.transform(F.array(expr), fn)[0]
-
-    def _top_frac(tk: Column, n: int) -> Column:
-        grams = F.when(F.size(tk) >= n, _ngrams_linear(tk, n)).otherwise(
-            F.array().cast("array<string>")
-        )
-        return _once(
-            grams,
-            lambda gr: F.when(
-                F.size(gr) > 0,
-                round4(_max_multiplicity(gr) / F.size(gr)),
-            ).otherwise(F.lit(0.0)),
-        )
-
-    def _dup_frac(arr: Column) -> Column:
-        n = F.size(arr)
-        return F.when(
-            n > 0, round4((n - F.size(F.array_distinct(arr))) / n)
-        ).otherwise(F.lit(0.0))
-
     feats = _once(
         tokens(c),
         lambda tk: F.struct(

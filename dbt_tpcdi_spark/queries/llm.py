@@ -3598,11 +3598,30 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str, gate) -> DataFrame:
     d = _spread(load_table(spark, sf_dir, "documents"))
     # is_repetitive is a pure projection (no shuffle) — filter in
     # place via keep= instead of the r10 join-back, which cost a
-    # second documents scan plus a doc_id shuffle per execution
-    survivors = (
-        X.repetition_features(d, "doc_id", keep=("lang", "text"))
-        .filter(~F.col("is_repetitive"))
-    )
+    # second documents scan plus a doc_id shuffle per execution.
+    #
+    # r14 (guide §2.5/§4.4), two fixes to the repetition gate:
+    # (1) filtering on repetition_features' is_repetitive COLUMN let
+    #     Catalyst substitute the column references on pushdown — the
+    #     pushed predicate rebuilt the full feature struct once per
+    #     threshold (tokens + both gram arrays evaluated 2× per doc);
+    #     X.repetition_predicate evaluates each array exactly once and
+    #     computes the identical boolean.
+    # (2) the predicate must NOT be pushed below the spread exchange,
+    #     where it would run on the UN-spread scan (one partition
+    #     locally). Wrapping it in a CASE WHEN whose condition is a
+    #     vacuously-true NONDETERMINISTIC term makes it non-pushable
+    #     (a bare AND would be split into conjuncts and the
+    #     deterministic half pushed anyway). At real scale _spread is
+    #     a no-op, so the filter sits directly above the scan exactly
+    #     as before (these HOF predicates were never parquet-pushable)
+    #     — the barrier costs nothing there.
+    survivors = d.filter(
+        F.when(
+            F.monotonically_increasing_id() >= 0,
+            ~X.repetition_predicate(F.col("text")),
+        ).otherwise(F.lit(False))
+    ).select("doc_id", "lang", "text")
     scored = X.quality_features(
         survivors.select("doc_id", "lang", "text")
     ).select(

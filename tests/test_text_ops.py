@@ -726,3 +726,40 @@ def test_embed_hashed_projection_seam(spark):
             for r in embed_hashed_projection(
                 df.repartition(7)).collect()}
     assert out1 == out
+
+
+def test_repetition_predicate_equals_column(spark):
+    """r14: the single-evaluation filter predicate must compute the
+    exact boolean repetition_features emits as is_repetitive — on
+    repetitive docs (dup lines / hot 2-grams / hot 3-grams), clean
+    docs, empty and single-token edge cases."""
+    from dbt_tpcdi_spark.operators.text import (
+        repetition_features,
+        repetition_predicate,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j"),                      # clean
+        (2, "x y " * 40),                                 # hot 2-gram
+        (3, "p q r " * 30),                               # hot 3-gram
+        (4, "line\nline\nline\nother"),                   # dup lines
+        (5, ""),                                          # empty
+        (6, "one"),                                       # single token
+        (7, "  spaced   out\ttokens  "),                  # whitespace
+        (8, "a a a a a a a a a a"),                       # dup tokens only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feat = repetition_features(df, "doc_id").select(
+        "doc_id", "is_repetitive"
+    )
+    pred = df.select(
+        "doc_id", repetition_predicate(F.col("text")).alias("p")
+    )
+    both = {r["doc_id"]: (r["is_repetitive"], r["p"])
+            for r in feat.join(pred, "doc_id").collect()}
+    assert len(both) == len(rows)
+    for doc_id, (col_val, pred_val) in both.items():
+        assert col_val == pred_val, doc_id
+    # sanity: the fixture actually exercises both branches
+    assert any(v for v, _ in both.values())
+    assert any(not v for v, _ in both.values())
