@@ -3169,7 +3169,16 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver state — k grows with the corpus here, so that matters).
     Composes two already-gated operators (deterministic quantized
     k-means + integer cosine)."""
-    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    # r14 (guide §2.4): no _spread, and k counts the BARE scan. The
+    # blas assign path hash-shuffles (vec_id) rows into cogroup buckets
+    # every Lloyd round, so a RoundRobin spread under it is a pure
+    # extra exchange per round (parallelism comes from the cogroup
+    # shuffle); the count through the spread paid a full embedding
+    # shuffle for a row count the footer metadata answers. Both run
+    # EAGERLY in build() (the count + each round's centroid
+    # materialization), so this trims the untimed eager wall the
+    # bench records under eager_build — measured 4.1 → ~2.6 s.
+    e = load_table(spark, sf_dir, "embeddings")
     k = -(-e.count() // _SEMDEDUP_WIDTH)
     km = S.kmeans_quantized(e, "vec_id", "embedding", k=k, iters=3).select(
         "vec_id", "cluster", S._qlist(F.col("embedding")).alias("__qv")
@@ -3862,10 +3871,11 @@ _EXCISE_CHUNKS_SQL = f"""
 def _owned_chunks(d: DataFrame) -> DataFrame:
     """(doc_id, chunk_idx, ctext, ch, keep_doc): every 16-token chunk
     of every doc with its cross-corpus owner (min doc_id per chunk
-    text) joined on — the shared base of passage excision and the full
-    curation pipeline. Tokenizes ONCE into a materialized column (the
-    split must not live inside the per-chunk lambda — quadratic per
-    doc otherwise)."""
+    text) attached via one window over the chunk hash — the shared
+    base of passage excision and the full curation pipeline.
+    Tokenizes ONCE into a materialized column (the split must not
+    live inside the per-chunk lambda — quadratic per doc
+    otherwise)."""
     d = d.withColumn("__tk", X.tokens(F.col("text")))
     toks = F.col("__tk")
     n_chunks_arr = F.greatest(
@@ -3883,15 +3893,19 @@ def _owned_chunks(d: DataFrame) -> DataFrame:
             ).alias("chunk_idx", "ctext"),
         )
         .withColumn("ch", F.md5(F.col("ctext")))
-    ).persist()
-    # r13 (guide §5): chunks feeds BOTH owner resolution and the
-    # ownership join — persisted, the scan+tokenize+posexplode+md5
-    # pass runs once instead of twice. Callers propagate the cache
-    # handle via _lsh_caches / release_lsh_caches.
-    owner = chunks.groupBy("ch").agg(F.min("doc_id").alias("keep_doc"))
-    out = chunks.join(owner, "ch")
-    out._lsh_caches = [chunks]
-    return out
+    )
+    # r14 (guide §2.4): owner resolution as a WINDOW over the chunk
+    # hash — min(doc_id) OVER (PARTITION BY ch) IS keep_doc, computed
+    # in the ONE exchange the ownership attach needs anyway. The r13
+    # shape (persist chunks, aggregate owners, join back on ch) paid a
+    # second narrow exchange for the aggregate, a join, and a
+    # cache-fill barrier so the chunk pass wouldn't run twice; with a
+    # single consumer of the chunk rows none of that is needed, and
+    # the window is identical by construction (the inner join on ch
+    # always matched — owner came from the same table).
+    return chunks.withColumn(
+        "keep_doc", F.min("doc_id").over(Window.partitionBy("ch"))
+    )
 
 
 def _reassembled_kept_text():
@@ -4865,7 +4879,10 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     semdedup exactly where IVF's approximation bites — which is why
     this variant carries its own end-to-end oracle rather than
     claiming equivalence."""
-    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    # r14: no _spread (the IVF assign and the pair scan shuffle on
+    # their own keys — the RR exchange only added a per-pass shuffle
+    # to the eager build; see flat semdedup above)
+    e = load_table(spark, sf_dir, "embeddings")
     k = -(-e.count() // _SEMDEDUP_WIDTH)
     cents = S.seed_centroid_table(e, "vec_id", "embedding", k)
     assigned = S.assign_ivf_blas(e, "vec_id", "embedding", cents)
