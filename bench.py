@@ -223,6 +223,71 @@ def main() -> None:
         _timed(probes, "minhash_lsh_realistic", verified)
         corpus.unpersist()
 
+        # -- wide-mask verification probe (r14, VERDICT r13 item 2) ------
+        # masked_intersection's unrolled form is gated to plan-time
+        # widths ≤ _MASK_UNROLL_MAX; everything wider (open-vocabulary
+        # corpora — the 100 TB path for the capped pair queries) takes
+        # the interpreted HOF. This probe EXERCISES that fallback on a
+        # corpus whose vocabulary packs to hundreds of chunks:
+        # nchunks is recorded, the executed plan must show the HOF
+        # (zip_with) — not an unrolled chain past the codegen cliff
+        # measured at ~28 terms — and the masked jaccard must equal
+        # the exact shingle-set jaccard on every LSH candidate pair
+        # (both formulations are exact, so equality is a structural
+        # invariant, not a tolerance).
+        wcorp = benchdata.realistic_corpus(
+            spark, n_docs=2_500, vocab=20_000).persist()
+        wcorp.count()
+        wmasks = D.with_token_masks(wcorp, "doc_id", "text", [])
+        prep["widemask_nchunks"] = int(
+            getattr(wmasks, "_mask_nchunks", 0))
+        plan_checks["widemask_nchunks_gt_unroll_bound"] = (
+            prep["widemask_nchunks"] > D._MASK_UNROLL_MAX)
+        wsigs = D.with_minhash_signature(wcorp, "text")
+        wcand = D.lsh_candidate_pairs(wsigs, "doc_id", distinct=True)
+        wa, wb = wmasks.alias("wa"), wmasks.alias("wb")
+        winter = D.masked_intersection(
+            F.col("wa.__masks"), F.col("wb.__masks"),
+            nchunks=getattr(wmasks, "_mask_nchunks", None))
+        wjac_mask = (
+            wcand.join(wa, wcand["id_a"] == F.col("wa.doc_id"))
+            .join(wb, wcand["id_b"] == F.col("wb.doc_id"))
+            .select(
+                "id_a", "id_b",
+                (winter / (F.col("wa.__n") + F.col("wb.__n") - winter)
+                 ).alias("jm"),
+            )
+        )
+        plan_checks["widemask_plan_uses_hof_not_unroll"] = (
+            "zip_with" in wjac_mask._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        _timed(probes, "widemask_x_verify", wjac_mask)
+        wsh = wcorp.select(
+            "doc_id", D.shingles(F.col("text")).alias("sh")
+        ).withColumn("n", F.size("sh"))
+        sa, sb = wsh.alias("sa"), wsh.alias("sb")
+        sinter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+        wjac_set = (
+            wcand.join(sa, wcand["id_a"] == F.col("sa.doc_id"))
+            .join(sb, wcand["id_b"] == F.col("sb.doc_id"))
+            .select(
+                "id_a", "id_b",
+                (sinter / (F.col("sa.n") + F.col("sb.n") - sinter)
+                 ).alias("js"),
+            )
+        )
+        mism = (
+            wjac_mask.join(wjac_set, ["id_a", "id_b"])
+            .filter(F.col("jm") != F.col("js"))
+            .count()
+        )
+        both_n = wjac_mask.count()
+        prep["widemask_pairs_checked"] = both_n
+        plan_checks["widemask_equals_set_intersection"] = (
+            mism == 0 and both_n > 0)
+        wcorp.unpersist()
+
         # -- second scale point: 10x key-shifted replica (~sf1) ----------
         t0 = time.perf_counter()
         x10_dir = benchdata.replicate_sf(

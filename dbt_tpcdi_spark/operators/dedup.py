@@ -561,14 +561,28 @@ def with_token_masks(
         ),
     ).drop("__cm")
     # plan-time mask width for masked_intersection's unrolled form
-    # (the _lsh_caches convention: metadata riding on the DataFrame)
+    # (the _lsh_caches convention: metadata riding on the DataFrame).
+    # CONTRACT (ADVICE r13): the attribute is a plain Python field —
+    # any intervening DataFrame transformation drops it (callers then
+    # fall back to the always-correct HOF path, never a wrong result),
+    # and callers must pass the builder's width VERBATIM to
+    # masked_intersection: a larger width makes element_at return NULL
+    # and silently nulls the intersection.
     out._mask_nchunks = nchunks
     return out
 
 
-#: unroll bound for masked_intersection — beyond this the expression
-#: tree (4 nodes/term) stops paying for itself vs the HOF fallback
-_MASK_UNROLL_MAX = 128
+#: unroll bound for masked_intersection. r14 MEASURED the crossover
+#: the r13 bound of 128 only guessed: on 2M synthetic pairs per width,
+#: the unrolled sum wins up to ~24 chunks (0.45–0.81× the HOF wall)
+#: and then falls off a CODEGEN CLIFF — at 28+ terms whole-stage
+#: codegen's method-size limits leave the 4-nodes-per-term tree to the
+#: interpreter, measured 5.7–6.6× SLOWER than the HOF at 32–128 chunks
+#: (and at ≥320 terms the generated class fails to compile outright).
+#: 16 keeps a margin below the cliff for expression-heavier plans; the
+#: HOF fallback costs ~5 ns/chunk/pair flat through 1024 chunks, so
+#: wide (open-vocabulary) masks are SAFER interpreted.
+_MASK_UNROLL_MAX = 16
 
 
 def masked_intersection(a_masks: Column, b_masks: Column,

@@ -776,7 +776,11 @@ def contamination_scores(
     # avoids re-deriving df's (possibly repartitioned/filtered-wide)
     # lineage just to enumerate ids; the aggregated per-doc side is
     # hash-join hinted (both sides already hash-partitioned on the id,
-    # the sort-merge sorts are pure overhead)
+    # the sort-merge sorts are pure overhead).
+    # CONTRACT (ADVICE r13): ids_df must be ROW-SET IDENTICAL to df on
+    # id_col — the same relation through row-preserving ops only
+    # (spread/projection). A narrower frame silently drops docs from
+    # the output; a wider one emits spurious zero-score rows.
     ids = (ids_df if ids_df is not None else df).select(id_col)
     return (
         ids.join(per_doc.hint("shuffle_hash"), id_col, "left")
@@ -1526,7 +1530,10 @@ def bm25_topk(
     # caller passes one — df is typically round-robin repartitioned
     # for the tokenize stage, and counting THROUGH that repartition
     # pays a full (empty-schema) exchange of every row; the bare scan
-    # count is parquet-footer metadata work (guide §2.4)
+    # count is parquet-footer metadata work (guide §2.4).
+    # CONTRACT (ADVICE r13): n_df must have the same ROW COUNT as df
+    # (same relation through row-preserving ops only) — a mismatched
+    # frame silently skews the BM25 idf.
     n = (n_df if n_df is not None else df).agg(
         F.count("*").cast("long").alias("__n")
     )
