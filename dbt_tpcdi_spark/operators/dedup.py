@@ -328,28 +328,46 @@ def lsh_candidate_pairs_capped(
     margin: int = 4,
     distinct: bool = True,
 ) -> DataFrame:
-    """``lsh_candidate_pairs`` with hot-bucket capping: the band
-    self-join runs on the capped member set, so candidates are
+    """``lsh_candidate_pairs`` with hot-bucket capping: candidates are
     ≤ #buckets · C(cap,2) instead of Σ bucket²/2 — the bound that
     keeps boilerplate-heavy corpora linear. The LSH trade gets a
     second axis: capped buckets can miss near-dup pairs whose members
     were truncated (deterministically), on top of banding's usual
-    misses."""
-    # the self-join consumes `kept` TWICE; persisting it caps the
-    # whole capped-members subtree (explode + rank + guard) at one
-    # execution per fill — same lifecycle note as `pref` inside
-    # capped_bucket_members.
+    misses.
+
+    r14 (guide §2.3): pairs are expanded from per-bucket SORTED id
+    lists instead of a self-join. The cap makes the aggregation state
+    provably bounded (≤ cap ids per (band, h) — collect_list is unsafe
+    on the UNCAPPED path, where one hot bucket is the whole skew), so
+    one groupBy replaces the self-join: no hash-relation build, no
+    second side to scan. Within a bucket each id appears once (one
+    row per (id, band) by construction) and the list is sorted
+    ascending, so emitting (ids[i], ids[j]) for i < j is exactly the
+    join's id_a < id_b pair multiset, bucket for bucket — verified by
+    exceptAll in both directions on the x10 boilerplate corpus and by
+    the flat 5,404 candidate count at x10/x100. Interleaved x100
+    medians (500k docs): join+persist 9.45 s → preagg+persist 8.92 s;
+    the kept persist STAYS — dropping it measured 11.3 s (the union's
+    fallback branch schedules strictly worse when the aggregation's
+    map side is fused into the union stages)."""
     kept = capped_bucket_members(sigs, id_col, cap, margin).persist()
-    left, right = kept.alias("l"), kept.alias("r")
     _caches = list(getattr(kept, "_lsh_caches", [])) + [kept]
-    pairs = left.join(
-        right,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.h") == F.col("r.h"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("id_a"),
-        F.col(f"r.{id_col}").alias("id_b"),
+    lists = kept.groupBy("band", "h").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+    )
+    ids = F.col("__ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, cap),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = (
+        lists.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
     )
     pairs = pairs.distinct() if distinct else pairs
     pairs._lsh_caches = _caches

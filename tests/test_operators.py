@@ -844,3 +844,42 @@ def test_masked_intersection_unrolled_equals_hof(spark):
     )
     dense = with_token_masks(d, "doc_id", "text", [])
     assert isinstance(dense._mask_nchunks, int) and dense._mask_nchunks >= 1
+
+
+def test_capped_pair_expansion_equals_self_join(spark):
+    """r14: lsh_candidate_pairs_capped expands pairs from per-bucket
+    sorted id lists; the multiset must equal the r13 self-join's
+    (band-duplicated, id_a < id_b) output exactly — including hot
+    buckets over the cap and singleton buckets emitting nothing."""
+    from dbt_tpcdi_spark.operators import dedup as D
+
+    rows = [(i, "shared nav footer boilerplate text common")
+            for i in range(40)]                      # one hot bucket set
+    rows += [(500 + i, f"unique doc {i} alpha beta gamma")
+             for i in range(12)]                     # mostly singletons
+    rows += [(900, "pair doc zeta eta"), (901, "pair doc zeta eta")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = D.with_minhash_signature(d, "text")
+    new = D.lsh_candidate_pairs_capped(sigs, "doc_id", cap=8,
+                                       distinct=False)
+    kept = D.capped_bucket_members(sigs, "doc_id", 8, 4)
+    l, r = kept.alias("l"), kept.alias("r")
+    old = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.h") == F.col("r.h"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    assert new.count() > 0
+    # distinct=True twin: the deduped sets agree too
+    new_d = D.lsh_candidate_pairs_capped(sigs, "doc_id", cap=8,
+                                         distinct=True)
+    assert new_d.exceptAll(old.distinct()).count() == 0
+    assert old.distinct().exceptAll(new_d).count() == 0
+    D.release_lsh_caches(new)
+    D.release_lsh_caches(new_d)
+    D.release_lsh_caches(kept)

@@ -420,12 +420,15 @@ def test_weighted_sample_is_filter_plus_scalar_broadcast(spark):
 
 
 def test_lsh_capped_lineage_structurally_shared(spark):
-    """VERDICT r9 item 3: the capped-LSH kept set is persisted, so the
-    signature explode + ranked guard execute once per cache fill
-    STRUCTURALLY — the final plan's pair join reads InMemoryTableScans
-    and no Generate (explode) sits above the cache boundary. Before
-    this pin the single-execution guarantee rested on AQE's
-    undocumented runtime shuffle-stage reuse."""
+    """VERDICT r9 item 3 (updated for the r14 pair expansion): the
+    capped-LSH kept set is persisted, so the signature explode +
+    ranked guard execute once per cache fill STRUCTURALLY — the final
+    plan reads the kept set from an InMemoryTableScan and the only
+    Generate above the cache boundary is the bounded PAIR-STRUCT
+    explode (≤ C(cap,2) per bucket), never the band-hash explode
+    (``__bh``) re-deriving signatures. The pair multiset itself is
+    pinned equal to the r13 self-join's in
+    test_operators.test_capped_pair_expansion_equals_self_join."""
     from dbt_tpcdi_spark.operators import dedup as D
 
     rows = [(i, "the quick brown fox shared nav footer text")
@@ -439,8 +442,9 @@ def test_lsh_capped_lineage_structurally_shared(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     top = plan.split("InMemoryRelation", 1)[0]
     assert "InMemoryTableScan" in top, top
-    assert "Generate" not in top, top
-    pairs.unpersist()
+    assert "__bh" not in top, top
+    assert "collect_list" in top, top
+    D.release_lsh_caches(pairs)
 
 
 def test_kmv_serving_plan_has_no_shuffle_join(spark):
