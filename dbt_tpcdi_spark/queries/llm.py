@@ -3196,7 +3196,13 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = S.semdedup_dropped_blas(
         km, "vec_id", "cluster", _SEMDEDUP_THRESHOLD
     )
-    return km.select("vec_id", "cluster").join(kept, "vec_id")
+    # r14 (guide §3.1, VERDICT r13 item 7): SHJ-hint the join-back —
+    # both sides need the same vec_id exchange and the kept side is a
+    # narrow (vec_id, is_kept) build, so the sort-merge sort passes
+    # were pure overhead. Interleaved x100 A/B on the sharded twin in
+    # OPTIMIZATION_r14.md.
+    return km.select("vec_id", "cluster").join(
+        kept.hint("shuffle_hash"), "vec_id")
 
 
 _SPLIT_SALT = "split|"
@@ -4902,7 +4908,8 @@ def semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         km, "vec_id", "cluster", _SEMDEDUP_THRESHOLD
     )
     return km.select("vec_id", "cluster", "via_bucket").join(
-        kept, "vec_id"
+        # SHJ-hinted join-back — same rationale as flat semdedup
+        kept.hint("shuffle_hash"), "vec_id"
     )
 
 
@@ -4967,7 +4974,8 @@ def semdedup_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         km, "vec_id", "cluster", _SEMDEDUP_THRESHOLD
     )
     return km.select("vec_id", "cluster", "via_bucket").join(
-        kept, "vec_id"
+        # SHJ-hinted join-back — same rationale as flat semdedup
+        kept.hint("shuffle_hash"), "vec_id"
     )
 
 
@@ -5046,7 +5054,8 @@ def semdedup_sharded_frame(
         "vec_id", "cluster", _SEMDEDUP_THRESHOLD,
     )
     return assigned.select("vec_id", "cell", "cluster").join(
-        kept, "vec_id"
+        # SHJ-hinted join-back — same rationale as flat semdedup
+        kept.hint("shuffle_hash"), "vec_id"
     )
 
 
