@@ -350,8 +350,8 @@ def lsh_candidate_pairs_capped(
     the kept persist STAYS — dropping it measured 11.3 s (the union's
     fallback branch schedules strictly worse when the aggregation's
     map side is fused into the union stages)."""
-    kept = capped_bucket_members(sigs, id_col, cap, margin).persist()
-    _caches = list(getattr(kept, "_lsh_caches", [])) + [kept]
+    _members = capped_bucket_members(sigs, id_col, cap, margin)
+    kept = persist_tracked(_members, _members)
     lists = kept.groupBy("band", "h").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
     )
@@ -370,7 +370,7 @@ def lsh_candidate_pairs_capped(
         .select("__p.id_a", "__p.id_b")
     )
     pairs = pairs.distinct() if distinct else pairs
-    pairs._lsh_caches = _caches
+    pairs._lsh_caches = list(kept._lsh_caches)
     return pairs
 
 
@@ -868,6 +868,21 @@ def blocked_levenshtein_sql(
           ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
     ) WHERE edit_dist <= {max_dist}
     """
+
+
+def persist_tracked(df: DataFrame, *sources: DataFrame) -> DataFrame:
+    """persist ``df`` AND register it for release in one step (ADVICE
+    r13: separate persist + manual ``_lsh_caches`` bookkeeping let a
+    builder leak a cache by omission). The returned frame carries
+    every cache already registered on ``sources`` plus itself, so a
+    caller that wraps the result only has to propagate ONE attribute
+    — or hand the frame to ``release_lsh_caches``."""
+    out = df.persist()
+    caches: list[DataFrame] = []
+    for s in sources:
+        caches.extend(getattr(s, "_lsh_caches", []))
+    out._lsh_caches = caches + [out]
+    return out
 
 
 def release_lsh_caches(df: DataFrame) -> None:

@@ -4798,9 +4798,13 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once instead of once per consumer; no extra exchange is added
     # (both consumers aggregate the cache exactly as they aggregated
     # the lineage before).
-    toks = docs.select(
-        "doc_id", "lang", F.explode(X.tokens(F.col("new_text"))).alias("w")
-    ).persist()
+    toks = D.persist_tracked(
+        docs.select(
+            "doc_id", "lang",
+            F.explode(X.tokens(F.col("new_text"))).alias("w"),
+        ),
+        owned,
+    )
     pred = _nb_predictions(toks)
     # metadata join-back from the RAW scan, not the rewritten docs:
     # pred's doc_ids ⊆ docs-with-tokens ⊆ docs, so d ⋈ pred ≡
@@ -4832,7 +4836,10 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("first_doc"),
     )
-    out._lsh_caches = list(getattr(owned, "_lsh_caches", [])) + [toks]
+    # toks was persist_tracked over `owned`, so its handle already
+    # carries every upstream cache (ADVICE r13: one attribute to
+    # propagate, no leak-by-omission)
+    out._lsh_caches = list(toks._lsh_caches)
     return out
 
 
