@@ -2398,13 +2398,19 @@ def main() -> None:
     # vocab-count collects, quantile-threshold resolution) recorded —
     # but previously unbounded — in ``eager_build``. Folding it into
     # the timed trials would break the round-over-round series, so it
-    # is PINNED instead: the sum of headline build walls (everything in
-    # EAGER_BUILD — the x10 probe builds are tracked separately) must
-    # stay under 35 s at sf0.1 — observed 18–23 s across idle-machine
-    # runs at 8 and 32 cores after the r14 build-path trims; a silent
-    # 2× growth of untimed build work flips this check.
-    plan_checks["eager_build_headline_total_under_35s"] = (
-        sum(EAGER_BUILD.values()) <= 35.0
+    # is PINNED instead — as a RATIO to the timed headline total, the
+    # same noise-robust construction every other wall comparison in
+    # this bench uses. An absolute bound (the first r14 cut used
+    # "<= 35 s", ~50% above the observed 18–27 s) was flipped by a
+    # host-side CPU episode that inflated one run's build phase 1.7×
+    # uniformly (no GC, no steal, no spill — attributed in
+    # OPTIMIZATION_r14.md); numerator and denominator ride such
+    # episodes together (observed ratio 1.06–1.14 normally, 1.46 in
+    # that worst episode), while a true silent doubling of untimed
+    # build work moves the ratio from ~1.1 to >2 and flips the check.
+    # The absolute total stays recorded below for trend reading.
+    plan_checks["eager_build_headline_total_under_2x_timed"] = (
+        sum(EAGER_BUILD.values()) <= 2.0 * max(total, 1.0)
     )
     prep["eager_build_headline_total"] = round(
         sum(EAGER_BUILD.values()), 3)
